@@ -1,0 +1,219 @@
+"""Deterministic anonymizers as native Spark column expressions.
+
+Each function mirrors one reference anonymizer (``src/Anonymizer.scala``,
+F1-F14 in SURVEY.md §2.8) but is implemented as a ``Column -> Column``
+builder over built-in ``pyspark.sql.functions`` — no Python UDFs, so the
+whole anonymization pipeline stays inside Tungsten whole-stage codegen and
+scales linearly with executor count.
+
+Shared contracts (pinned by tests/test_anonymizers.py):
+  * deterministic: same input -> same output, across runs and engines;
+  * null/empty-preserving: ``null -> null``, ``"" -> ""`` (the transform is
+    never applied), mirroring ``Anonymizer.scala:66-67``;
+  * one-way: outputs derive only from ``stable_hash`` of the input.
+
+``register_all(spark)`` exposes every anonymizer to ``spark.sql`` as
+``anon_*`` functions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from . import data_lists as d
+from .hashing import _as_col, _raw_hash, select_by_hash, stable_hash
+
+__all__ = [
+    "stable_hash", "first_name", "male_first_name", "female_first_name",
+    "last_name", "state", "state_abbr", "country", "full_name", "email",
+    "phone_number", "street_address", "city", "zip_code", "redact",
+    "partial_redact", "lorem_text", "register_all", "ANONYMIZERS",
+]
+
+
+def _preserving(builder):
+    """Wrap a Column->Column body with the null/empty passthrough guard."""
+
+    @functools.wraps(builder)
+    def wrapped(col: Column | str, *args, **kwargs) -> Column:
+        c = _as_col(col)
+        return (
+            F.when(c.isNull() | (c == F.lit("")), c)
+            .otherwise(builder(c, *args, **kwargs))
+        )
+
+    return wrapped
+
+
+def _list_anonymizer(values: list[str]):
+    @_preserving
+    def anon(c: Column) -> Column:
+        return select_by_hash(c, values)
+
+    return anon
+
+
+# List-based anonymizers (Anonymizer.scala:74-81).
+first_name = _list_anonymizer(d.FIRST_NAMES)
+male_first_name = _list_anonymizer(d.MALE_FIRST_NAMES)
+female_first_name = _list_anonymizer(d.FEMALE_FIRST_NAMES)
+last_name = _list_anonymizer(d.LAST_NAMES)
+state = _list_anonymizer(d.STATES)
+state_abbr = _list_anonymizer(d.STATE_ABBRS)
+country = _list_anonymizer(d.COUNTRIES)
+
+
+@_preserving
+def full_name(c: Column) -> Column:
+    """``first(h(s)) + " " + last(h(s + "_last"))`` (Anonymizer.scala:84-91)."""
+    return F.concat_ws(
+        " ",
+        select_by_hash(c, d.FIRST_NAMES),
+        select_by_hash(c, d.LAST_NAMES, salt="_last"),
+    )
+
+
+@_preserving
+def email(c: Column) -> Column:
+    """``lower(first).lower(last)@domains[h(s+"_domain")%4]`` (Anonymizer.scala:94-104)."""
+    return F.concat(
+        F.lower(select_by_hash(c, d.FIRST_NAMES)),
+        F.lit("."),
+        F.lower(select_by_hash(c, d.LAST_NAMES, salt="_last")),
+        F.lit("@"),
+        select_by_hash(c, d.EMAIL_DOMAINS, salt="_domain"),
+    )
+
+
+@_preserving
+def phone_number(c: Column) -> Column:
+    """Ten digits ``d_i = ((h >> i) & 0xF) % 10`` formatted ``(ddd) ddd-dddd``
+    (Anonymizer.scala:107-114; ``i % 30 == i`` for i < 10)."""
+    h = _raw_hash(c)
+
+    def digit(i: int) -> Column:
+        return F.pmod(F.shiftright(h, i).bitwiseAND(F.lit(0xF)), F.lit(10))
+
+    return F.format_string(
+        "(%d%d%d) %d%d%d-%d%d%d%d", *[digit(i) for i in range(10)]
+    )
+
+
+@_preserving
+def street_address(c: Column) -> Column:
+    """``(h%9999)+1 <last(h(s+"_street"))> <suffix(h(s+"_suffix"))>``
+    (Anonymizer.scala:117-126)."""
+    number = F.pmod(_raw_hash(c), F.lit(9999)) + F.lit(1)
+    return F.concat_ws(
+        " ",
+        number.cast("string"),
+        select_by_hash(c, d.LAST_NAMES, salt="_street"),
+        select_by_hash(c, d.STREET_SUFFIXES, salt="_suffix"),
+    )
+
+
+@_preserving
+def city(c: Column) -> Column:
+    """``last(h(s)) ++ citySuffix(h(s+"_suffix"))`` — no space (Anonymizer.scala:129-136)."""
+    return F.concat(
+        select_by_hash(c, d.LAST_NAMES),
+        select_by_hash(c, d.CITY_SUFFIXES, salt="_suffix"),
+    )
+
+
+@_preserving
+def zip_code(c: Column) -> Column:
+    """``%05d`` of ``(h % 90000) + 10000`` (Anonymizer.scala:139-145)."""
+    return F.format_string("%05d", F.pmod(_raw_hash(c), F.lit(90000)) + F.lit(10000))
+
+
+@_preserving
+def redact(c: Column) -> Column:
+    """``"*" * len(s)`` (Anonymizer.scala:148-151)."""
+    return F.repeat(F.lit("*"), F.length(c))
+
+
+def partial_redact(col: Column | str, show_first: int = 2, show_last: int = 2) -> Column:
+    """Keep first/last N chars, mask the middle; fully mask short strings
+    (Anonymizer.scala:154-165)."""
+    c = _as_col(col)
+    n = F.length(c)
+    full_mask = F.repeat(F.lit("*"), n)
+    partial = F.concat(
+        F.substring(c, 1, show_first),
+        F.repeat(F.lit("*"), n - F.lit(show_first + show_last)),
+        c.substr(n - F.lit(show_last - 1), F.lit(show_last)),
+    )
+    return (
+        F.when(c.isNull() | (c == F.lit("")), c)
+        .when(n <= F.lit(show_first + show_last), full_mask)
+        .otherwise(partial)
+    )
+
+
+@_preserving
+def lorem_text(c: Column) -> Column:
+    """Lorem words starting at index ``h(s)`` into the 19-word list,
+    space-joined, truncated to ``len(s)`` (Anonymizer.scala:168-207).
+
+    Native-expression plan: the shortest lorem word is 2 chars, so
+    ``floor((len+1)/3) + 1`` words always reach ``len`` chars once
+    space-joined; generate exactly that many via ``sequence``/``transform``
+    (codegen'd, no UDF), join, and truncate. Index arithmetic is 64-bit, so
+    unlike the reference there is no Int overflow for huge inputs.
+    """
+    h = _raw_hash(c)
+    n = F.length(c)
+    n_words = (F.floor((n + F.lit(1)) / F.lit(3)) + F.lit(1)).cast("int")
+    lorem = F.array(*[F.lit(w) for w in d.LOREM_WORDS])
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - F.lit(1)),
+        lambda j: F.element_at(
+            lorem, F.pmod(h + j.cast("long"), F.lit(len(d.LOREM_WORDS))).cast("int") + F.lit(1)
+        ),
+    )
+    return F.substring(F.array_join(words, " "), 1, n)
+
+
+# name -> zero-config Column->Column callable (parameterized ones excluded).
+ANONYMIZERS: dict[str, object] = {
+    "stable_hash": stable_hash,
+    "first_name": first_name,
+    "male_first_name": male_first_name,
+    "female_first_name": female_first_name,
+    "last_name": last_name,
+    "state": state,
+    "state_abbr": state_abbr,
+    "country": country,
+    "full_name": full_name,
+    "email": email,
+    "phone_number": phone_number,
+    "street_address": street_address,
+    "city": city,
+    "zip_code": zip_code,
+    "redact": redact,
+    "lorem_text": lorem_text,
+}
+
+
+def register_all(spark: SparkSession, prefix: str = "anon_") -> None:
+    """Register every anonymizer for use from ``spark.sql``.
+
+    Registered builders expand to native column expressions at parse time
+    via ``Column``-returning lambdas wrapped in ``F.udf``-free SQL: we use
+    ``spark.udf.register`` on expression-producing wrappers is not possible,
+    so instead we register them as SQL *macros* by creating temp views is
+    unnecessary — Spark >= 3.5 supports Python "udf-less" registration via
+    ``DataFrame`` API only. Pragmatically: SQL users call e.g.
+    ``anon_email(col)`` backed by a thin pandas-free Python UDF fallback,
+    while DataFrame users get the native expressions above. The UDF path is
+    only for ad-hoc SQL ergonomics; pipelines compiled through the spec DSL
+    always use the native expressions.
+    """
+    from . import pyimpl
+
+    for name, fn in pyimpl.PY_ANONYMIZERS.items():
+        spark.udf.register(f"{prefix}{name}", fn, "string")
