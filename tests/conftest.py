@@ -1,7 +1,16 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import SparkSession
+
+# Python workers must be able to import the repo package AND test modules
+# (closures defined in tests are pickled by reference to their module).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, os.path.join(_REPO, "tests"), os.environ.get("PYTHONPATH", "")]
+)
 
 
 @pytest.fixture(scope="session")
