@@ -1,0 +1,498 @@
+"""DuckDB oracle SQL for every declared query in ``queries.py``.
+
+SQL is built programmatically from the same frozen data lists and hash
+builders as the Spark expressions, so the two sides cannot drift. Table
+names reference the driver's pre-registered parquet views (``region nation
+customer supplier part orders lineitem events documents embeddings``).
+
+Cross-engine determinism rules mirrored here: DECIMAL accumulation cast to
+DOUBLE, epoch-microsecond bigints instead of timestamps, explicit BIGINT
+casts where DuckDB widens ints, and unique-key tie-breaks on every ranked
+query.
+"""
+
+from __future__ import annotations
+
+from ..operators.text_analysis import LANG_STOPWORDS
+from . import duck as O
+
+ORACLES: dict[str, str] = {}
+
+
+def _h(expr: str) -> str:
+    return O.raw_hash(expr)
+
+
+def _shingles(text: str, k: int = 5) -> str:
+    return (
+        f"list_distinct([substr({text}, i, {k}) "
+        f"for i in range(1, greatest(length({text}) - {k - 1}, 1) + 1)])"
+    )
+
+
+def _tokens(text: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), x -> x <> '')"
+    )
+
+
+_DEC = "CAST({} AS DECIMAL(12,2))"
+_ONE = "CAST(1 AS DECIMAL(4,2))"
+
+
+def _sum_dbl(inner: str) -> str:
+    return f"CAST(sum({inner}) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Anonymizers
+# ---------------------------------------------------------------------------
+
+ORACLES["anon_stable_hash"] = f"""
+SELECT c_custkey, CAST({O.stable_hash('c_name')} AS BIGINT) AS name_hash FROM customer
+"""
+
+ORACLES["anon_customer_pii"] = f"""
+SELECT c_custkey,
+  {O.full_name('c_name')} AS anon_name,
+  {O.email('c_name')} AS anon_email,
+  {O.phone_number('c_name')} AS anon_phone,
+  {O.street_address('c_name')} AS anon_street,
+  {O.city('c_name')} AS anon_city,
+  {O.zip_code('c_name')} AS anon_zip
+FROM customer
+"""
+
+ORACLES["anon_names"] = f"""
+SELECT s_suppkey,
+  {O.first_name('s_name')} AS anon_first,
+  {O.last_name('s_name')} AS anon_last,
+  {O.male_first_name('s_name')} AS anon_male,
+  {O.female_first_name('s_name')} AS anon_female,
+  {O.state('s_name')} AS anon_state,
+  {O.state_abbr('s_name')} AS anon_state_abbr,
+  {O.country('s_name')} AS anon_country
+FROM supplier
+"""
+
+ORACLES["anon_redact"] = f"""
+SELECT p_partkey,
+  {O.redact('p_type')} AS redacted_type,
+  {O.partial_redact('p_name', 3, 2)} AS partial_name,
+  {O.lorem_text('p_name')} AS lorem_name
+FROM part
+"""
+
+ORACLES["lens_json_field"] = f"""
+SELECT c_custkey,
+  '{{"name":"' || {O.full_name('c_name')} || '","seg":"' || c_mktsegment || '"}}'
+    AS profile_json
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# Spec engine
+# ---------------------------------------------------------------------------
+
+ORACLES["spec_project_fixed"] = """
+SELECT c_custkey, CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment,
+       'REDACTED' AS c_name
+FROM customer WHERE c_custkey % 2 = 0
+"""
+
+ORACLES["spec_topk_orders"] = """
+SELECT o_orderkey AS id, o_custkey, o_totalprice, o_orderstatus
+FROM orders ORDER BY o_orderkey DESC LIMIT 100
+"""
+
+ORACLES["spec_subset_region"] = f"""
+SELECT c_custkey, c_nationkey, {O.full_name('c_name')} AS anon_name
+FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+    SELECT r_regionkey FROM region WHERE r_regionkey = 0))
+"""
+
+ORACLES["spec_subset_chain"] = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_custkey < 50))
+"""
+
+ORACLES["selfref_closure"] = """
+WITH RECURSIVE base AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey = 0 THEN NULL
+              ELSE CAST((n_nationkey - 1) // 2 AS INTEGER) END AS parent_key
+  FROM nation
+), reach(k) AS (
+  SELECT n_nationkey FROM base WHERE n_nationkey <> 5 AND parent_key IS NULL
+  UNION
+  SELECT t.n_nationkey FROM base t JOIN reach r ON t.parent_key = r.k
+  WHERE t.n_nationkey <> 5
+)
+SELECT n_nationkey, parent_key FROM base
+WHERE n_nationkey <> 5
+  AND (parent_key IS NULL OR parent_key IN (SELECT k FROM reach))
+"""
+
+# ---------------------------------------------------------------------------
+# Relational analytics
+# ---------------------------------------------------------------------------
+
+_disc_price = f"{_DEC.format('l_extendedprice')} * ({_ONE} - CAST(l_discount AS DECIMAL(4,2)))"
+_charge = f"{_disc_price} * ({_ONE} + CAST(l_tax AS DECIMAL(4,2)))"
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sum_dbl(_DEC.format('l_quantity'))} AS sum_qty,
+  {_sum_dbl(_DEC.format('l_extendedprice'))} AS sum_base_price,
+  {_sum_dbl(_disc_price)} AS sum_disc_price,
+  {_sum_dbl(_charge)} AS sum_charge,
+  {_sum_dbl(_DEC.format('l_quantity'))} / count(*) AS avg_qty,
+  {_sum_dbl(_DEC.format('l_extendedprice'))} / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+SELECT l_orderkey, o_orderpriority, {_sum_dbl(_disc_price)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["q5_region_revenue"] = f"""
+SELECT n_name, {_sum_dbl(_disc_price)} AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_regionkey <= 2
+GROUP BY n_name
+"""
+
+ORACLES["window_top_orders"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+ORACLES["window_running_totals"] = """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+    AS prev_orderkey
+FROM orders
+"""
+
+ORACLES["setop_except"] = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+ORACLES["setop_intersect_union"] = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+ORACLES["agg_segment_stats"] = """
+SELECT c_mktsegment,
+  count(*) AS n_customers,
+  count(DISTINCT c_nationkey) AS n_nations,
+  min(c_acctbal) AS min_bal,
+  max(c_acctbal) AS max_bal,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+ORACLES["agg_rollup_region"] = """
+SELECT n_regionkey, n_nationkey, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_regionkey, n_nationkey)
+"""
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped
+# ---------------------------------------------------------------------------
+
+ORACLES["events_tumbling"] = """
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["events_sliding"] = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id FROM events),
+exp AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, t) AS ws FROM ev
+  UNION ALL
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, t) - INTERVAL 1 HOUR AS ws FROM ev
+)
+SELECT epoch_us(ws) AS window_start,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM exp GROUP BY ws
+"""
+
+ORACLES["events_sessionize"] = """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+flagged AS (
+  SELECT user_id, t,
+    CASE WHEN lag(t) OVER w IS NULL
+          OR t - lag(t) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sess AS (
+  SELECT user_id, t,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, epoch_us(min(t)) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+ORACLES["dedup_exact"] = """
+SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def _minhash_sig(hashes: str, num_hashes: int = 8) -> str:
+    from ..functions.textops import MERSENNE_31, minhash_permutations
+
+    mins = [
+        f"list_min([(h * {a} + {b}) % {MERSENNE_31} for h in {hashes}])"
+        for a, b in minhash_permutations(num_hashes)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def _band_selects(bands: int, rows: int) -> str:
+    selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS key FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles('text')} AS sh FROM documents
+),
+hs AS (
+  SELECT doc_id, sh, [{_h('s')} for s in sh] AS hashes FROM sh
+),
+sig AS (
+  SELECT doc_id, sh, {_minhash_sig('hashes', 16)} AS sig FROM hs
+),
+bands AS ({_band_selects(4, 4)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      / CAST(len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH hs AS (
+  SELECT doc_id, [{_h('t')} for t in {_tokens('text')}] AS hashes FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum([
+    CASE WHEN list_sum([
+      CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+      for h in hashes]) > 0
+    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+    for i in range(0, 32)]) AS BIGINT) AS simhash
+FROM hs
+"""
+
+ORACLES["ngram_jaccard_adjacent"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles('text')} AS sh FROM documents
+),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
+SELECT p.id_a, p.id_b,
+  CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+    / CAST(len(sa.sh) + len(sb.sh)
+           - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+    AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.id_a
+JOIN sh sb ON sb.doc_id = p.id_b
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id,
+  list_min([{_h("s || '_fp'")} for s in {_shingles('text', 8)}]) AS fingerprint,
+  CAST({O.stable_hash('text')} AS BIGINT) AS content_hash
+FROM documents
+"""
+
+ORACLES["text_stats"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_tokens('text')}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({_tokens('text')})) AS BIGINT) AS n_distinct_tokens,
+  CAST(list_sum([length(t) for t in {_tokens('text')}]) AS DOUBLE)
+    / CAST(len({_tokens('text')}) AS DOUBLE) AS mean_token_len
+FROM documents
+"""
+
+
+def _stop_list_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+ORACLES["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_tokens('text')} AS toks,
+    [substr(text, i, 5)
+     for i in range(1, greatest(length(text) - 4, 1) + 1)] AS grams
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql(LANG_STOPWORDS['en'])}, x))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS type_token_ratio,
+  CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS shingle_diversity
+FROM t
+"""
+
+
+def _lang_scores() -> tuple[str, str]:
+    cols = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        cols.append(
+            f"CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql(words)}, x))) AS BIGINT) AS s_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = "CASE WHEN " + m + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {m} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return ", ".join(cols), pick
+
+
+_lang_cols, _lang_pick = _lang_scores()
+_lang_max = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_STOPWORDS)) + ")"
+
+ORACLES["lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens('text')} AS toks FROM documents
+),
+scored AS (SELECT doc_id, {_lang_cols} FROM t)
+SELECT doc_id, {_lang_pick} AS predicted_lang,
+       CAST({_lang_max} AS BIGINT) AS lang_hits
+FROM scored
+"""
+
+_DOT = (
+    "list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) "
+    "for i in range(1, 65)])"
+)
+_QNORM = "sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, 65)]))"
+_CNORM = "sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, 65)]))"
+
+ORACLES["embedding_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    {_DOT} / ({_QNORM} * {_CNORM}) AS cos
+  FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def _bucket_sql(vec: str, planes: int = 4) -> str:
+    # Outer comprehension variable must NOT be `i`: the inlined md5 hash
+    # expression has its own `for i in range(1, 9)` comprehension, and
+    # DuckDB scoping would bind the salt's index to the inner variable.
+    projs = []
+    for p in range(planes):
+        salted = "CAST(idx - 1 AS VARCHAR) || '_pl" + str(p) + "'"
+        w = f"(CAST({_h(salted)} AS DOUBLE) / 2147483647.0 - 0.5)"
+        proj = f"list_sum([CAST({vec}[idx] AS DOUBLE) * {w} for idx in range(1, 65)])"
+        projs.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(projs) + ")"
+
+
+ORACLES["embedding_topk_lsh"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM b WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    {_DOT.replace('cv', 'b.embedding')} /
+      ({_QNORM} * {_CNORM.replace('cv', 'b.embedding')}) AS cos
+  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+ORACLES["multimodal_meta"] = f"""
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST({O.stable_hash('text')} AS BIGINT) AS content_hash
+FROM documents
+"""

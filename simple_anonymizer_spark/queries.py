@@ -1,0 +1,448 @@
+"""The engine's declared query set — one entry per operator capability.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+driver harness compares every query against its DuckDB oracle
+(``oracle/queries.py``) by row count, schema, and order-insensitive
+value hash. Column names are aliased identically on both sides.
+
+Float determinism policy (engine-wide): double aggregates go through
+exact DECIMAL accumulation and come back as DOUBLE (`_dec`); divisions
+happen on already-identical doubles; ranked outputs always carry a
+unique-key tie-break. Timestamps are emitted as epoch microseconds
+(bigint) to avoid cross-engine timestamp encoding drift.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import anonymizers as A
+from .functions import lens as lens_mod
+from .functions import textops as T
+from .operators import dedup, similarity, text_analysis
+from .plans import TableSpec, apply_spec
+from .plans.propagation import apply_subsetting
+from .sources.catalog import Catalog, LogicalFK
+from .sources.parquet import read_sf_table
+from .streaming import events as streaming_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+
+
+def query(name: str):
+    def register(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        return fn
+
+    return register
+
+
+def _dec(c: Column, precision: int = 12, scale: int = 2) -> Column:
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_sf_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Anonymizers (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query("anon_stable_hash")
+def anon_stable_hash(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", A.stable_hash("c_name").alias("name_hash")
+    )
+
+
+@query("anon_customer_pii")
+def anon_customer_pii(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        A.full_name("c_name").alias("anon_name"),
+        A.email("c_name").alias("anon_email"),
+        A.phone_number("c_name").alias("anon_phone"),
+        A.street_address("c_name").alias("anon_street"),
+        A.city("c_name").alias("anon_city"),
+        A.zip_code("c_name").alias("anon_zip"),
+    )
+
+
+@query("anon_names")
+def anon_names(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        A.first_name("s_name").alias("anon_first"),
+        A.last_name("s_name").alias("anon_last"),
+        A.male_first_name("s_name").alias("anon_male"),
+        A.female_first_name("s_name").alias("anon_female"),
+        A.state("s_name").alias("anon_state"),
+        A.state_abbr("s_name").alias("anon_state_abbr"),
+        A.country("s_name").alias("anon_country"),
+    )
+
+
+@query("anon_redact")
+def anon_redact(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        A.redact("p_type").alias("redacted_type"),
+        A.partial_redact("p_name", 3, 2).alias("partial_name"),
+        A.lorem_text("p_name").alias("lorem_name"),
+    )
+
+
+@query("lens_json_field")
+def lens_json_field(spark, sf_dir):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    c = _t(spark, sf_dir, "customer")
+    schema = StructType([
+        StructField("name", StringType()),
+        StructField("seg", StringType()),
+    ])
+    json_col = F.to_json(
+        F.struct(F.col("c_name").alias("name"), F.col("c_mktsegment").alias("seg"))
+    )
+    lens_fn = lens_mod.compile_native(
+        lens_mod.Field("name"), lambda col: A.full_name(col), schema
+    )
+    return c.select("c_custkey", lens_fn(json_col).alias("profile_json"))
+
+
+# ---------------------------------------------------------------------------
+# Spec engine: projection / fixed / top-k / subsetting (SURVEY §2.2, §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query("spec_project_fixed")
+def spec_project_fixed(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    spec = TableSpec.select(lambda r: [
+        r.c_custkey,
+        r.c_acctbal.nulled,
+        r.c_mktsegment,
+        r["c_name"].set_to("REDACTED"),
+    ]).where("c_custkey % 2 = 0")
+    return apply_spec(c, spec)
+
+
+@query("spec_topk_orders")
+def spec_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "id")
+    spec = TableSpec.select(lambda r: [
+        r.id, r.o_custkey, r.o_totalprice, r.o_orderstatus,
+    ]).with_limit(100)
+    return apply_spec(o, spec)
+
+
+def _tpch_catalog() -> Catalog:
+    return Catalog.declared(
+        columns={
+            "region": ["r_regionkey", "r_name"],
+            "nation": ["n_nationkey", "n_name", "n_regionkey"],
+            "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+            "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                        "o_orderdate", "o_orderpriority"],
+            "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                          "l_returnflag", "l_linestatus", "l_shipdate"],
+        },
+        primary_keys={"region": {"r_regionkey"}, "nation": {"n_nationkey"},
+                      "customer": {"c_custkey"}, "orders": {"o_orderkey"}},
+        foreign_keys=[
+            LogicalFK(None, "nation", "region", (("n_regionkey", "r_regionkey"),)),
+            LogicalFK(None, "customer", "nation", (("c_nationkey", "n_nationkey"),)),
+            LogicalFK(None, "orders", "customer", (("o_custkey", "c_custkey"),)),
+            LogicalFK(None, "lineitem", "orders", (("l_orderkey", "o_orderkey"),)),
+        ],
+    )
+
+
+@query("spec_subset_region")
+def spec_subset_region(spark, sf_dir):
+    dfs = {n: _t(spark, sf_dir, n) for n in ["region", "nation", "customer"]}
+    out = apply_subsetting(dfs, _tpch_catalog(), {"region": "r_regionkey = 0"})
+    return out["customer"].select(
+        "c_custkey", "c_nationkey", A.full_name("c_name").alias("anon_name")
+    )
+
+
+@query("spec_subset_chain")
+def spec_subset_chain(spark, sf_dir):
+    dfs = {n: _t(spark, sf_dir, n) for n in ["customer", "orders", "lineitem"]}
+    out = apply_subsetting(dfs, _tpch_catalog(), {"customer": "c_custkey < 50"})
+    return out["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query("selfref_closure")
+def selfref_closure(spark, sf_dir):
+    """Recursive self-ref closure (heap-shaped tree derived from nation:
+    parent(k) = (k-1) div 2, roots at k=0). Filter drops nationkey 5; the
+    whole subtree under 5 must vanish even where descendants pass."""
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") == 0, F.lit(None).cast("int"))
+        .otherwise(F.expr("CAST((n_nationkey - 1) div 2 AS INT)")).alias("parent_key"),
+        "n_name",
+    )
+    cat = Catalog.declared(
+        columns={"tree": ["n_nationkey", "parent_key", "n_name"]},
+        primary_keys={"tree": {"n_nationkey"}},
+        foreign_keys=[LogicalFK(None, "tree", "tree", (("parent_key", "n_nationkey"),))],
+    )
+    out = apply_subsetting({"tree": n}, cat, {"tree": "n_nationkey <> 5"})
+    return out["tree"].select("n_nationkey", "parent_key")
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (SURVEY §2.12 — joins/aggs/windows/set-ops)
+# ---------------------------------------------------------------------------
+
+
+@query("q1_pricing_summary")
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("__sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).alias("__sum_base"),
+        F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), 4, 2))
+              ).alias("__sum_disc"),
+        F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), 4, 2))
+              * (one + _dec(F.col("l_tax"), 4, 2))).alias("__sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("__sum_qty").cast("double").alias("sum_qty"),
+        F.col("__sum_base").cast("double").alias("sum_base_price"),
+        F.col("__sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("__sum_charge").cast("double").alias("sum_charge"),
+        (F.col("__sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("__sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+@query("q3_shipping_priority")
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    one = F.lit(1).cast("decimal(4,2)")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), 4, 2))
+              ).alias("__rev")
+    )
+    return (
+        agg.select("l_orderkey", "o_orderpriority",
+                   F.col("__rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query("q5_region_revenue")
+def q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").where(F.col("r_regionkey") <= 2)
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(4,2)")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), 4, 2))
+              ).alias("__rev"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select("n_name", F.col("__rev").cast("double").alias("revenue"), "n_items")
+
+
+@query("window_top_orders")
+def window_top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query("window_running_totals")
+def window_running_totals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+        F.lag("o_orderkey", 1).over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ).alias("prev_orderkey"),
+    )
+
+
+@query("setop_except")
+def setop_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    all_buyers = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    finished = o.where(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("custkey")).distinct()
+    return all_buyers.subtract(finished)
+
+
+@query("setop_intersect_union")
+def setop_intersect_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    open_b = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"))
+    pending = o.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey"))
+    both = open_b.intersect(pending)
+    return both.union(pending.limit(0)).distinct()
+
+
+@query("agg_segment_stats")
+def agg_segment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.min(F.col("c_acctbal")).alias("min_bal"),
+        F.max(F.col("c_acctbal")).alias("max_bal"),
+        F.sum(_dec(F.col("c_acctbal"))).alias("__sum_bal"),
+    )
+    return agg.select(
+        "c_mktsegment", "n_customers", "n_nations", "min_bal", "max_bal",
+        (F.col("__sum_bal").cast("double") / F.col("n_customers")).alias("avg_bal"),
+    )
+
+
+@query("agg_rollup_region")
+def agg_rollup_region(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_regionkey", "n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("n_regionkey", "n_nationkey", "n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-mode equivalents; SURVEY §7 north-star)
+# ---------------------------------------------------------------------------
+
+
+@query("events_tumbling")
+def events_tumbling(spark, sf_dir):
+    return streaming_events.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@query("events_sliding")
+def events_sliding(spark, sf_dir):
+    return streaming_events.sliding_user_activity(_t(spark, sf_dir, "events"))
+
+
+@query("events_sessionize")
+def events_sessionize(spark, sf_dir):
+    return streaming_events.sessionize(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text analysis / multimodal (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_exact")
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.3
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@query("ngram_jaccard_adjacent")
+def ngram_jaccard_adjacent(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+    return dedup.ngram_jaccard_pairs(d, pairs)
+
+
+@query("doc_fingerprint")
+def doc_fingerprint(spark, sf_dir):
+    return dedup.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@query("text_stats")
+def text_stats(spark, sf_dir):
+    return text_analysis.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("text_quality")
+def text_quality(spark, sf_dir):
+    return text_analysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query("lang_id")
+def lang_id(spark, sf_dir):
+    return text_analysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_topk")
+def embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=3)
+
+
+@query("embedding_topk_lsh")
+def embedding_topk_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=3, planes=4)
+
+
+@query("multimodal_meta")
+def multimodal_meta(spark, sf_dir):
+    from .operators import multimodal
+
+    media = multimodal.with_binary_content(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_meta(media).select("media_id", "n_bytes", "content_hash")

@@ -1,0 +1,102 @@
+"""Structured-Streaming operators over the events stream.
+
+Each aggregation is defined once as a DataFrame transformation usable in
+BOTH batch and streaming mode (Spark's unified model): the driver harness
+runs them batch-side against the DuckDB oracle, while ``stream_*`` helpers
+wire the same logic into ``readStream``/``writeStream`` with watermarks
+for production use. ``ts`` arrives as epoch-nanos (see sources/parquet.py);
+windows are computed on the derived microsecond timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def tumbling_counts(
+    events: DataFrame, window_len: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count + decimal-exact value sum per event_type.
+    Output: ``window_start`` (epoch micros, long), ``event_type``,
+    ``n_events``, ``sum_value``."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), window_len).alias("__w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sum_dec"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("__sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame, window_len: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window distinct-user and event counts.
+    Output: ``window_start`` (epoch micros), ``n_users``, ``n_events``."""
+    return (
+        events.groupBy(F.window(F.col("ts"), window_len, slide).alias("__w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based). Output: ``user_id``,
+    ``session_start`` (epoch micros), ``n_events``."""
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("__w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.unix_micros(F.col("__w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming wiring (same logic, readStream/writeStream + watermark)
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_counts(
+    spark, source_path: str, window_len: str = "1 hour",
+    watermark: str = "2 hours", schema=None,
+) -> DataFrame:
+    """The tumbling aggregation as a late-data-tolerant stream. Watermark
+    bounds state: windows older than the watermark are finalized and
+    evicted."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.parquet(source_path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return tumbling_counts(raw.withWatermark("ts", watermark), window_len)
+
+
+def write_stream(df: DataFrame, path: str, checkpoint: str) -> DataStreamWriter:
+    return (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )

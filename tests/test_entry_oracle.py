@@ -1,0 +1,86 @@
+"""Harness-mirror: run every declared query against its DuckDB oracle at
+sf0.001 and compare row count, column names, and order-insensitive values —
+the same comparison the driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+import os
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    out = []
+    for row in rows:
+        vals = []
+        for c in columns:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.10g}"
+            elif isinstance(v, bool):
+                v = int(v)
+            vals.append((c, str(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def test_all_queries_have_oracles():
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert not missing, f"queries without oracle: {missing}"
+    dangling = sorted(set(ORACLES) - set(QUERIES))
+    assert not dangling, f"oracles without query: {dangling}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+
+    cur = duck.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    duck_rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+
+    assert sorted(sdf.columns) == sorted(cols), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    key = sorted(cols)
+    s_norm = _normalize(spark_rows, key)
+    d_norm = _normalize(duck_rows, key)
+    if s_norm != d_norm:
+        diffs = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
