@@ -490,6 +490,20 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 3
 """
 
+ORACLES["events_asof_signup"] = """
+SELECT e.event_id, e.user_id, s.signup_event
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events) e
+ASOF LEFT JOIN (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id AS signup_event
+  FROM events WHERE event_type = 'signup') s
+ON e.user_id = s.user_id AND e.t > s.t
+"""
+
+ORACLES["join_anti_customers"] = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
 ORACLES["multimodal_meta"] = f"""
 SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

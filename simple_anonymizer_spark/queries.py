@@ -440,6 +440,37 @@ def embedding_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=3, planes=4)
 
 
+@query("events_asof_signup")
+def events_asof_signup(spark, sf_dir):
+    """As-of join: every event matched to the user's most recent strictly
+    earlier signup event."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    signups = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_event"))
+    )
+    joined = asof_join(
+        ev, signups, key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["signup_event"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("signup_event_asof").alias("signup_event")
+    )
+
+
+@query("join_anti_customers")
+def join_anti_customers(spark, sf_dir):
+    """Customers with no orders — left anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
 @query("multimodal_meta")
 def multimodal_meta(spark, sf_dir):
     from .operators import multimodal

@@ -1,0 +1,70 @@
+"""Plan-shape audits: the physical plans must carry the properties that
+make these operators viable at 100 TB — pushed filters, pruned scans, no
+Python in native paths, broadcast joins where a side is small, and no
+unexpected shuffles."""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_anonymizer_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NATIVE_QUERIES = [
+    "anon_customer_pii", "anon_names", "anon_redact", "anon_stable_hash",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_stats",
+    "lang_id", "doc_fingerprint", "embedding_topk", "events_tumbling",
+    "events_asof_signup", "spec_subset_chain",
+]
+
+
+@pytest.mark.parametrize("name", NATIVE_QUERIES)
+def test_no_python_in_native_paths(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+    assert "ArrowEvalPython" not in plan, f"{name} fell back to pandas UDF"
+    assert "FlatMapsInPandas" not in plan
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    plan = plan_of(spark, "anon_stable_hash", sf_dir)
+    # two of five customer columns read
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q5_region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "spec_topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # map-side combine: HashAggregate appears both before and after exchange.
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_used_for_subsetting(spark, sf_dir):
+    plan = plan_of(spark, "spec_subset_chain", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_wholestage_codegen_on_anonymizers(spark, sf_dir):
+    # '*(n)' prefixes mark whole-stage-codegen spans in executedPlan text.
+    plan = plan_of(spark, "anon_customer_pii", sf_dir)
+    assert "*(1)" in plan

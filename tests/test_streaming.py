@@ -1,0 +1,67 @@
+"""Structured Streaming: the tumbling aggregation must produce identical
+results via readStream/writeStream (availableNow) and via batch mode."""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_anonymizer_spark.sources.parquet import read_sf_table
+from simple_anonymizer_spark.streaming import events as SE
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    batch_events = read_sf_table(spark, sf_dir, "events")
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in SE.tumbling_counts(batch_events).collect()
+    }
+
+    # File-stream sources read directories.
+    import shutil
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = SE.stream_tumbling_counts(spark, str(src_dir), schema=raw_schema)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        SE.write_stream(stream, out, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    # Append mode with watermark emits only finalized windows; every emitted
+    # window must match batch, and nearly all windows must be emitted (the
+    # tail window(s) within the watermark may be withheld).
+    assert got, "stream produced no output"
+    for k, v in got.items():
+        assert expected[k] == v, f"window {k}: stream {v} != batch {expected[k]}"
+    assert len(got) >= len(expected) - 4
+
+
+def test_sessionize_gap_semantics(spark):
+    """Pin the gap rule the DuckDB oracle mirrors: a new session starts at
+    gap >= 30min (session window is [start, last + gap))."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=29, seconds=59)),   # same session
+        (1, base + dt.timedelta(minutes=59, seconds=59)),   # still same (gap < 30m)
+        (1, base + dt.timedelta(minutes=95)),               # gap 35m01s -> new
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.n_events) for r in SE.sessionize(df).collect()
+    )
+    assert got == [(1, 1), (1, 3), (2, 1)]
