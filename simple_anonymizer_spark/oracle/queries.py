@@ -231,6 +231,19 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_regionkey, n_nationkey)
 """
 
+ORACLES["agg_cube_status"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["agg_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+# agg_approx_distinct intentionally has NO oracle: HLL/quantile sketches
+# are engine-specific; tests bound the error against exact aggregates.
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped
 # ---------------------------------------------------------------------------

@@ -358,6 +358,40 @@ def agg_rollup_region(spark, sf_dir):
     )
 
 
+@query("agg_cube_status")
+def agg_cube_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("o_orderstatus", "o_orderpriority", "n_orders")
+    )
+
+
+@query("agg_grouping_sets")
+def agg_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """Approximate aggregates (HLL++ / quantile sketch). No DuckDB oracle:
+    sketch internals differ across engines by design — the driver records
+    the weaker rows-only check, and the pytest suite bounds the error
+    against exact values instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped (batch-mode equivalents; SURVEY §7 north-star)
 # ---------------------------------------------------------------------------
