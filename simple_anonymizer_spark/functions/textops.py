@@ -82,19 +82,25 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 8) -> Column:
 def simhash(token_hashes: Column, bits: int = 32) -> Column:
     """SimHash over pre-hashed tokens (see ``element_hashes``): bit ``i``
     is set iff the sum over tokens of ``±1`` (``+1`` when bit ``i`` of the
-    token hash is set) is positive. One MD5 per token total; the per-bit
-    folds are pure integer math — bit-stable across engines."""
-    def bit_merger(i: int):
-        return lambda a, h: a + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    acc = None
-    for i in range(bits):
-        bit_sum = F.aggregate(token_hashes, F.lit(0).cast("long"), bit_merger(i))
-        contrib = F.when(bit_sum > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        acc = contrib if acc is None else acc + contrib
-    return acc
+    token hash is set) is positive. One MD5 per token total; a SINGLE fold
+    carries an array<long> of per-bit sums (32 separate aggregates
+    produced a pathologically large expression tree). Pure integer math —
+    bit-stable across engines."""
+    pow_arr = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    bit_sums = F.aggregate(
+        token_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, pow_arr,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    contribs = F.zip_with(
+        bit_sums, pow_arr,
+        lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(contribs, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
 def jaccard(a: Column, b: Column) -> Column:

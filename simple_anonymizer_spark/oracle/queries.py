@@ -414,10 +414,11 @@ FROM t
 
 
 def _lang_scores() -> tuple[str, str]:
+    # Distinct-hit scoring, mirroring the lambda-free array_intersect scorer.
     cols = []
     for lang, words in sorted(LANG_STOPWORDS.items()):
         cols.append(
-            f"CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql(words)}, x))) AS BIGINT) AS s_{lang}"
+            f"CAST(len(list_filter(list_distinct(toks), x -> list_contains({_stop_list_sql(words)}, x))) AS BIGINT) AS s_{lang}"
         )
     langs = sorted(LANG_STOPWORDS)
     m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"

@@ -156,12 +156,28 @@ def _all_null(df: DataFrame, cols: list[str]) -> Column:
     return cond
 
 
-def self_ref_closure(base: DataFrame, fk: LogicalFK, max_iter: int = 200) -> DataFrame:
+def self_ref_closure(
+    base: DataFrame,
+    fk: LogicalFK,
+    max_iter: int = 200,
+    driver_threshold: int = 50_000,
+) -> DataFrame:
     """Transitive closure of rows reachable from NULL-FK roots through the
     self-ref chain, restricted to ``base`` (the filtered set) — the
     DataFrame equivalent of the reference's recursive CTE
     (``src/FilterPropagation.scala:44-49``). Returns distinct PK tuples.
+
+    Small filtered sets (<= ``driver_threshold`` key rows) compute the
+    closure driver-side in one collect — the same philosophy as broadcast
+    joins: a depth-D fixpoint costs ~3D Spark jobs, a BFS over collected
+    keys costs two. Large sets use the distributed fixpoint.
     """
+    key_frame = base.select(*fk.pk_columns, *fk.fk_columns)
+    # Bounded probe: one job, at most threshold+1 rows on the driver. A
+    # full result means the set exceeds the threshold -> distributed path.
+    probe = key_frame.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _closure_on_driver(base, fk, probe)
     pk_cols = fk.pk_columns
     reachable = base.where(_all_null(base, fk.fk_columns)).select(*pk_cols)
     reachable = reachable.localCheckpoint(eager=True)
@@ -181,6 +197,37 @@ def self_ref_closure(base: DataFrame, fk: LogicalFK, max_iter: int = 200) -> Dat
         reachable = reachable.union(new).localCheckpoint(eager=True)
         frontier = new
     raise RuntimeError(f"self-ref closure did not converge in {max_iter} iterations")
+
+
+def _closure_on_driver(base: DataFrame, fk: LogicalFK, rows: list) -> DataFrame:
+    """BFS over collected (pk, fk) key tuples; result re-distributed as a
+    DataFrame with the original PK schema."""
+    n_pk = len(fk.pk_columns)
+    children: dict[tuple, list[tuple]] = {}
+    roots: list[tuple] = []
+    for r in rows:
+        pk = tuple(r[i] for i in range(n_pk))
+        parent = tuple(r[n_pk + i] for i in range(len(fk.fk_columns)))
+        if all(v is None for v in parent):
+            roots.append(pk)
+        else:
+            children.setdefault(parent, []).append(pk)
+    reachable: set[tuple] = set()
+    frontier = [pk for pk in roots]
+    reachable.update(frontier)
+    while frontier:
+        nxt = []
+        for pk in frontier:
+            for child in children.get(pk, ()):
+                if child not in reachable:
+                    reachable.add(child)
+                    nxt.append(child)
+        frontier = nxt
+    schema = base.select(*fk.pk_columns).schema
+    return base.sparkSession.createDataFrame(
+        [tuple(pk) for pk in sorted(reachable, key=lambda t: tuple(map(str, t)))],
+        schema,
+    )
 
 
 def _keep_reachable(base: DataFrame, fk: LogicalFK, closure: DataFrame, tag: int) -> DataFrame:

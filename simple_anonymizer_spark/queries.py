@@ -49,6 +49,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_sf_table(spark, sf_dir, name)
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read with the small-input parallelism guard — for queries whose cost
+    is per-row hashing rather than I/O (MD5 projections serialize onto 1-3
+    row-group splits otherwise)."""
+    from .operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(read_sf_table(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # Anonymizers (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -63,7 +72,7 @@ def anon_stable_hash(spark, sf_dir):
 
 @query("anon_customer_pii")
 def anon_customer_pii(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
+    c = _tp(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         A.full_name("c_name").alias("anon_name"),
@@ -77,7 +86,7 @@ def anon_customer_pii(spark, sf_dir):
 
 @query("anon_names")
 def anon_names(spark, sf_dir):
-    s = _t(spark, sf_dir, "supplier")
+    s = _tp(spark, sf_dir, "supplier")
     return s.select(
         "s_suppkey",
         A.first_name("s_name").alias("anon_first"),
@@ -92,7 +101,7 @@ def anon_names(spark, sf_dir):
 
 @query("anon_redact")
 def anon_redact(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
+    p = _tp(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         A.redact("p_type").alias("redacted_type"),
@@ -509,5 +518,5 @@ def join_anti_customers(spark, sf_dir):
 def multimodal_meta(spark, sf_dir):
     from .operators import multimodal
 
-    media = multimodal.with_binary_content(_t(spark, sf_dir, "documents"))
+    media = multimodal.with_binary_content(_tp(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media).select("media_id", "n_bytes", "content_hash")

@@ -190,16 +190,27 @@ def test_null_fk_dropped_under_cross_table_filter(spark, fixture_catalog):
     assert [r.id for r in out["orders"].collect()] == [1]
 
 
-def test_self_ref_closure_depth(spark):
+@pytest.mark.parametrize("threshold", [0, 50_000])
+def test_self_ref_closure_depth(spark, threshold):
     """Chain 1<-2<-3<-4 with filter excluding 3: closure = {1,2}; row 4
-    (parent 3 not reachable) must drop even though 4 passes the filter."""
+    (parent 3 not reachable) must drop even though 4 passes the filter.
+    threshold=0 forces the distributed fixpoint; 50k the driver BFS."""
     df = spark.createDataFrame(
         [(1, None), (2, 1), (3, 2), (4, 3)], "id int, parent_id int"
     )
     f = fk("t", "parent_id", "t", "id")
     base = df.where("id != 3")
-    closure = self_ref_closure(base, f)
+    closure = self_ref_closure(base, f, driver_threshold=threshold)
     assert sorted(r.id for r in closure.collect()) == [1, 2]
+
+
+def test_self_ref_closure_empty_roots(spark):
+    """No NULL-parent rows under the filter -> empty closure, both paths."""
+    df = spark.createDataFrame([(1, None), (2, 1)], "id int, parent_id int")
+    f = fk("t", "parent_id", "t", "id")
+    base = df.where("id != 1")
+    for threshold in (0, 50_000):
+        assert self_ref_closure(base, f, driver_threshold=threshold).count() == 0
 
 
 def test_composite_self_ref_closure(spark):
