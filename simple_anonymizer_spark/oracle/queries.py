@@ -244,6 +244,17 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 # agg_approx_distinct intentionally has NO oracle: HLL/quantile sketches
 # are engine-specific; tests bound the error against exact aggregates.
 
+ORACLES["pivot_segments"] = """
+SELECT n_regionkey,
+  count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS building,
+  count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS furniture,
+  count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS household,
+  count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS machinery
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey
+"""
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped
 # ---------------------------------------------------------------------------

@@ -388,6 +388,23 @@ def agg_grouping_sets(spark, sf_dir):
     """)
 
 
+@query("pivot_segments")
+def pivot_segments(spark, sf_dir):
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pivoted = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .pivot("c_mktsegment", segments)
+        .count()
+    )
+    return pivoted.select(
+        "n_regionkey",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower()) for s in segments],
+    )
+
+
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL++ / quantile sketch). No DuckDB oracle:
