@@ -62,10 +62,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM/codegen/parquet-footer caches.
-    QUERIES["agg_segment_stats"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up at the smallest scale factor: compiles each query's
+    # whole-stage-codegen classes (cache keys on generated source, which is
+    # scale-independent) so timed runs measure execution, not JIT.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -18,7 +18,6 @@ trillion-row corpora the band join keys should be bucketed to disk
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions import textops as T
 from ..functions.hashing import stable_hash
@@ -90,9 +89,7 @@ def minhash_lsh_pairs(
     )
 
     # Explode into (band, band_key) buckets; band key joins the r signature
-    # values of that band. Persisted: the self-join below would otherwise
-    # recompute the whole MD5 signature pass for each side. This frame is
-    # tiny relative to the corpus (bands × ~50 bytes per doc).
+    # values of that band.
     band_entries = docs.select(
         "__id",
         F.posexplode(
@@ -107,23 +104,30 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("__band", "__key"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    left = band_entries.select(
-        F.col("__band"), F.col("__key"), F.col("__id").alias("id_a")
     )
-    right = band_entries.select(
-        F.col("__band").alias("__band_r"), F.col("__key").alias("__key_r"),
-        F.col("__id").alias("id_b"),
+
+    # Candidate pairs per bucket via ONE groupBy (the signature pass runs
+    # exactly once): collect each bucket's sorted ids and emit ordered
+    # combinations with array combinatorics — no self-join, no caching.
+    # Bucket-size quadratic blowup is inherent to LSH; at extreme scale cap
+    # pathological buckets upstream (viral exact-dups belong to exact dedup).
+    buckets = (
+        band_entries.groupBy("__band", "__key")
+        .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        .where(F.size("__ids") > 1)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     candidates = (
-        left.join(
-            right,
-            (left["__band"] == right["__band_r"])
-            & (left["__key"] == right["__key_r"])
-            & (left["id_a"] < right["id_b"]),
-        )
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_array).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
 
