@@ -305,6 +305,11 @@ SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
 FROM documents GROUP BY text
 """
 
+ORACLES["dedup_distinct_docs"] = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
 
 def _minhash_sig(hashes: str, num_hashes: int = 8) -> str:
     from ..functions.textops import MERSENNE_31, minhash_permutations

@@ -448,6 +448,14 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+@query("dedup_distinct_docs")
+def dedup_distinct_docs(spark, sf_dir):
+    """The deduplicated corpus: min-id keeper row per distinct text."""
+    return dedup.distinct_documents(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(

@@ -1,0 +1,70 @@
+"""Operator-level unit tests not covered by the oracle harness."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.functions import lens as L
+from simple_anonymizer_spark.operators import multimodal
+from simple_anonymizer_spark.plans import TableSpec, apply_spec
+from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+
+def test_extract_meta_native_matches_pandas_path(spark, sf_dir):
+    media = multimodal.with_binary_content(read_sf_table(spark, sf_dir, "documents"))
+    via_pandas = {
+        r.media_id: (r.n_bytes, r.content_hash)
+        for r in multimodal.extract_meta(media).collect()
+    }
+    via_native = {
+        r.media_id: (r.n_bytes, r.content_hash)
+        for r in multimodal.extract_meta_native(media).collect()
+    }
+    assert via_pandas == via_native
+
+
+def test_decode_image_requires_decoder(spark):
+    import pytest
+
+    media = spark.createDataFrame([(1, b"x", "image/png")], multimodal.MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)
+
+
+def test_decode_image_with_injected_decoder(spark):
+    media = spark.createDataFrame([(1, b"abcd", "image/png")], multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_image(media, decoder=lambda b: (len(b), len(b) * 2)).collect()
+    assert (out[0].width, out[0].height) == (4, 8)
+
+
+def test_map_opt_string_through_json_lens(spark):
+    """opt=True through a JSON lens: nulls pass through (JsonLens.modifyOpt
+    maps over present values only, src/Lens.scala:71-74); fn result
+    replaces the focused value, None keeps the original."""
+    df = spark.createDataFrame(
+        [('{"name":"bob"}',), (None,)], "j string"
+    )
+    keep_or_mask = lambda v: None if v == "bob" else "MASKED"  # noqa: E731
+    spec = TableSpec.select(
+        lambda r: [r.j.map_opt_string(keep_or_mask, lens=L.Field("name"))]
+    )
+    rows = [r.j for r in apply_spec(df, spec).collect()]
+    by_null = sorted(rows, key=lambda v: v is None)
+    assert by_null[1] is None
+    assert json.loads(by_null[0]) == {"name": "bob"}  # None result -> original kept
+
+
+def test_lsh_topk_subset_of_bruteforce_queries(spark, sf_dir):
+    """LSH top-k returns <= k ranked neighbors per query from the query's
+    own bucket — ranks contiguous from 1."""
+    from simple_anonymizer_spark.operators import similarity
+
+    e = read_sf_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(e, e.where(F.col("vec_id") < 3), k=3, planes=4)
+    per_query = {}
+    for r in out.collect():
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
