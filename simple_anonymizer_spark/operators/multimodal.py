@@ -102,6 +102,82 @@ def extract_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, META_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("content", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", IntegerType(), True),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, resizer: Callable | None = None
+) -> DataFrame:
+    """Resize image payloads via Arrow-batched mapInPandas. The codec is
+    injectable (``resizer(bytes, w, h) -> bytes``); without one, a
+    deterministic stand-in truncates/pads bytes to ``w*h`` so the batch
+    plumbing and schemas stay testable in this container."""
+
+    def fake_resize(b: bytes, w: int, h: int) -> bytes:
+        target = w * h
+        return (b * (target // max(len(b), 1) + 1))[:target] if b else b
+
+    impl = resizer or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["content"].map(
+                    lambda b: None if b is None else impl(b, width, height)
+                ),
+                "width": width,
+                "height": height,
+            })
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8,
+    extractor: Callable | None = None,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    (1:N mapInPandas — the shape a real decoder needs). The stand-in slices
+    the byte stream every ``every_n_bytes``; inject ``extractor(bytes) ->
+    list[bytes]`` for a real codec."""
+
+    def fake_frames(b: bytes) -> list[bytes]:
+        return [
+            b[i:i + every_n_bytes]
+            for i in range(0, min(len(b), every_n_bytes * max_frames), every_n_bytes)
+        ]
+
+    impl = extractor or fake_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for i, frame in enumerate(impl(content)):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_meta_native(df: DataFrame) -> DataFrame:
     """The same metadata as pure column expressions (no Python) — used when
     the 'decode' is hash/length-only; 10-100x faster than the UDF path and

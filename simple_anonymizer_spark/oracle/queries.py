@@ -398,6 +398,13 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["token_count_bpe"] = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT)
+    AS n_bpe_tokens
+FROM documents
+"""
+
 ORACLES["text_stats"] = f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,

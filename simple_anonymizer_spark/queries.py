@@ -481,6 +481,20 @@ def doc_fingerprint(spark, sf_dir):
     return dedup.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@query("token_count_bpe")
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token count (words / numbers / single punctuation) —
+    the pre-tokenization pass of GPT-style tokenizers, RE2-safe so the
+    DuckDB oracle matches byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pattern}', 0)"))
+        .cast("long").alias("n_bpe_tokens"),
+    )
+
+
 @query("text_stats")
 def text_stats(spark, sf_dir):
     return text_analysis.text_stats(_t(spark, sf_dir, "documents"))

@@ -68,3 +68,21 @@ def test_lsh_topk_subset_of_bruteforce_queries(spark, sf_dir):
         per_query.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_query.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_dir):
+    media = multimodal.with_binary_content(
+        read_sf_table(spark, sf_dir, "documents").limit(20))
+    resized = multimodal.resize_images(media, 16, 4).collect()
+    assert all(len(r.content) == 64 for r in resized if r.content)
+    assert all((r.width, r.height) == (16, 4) for r in resized)
+
+    frames = multimodal.sample_frames(media, every_n_bytes=50, max_frames=3)
+    rows = frames.collect()
+    assert rows, "no frames sampled"
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_index)
+    for mid, idxs in per_media.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert len(idxs) <= 3
