@@ -101,6 +101,43 @@ def hyperplane_bucket(vec: Column, planes: int = 8, dim: int | None = None) -> C
     return out
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: exact cosine verification
+    restricted to hyperplane-LSH buckets (same-bucket candidates only —
+    near-identical vectors land in the same bucket with high probability).
+    Output: ``id_a, id_b, cosine`` with ``id_a < id_b``.
+
+    At 100 TB the bucket column becomes the corpus partitioning key so the
+    within-bucket pair generation never crosses partitions."""
+    bucketed = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    left = bucketed.select(
+        F.col("__bucket"), F.col("__id").alias("id_a"), F.col("__vec").alias("__va")
+    )
+    right = bucketed.select(
+        F.col("__bucket").alias("__bucket_r"), F.col("__id").alias("id_b"),
+        F.col("__vec").alias("__vb"),
+    )
+    pairs = left.join(
+        right,
+        (left["__bucket"] == right["__bucket_r"]) & (left["id_a"] < right["id_b"]),
+    )
+    return (
+        pairs.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -504,6 +504,24 @@ def _bucket_sql(vec: str, planes: int = 4) -> str:
     return "(" + " + ".join(projs) + ")"
 
 
+_PAIR_DOT = "list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, 65)])"
+_VA_NORM = "sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in range(1, 65)]))"
+_VB_NORM = "sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, 65)]))"
+
+ORACLES["embedding_neardup"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         a.embedding AS va, bb.embedding AS vb
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, {_PAIR_DOT} / ({_VA_NORM} * {_VB_NORM}) AS cosine
+FROM pairs
+WHERE {_PAIR_DOT} / ({_VA_NORM} * {_VB_NORM}) >= 0.9
+"""
+
 ORACLES["embedding_topk_lsh"] = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings

@@ -516,6 +516,13 @@ def embedding_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=3)
 
 
+@query("embedding_neardup")
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.9, planes=4)
+
+
 @query("embedding_topk_lsh")
 def embedding_topk_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

@@ -38,10 +38,11 @@ def _normalize(rows, columns):
         for c in columns:
             v = row[c]
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = f"{v:.10g}"
+                # Full round-trip precision: the engine guarantees
+                # bit-identical doubles (DECIMAL accumulation policy), so
+                # the mirror compares exact values — stricter than any
+                # plausible driver hashing.
+                v = "NaN" if math.isnan(v) else repr(v)
             elif isinstance(v, bool):
                 v = int(v)
             vals.append((c, str(v)))
