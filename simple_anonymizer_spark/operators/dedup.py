@@ -131,15 +131,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Verify ONLY candidates: recompute shingles for the (semi-joined)
-    # candidate subset rather than carrying shingle arrays through the
-    # signature shuffle — at scale candidates << corpus.
-    cand_ids = candidates.select(F.col("id_a").alias("__cid")).union(
-        candidates.select(F.col("id_b").alias("__cid"))
-    ).distinct()
-    sh = (
-        src.join(cand_ids, src["__id"] == cand_ids["__cid"], "left_semi")
-        .select("__id", T.char_shingles(F.col("__text"), shingle_k).alias("__shingles"))
+    # Verify candidates against freshly-shingled text. Shingling is
+    # MD5-free (substring ops over the scan), so recomputing it per join
+    # side is cheap; what must NOT recompute is the signature pass — and
+    # it appears in exactly one plan branch (`candidates`). (A candidate-id
+    # semi-join here sounds like an optimization but instantiates the
+    # candidates subtree two extra times — measured 2x slower.)
+    sh = src.select(
+        "__id", T.char_shingles(F.col("__text"), shingle_k).alias("__shingles")
     )
     verified = (
         candidates.join(sh.withColumnRenamed("__id", "id_a")
