@@ -282,9 +282,12 @@ FROM exp GROUP BY ws
 ORACLES["events_sessionize"] = """
 WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
 flagged AS (
+  -- STRICT >: Spark session windows merge adjacent windows, so an event at
+  -- exactly last+gap still joins the session (pinned by
+  -- tests/test_streaming.py::test_sessionize_gap_semantics).
   SELECT user_id, t,
     CASE WHEN lag(t) OVER w IS NULL
-          OR t - lag(t) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          OR t - lag(t) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
 ),
 sess AS (

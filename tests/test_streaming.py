@@ -48,8 +48,9 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_sessionize_gap_semantics(spark):
-    """Pin the gap rule the DuckDB oracle mirrors: a new session starts at
-    gap >= 30min (session window is [start, last + gap))."""
+    """Pin the gap rule the DuckDB oracle mirrors: adjacent session windows
+    MERGE, so an event at exactly last+gap stays in the session; only a
+    strictly greater gap starts a new one."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
@@ -59,9 +60,13 @@ def test_sessionize_gap_semantics(spark):
         (1, base + dt.timedelta(minutes=59, seconds=59)),   # still same (gap < 30m)
         (1, base + dt.timedelta(minutes=95)),               # gap 35m01s -> new
         (2, base),
+        (3, base),
+        (3, base + dt.timedelta(minutes=30)),               # EXACT gap -> merges
+        (4, base),
+        (4, base + dt.timedelta(minutes=30, microseconds=1)),  # just over -> splits
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = sorted(
         (r.user_id, r.n_events) for r in SE.sessionize(df).collect()
     )
-    assert got == [(1, 1), (1, 3), (2, 1)]
+    assert got == [(1, 1), (1, 3), (2, 1), (3, 2), (4, 1), (4, 1)]
