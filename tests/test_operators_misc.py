@@ -86,3 +86,23 @@ def test_resize_and_frame_sample_plumbing(spark, sf_dir):
     for mid, idxs in per_media.items():
         assert sorted(idxs) == list(range(len(idxs)))
         assert len(idxs) <= 3
+
+
+def test_asof_exact_timestamp_tie_excluded(spark):
+    """as-of is strict: a right row at the SAME timestamp as the left row
+    must not match (mirrors the DuckDB `l.ts > r.ts` oracle condition)."""
+    import datetime as dt
+
+    from simple_anonymizer_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, 10, t0)], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(10, t0, 99)], "user_id long, ts timestamp, sid long")
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["sid"]).collect()
+    assert out[0].sid_asof is None
+
+    earlier = spark.createDataFrame(
+        [(10, t0 - dt.timedelta(seconds=1), 99)], "user_id long, ts timestamp, sid long"
+    )
+    out2 = asof_join(left, earlier, ["user_id"], "ts", "ts", ["sid"]).collect()
+    assert out2[0].sid_asof == 99

@@ -70,3 +70,22 @@ def test_sessionize_gap_semantics(spark):
         (r.user_id, r.n_events) for r in SE.sessionize(df).collect()
     )
     assert got == [(1, 1), (1, 3), (2, 1), (3, 2), (4, 1), (4, 1)]
+
+
+def test_tumbling_hour_boundary(spark):
+    """Event at exactly the hour boundary belongs to the NEW window (floor
+    semantics — matches DuckDB time_bucket)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 59, 59), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 1, 0, 0), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = sorted(
+        (r.window_start, r.n_events) for r in SE.tumbling_counts(df).collect()
+    )
+    # window starts are epoch micros in session tz; assert two distinct
+    # windows of one event each rather than absolute values.
+    assert [n for _, n in got] == [1, 1]
+    assert got[1][0] - got[0][0] == 3_600_000_000
