@@ -27,17 +27,30 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``right_cols`` (suffixed) from
     the latest right row with the same keys and strictly earlier timestamp
-    (nulls when none exists)."""
-    tagged_left = left.withColumn("__ts", F.col(left_ts)) \
-        .withColumn("__side", F.lit(0))
-    for c in right_cols:
-        tagged_left = tagged_left.withColumn(f"__r_{c}", F.lit(None).cast(
-            dict(right.dtypes)[c]))
+    (nulls when none exists).
+
+    All ``right_cols`` values come from the SAME right row: they travel as
+    one struct through a single ``last(ignorenulls=True)`` window pass, so a
+    NULL in one right column never mixes values from different right rows
+    (the matched row's own NULLs are preserved).
+
+    Right-side timestamp ties resolve deterministically to the row with the
+    greatest ``right_cols`` struct (field-wise comparison); callers who need
+    different tie semantics should pre-aggregate the right side to unique
+    ``(key, ts)`` rows. Note DuckDB's ASOF JOIN picks an *arbitrary* row on
+    ties — pre-aggregate both sides when comparing against it.
+    """
     tagged_right = right.select(
         *key_cols,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__rrow"),
+    )
+    rrow_type = dict(tagged_right.dtypes)["__rrow"]
+    tagged_left = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(0))
+        .withColumn("__rrow", F.lit(None).cast(rrow_type))
     )
     for c in left.columns:
         if c not in key_cols:
@@ -47,23 +60,23 @@ def asof_join(
 
     # Left rows (side 0) sort before right rows (side 1) at equal ts, so a
     # left row's frame contains exactly the strictly-earlier right rows.
-    # Right-side timestamp ties resolve deterministically to the greatest
-    # right_cols[0] value (nulls_first keeps left rows ahead).
+    # Among right rows with equal ts, the greatest __rrow struct sorts last
+    # and wins (left rows have NULL __rrow; nulls_first keeps them ahead).
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(
             F.col("__ts").asc(),
             F.col("__side").asc(),
-            F.col(f"__r_{right_cols[0]}").asc_nulls_first(),
+            F.col("__rrow").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = unioned
+    out = unioned.withColumn(
+        "__match", F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    )
     for c in right_cols:
-        out = out.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__match.{c}"))
     return (
         out.where(F.col("__side") == 0)
-        .drop("__ts", "__side", *[f"__r_{c}" for c in right_cols])
+        .drop("__ts", "__side", "__rrow", "__match")
     )

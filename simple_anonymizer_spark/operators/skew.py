@@ -28,7 +28,18 @@ def salted_join(
     Right-side replication multiplies its size by ``salt_buckets`` — use
     only when ``right`` is far smaller than ``left`` but too big (or too
     dynamic) to broadcast.
+
+    Only left-preserving joins are valid: a right/full outer join would
+    emit each unmatched right row once per salt replica (duplicates).
     """
+    if how.replace("_", "").lower() not in {
+        "inner", "left", "leftouter", "leftsemi", "leftanti",
+    }:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}:"
+            " right-preserving joins would duplicate unmatched right rows"
+            " once per salt bucket"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

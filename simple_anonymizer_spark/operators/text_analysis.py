@@ -36,12 +36,17 @@ def text_stats(
     total_len = F.aggregate(
         tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
     )
+    # Zero-token documents: emit NULL, not NaN — Spark's 0.0/0.0 is NaN but
+    # DuckDB's is NULL, so the explicit guard keeps cross-engine parity.
+    mean_len = F.when(F.size(tok) == 0, F.lit(None).cast("double")).otherwise(
+        total_len.cast("double") / F.size(tok).cast("double")
+    )
     return df.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         F.size(tok).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
-        (total_len.cast("double") / F.size(tok).cast("double")).alias("mean_token_len"),
+        mean_len.alias("mean_token_len"),
     )
 
 
@@ -57,11 +62,17 @@ def quality_score(
         F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - F.lit(4), F.lit(1))),
         lambda i: F.substring(F.col(text_col), i, 5),
     )
+    # Zero-token guard (NULL, not NaN — parity with DuckDB's x/0 -> NULL);
+    # grams_all always has >= 1 element so shingle_diversity needs none.
+    def _ratio(num: Column) -> Column:
+        return F.when(F.size(tok) == 0, F.lit(None).cast("double")).otherwise(
+            num.cast("double") / F.size(tok).cast("double")
+        )
+
     return df.select(
         F.col(id_col),
-        (stop_hits.cast("double") / F.size(tok).cast("double")).alias("stopword_ratio"),
-        (F.size(F.array_distinct(tok)).cast("double") / F.size(tok).cast("double")
-         ).alias("type_token_ratio"),
+        _ratio(stop_hits).alias("stopword_ratio"),
+        _ratio(F.size(F.array_distinct(tok))).alias("type_token_ratio"),
         (F.size(F.array_distinct(grams_all)).cast("double")
          / F.size(grams_all).cast("double")).alias("shingle_diversity"),
     )

@@ -18,6 +18,14 @@ from . import duck as O
 
 ORACLES: dict[str, str] = {}
 
+# Dimension of the embeddings fixture. The Spark side derives vector length
+# from the data; the SQL comprehensions below must enumerate indices, so the
+# dimension is pinned here and guarded by a fixture-dimension test
+# (tests/test_operators_misc.py) — a dimension change fails loudly instead
+# of silently comparing truncated vectors.
+EMBEDDING_DIM = 64
+_IDX = f"range(1, {EMBEDDING_DIM + 1})"
+
 
 def _h(expr: str) -> str:
     return O.raw_hash(expr)
@@ -469,10 +477,10 @@ FROM scored
 
 _DOT = (
     "list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) "
-    "for i in range(1, 65)])"
+    f"for i in {_IDX}])"
 )
-_QNORM = "sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, 65)]))"
-_CNORM = "sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, 65)]))"
+_QNORM = f"sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in {_IDX}]))"
+_CNORM = f"sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in {_IDX}]))"
 
 ORACLES["embedding_topk"] = f"""
 WITH q AS (
@@ -502,14 +510,14 @@ def _bucket_sql(vec: str, planes: int = 4) -> str:
     for p in range(planes):
         salted = "CAST(idx - 1 AS VARCHAR) || '_pl" + str(p) + "'"
         w = f"(CAST({_h(salted)} AS DOUBLE) / 2147483647.0 - 0.5)"
-        proj = f"list_sum([CAST({vec}[idx] AS DOUBLE) * {w} for idx in range(1, 65)])"
+        proj = f"list_sum([CAST({vec}[idx] AS DOUBLE) * {w} for idx in {_IDX}])"
         projs.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
     return "(" + " + ".join(projs) + ")"
 
 
-_PAIR_DOT = "list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, 65)])"
-_VA_NORM = "sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in range(1, 65)]))"
-_VB_NORM = "sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, 65)]))"
+_PAIR_DOT = f"list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in {_IDX}])"
+_VA_NORM = f"sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in {_IDX}]))"
+_VB_NORM = f"sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in {_IDX}]))"
 
 ORACLES["embedding_neardup"] = f"""
 WITH b AS (
@@ -552,8 +560,8 @@ ORACLES["events_asof_signup"] = """
 SELECT e.event_id, e.user_id, s.signup_event
 FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events) e
 ASOF LEFT JOIN (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id AS signup_event
-  FROM events WHERE event_type = 'signup') s
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS signup_event
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) s
 ON e.user_id = s.user_id AND e.t > s.t
 """
 

@@ -536,10 +536,14 @@ def events_asof_signup(spark, sf_dir):
     from .operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # Pre-aggregate to unique (user_id, ts): DuckDB's ASOF JOIN picks an
+    # arbitrary row among equal right timestamps, so the parity gate needs
+    # tie-free right rows on BOTH sides.
     signups = (
         _t(spark, sf_dir, "events")
         .where(F.col("event_type") == "signup")
-        .select("user_id", "ts", F.col("event_id").alias("signup_event"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event"))
     )
     joined = asof_join(
         ev, signups, key_cols=["user_id"], left_ts="ts", right_ts="ts",

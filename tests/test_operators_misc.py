@@ -106,3 +106,91 @@ def test_asof_exact_timestamp_tie_excluded(spark):
     )
     out2 = asof_join(left, earlier, ["user_id"], "ts", "ts", ["sid"]).collect()
     assert out2[0].sid_asof == 99
+
+
+def test_asof_all_right_cols_from_same_row(spark):
+    """All right_cols must come from the SAME matched right row — a NULL in
+    one column of the latest row is preserved, never backfilled from an
+    earlier right row (ADVICE r1: struct-packed last(ignorenulls))."""
+    import datetime as dt
+
+    from simple_anonymizer_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(30))], "event_id long, user_id long, ts timestamp"
+    )
+    # Earlier right row fully populated; latest right row has NULL in `b`.
+    right = spark.createDataFrame(
+        [(10, t(10), 1, "old_b"), (10, t(20), 2, None)],
+        "user_id long, ts timestamp, a long, b string",
+    )
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["a", "b"]).collect()
+    assert out[0].a_asof == 2
+    assert out[0].b_asof is None  # NOT "old_b"
+
+
+def test_asof_right_timestamp_tie_deterministic(spark):
+    """Equal right timestamps resolve to the greatest right-struct row."""
+    import datetime as dt
+
+    from simple_anonymizer_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t(20), 7, "x"), (10, t(20), 3, "y")],
+        "user_id long, ts timestamp, a long, b string",
+    )
+    for _ in range(3):
+        out = asof_join(left, right, ["user_id"], "ts", "ts", ["a", "b"]).collect()
+        assert (out[0].a_asof, out[0].b_asof) == (7, "x")
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    from simple_anonymizer_spark.operators.skew import salted_join
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for bad in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, "k", how=bad)
+    # left-preserving joins still accepted
+    assert salted_join(df, df, "k", how="left_semi").count() == 10
+
+
+def test_embedding_fixture_dimension_guard(sf_dir):
+    """The oracle SQL enumerates vector indices 1..EMBEDDING_DIM; if the
+    fixture dimension drifts, fail loudly here instead of silently
+    comparing truncated vectors (ADVICE r1)."""
+    import duckdb
+
+    from simple_anonymizer_spark.oracle.queries import EMBEDDING_DIM
+
+    dims = duckdb.sql(
+        f"SELECT DISTINCT len(embedding) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    assert dims == [(EMBEDDING_DIM,)]
+
+
+def test_text_ratios_null_on_zero_tokens(spark):
+    """Whitespace-only text: every token ratio is NULL (not NaN) to match
+    DuckDB's x/0 -> NULL semantics (ADVICE r1)."""
+    import math
+
+    from simple_anonymizer_spark.operators import text_analysis
+
+    df = spark.createDataFrame([(1, "   "), (2, "hi there")], "doc_id long, text string")
+    stats = {r.doc_id: r for r in text_analysis.text_stats(df).collect()}
+    assert stats[1].mean_token_len is None
+    assert stats[2].mean_token_len == 3.5
+
+    qual = {r.doc_id: r for r in text_analysis.quality_score(df).collect()}
+    assert qual[1].stopword_ratio is None and qual[1].type_token_ratio is None
+    assert qual[2].type_token_ratio == 1.0
+    for r in list(stats.values()) + list(qual.values()):
+        for v in r.asDict().values():
+            assert not (isinstance(v, float) and math.isnan(v))
