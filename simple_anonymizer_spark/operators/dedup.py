@@ -25,11 +25,13 @@ from ..functions.hashing import stable_hash
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the source
-    has fewer splits (small parquet files arrive as 1-3 row-group splits and
-    would serialize CPU-heavy hash projections onto a few cores). At real
-    scale inputs already have >= cores splits and this is a no-op."""
+    has fewer files than cores (small parquet inputs arrive as 1-3 splits
+    and would serialize CPU-heavy hash projections onto a few cores). Gated
+    on driver-side file metadata — no RDD conversion, no job. At real scale
+    inputs have >> cores files and this is a no-op (a blind repartition
+    would shuffle the full corpus)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -60,37 +62,21 @@ def distinct_documents(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 5,
-    jaccard_threshold: float = 0.5,
+def _band_entries(
+    src: DataFrame, num_hashes: int, bands: int, shingle_k: int
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
-
-    ``num_hashes`` must be divisible by ``bands``; rows-per-band
-    ``r = num_hashes/bands`` gives the S-curve threshold ``(1/bands)^(1/r)``.
-    Output: ``id_a, id_b, jaccard`` with ``id_a < id_b``, deduplicated
-    across bands.
-    """
+    """``(__id, __band, __key)`` LSH band entries: shingle -> one MD5 per
+    shingle -> integer-permutation signature -> per-band key joining the
+    band's r signature values. Expects ``(__id, __text)`` input."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-
-    src = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
-                                       F.col(text_col).alias("__text")))
     docs = (
         src.withColumn("__shingles", T.char_shingles(F.col("__text"), shingle_k))
         # One MD5 pass per shingle; signatures are integer permutations of it.
         .withColumn("__hashes", T.element_hashes(F.col("__shingles")))
         .withColumn("__sig", T.minhash_signature(F.col("__hashes"), num_hashes))
     )
-
-    # Explode into (band, band_key) buckets; band key joins the r signature
-    # values of that band.
-    band_entries = docs.select(
+    return docs.select(
         "__id",
         F.posexplode(
             F.array(*[
@@ -106,16 +92,82 @@ def minhash_lsh_pairs(
         ).alias("__band", "__key"),
     )
 
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Bucket-size distribution for the exact banding ``minhash_lsh_pairs``
+    would use — the dropped-work metric for its ``max_bucket_size`` cap.
+    Output: one row per band with ``band, n_buckets, max_bucket,
+    oversize_buckets, oversize_docs`` (docs in over-cap buckets are the
+    recall loss; route them through ``exact_duplicates`` instead)."""
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    sizes = (
+        _band_entries(src, num_hashes, bands, shingle_k)
+        .groupBy("__band", "__key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+    )
+    cap = F.lit(max_bucket_size if max_bucket_size is not None else 2**31 - 1)
+    return (
+        sizes.groupBy(F.col("__band").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("__n").alias("max_bucket"),
+            F.sum(F.when(F.col("__n") > cap, 1).otherwise(0)).alias("oversize_buckets"),
+            F.sum(F.when(F.col("__n") > cap, F.col("__n")).otherwise(0)).alias("oversize_docs"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
+
+    ``num_hashes`` must be divisible by ``bands``; rows-per-band
+    ``r = num_hashes/bands`` gives the S-curve threshold ``(1/bands)^(1/r)``.
+    Output: ``id_a, id_b, jaccard`` with ``id_a < id_b``, deduplicated
+    across bands.
+
+    ``max_bucket_size`` caps the per-(band, bucket) membership: a bucket of
+    size m emits m^2/2 candidate pairs inside ONE reducer row, so a
+    pathological bucket (viral duplicate cluster, degenerate band) is an
+    OOM at scale, not a slowdown — AQE skew splitting does not apply to
+    ``groupBy().agg(collect_set)``. Oversized buckets are dropped, which is
+    RECALL-AFFECTING by design: an over-cap bucket is dominated by
+    exact/near-exact duplicates that exact dedup (``exact_duplicates``)
+    already catches at linear cost. Measure what was dropped with
+    ``lsh_bucket_stats`` before tuning the cap; ``None`` disables it.
+    """
+    src = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
+                                       F.col(text_col).alias("__text")))
+    band_entries = _band_entries(src, num_hashes, bands, shingle_k)
+
     # Candidate pairs per bucket via ONE groupBy (the signature pass runs
     # exactly once): collect each bucket's sorted ids and emit ordered
     # combinations with array combinatorics — no self-join, no caching.
-    # Bucket-size quadratic blowup is inherent to LSH; at extreme scale cap
-    # pathological buckets upstream (viral exact-dups belong to exact dedup).
+    # The bucket-size cap bounds the quadratic in-row blowup (see docstring).
     buckets = (
         band_entries.groupBy("__band", "__key")
         .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
         .where(F.size("__ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket_size)
     pair_array = F.flatten(
         F.transform(
             F.col("__ids"),

@@ -355,10 +355,15 @@ sig AS (
   SELECT doc_id, sh, {_minhash_sig('hashes', 16)} AS sig FROM hs
 ),
 bands AS ({_band_selects(4, 4)}),
+-- mirror of the Spark side's max_bucket_size cap (oversize buckets dropped)
+sizes AS (
+  SELECT band, key, count(DISTINCT doc_id) AS n FROM bands GROUP BY band, key
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN sizes s ON s.band = a.band AND s.key = a.key AND s.n <= 500
 ),
 scored AS (
   SELECT c.id_a, c.id_b,

@@ -1,0 +1,65 @@
+"""Scale-hardening tests for MinHash LSH: the max_bucket_size cap bounds
+the quadratic in-row pair blowup (VERDICT r1 finding #1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog again and again "
+NEAR = BASE + "with a small tail"
+
+
+def _hot_corpus(spark, cluster_size: int):
+    """`cluster_size` identical docs (one hot bucket in every band) plus one
+    genuine near-dup pair on unrelated text."""
+    rows = [(i, "viral duplicate chain letter " * 4) for i in range(cluster_size)]
+    rows += [(10_000, BASE * 2), (10_001, BASE + NEAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bucket_dropped_and_pairs_bounded(spark):
+    df = _hot_corpus(spark, cluster_size=60)
+
+    uncapped = dedup.minhash_lsh_pairs(
+        df, jaccard_threshold=0.3, max_bucket_size=None
+    ).collect()
+    capped = dedup.minhash_lsh_pairs(
+        df, jaccard_threshold=0.3, max_bucket_size=10
+    ).collect()
+
+    # Uncapped: the 60-doc cluster alone contributes 60*59/2 pairs.
+    assert len(uncapped) >= 60 * 59 // 2
+    # Capped: the hot bucket is dropped entirely; surviving buckets have
+    # <= 10 members so the output is bounded far below the blowup.
+    assert len(capped) <= 10 * 9 // 2
+    # The genuine near-dup pair outside the hot cluster survives the cap.
+    assert any(r.id_a == 10_000 and r.id_b == 10_001 for r in capped)
+    # No pair from the dropped cluster leaks through.
+    assert not any(r.id_a < 10_000 and r.id_b < 10_000 for r in capped)
+
+
+def test_bucket_stats_reports_oversize(spark):
+    df = _hot_corpus(spark, cluster_size=60)
+    stats = dedup.lsh_bucket_stats(df, max_bucket_size=10).collect()
+    assert len(stats) == 4  # one row per band
+    for r in stats:
+        assert r.max_bucket >= 60
+        assert r.oversize_buckets >= 1
+        assert r.oversize_docs >= 60
+    # With no cap nothing is oversize.
+    for r in dedup.lsh_bucket_stats(df, max_bucket_size=None).collect():
+        assert r.oversize_buckets == 0 and r.oversize_docs == 0
+
+
+def test_cap_is_identity_on_fixture_corpus(spark, sf_dir):
+    """The default cap must not change results on non-pathological data:
+    the oracle-gated query stays hash-identical (CORRECTNESS contract)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = lambda rows: sorted((r.id_a, r.id_b, round(r.jaccard, 12)) for r in rows)
+    capped = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    uncapped = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.3, max_bucket_size=None
+    ).collect()
+    assert key(capped) == key(uncapped)
