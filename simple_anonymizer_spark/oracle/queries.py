@@ -507,13 +507,13 @@ FROM ranked WHERE rnk <= 3
 """
 
 
-def _bucket_sql(vec: str, planes: int = 4) -> str:
+def _bucket_sql(vec: str, planes: int = 4, offset: int = 0) -> str:
     # Outer comprehension variable must NOT be `i`: the inlined md5 hash
     # expression has its own `for i in range(1, 9)` comprehension, and
     # DuckDB scoping would bind the salt's index to the inner variable.
     projs = []
     for p in range(planes):
-        salted = "CAST(idx - 1 AS VARCHAR) || '_pl" + str(p) + "'"
+        salted = "CAST(idx - 1 AS VARCHAR) || '_pl" + str(offset + p) + "'"
         w = f"(CAST({_h(salted)} AS DOUBLE) / 2147483647.0 - 0.5)"
         proj = f"list_sum([CAST({vec}[idx] AS DOUBLE) * {w} for idx in {_IDX}])"
         projs.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
@@ -524,14 +524,32 @@ _PAIR_DOT = f"list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in {
 _VA_NORM = f"sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in {_IDX}]))"
 _VB_NORM = f"sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in {_IDX}]))"
 
+# Banded hyperplane LSH mirror: 4 bands x 8 planes, plane family b uses
+# global plane indices [8b, 8b+8); candidate = same full bucket in ANY
+# band; oversize buckets (> 2000) dropped like the Spark side's cap.
+_NEARDUP_BANDS = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_bucket_sql('embedding', 8, offset=8 * b)} AS bucket"
+    " FROM embeddings"
+    for b in range(4)
+)
+
 ORACLES["embedding_neardup"] = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+WITH bands AS ({_NEARDUP_BANDS}),
+sizes AS (
+  SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.bucket = b2.bucket
+    AND a.vec_id < b2.vec_id
+  JOIN sizes s ON s.band = a.band AND s.bucket = a.bucket AND s.n <= 2000
 ),
 pairs AS (
-  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
-         a.embedding AS va, bb.embedding AS vb
-  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
 )
 SELECT id_a, id_b, {_PAIR_DOT} / ({_VA_NORM} * {_VB_NORM}) AS cosine
 FROM pairs

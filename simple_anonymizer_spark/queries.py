@@ -518,9 +518,13 @@ def embedding_topk(spark, sf_dir):
 
 @query("embedding_neardup")
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted."""
+    """Embedding-cosine near-duplicate pairs, banded hyperplane-LSH
+    candidates (4 bands x 8 planes — OR over bands keeps recall while each
+    band's 256 buckets keep the within-bucket join near-linear)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(e, threshold=0.9, planes=4)
+    return similarity.embedding_neardup_pairs(
+        e, threshold=0.9, bands=4, planes_per_band=8
+    )
 
 
 @query("embedding_topk_lsh")
