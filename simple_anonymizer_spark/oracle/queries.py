@@ -599,3 +599,70 @@ SELECT doc_id AS media_id,
   CAST({O.stable_hash('text')} AS BIGINT) AS content_hash
 FROM documents
 """
+
+# ---------------------------------------------------------------------------
+# Approx aggregates (error-bound booleans) + scalar function families
+# ---------------------------------------------------------------------------
+
+# Each engine checks ITS OWN sketch against ITS OWN exact value; the
+# booleans and the exact counts are what cross the parity gate.
+ORACLES["agg_approx_distinct"] = """
+SELECT l_returnflag,
+  count(DISTINCT l_orderkey) AS exact_orders,
+  abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+    / count(DISTINCT l_orderkey) <= 0.05 AS approx_within_5pct,
+  approx_quantile(l_quantity, 0.5) BETWEEN 20.0 AND 30.0
+    AS approx_median_in_range
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["scalar_dates"] = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(day(o_orderdate) AS BIGINT) AS order_dom,
+  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS order_dow,
+  epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01') AS BIGINT)
+    AS days_to_cutoff
+FROM orders
+"""
+
+ORACLES["scalar_math"] = """
+SELECT l_orderkey, l_linenumber,
+  abs(l_extendedprice - 30000.0) AS abs_off,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_round1,
+  sqrt(l_extendedprice) AS price_sqrt,
+  l_extendedprice * l_extendedprice AS price_sq,
+  CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+  CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+  greatest(l_quantity, l_discount * 100.0) AS max_qd,
+  least(l_tax, l_discount) AS min_td
+FROM lineitem
+"""
+
+ORACLES["scalar_collections"] = """
+WITH t AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+    [c_custkey, c_nationkey, c_custkey % 7] AS arr,
+    map(['seg', 'name'], [c_mktsegment, c_name]) AS m
+  FROM customer
+)
+SELECT c_custkey,
+  CAST(len(arr) AS BIGINT) AS arr_len,
+  CAST(list_max(arr) AS BIGINT) AS arr_max,
+  arr[3] AS arr_third,
+  CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+  array_to_string(list_sort(arr), ',') AS arr_sorted_csv,
+  CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_name_parts,
+  map_extract(m, 'seg')[1] AS map_seg,
+  array_to_string(list_sort(map_keys(m)), ',') AS map_keys_csv,
+  CAST(cardinality(m) AS BIGINT) AS map_len
+FROM t
+"""

@@ -407,14 +407,110 @@ def pivot_segments(spark, sf_dir):
 
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark, sf_dir):
-    """Approximate aggregates (HLL++ / quantile sketch). No DuckDB oracle:
-    sketch internals differ across engines by design — the driver records
-    the weaker rows-only check, and the pytest suite bounds the error
-    against exact values instead."""
+    """Approximate aggregates (HLL++ / quantile sketch), oracle-gated via
+    error-bound booleans: raw sketch values differ across engines by
+    design, so each engine checks ITS OWN sketch against ITS OWN exact
+    value and emits the verdict — a genuine cross-engine property (either
+    side's sketch drifting past the bound fails the hash gate), plus the
+    exact counts which must match bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__approx"),
+        F.percentile_approx("l_quantity", 0.5).alias("__med"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            (F.abs(F.col("__approx") - F.col("exact_orders"))
+             / F.col("exact_orders")) <= 0.05
+        ).alias("approx_within_5pct"),
+        # l_quantity is uniform over 1..50: any sane median sketch lands
+        # well inside [20, 30] at every scale factor.
+        F.col("__med").between(20.0, 30.0).alias("approx_median_in_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families: date/time, math, array, map (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+
+@query("scalar_dates")
+def scalar_dates(spark, sf_dir):
+    """Date/time scalar family over o_orderdate: extraction, truncation,
+    offset arithmetic, month boundaries, day diffs. Timestamps emit as
+    epoch micros, dates as yyyy-MM-dd strings (tz-drift-proof)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_dom"),
+        # Spark dayofweek: 1=Sunday..7 (mirrored as dayofweek+1 in DuckDB).
+        F.dayofweek(d).cast("long").alias("order_dow"),
+        F.unix_micros(F.date_trunc("month", d)).alias("month_start_us"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-08-01").cast("date"), d.cast("date"))
+        .cast("long").alias("days_to_cutoff"),
+    )
+
+
+@query("scalar_math")
+def scalar_math(spark, sf_dir):
+    """Math scalar family over lineitem: abs/floor/ceil, decimal rounding
+    (HALF_UP on both engines), sqrt, products, modulo, sign, greatest/
+    least — all exact or IEEE-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - F.lit(30000.0)).alias("abs_off"),
+        F.floor(price).cast("long").alias("price_floor"),
+        F.ceil(price).cast("long").alias("price_ceil"),
+        F.round(_dec(price), 1).cast("double").alias("price_round1"),
+        F.sqrt(price).alias("price_sqrt"),
+        (price * price).alias("price_sq"),
+        (F.col("l_orderkey") % F.lit(97)).cast("long").alias("key_mod"),
+        F.signum(F.col("l_discount") - F.lit(0.05)).cast("long").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * F.lit(100.0))
+        .alias("max_qd"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("min_td"),
+    )
+
+
+@query("scalar_collections")
+def scalar_collections(spark, sf_dir):
+    """Array and map scalar family: construction, size, max, indexing,
+    fold-sum, sort-to-csv, split, map build/extract/keys — emitted as
+    scalars so the value hash is engine-neutral."""
+    c = _t(spark, sf_dir, "customer")
+    arr = F.array(
+        F.col("c_custkey"),
+        F.col("c_nationkey"),
+        (F.col("c_custkey") % F.lit(7)),
+    )
+    toks = F.split(F.col("c_name"), "#")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.size(arr).cast("long").alias("arr_len"),
+        F.array_max(arr).alias("arr_max"),
+        F.element_at(arr, 3).alias("arr_third"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v).alias("arr_sum"),
+        F.concat_ws(",", F.transform(F.array_sort(arr), lambda x: x.cast("string")))
+        .alias("arr_sorted_csv"),
+        F.size(toks).cast("long").alias("n_name_parts"),
+        F.element_at(m, F.lit("seg")).alias("map_seg"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("map_keys_csv"),
+        F.size(m).cast("long").alias("map_len"),
     )
 
 
