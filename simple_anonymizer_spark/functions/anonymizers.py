@@ -200,19 +200,25 @@ ANONYMIZERS: dict[str, object] = {
 
 
 def register_all(spark: SparkSession, prefix: str = "anon_") -> None:
-    """Register every anonymizer for use from ``spark.sql``.
+    """Register every anonymizer for ``spark.sql`` use as SQL scalar
+    functions (``CREATE TEMPORARY FUNCTION ... RETURN <native expr>``).
 
-    Registered builders expand to native column expressions at parse time
-    via ``Column``-returning lambdas wrapped in ``F.udf``-free SQL: we use
-    ``spark.udf.register`` on expression-producing wrappers is not possible,
-    so instead we register them as SQL *macros* by creating temp views is
-    unnecessary — Spark >= 3.5 supports Python "udf-less" registration via
-    ``DataFrame`` API only. Pragmatically: SQL users call e.g.
-    ``anon_email(col)`` backed by a thin pandas-free Python UDF fallback,
-    while DataFrame users get the native expressions above. The UDF path is
-    only for ad-hoc SQL ergonomics; pipelines compiled through the spec DSL
-    always use the native expressions.
-    """
+    The function body is the same expression the Column builders above
+    produce, rendered as Spark SQL text (``sparksql.py``) and inlined into
+    the calling query at analysis time — so SQL users get whole-stage
+    codegen, identical values, and identical plans to DataFrame users.
+    No Python UDF is involved (plan-shape pinned by
+    ``tests/test_types_registration.py``)."""
+    from . import sparksql
+
+    sparksql.register_all(spark, prefix)
+
+
+def register_python_udfs(spark: SparkSession, prefix: str = "pyanon_") -> None:
+    """Row-at-a-time Python UDF registration of the ``pyimpl`` mirrors —
+    ONLY for debugging the pure-Python reference implementation from SQL.
+    ~100x slower than the native path; never use in pipelines (the distinct
+    ``pyanon_`` prefix keeps the slow path impossible to adopt silently)."""
     from . import pyimpl
 
     for name, fn in pyimpl.PY_ANONYMIZERS.items():
