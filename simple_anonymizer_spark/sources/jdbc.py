@@ -335,13 +335,26 @@ def write_jdbc(
     catalog: Catalog | None = None,
 ) -> None:
     """Write with upsert support, bracketed by self-ref constraint deferral
-    and followed by sequence resets when a catalog is supplied."""
+    and followed by sequence resets when a catalog is supplied.
+
+    Self-referencing tables are coalesced to ONE partition: constraint
+    deferral is per-transaction, and every Spark partition commits its own
+    transaction — a child row committed in partition A before its parent
+    commits in partition B would violate the FK no matter how the
+    constraint is deferred. One partition = one transaction = deferral
+    actually covers the whole table. Self-ref tables are hierarchy/dimension
+    shaped (categories, employees, org trees), not fact tables, so the
+    single-writer constraint is the correct trade at scale; a partitioned
+    escape hatch for a huge self-ref table is topological-level batching,
+    which the reference also never needed (``src/ConstraintDeferrer.scala``)."""
     columns = df.columns
     self_ref_constraints: list[str] = []
     if catalog is not None:
         self_ref_constraints = [
             fk.name for fk in catalog.self_ref_fks(table) if fk.name
         ]
+    if self_ref_constraints:
+        df = df.coalesce(1)
 
     conn = connect()
     try:
