@@ -666,3 +666,24 @@ SELECT c_custkey,
   CAST(cardinality(m) AS BIGINT) AS map_len
 FROM t
 """
+
+ORACLES["merge_upsert"] = """
+WITH src AS (
+  SELECT c_custkey, 'UPDATED ' || c_name AS c_name, c_acctbal * 2 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT
+  t.c_custkey AS c_custkey,
+  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+UNION ALL
+SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment
+FROM src s LEFT JOIN customer t ON s.c_custkey = t.c_custkey
+WHERE t.c_custkey IS NULL
+"""

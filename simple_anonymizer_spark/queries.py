@@ -670,3 +670,25 @@ def multimodal_meta(spark, sf_dir):
 
     media = multimodal.with_binary_content(_tp(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media).select("media_id", "n_bytes", "content_hash")
+
+
+@query("merge_upsert")
+def merge_upsert(spark, sf_dir):
+    """MERGE (upsert) as a relational transformation — the parquet-sink
+    analog of ON CONFLICT DO UPDATE (``src/OnConflict.scala:32-39``):
+    matched keys take source values, unmatched source rows append."""
+    from .plans.on_conflict import OnConflict
+    from .sources.merge import merge_dataframes
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    target = _t(spark, sf_dir, "customer").select(*cols)
+    updates = (
+        target.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_name", F.concat(F.lit("UPDATED "), F.col("c_name")))
+        .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+    )
+    inserts = target.filter(F.col("c_custkey") % 11 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000).cast("bigint")
+    )
+    source = updates.unionByName(inserts)
+    return merge_dataframes(target, source, ["c_custkey"], OnConflict.do_update())
