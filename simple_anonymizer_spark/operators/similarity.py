@@ -232,3 +232,96 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse-quantizer centroids as a driver-side model object (what a
+    trained k-means produces; IVF treats centroids as broadcast state, not
+    data). This deterministic stand-in — the ``n_cells`` lowest-id vectors,
+    i.e. k-means iteration zero with a fixed seed — keeps the whole
+    operator oracle-checkable; swap in ``pyspark.ml.clustering.KMeans``
+    centers for trained cells, the query plan is identical."""
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _cos_to_literal(vec: Column, centroid: list[float]) -> Column:
+    return cosine(vec, F.array(*[F.lit(x) for x in centroid]))
+
+
+def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (0-based; cosine ties -> lowest cell).
+    Pure map-side expression over broadcast-literal centroids: corpus
+    assignment never shuffles — the property that makes IVF the scale path
+    (assignment is O(dim * n_cells) per row inside codegen, and the cell id
+    becomes the partition/bucket key of the stored index)."""
+    cos_arr = F.array(*[_cos_to_literal(vec, c) for c in centroids])
+    # array_position returns the FIRST match (1-based) -> ties resolve to
+    # the lowest cell index, mirroring the oracle's (cos DESC, cell ASC).
+    return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` closest cells and scores exactly
+    inside them. Output: ``query_id, neighbor_id, rank``.
+
+    Scale shape: cell assignment is a shuffle-free map (see
+    ``ivf_assign_cell``); the only corpus movement is the cell-key join
+    against the (broadcast) probe list, and with the index stored
+    partitioned by cell a probe reads ``nprobe/n_cells`` of the data.
+    Recall is tunable via ``nprobe`` exactly as in FAISS-style IVF-Flat."""
+    centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("__cell"),
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    probe_cos = F.array(
+        *[_cos_to_literal(F.col("__qvec"), c) for c in centroids]
+    )
+    probes = q.select(
+        "query_id", "__qvec", F.posexplode(probe_cos).alias("__cell", "__pcos")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__pcos").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        probes.withColumn("__prn", F.row_number().over(pw))
+        .where(F.col("__prn") <= nprobe)
+        .select("query_id", "__qvec", "__cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

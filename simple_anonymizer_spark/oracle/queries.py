@@ -687,3 +687,58 @@ SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment
 FROM src s LEFT JOIN customer t ON s.c_custkey = t.c_custkey
 WHERE t.c_custkey IS NULL
 """
+
+# IVF: centroids = the 8 lowest-id vectors (k-means iteration zero, the
+# deterministic stand-in the Spark side uses); each vector joins its
+# argmax-cosine cell, each query probes its top-2 cells.
+_XC_DOT = f"list_sum([CAST(xv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in {_IDX}])"
+_XNORM = f"sqrt(list_sum([CAST(xv[i] AS DOUBLE) * CAST(xv[i] AS DOUBLE) for i in {_IDX}]))"
+_QC_DOT = f"list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in {_IDX}])"
+_QX_DOT = f"list_sum([CAST(qv[i] AS DOUBLE) * CAST(xv[i] AS DOUBLE) for i in {_IDX}])"
+
+ORACLES["embedding_topk_ivf"] = f"""
+WITH cent AS (
+  SELECT embedding AS cv,
+         row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_idx
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+corpus_scored AS (
+  SELECT e.vec_id, e.embedding AS xv, c.cell_idx,
+         {_XC_DOT.replace('xv', 'e.embedding').replace('cv', 'c.cv')}
+           / ({_XNORM.replace('xv', 'e.embedding')} * {_CNORM.replace('cv', 'c.cv')}) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, xv, cell_idx,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell_idx ASC) AS rn
+  FROM corpus_scored
+),
+corpus_cells AS (SELECT vec_id, xv, cell_idx FROM assigned WHERE rn = 1),
+q_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_idx,
+         {_QC_DOT.replace('qv', 'e.embedding').replace('cv', 'c.cv')}
+           / ({_QNORM.replace('qv', 'e.embedding')} * {_CNORM.replace('cv', 'c.cv')}) AS qc
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+),
+probes AS (
+  SELECT query_id, qv, cell_idx FROM (
+    SELECT query_id, qv, cell_idx,
+           row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, cell_idx ASC) AS prn
+    FROM q_scored
+  ) WHERE prn <= 2
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_QX_DOT.replace('qv', 'p.qv').replace('xv', 'c.xv')}
+           / ({_QNORM.replace('qv', 'p.qv')} * {_XNORM.replace('xv', 'c.xv')}) AS cos
+  FROM probes p JOIN corpus_cells c ON p.cell_idx = c.cell_idx
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""

@@ -692,3 +692,13 @@ def merge_upsert(spark, sf_dir):
     )
     source = updates.unionByName(inserts)
     return merge_dataframes(target, source, ["c_custkey"], OnConflict.do_update())
+
+
+@query("embedding_topk_ivf")
+def embedding_topk_ivf(spark, sf_dir):
+    """IVF-probed ANN (cells = deterministic coarse quantizer, nprobe=2) —
+    the FAISS-style scale path next to the LSH one."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=3, n_cells=8, nprobe=2
+    )

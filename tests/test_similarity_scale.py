@@ -92,3 +92,53 @@ def test_recommended_planes_per_band():
     assert similarity.recommended_planes_per_band(500) == 4
     assert similarity.recommended_planes_per_band(1_000_000, 1000) == 10
     assert similarity.recommended_planes_per_band(10**9, 1000) == 20
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with a healthy probe budget must recover most exact neighbors;
+    rank-1 neighbors of planted near-copies must survive probing."""
+    df, _ = _planted(spark, sf_dir)
+    queries = df.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(df, queries, k=3, n_cells=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # the planted near-copy (cosine ~0.9999) is rank 1 in both
+    rank1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ivf_topk(df, queries, k=1, n_cells=8, nprobe=4).collect()
+    }
+    hits = sum(1 for q, n in rank1.items() if n == q + 100000)
+    assert hits >= 8, rank1
+
+
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """Cell assignment must not shuffle the corpus: the scale property of
+    IVF is that assignment is a pure map over broadcast centroids."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = similarity.ivf_centroids(df, 8)
+    assigned = df.select(
+        "vec_id", similarity.ivf_assign_cell(F.col("embedding"), centroids)
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_cells_partition_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cell; cells are 0..n_cells-1."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = df.count()
+    centroids = similarity.ivf_centroids(df, 8)
+    cells = df.select(
+        similarity.ivf_assign_cell(F.col("embedding"), centroids).alias("cell")
+    )
+    stats = cells.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in stats) == n
+    assert all(0 <= r.cell < 8 for r in stats)
