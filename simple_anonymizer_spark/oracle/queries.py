@@ -742,3 +742,16 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 3
 """
+
+ORACLES["range_join_shipments"] = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate AS lo,
+         o_orderdate + INTERVAL 7 DAY AS hi
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_shipped,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM o JOIN lineitem l ON l.l_shipdate BETWEEN o.lo AND o.hi
+GROUP BY o.o_orderkey
+"""

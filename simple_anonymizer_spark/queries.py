@@ -702,3 +702,26 @@ def embedding_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         e, e.where(F.col("vec_id") < 5), k=3, n_cells=8, nprobe=2
     )
+
+
+@query("range_join_shipments")
+def range_join_shipments(spark, sf_dir):
+    """Point-in-interval range join (binned equi-join, not BNLJ): lineitems
+    shipped within 7 days of a sampled order's date, aggregated per order."""
+    from .operators.range_join import binned_range_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("__lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("__hi"),
+        )
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    j = binned_range_join(l, o, "l_shipdate", "__lo", "__hi", bin_width_days=7)
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped"),
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+    )
