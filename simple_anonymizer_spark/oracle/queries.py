@@ -755,3 +755,31 @@ SELECT o.o_orderkey,
 FROM o JOIN lineitem l ON l.l_shipdate BETWEEN o.lo AND o.hi
 GROUP BY o.o_orderkey
 """
+
+# Connected components over the minhash pair graph: reuse the pair oracle
+# as a CTE and close it transitively with a recursive UNION (set semantics
+# deduplicate paths), then label each document with the min reachable id.
+_mh = ORACLES["dedup_minhash_lsh"].strip()
+assert _mh.startswith("WITH ")
+_mh_body, _mh_final = _mh[5:].rsplit("\nSELECT ", 1)
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_mh_body},
+pairs AS (SELECT {_mh_final}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT d.doc_id AS node,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT node, component FROM labels
+"""

@@ -725,3 +725,17 @@ def range_join_shipments(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_shipped"),
         F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
     )
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the MinHash
+    near-dup pair graph; every document labeled with its cluster's minimum
+    doc_id (singletons label themselves)."""
+    from .operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    return connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
