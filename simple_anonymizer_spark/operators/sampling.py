@@ -1,0 +1,105 @@
+"""Deterministic hash sampling and dataset splits.
+
+Training-data pipelines need sampling that is (a) reproducible across
+runs, engines, and cluster sizes, (b) stable under data reordering and
+repartitioning, and (c) consistent per entity — the same document always
+lands in the same split, never straddling train and validation after a
+re-run. ``df.sample``/``rand()`` give none of these (seeded RNG is
+partition-layout dependent).
+
+The primitive here is the engine's own hash kernel
+(``functions.hashing.stable_hash``): a row is kept iff
+``stable_hash(key || salt) % DENOM < rate * DENOM``. Pure codegen
+(md5 + integer compare), no shuffle, trivially pushed past scans by
+Catalyst, and identical in every engine that carries the frozen hash spec
+(DuckDB oracle included). Different ``salt`` values give statistically
+independent samples from the same keys — the standard trick for drawing
+a fresh sample without touching previous ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import stable_hash
+
+DENOM = 10_000  # rate resolution 0.01% — integer compare, no float edges
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, DENOM) for a key column."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(stable_hash(F.concat(c.cast("string"), F.lit(salt))), F.lit(DENOM))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed on
+    ``key_col``. Same key -> same verdict, independent of partitioning."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(sample_bucket(key_col, salt) < int(rate * DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without the RNG):
+    stratum ``s`` keeps ``rates.get(s, default_rate)`` of its rows. The
+    filter is a CASE over integer thresholds — one codegen predicate, no
+    shuffle, prunable."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    threshold = F.lit(int(default_rate * DENOM))
+    for s, r in rates.items():
+        threshold = (
+            F.when(F.col(strata_col) == F.lit(s), F.lit(int(r * DENOM)))
+            .otherwise(threshold)
+        )
+    return df.where(sample_bucket(key_col, salt) < threshold)
+
+
+def split_column(
+    key: Column | str,
+    fractions: dict[str, float],
+    salt: str = "_split",
+) -> Column:
+    """Assign each key to exactly one named split (e.g. train/val/test).
+    ``fractions`` must sum to 1; split names are assigned over contiguous
+    bucket ranges in sorted-name-insensitive insertion order, so adding a
+    split at the end never reshuffles earlier assignments."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = sample_bucket(key, salt)
+    expr = None
+    hi = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += int(fractions[name] * DENOM)
+        expr = (
+            F.when(bucket < hi, F.lit(name))
+            if expr is None
+            else expr.when(bucket < hi, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "_split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split column (default 80/10/10)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(split_col, split_column(key_col, fractions, salt))

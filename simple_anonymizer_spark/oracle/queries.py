@@ -783,3 +783,25 @@ labels AS (
 )
 SELECT node, component FROM labels
 """
+
+_SAMPLE_KEY = "CAST(c_custkey AS VARCHAR)"
+_SPLIT_KEY = "(" + _SAMPLE_KEY + " || '_split')"
+_SPLIT_BUCKET = f"({O.stable_hash(_SPLIT_KEY)} % 10000)"
+
+ORACLES["sample_stratified"] = f"""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE ({O.stable_hash(_SAMPLE_KEY)} % 10000) <
+  CASE c_mktsegment
+    WHEN 'BUILDING' THEN 5000
+    WHEN 'MACHINERY' THEN 2500
+    ELSE 1000
+  END
+"""
+
+ORACLES["sample_split"] = f"""
+SELECT c_custkey,
+  CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+       WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM customer
+"""

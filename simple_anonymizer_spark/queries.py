@@ -739,3 +739,28 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )
+
+
+@query("sample_stratified")
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum sampling (sampleBy without RNG): keyed
+    hash-threshold filter, reproducible across engines and partitionings."""
+    from .operators import sampling
+
+    c = _t(spark, sf_dir, "customer")
+    out = sampling.stratified_sample(
+        c, "c_mktsegment", {"BUILDING": 0.5, "MACHINERY": 0.25},
+        key_col="c_custkey", default_rate=0.1,
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+@query("sample_split")
+def sample_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment per key."""
+    from .operators import sampling
+
+    c = _t(spark, sf_dir, "customer")
+    return sampling.train_val_test_split(c, "c_custkey").select(
+        "c_custkey", "split"
+    )

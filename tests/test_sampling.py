@@ -1,0 +1,89 @@
+"""Deterministic sampling/split tests: reproducibility, partitioning
+invariance, rate accuracy, salt independence, split disjointness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.operators import sampling
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 5000).select(F.col("id").alias("key"))
+
+
+def keys(df):
+    return {r.key for r in df.collect()}
+
+
+def test_sample_is_deterministic_and_layout_invariant(ids):
+    a = keys(sampling.hash_sample(ids, 0.3, "key"))
+    b = keys(sampling.hash_sample(ids, 0.3, "key"))
+    c = keys(sampling.hash_sample(ids.repartition(17), 0.3, "key"))
+    assert a == b == c
+    assert abs(len(a) / 5000 - 0.3) < 0.03
+
+
+def test_rates_nest(ids):
+    """Lower rate is a subset of higher rate (same salt) — thresholds on
+    one bucket value nest by construction."""
+    small = keys(sampling.hash_sample(ids, 0.1, "key"))
+    big = keys(sampling.hash_sample(ids, 0.4, "key"))
+    assert small <= big
+
+
+def test_salts_give_independent_samples(ids):
+    a = keys(sampling.hash_sample(ids, 0.5, "key", salt="a"))
+    b = keys(sampling.hash_sample(ids, 0.5, "key", salt="b"))
+    overlap = len(a & b) / 5000
+    assert 0.15 < overlap < 0.35  # ~0.25 if independent
+
+
+def test_stratified_rates(spark):
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("stratum"),
+    )
+    out = sampling.stratified_sample(
+        df, "stratum", {"a": 0.5, "b": 0.1}, key_col="key", default_rate=0.0
+    )
+    got = out.groupBy("stratum").count().collect()
+    by = {r.stratum: r["count"] for r in got}
+    assert abs(by["a"] / 2000 - 0.5) < 0.05
+    assert abs(by["b"] / 2000 - 0.1) < 0.03
+    assert "c" not in by  # default 0 drops the stratum entirely
+
+
+def test_split_partitions_every_row_once(ids):
+    out = sampling.train_val_test_split(ids, "key")
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5000
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    # adding a later split never moves earlier assignments
+    out2 = sampling.train_val_test_split(
+        ids, "key", fractions={"train": 0.8, "val": 0.1, "holdout": 0.1}
+    )
+    train1 = {r.key for r in out.where("split = 'train'").collect()}
+    train2 = {r.key for r in out2.where("split = 'train'").collect()}
+    assert train1 == train2
+
+
+def test_validation(ids):
+    with pytest.raises(ValueError, match="rate must be"):
+        sampling.hash_sample(ids, 1.5, "key")
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.train_val_test_split(ids, "key", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_sampling_is_pure_codegen(ids):
+    out = sampling.hash_sample(ids, 0.3, "key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
