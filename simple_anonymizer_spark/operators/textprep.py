@@ -1,0 +1,76 @@
+"""Free-text preparation for training pipelines: PII scrubbing and
+document chunking.
+
+``scrub_pii`` extends the engine's structured-column anonymizers
+(``functions/anonymizers.py``) to unstructured text: regex rewrites of
+emails, URLs, phone numbers, and IPv4 addresses to typed placeholder
+tokens. Patterns are restricted to syntax with identical semantics in
+Java regex (Spark) and RE2 (DuckDB) — character classes, bounded repeats,
+``\\b`` — so the oracle can replay them verbatim; no lookaround. Pure
+``regexp_replace`` chain: whole-stage codegen, shuffle-free, linear.
+
+``chunk_documents`` explodes each document into overlapping token-window
+chunks (the pretraining / RAG chunking step): tokens via whitespace
+split, windows of ``chunk_size`` tokens every ``stride`` tokens, 1:N via
+``explode(sequence(...))`` — no UDF, and the explode happens AFTER the
+narrow projection so only the token array is amplified, not the full row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Pattern, placeholder — applied in order (URL before email: a URL can
+# embed an @; the URL rewrite must win).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "[URL]"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"(\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace every PII match with its placeholder token."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def scrub_pii_sql(expr: str) -> str:
+    """The identical rewrite chain as DuckDB SQL (the oracle side).
+    DuckDB string literals are standard SQL — backslashes pass through to
+    RE2 verbatim, so the patterns embed unchanged; only quotes escape."""
+    out = expr
+    for pattern, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern.replace(chr(39), chr(39) * 2)}', '{token}', 'g')"
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+    Output: ``<id_col>, chunk_id, chunk_text, n_chunk_tokens`` — one row
+    per window; a document shorter than ``chunk_size`` yields one chunk.
+    ``stride < chunk_size`` gives overlap (size - stride tokens)."""
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    narrow = df.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__start")
+    ).where((F.col("__start") == 0) | (F.col("__start") < F.size("__toks")))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return narrow.select(
+        id_col,
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

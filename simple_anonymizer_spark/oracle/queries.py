@@ -805,3 +805,33 @@ SELECT c_custkey,
        ELSE 'test' END AS split
 FROM customer
 """
+
+from ..operators.textprep import scrub_pii_sql as _scrub_sql
+
+_RAW_PII = (
+    "('Contact ' || substr(text, 1, 40) || ' at j' || CAST(doc_id AS VARCHAR)"
+    " || '.doe@example.com or (555) 123-4567, see https://ex.io/p?q='"
+    " || CAST(doc_id AS VARCHAR) || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR))"
+)
+
+ORACLES["text_scrub_pii"] = f"""
+SELECT doc_id, {_scrub_sql(_RAW_PII)} AS scrubbed FROM documents
+"""
+
+ORACLES["text_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
+FROM starts
+"""

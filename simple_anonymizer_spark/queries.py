@@ -764,3 +764,32 @@ def sample_split(spark, sf_dir):
     return sampling.train_val_test_split(c, "c_custkey").select(
         "c_custkey", "split"
     )
+
+
+@query("text_scrub_pii")
+def text_scrub_pii(spark, sf_dir):
+    """Free-text PII scrubbing: emails/URLs/phones/IPs -> typed tokens.
+    PII is synthesized deterministically into each document so the rewrite
+    is exercised on every row."""
+    from .operators.textprep import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Contact "), F.substring("text", 1, 40),
+        F.lit(" at j"), F.col("doc_id").cast("string"),
+        F.lit(".doe@example.com or (555) 123-4567, see https://ex.io/p?q="),
+        F.col("doc_id").cast("string"),
+        F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select("doc_id", scrub_pii(raw).alias("scrubbed"))
+
+
+@query("text_chunks")
+def text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, stride 24) —
+    the pretraining/RAG document splitter as a 1:N native explode."""
+    from .operators.textprep import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )

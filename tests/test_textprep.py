@@ -1,0 +1,78 @@
+"""PII scrubbing and chunking unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.operators.textprep import (
+    chunk_documents,
+    scrub_pii,
+)
+
+
+def scrub_one(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(scrub_pii("t").alias("o")).collect()[0].o
+
+
+@pytest.mark.parametrize("raw,want", [
+    ("mail me at a.b-c%d@sub.example.co.uk now",
+     "mail me at [EMAIL] now"),
+    ("call (555) 123-4567 or 555-123-4567 or 555.123.4567",
+     "call [PHONE] or [PHONE] or [PHONE]"),
+    ("see https://a.io/x?y=1&z=2 and http://b.org",
+     "see [URL] and [URL]"),
+    ("host 192.168.0.1 and 10.0.0.255",
+     "host [IP] and [IP]"),
+    # a URL containing an @ is rewritten as a URL, not an email
+    ("https://u:p@host.com/path", "[URL]"),
+    # plain text with dots/digits survives untouched
+    ("version 1.2 costs $3.50, meet at 5 p.m.",
+     "version 1.2 costs $3.50, meet at 5 p.m."),
+])
+def test_scrub_cases(spark, raw, want):
+    assert scrub_one(spark, raw) == want
+
+
+def test_scrub_is_pure_codegen(spark):
+    df = spark.createDataFrame([("x",)], "t string")
+    out = df.select(scrub_pii("t"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunking_covers_and_overlaps(spark):
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_size=32, stride=24).collect()
+    # starts at 0, 24, 48, 72, 96 -> 5 chunks
+    assert [r.chunk_id for r in sorted(chunks, key=lambda r: r.chunk_id)] == [0, 1, 2, 3, 4]
+    seen = set()
+    for r in chunks:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_chunk_tokens <= 32
+        seen.update(toks)
+    assert seen == set(words)  # every token appears in some chunk
+    by_id = {r.chunk_id: r.chunk_text.split(" ") for r in chunks}
+    assert by_id[0][24:] == by_id[1][:8]  # 8-token overlap = size - stride
+
+
+def test_short_and_empty_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "just five little tokens here"), (2, "   "), (3, "one")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 5
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 0
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "one"
+
+
+def test_chunk_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, stride=0)
