@@ -835,3 +835,64 @@ SELECT doc_id,
        CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
 FROM starts
 """
+
+
+# The composed corpus pipeline: minhash clusters (reusing the pair oracle
+# body), canonical-keeper + quality + length filters, PII scrub,
+# deterministic split, chunking — one statement gating the composition.
+_QUALITY_SUB = "(" + ORACLES["text_quality"].strip() + ")"
+ORACLES["pipeline_corpus"] = f"""
+WITH RECURSIVE {_mh_body},
+pairs AS (SELECT {_mh_final}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT d.doc_id AS node,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+canonical AS (SELECT node AS doc_id FROM labels WHERE node = component),
+good AS (
+  SELECT doc_id FROM {_QUALITY_SUB} WHERE shingle_diversity >= 0.5
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN canonical USING (doc_id)
+  JOIN good USING (doc_id)
+  WHERE length(d.text) >= 50
+),
+scrubbed AS (
+  SELECT doc_id, {_scrub_sql("text")} AS text FROM kept
+),
+split AS (
+  SELECT doc_id, text,
+    CASE WHEN ({O.stable_hash("(CAST(doc_id AS VARCHAR) || '_split')")} % 10000) < 8000 THEN 'train'
+         WHEN ({O.stable_hash("(CAST(doc_id AS VARCHAR) || '_split')")} % 10000) < 9000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM scrubbed
+),
+tk AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM split
+),
+starts AS (
+  SELECT doc_id, split, toks,
+         unnest(range(0, greatest(len(toks), 1), 24)) AS start
+  FROM tk
+)
+SELECT doc_id, split,
+       CAST(start // 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
+FROM starts
+"""

@@ -793,3 +793,40 @@ def text_chunks(spark, sf_dir):
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
     )
+
+
+@query("pipeline_corpus")
+def pipeline_corpus(spark, sf_dir):
+    """The whole training-corpus pipeline composed end-to-end: near-dup
+    cluster resolution -> keep one canonical doc per cluster -> quality
+    filter -> PII scrub -> deterministic split -> token-window chunking.
+    Every stage is an operator with its own oracle; this query gates the
+    COMPOSITION."""
+    from .operators import sampling
+    from .operators.components import connected_components
+    from .operators.textprep import chunk_documents, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(
+        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    canonical = comp.where(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    good = (
+        text_analysis.quality_score(docs)
+        .where(F.col("shingle_diversity") >= 0.5)
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(canonical, "doc_id")
+        .join(good, "doc_id")
+        .where(F.length("text") >= 50)
+    )
+    scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
+    split = sampling.train_val_test_split(scrubbed, "doc_id")
+    chunks = chunk_documents(split, chunk_size=32, stride=24)
+    return chunks.join(split.select("doc_id", "split"), "doc_id").select(
+        "doc_id", "split", "chunk_id", "chunk_text", "n_chunk_tokens"
+    )
