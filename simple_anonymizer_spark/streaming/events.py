@@ -100,3 +100,32 @@ def write_stream(df: DataFrame, path: str, checkpoint: str) -> DataStreamWriter:
         .option("path", path)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_dedup(
+    spark, source_path: str, key_cols: list[str] | None = None,
+    watermark: str = "2 hours", schema=None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST arrival, drop repeats.
+    ``dropDuplicates`` keeps per-key state in the state store; the
+    watermark bounds that state — a key older than the watermark is
+    evicted and a very-late duplicate would pass, which is the documented
+    state/recall trade (the batch path, ``dedup.exact_duplicates``, is
+    the unbounded-memory exact answer). Keys default to a content hash
+    over every non-timestamp column, so identical payloads dedup
+    regardless of arrival time."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.parquet(source_path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if key_cols is None:
+        content = [c for c in raw.columns if c != "ts"]
+        raw = raw.withColumn(
+            "__content_hash", F.md5(F.to_json(F.struct(*content)))
+        )
+        key_cols = ["__content_hash"]
+    return raw.withWatermark("ts", watermark).dropDuplicates(key_cols)

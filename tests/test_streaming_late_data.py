@@ -143,3 +143,52 @@ def test_batch_and_stream_agree_without_late_data(utc_session, tmp_path):
         assert batch[w] == n
     closed = {w: n for w, n in batch.items() if w != max(batch)}
     assert closed == {w: n for w, n in streamed.items()}
+
+
+def test_stream_dedup_keeps_first_arrival(utc_session, tmp_path):
+    """Across checkpointed runs, each payload is emitted exactly once;
+    a duplicate arriving within the watermark is suppressed."""
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.streaming.events import stream_dedup
+
+    spark = utc_session
+    src, out, ckpt = tmp_path / "d_src", tmp_path / "d_out", tmp_path / "d_ckpt"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.StringType()),
+    ])
+
+    def feed_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        q = (
+            stream_dedup(spark, str(src), watermark="2 hours", schema=schema)
+            .select("ts", "payload")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    feed_rows([(ts(1.0), "A"), (ts(1.5), "B"), (ts(1.2), "A")])  # dup in batch
+    run()
+    feed_rows([(ts(2.0), "A"), (ts(2.5), "C")])  # dup across runs + new
+    run()
+
+    rows = spark.read.parquet(str(out)).collect()
+    by_payload = {}
+    for r in rows:
+        by_payload.setdefault(r.payload, []).append(r.ts)
+    assert sorted(by_payload) == ["A", "B", "C"]
+    assert all(len(v) == 1 for v in by_payload.values()), by_payload
+    # streamed dedup == batch distinct-on-payload row count
+    batch = spark.read.parquet(str(src)).dropDuplicates(["payload"]).count()
+    assert len(rows) == batch
