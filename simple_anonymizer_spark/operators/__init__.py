@@ -1,1 +1,12 @@
-from . import dedup, multimodal, similarity, text_analysis  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    components,
+    dedup,
+    multimodal,
+    range_join,
+    sampling,
+    similarity,
+    skew,
+    text_analysis,
+    textprep,
+)

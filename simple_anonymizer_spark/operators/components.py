@@ -41,6 +41,10 @@ def connected_components(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        # Materialize ONCE: every round joins against `und`, and without
+        # this the edge-producing upstream (e.g. the whole MinHash pair
+        # pipeline) would re-execute per iteration.
+        .localCheckpoint()
     )
     endpoints = und.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
