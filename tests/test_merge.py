@@ -112,3 +112,20 @@ def test_merge_plan_has_no_python_and_single_join(spark, target):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_parquet_partitioned_layout(spark, target, tmp_path):
+    """partition_by lays the table out by the named column and survives
+    merges (the only-touched-partitions-rewrite path at scale)."""
+    import os
+
+    path = str(tmp_path / "ptbl")
+    merge_parquet(spark, target, path, ["id"], OnConflict.do_update(),
+                  partition_by=["name"])
+    assert sorted(p for p in os.listdir(path) if p.startswith("name=")) == [
+        "name=a", "name=b", "name=c"]
+    merge_parquet(spark, df_of(spark, [(2, "b", 999), (4, "d", 40)]), path,
+                  ["id"], OnConflict.do_update(), partition_by=["name"])
+    back = spark.read.parquet(path)
+    assert as_set(back.select("id", "score")) == {(1, 10), (2, 999), (3, 30), (4, 40)}
+    assert "name=d" in os.listdir(path)

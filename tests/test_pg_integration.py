@@ -738,3 +738,17 @@ def test_transaction_rollback_on_partition_failure(source_db, target_db):
     with pytest.raises(IntegrityError):
         writer(iter(good_then_bad))
     assert q1(tgt, "SELECT COUNT(*) FROM users") == [(0,)]
+
+
+def test_dbapi_reader_limit_disables_partitioning(spark, source_db):
+    """LIMIT and range partitioning don't compose (matching Spark JDBC):
+    a limited read must run as one query so ORDER BY id DESC LIMIT n is
+    globally correct, not per-partition."""
+    read = dbapi_reader(spark, partial(fakepg.connect, source_db.path),
+                        partition=("id", 1, 10, 4))
+    rows = read("users", columns=["id"], limit=3).collect()
+    assert sorted(r.id for r in rows) == [8, 9, 10]  # global top-3 by id desc
+
+    # partitioned full read still covers everything exactly once
+    full = read("users", columns=["id"]).collect()
+    assert sorted(r.id for r in full) == list(range(1, 11))
