@@ -250,3 +250,43 @@ def fingerprints(
         F.array_min(F.transform(sh, lambda s: T.salted_hash(s, "_fp"))).alias("fingerprint"),
         stable_hash(F.col(text_col)).alias("content_hash"),
     )
+
+
+def levenshtein_adjacent_pairs(
+    df: DataFrame,
+    prefix_len: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance screening over adjacent-id candidate pairs.
+
+    Levenshtein is O(len_a * len_b) per pair — far too hot for full
+    documents at scale — so the screen runs on a fixed-length prefix
+    (``prefix_len`` chars), the standard cheap pre-filter before an exact
+    verify stage. Candidates here are consecutive doc ids (the simplest
+    deterministic pairing; swap in LSH-bucket candidates for real
+    workloads via ``minhash_lsh_pairs``). Distance and both lengths are
+    exact integers; ``prefix_similarity`` is one double division of exact
+    integers, with the empty/empty pair pinned to 1.0.
+    """
+    pref = df.select(
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__pa"),
+    )
+    nxt = df.select(
+        (F.col(id_col) - 1).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__pb"),
+    )
+    joined = pref.join(nxt, "id_a")
+    dist = F.levenshtein(F.col("__pa"), F.col("__pb")).cast("long")
+    maxlen = F.greatest(F.length("__pa"), F.length("__pb")).cast("long")
+    sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / maxlen.cast("double")
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        dist.alias("edit_distance"),
+        sim.alias("prefix_similarity"),
+    )

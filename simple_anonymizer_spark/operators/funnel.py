@@ -1,0 +1,68 @@
+"""Event-sequence (funnel) analysis over the events stream.
+
+Answers "which entities performed step A and then step B within a horizon"
+— the conversion/abandonment question every event pipeline asks, and a
+building block for curriculum-style data selection (keep sessions that
+reach a target behavior). No reference counterpart (SURVEY §2.12 explicit
+absences); built entirely from groupBy + join so it scales as two shuffles
+on the entity key.
+
+Scale notes (100 TB): step extraction is a filtered partial aggregation
+(map-side min per entity), so each step's intermediate is one row per
+entity — tiny relative to the event log. The step-B-after-step-A
+constraint is an equi-join on the entity key between those aggregates and
+the filtered step-B events; Catalyst pushes the event_type filters into
+the parquet scan. All timestamps are exact epoch-microsecond integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_two_step(
+    events: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_us: Column,
+    first_type: str,
+    then_type: str,
+    horizon_us: int | None = None,
+) -> DataFrame:
+    """Per-entity two-step funnel: first ``first_type`` event, then the
+    earliest ``then_type`` event at-or-after it (optionally within
+    ``horizon_us`` microseconds).
+
+    Returns one row per entity that performed step A:
+    ``(entity, step_a_us, step_b_us nullable, converted, lag_us nullable)``.
+    Ties at the same microsecond count as converted (>= comparison) —
+    pinned by tests.
+    """
+    ev = events.select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        ts_us.alias("__us"),
+    )
+    step_a = ev.where(F.col("__t") == first_type).groupBy("__e").agg(
+        F.min("__us").alias("step_a_us")
+    )
+    step_b_events = ev.where(F.col("__t") == then_type)
+    after = step_b_events.join(step_a, "__e").where(
+        F.col("__us") >= F.col("step_a_us")
+    )
+    if horizon_us is not None:
+        after = after.where(F.col("__us") <= F.col("step_a_us") + horizon_us)
+    step_b = after.groupBy("__e", "step_a_us").agg(
+        F.min("__us").alias("step_b_us")
+    )
+    return (
+        step_a.join(step_b, ["__e", "step_a_us"], "left")
+        .select(
+            F.col("__e").alias(entity_col),
+            "step_a_us",
+            "step_b_us",
+            F.col("step_b_us").isNotNull().alias("converted"),
+            (F.col("step_b_us") - F.col("step_a_us")).alias("lag_us"),
+        )
+    )

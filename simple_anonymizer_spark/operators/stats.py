@@ -1,0 +1,225 @@
+"""Distributed descriptive statistics: exact grouped medians, moment-based
+stddev/correlation, histograms, and rolling time-window aggregates.
+
+These are the profiling primitives a training-data pipeline runs before and
+after curation (quality-score distributions, per-shard balance checks,
+activity baselines for anomaly detection). The reference has only COUNT/MAX
+aggregates (src/CopyAction.scala:88, src/DbCopier.scala setval max); this
+module is part of the §2.12 extension surface.
+
+Determinism contract (cross-engine, see queries.py module docstring):
+
+* Sums accumulate in DECIMAL (exact, order-independent) and are cast to
+  DOUBLE once. Variance/correlation then use ONLY IEEE-deterministic steps
+  on those identical doubles: products, subtraction, division, and sqrt
+  (correctly rounded by IEEE 754, unlike transcendental functions).
+* Medians select actual middle elements by row_number (no interpolation
+  beyond an n/1 or n/2 division of identical doubles).
+* Histogram bins are integer arithmetic on exact decimal cents.
+
+Scale notes (100 TB):
+
+* ``grouped_median`` is one shuffle on the group key + a window sort within
+  each group — the same cost as any grouped sort. No driver collection.
+* ``moments``/``corr_pair`` are single-pass partial aggregations
+  (map-side combine): sums of x, x², y, y², xy — the classic distributive
+  decomposition, so they scale like a plain groupBy-sum.
+* ``rolling_time_agg`` is one shuffle on the partition key; the RANGE frame
+  is evaluated with a single sort per partition. Skewed entities (one user
+  with millions of events) serialize within their partition — cap or
+  pre-split hot entities upstream if that arises.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(c: Column, precision: int = 12, scale: int = 2) -> Column:
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def grouped_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Exact per-group median of ``value_col`` (as DECIMAL(12,2) cents).
+
+    Selects the middle element (odd n) or the two middle elements (even n)
+    by row_number over a (value, tie_col) sort, then averages them as
+    ``sum_decimal_as_double / n_selected`` — a division of identical
+    doubles by 1.0 or 2.0, hence bit-identical across engines.
+
+    One shuffle (group key) + one window sort. No interpolation: the
+    median is always derived from actual data values.
+    """
+    v = _dec(F.col(value_col))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__v"), F.col(tie_col))
+    cw = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, v.alias("__v"), F.col(tie_col)).select(
+        *group_cols,
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(cw).alias("__n"),
+    )
+    # Middle positions with floor semantics: odd n selects one element
+    # ((n+1)//2 == n//2+1), even n selects both middles (n//2 and n//2+1).
+    # floor of a double division of ints < 2^53 is exact.
+    lo_mid = F.floor((F.col("__n") + 1) / 2)
+    hi_mid = F.floor(F.col("__n") / 2) + 1
+    mid = ranked.where(
+        (F.col("__rn") == lo_mid) | (F.col("__rn") == hi_mid)
+    )
+    return (
+        mid.groupBy(*group_cols)
+        .agg(
+            F.sum("__v").cast("double").alias("__sum"),
+            F.count(F.lit(1)).cast("double").alias("__k"),
+            F.max("__n").cast("long").alias("n_rows"),
+        )
+        .select(
+            *group_cols,
+            (F.col("__sum") / F.col("__k")).alias("median"),
+            "n_rows",
+        )
+    )
+
+
+def moments(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Per-group n, mean, sample stddev, min, max — single-pass.
+
+    stddev uses the moment identity ``(n*Σx² − (Σx)²) / (n*(n−1))`` with
+    Σx and Σx² accumulated as DECIMAL (exact), converted to DOUBLE once,
+    and combined with IEEE-deterministic double ops + sqrt. Negative
+    epsilon from the double subtraction is clamped to 0 before sqrt.
+    """
+    v = _dec(F.col(value_col))
+    # (12,2)² -> (25,4); the sum is given headroom to (38,4).
+    v2 = (v * v).cast("decimal(38,4)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("double").alias("__s"),
+        F.sum(v2).cast("double").alias("__s2"),
+        F.min(v).cast("double").alias("min_v"),
+        F.max(v).cast("double").alias("max_v"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("__s2") - F.col("__s") * F.col("__s")
+    var = F.greatest(num, F.lit(0.0)) / (n * (n - F.lit(1.0)))
+    return agg.select(
+        *group_cols,
+        "n",
+        (F.col("__s") / n).alias("mean_v"),
+        F.when(F.col("n") > 1, F.sqrt(var)).alias("stddev_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+def corr_pair(
+    df: DataFrame, group_cols: Sequence[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Pearson correlation via exact co-moment sums.
+
+    Σx, Σy, Σx², Σy², Σxy all in DECIMAL; the final combination is pure
+    double products/divisions/sqrt on identical inputs. Groups with zero
+    variance on either side emit NULL.
+    """
+    x = _dec(F.col(x_col))
+    y = _dec(F.col(y_col))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("__syy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
+        .alias("corr_xy"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width_cents: int,
+    extra_group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram over a money-like column.
+
+    The bin index is ``(value_as_exact_cents) div bin_width_cents`` —
+    DECIMAL(12,2)*100 is exact, the BIGINT cast is exact, and integer
+    division is engine-identical (values assumed non-negative). Emits bin
+    bounds in cents plus the count. Map-side combinable: scales like any
+    groupBy-count.
+    """
+    cents = (_dec(F.col(value_col)) * 100).cast("bigint")
+    binned = df.select(
+        *extra_group_cols,
+        (cents - cents % F.lit(bin_width_cents)).alias("bin_lo_cents"),
+    )
+    return (
+        binned.groupBy(*extra_group_cols, "bin_lo_cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            *extra_group_cols,
+            "bin_lo_cents",
+            (F.col("bin_lo_cents") + F.lit(bin_width_cents)).alias(
+                "bin_hi_cents"
+            ),
+            "n_rows",
+        )
+    )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    part_col: str,
+    ts_us_col: Column,
+    value_col: str,
+    id_col: str,
+    preceding_us: int,
+) -> DataFrame:
+    """Per-row rolling aggregate over a trailing time range.
+
+    RANGE BETWEEN ``preceding_us`` PRECEDING AND CURRENT ROW on an
+    epoch-microsecond sort key — current row and all timestamp peers
+    included (identical frame semantics in Spark and DuckDB). The value sum
+    accumulates in DECIMAL so peer-order never affects the result.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("__ts_us"))
+        .rangeBetween(-preceding_us, 0)
+    )
+    vdec = _dec(F.col(value_col), 18, 6)
+    return (
+        df.select(
+            part_col,
+            F.col(id_col),
+            ts_us_col.alias("__ts_us"),
+            vdec.alias("__v"),
+        )
+        .select(
+            part_col,
+            id_col,
+            F.col("__ts_us").alias("ts_us"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+            F.sum("__v").over(w).cast("double").alias("sum_trailing"),
+        )
+    )

@@ -104,3 +104,72 @@ def language_id(
         predicted.alias("predicted_lang"),
         best_score.cast("long").alias("lang_hits"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k rarest-weighted terms per document.
+
+    Classic TF-IDF shape — term frequency joined against corpus document
+    frequency — with the score defined as the exact rational ``tf / df``
+    (both exact integers; a single IEEE double division) instead of
+    ``tf * ln(N/df)``: the ranking signal is the same (monotone in tf,
+    anti-monotone in df) but transcendental ``ln`` is NOT guaranteed
+    bit-identical across engines, so it stays out of the determinism
+    contract. Ties break by term text, then the per-doc rank is capped
+    at k.
+
+    Scale (100 TB): explode -> two partial-aggregations (per-doc tf, corpus
+    df) -> equi-join on term -> per-doc top-k window. The df table is one
+    row per distinct term — orders of magnitude smaller than the corpus —
+    and the join key (term) is the natural partitioner; a hot stopword term
+    is bounded by the per-doc distinct-term count, not the corpus.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df").cast("double")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def top_tokens(
+    df: DataFrame, n: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus heavy hitters: the n most frequent tokens with exact counts
+    (ties broken by token text). Explode -> map-side-combinable count ->
+    global top-n (TakeOrderedAndProject — no full sort materialization).
+    The exact answer needs the full count pass; swap in a count-min sketch
+    only when a bounded-error answer is acceptable."""
+    counts = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(n)

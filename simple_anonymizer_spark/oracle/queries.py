@@ -896,3 +896,171 @@ SELECT doc_id, split,
        CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
 FROM starts
 """
+
+# ---------------------------------------------------------------------------
+# Descriptive statistics / profiling (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+ORACLES["agg_median_balance"] = """
+WITH v AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_custkey
+  FROM customer
+),
+r AS (
+  SELECT c_mktsegment, bal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY bal, c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM v
+)
+SELECT c_mktsegment,
+       CAST(sum(bal) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS median,
+       CAST(max(n) AS BIGINT) AS n_rows
+FROM r
+WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+GROUP BY c_mktsegment
+"""
+
+# Moment combines mirror the Spark expression ORDER OF OPERATIONS exactly:
+# every step after the exact DECIMAL sums is an IEEE-deterministic double
+# op (product/subtract/divide/sqrt), so same inputs + same ops = same bits.
+ORACLES["agg_stats_moments"] = """
+WITH a AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                       * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_v,
+         CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_v
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       s / CAST(n AS DOUBLE) AS mean_v,
+       CASE WHEN n > 1 THEN
+         sqrt(greatest(CAST(n AS DOUBLE) * s2 - s * s, 0.0)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       END AS stddev_v,
+       min_v, max_v
+FROM a
+"""
+
+ORACLES["agg_corr_qty_price"] = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+       END AS corr_xy
+FROM a
+"""
+
+ORACLES["histogram_order_prices"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT cents - cents % 5000000 AS bin_lo_cents,
+       cents - cents % 5000000 + 5000000 AS bin_hi_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c GROUP BY 1, 2
+"""
+
+ORACLES["rolling_user_activity"] = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(sum(v) OVER w AS DOUBLE) AS sum_trailing
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["funnel_signup_purchase"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+a AS (
+  SELECT user_id, min(us) AS step_a_us FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+b AS (
+  SELECT ev.user_id, a.step_a_us, min(ev.us) AS step_b_us
+  FROM ev JOIN a ON ev.user_id = a.user_id
+  WHERE ev.event_type = 'purchase'
+    AND ev.us >= a.step_a_us
+    AND ev.us <= a.step_a_us + 604800000000
+  GROUP BY ev.user_id, a.step_a_us
+)
+SELECT a.user_id, a.step_a_us, b.step_b_us,
+       b.step_b_us IS NOT NULL AS converted,
+       b.step_b_us - a.step_a_us AS lag_us
+FROM a LEFT JOIN b ON a.user_id = b.user_id AND a.step_a_us = b.step_a_us
+"""
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics / fuzzy matching
+# ---------------------------------------------------------------------------
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_tokens('text')}) AS term FROM documents
+),
+t_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+t_df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM t_tf GROUP BY term
+),
+scored AS (
+  SELECT t_tf.doc_id, t_tf.term, t_tf.tf, t_df.df,
+         CAST(t_tf.tf AS DOUBLE) / CAST(t_df.df AS DOUBLE) AS score
+  FROM t_tf JOIN t_df ON t_tf.term = t_df.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+            AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+ORACLES["corpus_top_tokens"] = f"""
+WITH toks AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+ORACLES["fuzzy_levenshtein"] = """
+WITH p AS (SELECT doc_id, substr(text, 1, 60) AS pref FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS edit_distance,
+       CASE WHEN greatest(length(a.pref), length(b.pref)) = 0 THEN 1.0
+            ELSE 1.0 - CAST(levenshtein(a.pref, b.pref) AS DOUBLE)
+                       / CAST(greatest(length(a.pref), length(b.pref)) AS DOUBLE)
+       END AS prefix_similarity
+FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+"""

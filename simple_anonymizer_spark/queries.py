@@ -830,3 +830,100 @@ def pipeline_corpus(spark, sf_dir):
     return chunks.join(split.select("doc_id", "split"), "doc_id").select(
         "doc_id", "split", "chunk_id", "chunk_text", "n_chunk_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Descriptive statistics / profiling (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_median_balance")
+def agg_median_balance(spark, sf_dir):
+    """Exact per-segment median account balance (middle-element selection,
+    no interpolation — see operators/stats.py determinism contract)."""
+    from .operators import stats
+
+    return stats.grouped_median(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment"], "c_acctbal", "c_custkey"
+    )
+
+
+@query("agg_stats_moments")
+def agg_stats_moments(spark, sf_dir):
+    """Single-pass n/mean/stddev/min/max per order status via exact
+    DECIMAL moment sums + IEEE-deterministic double combine."""
+    from .operators import stats
+
+    return stats.moments(_t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice")
+
+
+@query("agg_corr_qty_price")
+def agg_corr_qty_price(spark, sf_dir):
+    """Pearson correlation of quantity vs extended price per return flag —
+    co-moment sums in DECIMAL, combined engine-identically."""
+    from .operators import stats
+
+    return stats.corr_pair(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+@query("histogram_order_prices")
+def histogram_order_prices(spark, sf_dir):
+    """Fixed-width price histogram ($50k bins) via exact integer-cents
+    binning (DuckDB has no width_bucket; integer div is engine-identical)."""
+    from .operators import stats
+
+    return stats.histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 5_000_000)
+
+
+@query("rolling_user_activity")
+def rolling_user_activity(spark, sf_dir):
+    """Per-event trailing-1h count and value sum per user — RANGE frame on
+    epoch micros, DECIMAL accumulation."""
+    from .operators import stats
+
+    ev = _t(spark, sf_dir, "events")
+    return stats.rolling_time_agg(
+        ev, "user_id", F.unix_micros(F.col("ts")), "value", "event_id",
+        3_600_000_000,
+    )
+
+
+@query("funnel_signup_purchase")
+def funnel_signup_purchase(spark, sf_dir):
+    """Two-step funnel: first signup, earliest purchase at-or-after it
+    within 7 days. One row per signed-up user."""
+    from .operators.funnel import funnel_two_step
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_two_step(
+        ev, "user_id", "event_type", F.unix_micros(F.col("ts")),
+        "signup", "purchase", horizon_us=7 * 86_400_000_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics / fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+@query("tfidf_top_terms")
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 rarity-weighted terms per document (tf/df exact-rational
+    score; ln() deliberately excluded from the determinism contract)."""
+    return text_analysis.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query("corpus_top_tokens")
+def corpus_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: 20 most frequent tokens, exact counts,
+    token-text tie-break (TakeOrderedAndProject top-n)."""
+    return text_analysis.top_tokens(_t(spark, sf_dir, "documents"), n=20)
+
+
+@query("fuzzy_levenshtein")
+def fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance screen over adjacent-id candidate pairs on a 60-char
+    prefix — the cheap pre-verify stage of fuzzy dedup."""
+    return dedup.levenshtein_adjacent_pairs(_t(spark, sf_dir, "documents"), 60)

@@ -21,7 +21,25 @@ NATIVE_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_stats",
     "lang_id", "doc_fingerprint", "embedding_topk", "events_tumbling",
     "events_asof_signup", "spec_subset_chain",
+    # round-2 additions: stats/funnel/corpus-term operators are pure
+    # column algebra — any Python in their plans is a regression.
+    "agg_median_balance", "agg_stats_moments", "agg_corr_qty_price",
+    "histogram_order_prices", "rolling_user_activity",
+    "funnel_signup_purchase", "tfidf_top_terms", "corpus_top_tokens",
+    "fuzzy_levenshtein",
 ]
+
+
+def test_histogram_partial_aggregation(spark, sf_dir):
+    # Map-side combine before the shuffle: two HashAggregate levels.
+    plan = plan_of(spark, "histogram_order_prices", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_tokens_is_take_ordered(spark, sf_dir):
+    # Global top-n must not materialize a full sort.
+    plan = plan_of(spark, "corpus_top_tokens", sf_dir)
+    assert "TakeOrderedAndProject" in plan
 
 
 @pytest.mark.parametrize("name", NATIVE_QUERIES)

@@ -1,0 +1,179 @@
+"""Semantics pins for operators/stats.py, operators/funnel.py, and the new
+text/fuzzy operators — hand-computed expectations on tiny frames, exercising
+the edge cases the fixture data may not contain (even/odd medians, timestamp
+ties, empty prefixes, horizon boundaries)."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from simple_anonymizer_spark.operators import stats
+from simple_anonymizer_spark.operators.dedup import levenshtein_adjacent_pairs
+from simple_anonymizer_spark.operators.funnel import funnel_two_step
+from simple_anonymizer_spark.operators.text_analysis import (
+    tfidf_top_terms,
+    top_tokens,
+)
+
+
+def test_grouped_median_odd_and_even(spark):
+    rows = [Row(g="odd", v=float(x), k=i) for i, x in enumerate([5, 1, 3])]
+    rows += [Row(g="even", v=float(x), k=i) for i, x in enumerate([4, 1, 3, 2])]
+    out = {
+        r.g: (r.median, r.n_rows)
+        for r in stats.grouped_median(
+            spark.createDataFrame(rows), ["g"], "v", "k"
+        ).collect()
+    }
+    assert out["odd"] == (3.0, 3)
+    assert out["even"] == (2.5, 4)
+
+
+def test_grouped_median_tie_values(spark):
+    # All-equal values: median must be that value regardless of tie order.
+    df = spark.createDataFrame([Row(g="a", v=7.0, k=i) for i in range(6)])
+    [r] = stats.grouped_median(df, ["g"], "v", "k").collect()
+    assert r.median == 7.0 and r.n_rows == 6
+
+
+def test_moments_matches_statistics_module(spark):
+    vals = [10.25, 20.5, 30.75, 41.0, 12.0]
+    df = spark.createDataFrame([Row(g="x", v=v) for v in vals])
+    [r] = stats.moments(df, ["g"], "v").collect()
+    assert r.n == len(vals)
+    assert r.mean_v == pytest.approx(statistics.mean(vals), rel=1e-12)
+    assert r.stddev_v == pytest.approx(statistics.stdev(vals), rel=1e-12)
+    assert (r.min_v, r.max_v) == (min(vals), max(vals))
+
+
+def test_moments_degenerate_groups(spark):
+    df = spark.createDataFrame(
+        [Row(g="single", v=5.0), Row(g="flat", v=2.0), Row(g="flat", v=2.0)]
+    )
+    out = {r.g: r for r in stats.moments(df, ["g"], "v").collect()}
+    assert out["single"].stddev_v is None  # n=1: sample stddev undefined
+    assert out["flat"].stddev_v == 0.0
+
+
+def test_corr_pair_exact_linear(spark):
+    # y = 2x exactly -> Pearson r = 1 (up to the double combine).
+    df = spark.createDataFrame(
+        [Row(g="l", x=float(i), y=float(2 * i)) for i in range(1, 20)]
+    )
+    [r] = stats.corr_pair(df, ["g"], "x", "y").collect()
+    assert r.corr_xy == pytest.approx(1.0, abs=1e-12)
+
+
+def test_corr_pair_zero_variance_is_null(spark):
+    df = spark.createDataFrame([Row(g="z", x=3.0, y=float(i)) for i in range(5)])
+    [r] = stats.corr_pair(df, ["g"], "x", "y").collect()
+    assert r.corr_xy is None
+
+
+def test_histogram_boundary_lands_in_own_bin(spark):
+    # 50.00 with width 1000 cents: cents=5000 -> bin [5000, 6000).
+    df = spark.createDataFrame(
+        [Row(v=49.99), Row(v=50.00), Row(v=50.01), Row(v=0.0)]
+    )
+    out = {r.bin_lo_cents: r.n_rows for r in
+           stats.histogram(df, "v", 1000).collect()}
+    assert out == {4000: 1, 5000: 2, 0: 1}
+    hi = {r.bin_lo_cents: r.bin_hi_cents for r in
+          stats.histogram(df, "v", 1000).collect()}
+    assert hi[5000] == 6000
+
+
+def test_rolling_time_agg_range_frame_and_ties(spark):
+    # user u: events at t=0, 50, 100, 100 (tie), 161; window 100us trailing.
+    rows = [
+        Row(u="u", id=1, us=0, v=1.0),
+        Row(u="u", id=2, us=50, v=1.0),
+        Row(u="u", id=3, us=100, v=1.0),
+        Row(u="u", id=4, us=100, v=1.0),
+        Row(u="u", id=5, us=161, v=1.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = stats.rolling_time_agg(df, "u", F.col("us"), "v", "id", 100)
+    got = {r.id: r.n_trailing for r in out.collect()}
+    # t=100 rows: frame [0,100] includes ids 1..4 — BOTH tie rows see all
+    # peers (RANGE frame, not ROWS). t=161: frame [61,161] -> ids 3,4,5.
+    assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 3}
+
+
+def test_funnel_tie_and_horizon_semantics(spark):
+    rows = [
+        # converts: purchase at exactly the signup microsecond (>= pins tie)
+        Row(user_id=1, event_type="signup", us=1000),
+        Row(user_id=1, event_type="purchase", us=1000),
+        # no conversion: purchase strictly before signup
+        Row(user_id=2, event_type="purchase", us=500),
+        Row(user_id=2, event_type="signup", us=900),
+        # no conversion: purchase beyond horizon
+        Row(user_id=3, event_type="signup", us=0),
+        Row(user_id=3, event_type="purchase", us=201),
+        # converts at the horizon boundary (<=), earliest purchase wins
+        Row(user_id=4, event_type="signup", us=0),
+        Row(user_id=4, event_type="purchase", us=200),
+        Row(user_id=4, event_type="purchase", us=150),
+        # never signed up: absent from output
+        Row(user_id=5, event_type="purchase", us=10),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.user_id: r
+        for r in funnel_two_step(
+            df, "user_id", "event_type", F.col("us"),
+            "signup", "purchase", horizon_us=200,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].converted and out[1].lag_us == 0
+    assert not out[2].converted and out[2].step_b_us is None
+    assert not out[3].converted
+    assert out[4].converted and out[4].step_b_us == 150 and out[4].lag_us == 150
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare common"),
+            Row(doc_id=2, text="common common"),
+            Row(doc_id=3, text="common unique"),
+        ]
+    )
+    out = tfidf_top_terms(df, k=1)
+    got = {r.doc_id: (r.term, r.tf, r.df) for r in out.collect()}
+    # doc 1: 'rare' df=1 beats 'common' (tf=2, df=3): 1/1 > 2/3
+    assert got[1] == ("rare", 1, 1)
+    assert got[2] == ("common", 2, 3)
+    assert got[3] == ("unique", 1, 1)
+
+
+def test_top_tokens_tie_break(spark):
+    df = spark.createDataFrame(
+        [Row(text="b a"), Row(text="a b"), Row(text="c")]
+    )
+    out = top_tokens(df, n=3).collect()
+    assert [(r.token, r.n_occurrences) for r in out] == [
+        ("a", 2), ("b", 2), ("c", 1)
+    ]
+
+
+def test_levenshtein_pairs_including_empty(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="kitten"),
+            Row(doc_id=2, text="sitting"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           levenshtein_adjacent_pairs(df, 60).collect()}
+    assert out[(1, 2)].edit_distance == 3
+    assert out[(1, 2)].prefix_similarity == pytest.approx(1 - 3 / 7)
+    assert out[(3, 4)].edit_distance == 0
+    assert out[(3, 4)].prefix_similarity == 1.0
