@@ -66,3 +66,56 @@ def funnel_two_step(
             (F.col("step_b_us") - F.col("step_a_us")).alias("lag_us"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_us: Column,
+    steps: list[str],
+) -> DataFrame:
+    """N-step funnel: for each entity that performed ``steps[0]``, the
+    earliest occurrence of each subsequent step at-or-after the previous
+    step's chosen timestamp (ties at the same microsecond count, matching
+    funnel_two_step).
+
+    Output: one row per step-1 entity with ``step_{k}_us`` columns (NULL
+    once the chain breaks) and ``n_steps`` completed. Each step adds one
+    filtered partial aggregation + one entity-key equi-join — cost is
+    linear in the number of steps, and every intermediate is one row per
+    entity still in the funnel.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(entity_col).alias("__e"),
+        F.col(type_col).alias("__t"),
+        ts_us.alias("__us"),
+    )
+    spine = (
+        ev.where(F.col("__t") == steps[0])
+        .groupBy("__e")
+        .agg(F.min("__us").alias("step_1_us"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        prev = f"step_{k - 1}_us"
+        cur = f"step_{k}_us"
+        nxt = (
+            ev.where(F.col("__t") == step)
+            .join(spine.select("__e", prev), "__e")
+            .where(F.col("__us") >= F.col(prev))
+            .groupBy("__e")
+            .agg(F.min("__us").alias(cur))
+        )
+        spine = spine.join(nxt, "__e", "left")
+    step_cols = [f"step_{k}_us" for k in range(1, len(steps) + 1)]
+    n_steps = sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in step_cols),
+        start=F.lit(0),
+    )
+    return spine.select(
+        F.col("__e").alias(entity_col),
+        *step_cols,
+        n_steps.cast("long").alias("n_steps"),
+    )

@@ -223,3 +223,92 @@ def rolling_time_agg(
             F.sum("__v").over(w).cast("double").alias("sum_trailing"),
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tie_col: str,
+    quantiles: Sequence[tuple[int, int]] = ((1, 4), (2, 4), (3, 4)),
+) -> DataFrame:
+    """Exact linearly-interpolated quantiles (SQL ``quantile_cont`` / type-7)
+    per group, one output row per (group, quantile).
+
+    Each quantile is a RATIONAL num/den pair so the rank arithmetic stays
+    integer-exact: the continuous position is ``(n-1)*num/den``, split into
+    ``lo = (n-1)*num // den`` (0-based) and the remainder fraction
+    ``frac = ((n-1)*num % den) / den``. The interpolation
+    ``v_lo + (v_hi - v_lo) * frac`` is three IEEE double ops on identical
+    inputs — deterministic cross-engine (no transcendentals).
+
+    Scale: one shuffle + one window sort per group (shared by ALL requested
+    quantiles — the ranked frame is reused), then a filter keeping at most
+    2*len(quantiles) rows per group. Same cost shape as grouped_median.
+    """
+    v = _dec(F.col(value_col))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__v"), F.col(tie_col))
+    cw = Window.partitionBy(*group_cols)
+    ranked = df.select(*group_cols, v.alias("__v"), F.col(tie_col)).select(
+        *group_cols,
+        F.col("__v").cast("double").alias("__vd"),
+        (F.row_number().over(w) - 1).alias("__i"),  # 0-based
+        F.count(F.lit(1)).over(cw).alias("__n"),
+    )
+    out = None
+    for num, den in quantiles:
+        # All rank arithmetic in exact integers — no float floor, whose
+        # rounding can mis-bin exactly-divisible positions.
+        pos = (F.col("__n") - 1) * num
+        rem = pos % den
+        lo = (pos - rem) / den  # exact: numerator is a multiple of den
+        picked = ranked.where(
+            (F.col("__i") == lo) | ((F.col("__i") == lo + 1) & (rem > 0))
+        )
+        # v_lo + (v_hi - v_lo) * frac; when rem == 0 only v_lo is selected
+        # and frac is 0, so the quantile is that value exactly.
+        rem_out = ((F.col("n_rows") - 1) * num) % den
+        q = picked.groupBy(*group_cols).agg(
+            F.min(F.struct("__i", "__vd")).alias("__lo"),
+            F.max(F.struct("__i", "__vd")).alias("__hi"),
+            F.max("__n").cast("long").alias("n_rows"),
+        ).select(
+            *group_cols,
+            F.lit(num * 100 // den).cast("long").alias("q_pct"),
+            (
+                F.col("__lo.__vd")
+                + (F.col("__hi.__vd") - F.col("__lo.__vd"))
+                * (rem_out.cast("double") / F.lit(float(den)))
+            ).alias("quantile"),
+            "n_rows",
+        )
+        out = q if out is None else out.unionByName(q)
+    return out
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/aggregation-key skew report: the top-n hottest key values with
+    their absolute counts and share of the table (exact-int division).
+
+    This is the pre-flight check for the skew playbook (operators/skew.py)
+    — at 100 TB you run it on a sample or the full table (one map-side-
+    combinable count) BEFORE choosing salting factors. Output is top-n via
+    TakeOrderedAndProject (no full sort), tie-broken by key value.
+    """
+    total = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("key_count")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "key_count",
+            (F.col("key_count").cast("double")
+             / F.col("__total").cast("double")).alias("key_share"),
+        )
+        .orderBy(F.desc("key_count"), F.asc(key_col))
+        .limit(top_n)
+    )

@@ -1064,3 +1064,120 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        END AS prefix_similarity
 FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
 """
+
+ORACLES["agg_quartiles_status"] = """
+WITH v AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DECIMAL(12,2)) AS val,
+         o_orderkey AS k
+  FROM orders
+),
+r AS (
+  SELECT g, CAST(val AS DOUBLE) AS vd,
+         row_number() OVER (PARTITION BY g ORDER BY val, k) - 1 AS i,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+q AS (SELECT * FROM (VALUES (1, 4), (2, 4), (3, 4)) t(num, den)),
+sel AS (
+  SELECT g, num, den, n,
+         max(CASE WHEN i = ((n - 1) * num) // den THEN vd END) AS vlo,
+         max(CASE WHEN i = ((n - 1) * num) // den + 1 THEN vd END) AS vhi
+  FROM r CROSS JOIN q
+  WHERE i = ((n - 1) * num) // den
+     OR (i = ((n - 1) * num) // den + 1 AND ((n - 1) * num) % den > 0)
+  GROUP BY g, num, den, n
+)
+SELECT g AS o_orderstatus,
+       CAST(num * 100 // den AS BIGINT) AS q_pct,
+       vlo + (coalesce(vhi, vlo) - vlo)
+             * (CAST(((n - 1) * num) % den AS DOUBLE) / CAST(den AS DOUBLE))
+         AS quantile,
+       CAST(n AS BIGINT) AS n_rows
+FROM sel
+"""
+
+ORACLES["skew_profile_orders"] = """
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS key_count FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+SELECT o_custkey, key_count,
+       CAST(key_count AS DOUBLE) / CAST(total AS DOUBLE) AS key_share
+FROM c CROSS JOIN t
+ORDER BY key_count DESC, o_custkey
+LIMIT 10
+"""
+
+ORACLES["cohort_retention_weekly"] = """
+WITH ev AS (
+  SELECT user_id AS e,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p
+  FROM events
+),
+first AS (SELECT e, min(p) AS cp FROM ev GROUP BY e),
+active AS (SELECT DISTINCT e, p FROM ev),
+j AS (SELECT cp, p - cp AS ps FROM active JOIN first USING (e)),
+cs AS (SELECT cp, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY cp),
+g AS (SELECT cp, ps, CAST(count(*) AS BIGINT) AS n_active FROM j GROUP BY cp, ps)
+SELECT cp * 604800000000 AS cohort_start_us,
+       ps AS periods_since, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retained_share
+FROM g JOIN cs USING (cp)
+"""
+
+ORACLES["scd2_user_state"] = """
+WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events
+),
+r AS (
+  SELECT user_id, us, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_type)
+           AS prev
+  FROM ev
+),
+runs AS (
+  SELECT user_id, us, event_type FROM r
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_type)
+         AS valid_to_us
+FROM runs
+"""
+
+ORACLES["funnel_three_step"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+s1 AS (
+  SELECT user_id, min(us) AS step_1_us FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT ev.user_id, min(ev.us) AS step_2_us
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  WHERE ev.event_type = 'click' AND ev.us >= s1.step_1_us
+  GROUP BY ev.user_id
+),
+s3 AS (
+  SELECT ev.user_id, min(ev.us) AS step_3_us
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  WHERE ev.event_type = 'purchase' AND ev.us >= s2.step_2_us
+  GROUP BY ev.user_id
+)
+SELECT s1.user_id, s1.step_1_us, s2.step_2_us, s3.step_3_us,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+            AS BIGINT) AS n_steps
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+ORACLES["window_percentiles"] = """
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS pct_rank,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""

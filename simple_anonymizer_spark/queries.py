@@ -927,3 +927,76 @@ def fuzzy_levenshtein(spark, sf_dir):
     """Edit-distance screen over adjacent-id candidate pairs on a 60-char
     prefix — the cheap pre-verify stage of fuzzy dedup."""
     return dedup.levenshtein_adjacent_pairs(_t(spark, sf_dir, "documents"), 60)
+
+
+@query("agg_quartiles_status")
+def agg_quartiles_status(spark, sf_dir):
+    """Exact type-7 quartiles of order price per status — integer rank
+    arithmetic + one IEEE interpolation (operators/stats.py)."""
+    from .operators import stats
+
+    return stats.grouped_quantiles(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
+        "o_orderkey",
+    )
+
+
+@query("skew_profile_orders")
+def skew_profile_orders(spark, sf_dir):
+    """Join-key skew report: 10 hottest customer keys in orders with exact
+    counts and table share — the pre-flight for the skew playbook."""
+    from .operators import stats
+
+    return stats.key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", 10)
+
+
+@query("cohort_retention_weekly")
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention matrix over events: entities bucketed by
+    first-event week, activity counted per week since."""
+    from .operators.cohort import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(
+        ev, "user_id", F.unix_micros(F.col("ts")), 604_800_000_000
+    )
+
+
+@query("scd2_user_state")
+def scd2_user_state(spark, sf_dir):
+    """SCD2 validity intervals from the event stream: per-user runs of
+    event_type with [valid_from, valid_to) epoch-micro bounds."""
+    from .operators.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", F.unix_micros(F.col("ts")), "event_type")
+
+
+@query("funnel_three_step")
+def funnel_three_step(spark, sf_dir):
+    """N-step funnel (signup -> click -> purchase): earliest chain of
+    events per user, one join per step."""
+    from .operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "event_type", F.unix_micros(F.col("ts")),
+        ["signup", "click", "purchase"],
+    )
+
+
+@query("window_percentiles")
+def window_percentiles(spark, sf_dir):
+    """percent_rank / ntile / cume_dist over a unique (price, key) order —
+    the remaining analytic-window family, exact-int divisions only."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -26,7 +26,9 @@ NATIVE_QUERIES = [
     "agg_median_balance", "agg_stats_moments", "agg_corr_qty_price",
     "histogram_order_prices", "rolling_user_activity",
     "funnel_signup_purchase", "tfidf_top_terms", "corpus_top_tokens",
-    "fuzzy_levenshtein",
+    "fuzzy_levenshtein", "agg_quartiles_status", "skew_profile_orders",
+    "cohort_retention_weekly", "scd2_user_state", "funnel_three_step",
+    "window_percentiles",
 ]
 
 
@@ -39,6 +41,13 @@ def test_histogram_partial_aggregation(spark, sf_dir):
 def test_top_tokens_is_take_ordered(spark, sf_dir):
     # Global top-n must not materialize a full sort.
     plan = plan_of(spark, "corpus_top_tokens", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_profile_broadcasts_total(spark, sf_dir):
+    # The single-row total must broadcast, not shuffle, into the join.
+    plan = plan_of(spark, "skew_profile_orders", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
 
 

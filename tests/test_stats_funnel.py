@@ -177,3 +177,102 @@ def test_levenshtein_pairs_including_empty(spark):
     assert out[(1, 2)].prefix_similarity == pytest.approx(1 - 3 / 7)
     assert out[(3, 4)].edit_distance == 0
     assert out[(3, 4)].prefix_similarity == 1.0
+
+
+def test_grouped_quantiles_matches_statistics_quantiles(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 1000), 2) for _ in range(101)]
+    df = spark.createDataFrame([Row(g="a", v=v, k=i) for i, v in enumerate(vals)])
+    out = {r.q_pct: r.quantile for r in stats.grouped_quantiles(
+        df, ["g"], "v", "k").collect()}
+    # statistics.quantiles(method='inclusive') is type-7 — same definition.
+    q1, q2, q3 = statistics.quantiles(vals, n=4, method="inclusive")
+    assert out[25] == pytest.approx(q1, abs=1e-9)
+    assert out[50] == pytest.approx(q2, abs=1e-9)
+    assert out[75] == pytest.approx(q3, abs=1e-9)
+
+
+def test_grouped_quantiles_exact_positions(spark):
+    # n=5: positions (n-1)*q = 1, 2, 3 exactly -> no interpolation.
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x), k=x) for x in [10, 20, 30, 40, 50]]
+    )
+    out = {r.q_pct: r.quantile for r in stats.grouped_quantiles(
+        df, ["g"], "v", "k").collect()}
+    assert out == {25: 20.0, 50: 30.0, 75: 40.0}
+
+
+def test_key_skew_profile_shares(spark):
+    df = spark.createDataFrame(
+        [Row(k="hot")] * 6 + [Row(k="warm")] * 3 + [Row(k="cold")]
+    )
+    out = stats.key_skew_profile(df, "k", 2).collect()
+    assert [(r.k, r.key_count, r.key_share) for r in out] == [
+        ("hot", 6, 0.6), ("warm", 3, 0.3)
+    ]
+
+
+def test_cohort_retention_hand_grid(spark):
+    from simple_anonymizer_spark.operators.cohort import cohort_retention
+
+    P = 100  # period length in "us"
+    rows = [
+        # entity 1: first in period 0, active in periods 0, 1, 3
+        Row(e=1, us=10), Row(e=1, us=150), Row(e=1, us=310), Row(e=1, us=320),
+        # entity 2: first in period 0, active only period 0
+        Row(e=2, us=99),
+        # entity 3: first in period 1, active periods 1 and 2
+        Row(e=3, us=100), Row(e=3, us=250),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r.cohort_start_us, r.periods_since): (r.n_active, r.cohort_size,
+                                                  r.retained_share)
+           for r in cohort_retention(df, "e", F.col("us"), P).collect()}
+    assert out[(0, 0)] == (2, 2, 1.0)
+    assert out[(0, 1)] == (1, 2, 0.5)
+    assert out[(0, 3)] == (1, 2, 0.5)
+    assert (0, 2) not in out  # nobody from cohort 0 active in period 2
+    assert out[(100, 0)] == (1, 1, 1.0)
+    assert out[(100, 1)] == (1, 1, 1.0)
+
+
+def test_scd2_intervals_run_collapse(spark):
+    from simple_anonymizer_spark.operators.scd import scd2_intervals
+
+    rows = [
+        Row(k=1, us=10, s="A"), Row(k=1, us=20, s="A"),  # run collapses
+        Row(k=1, us=30, s="B"), Row(k=1, us=40, s="A"),  # A again: new run
+        Row(k=2, us=5, s="X"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = sorted(
+        (r.k, r.state, r.valid_from_us, r.valid_to_us)
+        for r in scd2_intervals(df, "k", F.col("us"), "s").collect()
+    )
+    assert out == [
+        (1, "A", 10, 30), (1, "A", 40, None), (1, "B", 30, 40),
+        (2, "X", 5, None),
+    ]
+
+
+def test_funnel_steps_chain_break(spark):
+    from simple_anonymizer_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # completes all three, step2 tie at step1's microsecond
+        Row(u=1, t="a", us=100), Row(u=1, t="b", us=100), Row(u=1, t="c", us=300),
+        # breaks at step 2 (b happens BEFORE a)
+        Row(u=2, t="b", us=50), Row(u=2, t="a", us=60), Row(u=2, t="c", us=70),
+        # never does step 1: absent
+        Row(u=3, t="b", us=10),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.u: r for r in funnel_steps(
+        df, "u", "t", F.col("us"), ["a", "b", "c"]).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].step_1_us, out[1].step_2_us, out[1].step_3_us,
+            out[1].n_steps) == (100, 100, 300, 3)
+    # u2: step3 'c'@70 is >= step1 but step2 never happened -> chain broken
+    assert (out[2].step_2_us, out[2].step_3_us, out[2].n_steps) == (None, None, 1)
