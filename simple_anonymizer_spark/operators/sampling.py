@@ -103,3 +103,30 @@ def train_val_test_split(
     """Add a deterministic split column (default 80/10/10)."""
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn(split_col, split_column(key_col, fractions, salt))
+
+
+def balanced_sample(
+    df: DataFrame, class_col: str, k: int, key_col: str, salt: str = "_bal"
+) -> DataFrame:
+    """Class-balanced downsampling: at most ``k`` rows per class, chosen
+    by deterministic hash rank (NOT arbitrary take-k, which depends on
+    partition layout). The standard fix for skewed class mixes before
+    training — a dominant class is capped while rare classes keep all
+    their rows.
+
+    One shuffle on the class column + a per-class top-k by
+    ``(hash_bucket, key)``; the unique key tie-break makes the selection
+    total-order stable. At scale a hot class serializes through its
+    window partition — acceptable because output is capped at k per
+    class; for huge k use hash_sample with rate ~ k/class_size first.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        sample_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

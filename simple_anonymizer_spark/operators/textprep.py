@@ -74,3 +74,50 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences.
+
+    Documents are laid out in ``id_col`` order; each gets its token count
+    and the running offset of its first token, and lands in sequence
+    ``offset div budget`` — offset-based packing: a document may straddle
+    a budget boundary (the trainer truncates or spills it), which is the
+    deterministic, shuffle-friendly approximation of greedy bin packing.
+    Exact greedy packing (reset the counter at each overflow) is
+    inherently sequential — order-dependent state per bin — and is
+    precisely what this formulation avoids at 100 TB: one global-window
+    cumulative sum, computed as a range-partitioned prefix sum by Spark.
+
+    Output: ``id, n_tokens, seq_id, seq_offset`` where ``seq_offset`` is
+    the document's first-token position within its sequence.
+    """
+    from pyspark.sql import Window
+
+    from . import text_analysis
+
+    w = (
+        Window.orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        F.col(id_col),
+        text_analysis.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    cum = toks.select(
+        id_col,
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__offset"),
+    )
+    return cum.select(
+        id_col,
+        "n_tokens",
+        ((F.col("__offset") - F.col("__offset") % budget_tokens)
+         / budget_tokens).cast("long").alias("seq_id"),
+        (F.col("__offset") % budget_tokens).alias("seq_offset"),
+    )

@@ -1181,3 +1181,45 @@ SELECT o_orderkey, o_orderstatus,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
 """
+
+ORACLES["events_interval_join"] = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+)
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+       epoch_us(r.t) - epoch_us(l.t) AS lag_us
+FROM ev l JOIN ev r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.t >= l.t AND r.t <= l.t + INTERVAL 1 HOUR
+"""
+
+_BAL_KEY = "(CAST(doc_id AS VARCHAR) || '_bal')"
+
+ORACLES["sample_balanced"] = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ({O.stable_hash(_BAL_KEY)} % 10000), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rk <= 50
+"""
+
+ORACLES["pack_sequences_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, len({_tokens('text')}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS off
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off // 256 AS BIGINT) AS seq_id,
+       CAST(off % 256 AS BIGINT) AS seq_offset
+FROM c
+"""

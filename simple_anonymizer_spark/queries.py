@@ -1000,3 +1000,31 @@ def window_percentiles(spark, sf_dir):
         F.ntile(10).over(w).cast("long").alias("decile"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query("events_interval_join")
+def events_interval_join(spark, sf_dir):
+    """Interval (stream-stream-shaped) join: each purchase joined to the
+    same user's clicks it follows within 1 hour — the watermark-safe join
+    condition, run in batch mode for the oracle gate."""
+    return streaming_events.interval_join(_t(spark, sf_dir, "events"))
+
+
+@query("sample_balanced")
+def sample_balanced(spark, sf_dir):
+    """Class-balanced downsampling: ≤50 docs per language by
+    deterministic hash rank (partition-layout independent)."""
+    from .operators import sampling
+
+    return sampling.balanced_sample(
+        _t(spark, sf_dir, "documents"), "lang", 50, "doc_id"
+    ).select("doc_id", "lang")
+
+
+@query("pack_sequences_docs")
+def pack_sequences_docs(spark, sf_dir):
+    """Token-budget sequence packing (offset-based): global prefix sum of
+    token counts, sequence id by integer division."""
+    from .operators.textprep import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), 256)

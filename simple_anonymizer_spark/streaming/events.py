@@ -129,3 +129,69 @@ def stream_dedup(
         )
         key_cols = ["__content_hash"]
     return raw.withWatermark("ts", watermark).dropDuplicates(key_cols)
+
+
+def interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream style interval join, defined once for batch AND
+    streaming: every ``right_type`` event joined to each same-user
+    ``left_type`` event it follows within ``max_lag``.
+
+    The join is an equi-join on user_id with a time-range residual —
+    exactly the condition Spark's stream-stream join requires to bound
+    state (both sides watermarked in ``stream_interval_join``). Output:
+    ``user_id, left_id, right_id, lag_us`` with the exact microsecond lag.
+    """
+    lhs = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("__lts"),
+        )
+    )
+    rhs = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("__ruid"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("__rts"),
+        )
+    )
+    joined = lhs.join(
+        rhs,
+        (F.col("user_id") == F.col("__ruid"))
+        & (F.col("__rts") >= F.col("__lts"))
+        & (F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {max_lag}")),
+    )
+    return joined.select(
+        "user_id",
+        "left_id",
+        "right_id",
+        (F.unix_micros(F.col("__rts")) - F.unix_micros(F.col("__lts")))
+        .alias("lag_us"),
+    )
+
+
+def stream_interval_join(
+    spark, source_path: str,
+    left_type: str = "click", right_type: str = "purchase",
+    max_lag: str = "1 hour", watermark: str = "2 hours", schema=None,
+) -> DataFrame:
+    """The interval join as a true stream-stream join: both sides read
+    from the stream, both watermarked, so the state store can evict a
+    left event once the right watermark passes ``left.ts + max_lag``."""
+    def read_side():
+        reader = spark.readStream
+        if schema is not None:
+            reader = reader.schema(schema)
+        raw = reader.parquet(source_path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withWatermark("ts", watermark)
+
+    return interval_join(read_side(), left_type, right_type, max_lag)

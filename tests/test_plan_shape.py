@@ -28,7 +28,8 @@ NATIVE_QUERIES = [
     "funnel_signup_purchase", "tfidf_top_terms", "corpus_top_tokens",
     "fuzzy_levenshtein", "agg_quartiles_status", "skew_profile_orders",
     "cohort_retention_weekly", "scd2_user_state", "funnel_three_step",
-    "window_percentiles",
+    "window_percentiles", "events_interval_join", "sample_balanced",
+    "pack_sequences_docs",
 ]
 
 

@@ -87,3 +87,20 @@ def test_sampling_is_pure_codegen(ids):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_balanced_sample_caps_classes(spark):
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.sampling import balanced_sample
+
+    rows = [Row(k=i, label="big") for i in range(100)]
+    rows += [Row(k=1000 + i, label="small") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = balanced_sample(df, "label", 10, "k")
+    counts = {r.label: r.n for r in out.groupBy("label").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts == {"big": 10, "small": 3}
+    # Determinism: same selection under a different partition layout.
+    again = balanced_sample(df.repartition(13), "label", 10, "k")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}

@@ -89,3 +89,37 @@ def test_tumbling_hour_boundary(spark):
     # windows of one event each rather than absolute values.
     assert [n for _, n in got] == [1, 1]
     assert got[1][0] - got[0][0] == 3_600_000_000
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-stream interval join (both sides watermarked) must emit
+    exactly the batch join's pairs for an availableNow replay — inner
+    joins emit as matches arrive, so no tail-window withholding applies."""
+    import shutil
+
+    batch_events = read_sf_table(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.left_id, r.right_id, r.lag_us)
+        for r in SE.interval_join(batch_events).collect()
+    }
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    stream = SE.stream_interval_join(spark, str(src_dir), schema=raw_schema)
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        SE.write_stream(stream, out, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r.user_id, r.left_id, r.right_id, r.lag_us)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected

@@ -76,3 +76,19 @@ def test_chunk_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(df, stride=0)
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.textprep import pack_sequences
+
+    docs = [
+        Row(doc_id=1, text="a b c"),          # 3 tokens, offset 0 -> seq 0
+        Row(doc_id=2, text="d e f g"),        # offset 3 -> seq 0
+        Row(doc_id=3, text="h i j k l m n"),  # offset 7 -> seq 0 (straddles)
+        Row(doc_id=4, text="o p"),            # offset 14 -> seq 1
+    ]
+    out = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+           for r in pack_sequences(spark.createDataFrame(docs), 10).collect()}
+    assert out == {1: (3, 0, 0), 2: (4, 0, 3), 3: (7, 0, 7), 4: (2, 1, 4)}
