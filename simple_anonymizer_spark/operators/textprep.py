@@ -81,6 +81,7 @@ def pack_sequences(
     budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-budget training sequences.
 
@@ -91,8 +92,21 @@ def pack_sequences(
     deterministic, shuffle-friendly approximation of greedy bin packing.
     Exact greedy packing (reset the counter at each overflow) is
     inherently sequential — order-dependent state per bin — and is
-    precisely what this formulation avoids at 100 TB: one global-window
-    cumulative sum, computed as a range-partitioned prefix sum by Spark.
+    precisely what this formulation avoids at 100 TB.
+
+    The global running offset is a DISTRIBUTED two-pass prefix sum — a
+    naive ``Window.orderBy(id)`` collapses the whole table onto one
+    reducer, the classic global-window scale trap:
+
+    1. range-repartition on ``id_col`` and cumsum WITHIN each partition
+       (window keyed on ``spark_partition_id()``);
+    2. collect one total per partition (bounded: one row per partition,
+       same philosophy as the broadcast-threshold probe in
+       plans/propagation.py) and broadcast each partition's exclusive
+       prefix back as a literal CASE map.
+
+    The result is independent of the (sampled, non-deterministic) range
+    boundaries because the offset depends only on the global id order.
 
     Output: ``id, n_tokens, seq_id, seq_offset`` where ``seq_offset`` is
     the document's first-token position within its sequence.
@@ -101,18 +115,46 @@ def pack_sequences(
 
     from . import text_analysis
 
-    w = (
-        Window.orderBy(F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toks = df.select(
         F.col(id_col),
         text_analysis.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
-    cum = toks.select(
+    if partitions is None:
+        partitions = toks.sparkSession.sparkContext.defaultParallelism
+    ranged = toks.repartitionByRange(partitions, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "__local_cum", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    # One row per partition: (pid, partition token total). Bounded collect.
+    totals = sorted(
+        (r["__pid"], r["total"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    prefix: dict[int, int] = {}
+    running = 0
+    for pid, total in totals:
+        prefix[pid] = running
+        running += total
+    base = F.lit(0).cast("long")
+    if prefix:
+        expr = None
+        for pid, off in prefix.items():
+            cond = F.col("__pid") == pid
+            expr = F.when(cond, off) if expr is None else expr.when(cond, off)
+        base = expr.otherwise(F.lit(0)).cast("long")
+    cum = local.select(
         id_col,
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__offset"),
+        (F.col("__local_cum") + base).alias("__offset"),
     )
     return cum.select(
         id_col,

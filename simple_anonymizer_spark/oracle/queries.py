@@ -1223,3 +1223,25 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(off % 256 AS BIGINT) AS seq_offset
 FROM c
 """
+
+ORACLES["agg_string_collect"] = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_names,
+       string_agg(c_name, ',' ORDER BY c_name) AS names_csv
+FROM customer
+WHERE c_custkey % 100 = 0
+GROUP BY c_mktsegment
+"""
+
+ORACLES["join_full_outer"] = """
+WITH early AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_early FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey
+),
+late AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_late FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY o_custkey
+)
+SELECT coalesce(early.o_custkey, late.o_custkey) AS custkey, n_early, n_late
+FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+"""

@@ -1028,3 +1028,40 @@ def pack_sequences_docs(spark, sf_dir):
     from .operators.textprep import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), 256)
+
+
+@query("agg_string_collect")
+def agg_string_collect(spark, sf_dir):
+    """Ordered string aggregation (collect_list -> array_sort -> join):
+    the listagg/string_agg family, deterministic via the sort. The
+    sampled-key filter keeps the aggregated string bounded at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_custkey") % 100 == 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name")))
+            .alias("names_csv"),
+        )
+    )
+
+
+@query("join_full_outer")
+def join_full_outer(spark, sf_dir):
+    """Full-outer join of two periodized per-customer aggregates (early vs
+    late orders) — rows surviving from either side, coalesced keys, NULL
+    counts preserved. Completes the declared join-type family."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate").cast("timestamp") < cutoff) \
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("n_early"))
+    late = o.where(F.col("o_orderdate").cast("timestamp") >= cutoff) \
+        .groupBy(F.col("o_custkey").alias("__ck")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late"))
+    j = early.join(late, early.o_custkey == late.__ck, "full_outer")
+    return j.select(
+        F.coalesce(early.o_custkey, late.__ck).alias("custkey"),
+        "n_early",
+        "n_late",
+    )

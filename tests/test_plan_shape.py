@@ -29,7 +29,7 @@ NATIVE_QUERIES = [
     "fuzzy_levenshtein", "agg_quartiles_status", "skew_profile_orders",
     "cohort_retention_weekly", "scd2_user_state", "funnel_three_step",
     "window_percentiles", "events_interval_join", "sample_balanced",
-    "pack_sequences_docs",
+    "pack_sequences_docs", "agg_string_collect", "join_full_outer",
 ]
 
 
