@@ -1245,3 +1245,85 @@ late AS (
 SELECT coalesce(early.o_custkey, late.o_custkey) AS custkey, n_early, n_late
 FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
 """
+
+# TPC-H-shaped widened family. All big decimal sums cross the
+# DECIMAL->DOUBLE boundary via VARCHAR (see the double-rounding note at
+# agg_stats_moments).
+
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_orderkey IN (
+    SELECT l.l_orderkey FROM lineitem l JOIN orders o2
+      ON l.l_orderkey = o2.o_orderkey
+    WHERE l.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q6_forecast_revenue"] = """
+SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) >= CAST('0.03' AS DECIMAL(4,2))
+  AND CAST(l_discount AS DECIMAL(4,2)) <= CAST('0.07' AS DECIMAL(4,2))
+  AND l_quantity < 24
+"""
+
+ORACLES["q10_returned_items"] = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(4,2))
+                      - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)))
+              AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, rev.revenue
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+ORDER BY rev.revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+ORACLES["q12_priority_class"] = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_linestatus
+"""
+
+ORACLES["q14_promo_share"] = """
+WITH a AS (
+  SELECT
+    CAST(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST('1.00' AS DECIMAL(4,2))
+                - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))
+        ELSE CAST('0.0000' AS DECIMAL(38,4)) END) AS VARCHAR) AS DOUBLE)
+      AS promo,
+    CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST('1.00' AS DECIMAL(4,2))
+                - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)))
+         AS VARCHAR) AS DOUBLE) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT (100.0 * promo) / total AS promo_share_pct,
+       promo AS promo_revenue, total AS total_revenue
+FROM a
+"""

@@ -1065,3 +1065,140 @@ def join_full_outer(spark, sf_dir):
         "n_early",
         "n_late",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics, widened family (q4/q6/q10/q12/q14 adaptations to
+# the fixture's columns; reference has no analytics surface — SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+
+@query("q4_order_priority")
+def q4_order_priority(spark, sf_dir):
+    """Q4 shape: EXISTS semi-join (orders having a slow-shipped lineitem)
+    counted by priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    slow = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(
+        F.col("l_shipdate").cast("timestamp")
+        > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+    ).select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return (
+        o.join(slow, "o_orderkey", "left_semi")
+        .where(
+            (F.col("o_orderdate").cast("timestamp") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate").cast("timestamp") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query("q6_forecast_revenue")
+def q6_forecast_revenue(spark, sf_dir):
+    """Q6: single-table filtered revenue sum — the pushdown benchmark.
+    Revenue accumulates as exact DECIMAL(38,4), emitted once as DOUBLE."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("timestamp")
+    return (
+        li.where(
+            (d >= F.lit("1996-01-01").cast("timestamp"))
+            & (d < F.lit("1997-01-01").cast("timestamp"))
+            & (_dec(F.col("l_discount"), 4, 2) >= F.lit("0.03").cast("decimal(4,2)"))
+            & (_dec(F.col("l_discount"), 4, 2) <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 4, 2))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@query("q10_returned_items")
+def q10_returned_items(spark, sf_dir):
+    """Q10: top-20 customers by returned-item revenue in a quarter —
+    join + decimal revenue + TakeOrderedAndProject with key tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = F.col("o_orderdate").cast("timestamp")
+    rev = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (od >= F.lit("1996-01-01").cast("timestamp"))
+                & (od < F.lit("1996-04-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (_dec(F.col("l_extendedprice"))
+                 * (F.lit("1.00").cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+                 rev.o_custkey == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_nationkey", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("q12_priority_class")
+def q12_priority_class(spark, sf_dir):
+    """Q12 shape: join + CASE-bucketed counts (high vs low priority) per
+    line status."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_count"),
+        )
+    )
+
+
+@query("q14_promo_share")
+def q14_promo_share(spark, sf_dir):
+    """Q14: promo revenue share — two decimal sums, one double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d = F.col("l_shipdate").cast("timestamp")
+    rev = (_dec(F.col("l_extendedprice"))
+           * (F.lit("1.00").cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2))
+           ).cast("decimal(38,4)")
+    agg = (
+        li.where(
+            (d >= F.lit("1996-03-01").cast("timestamp"))
+            & (d < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                  .otherwise(F.lit("0.0000").cast("decimal(38,4)")))
+            .cast("double").alias("__promo"),
+            F.sum(rev).cast("double").alias("__total"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("__promo") / F.col("__total")).alias("promo_share_pct"),
+        F.col("__promo").alias("promo_revenue"),
+        F.col("__total").alias("total_revenue"),
+    )

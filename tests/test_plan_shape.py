@@ -30,7 +30,22 @@ NATIVE_QUERIES = [
     "cohort_retention_weekly", "scd2_user_state", "funnel_three_step",
     "window_percentiles", "events_interval_join", "sample_balanced",
     "pack_sequences_docs", "agg_string_collect", "join_full_outer",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q12_priority_class", "q14_promo_share",
 ]
+
+
+def test_q6_filters_pushed_and_no_join(spark, sf_dir):
+    # Q6 is the pushdown benchmark: date bounds reach the parquet scan.
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    assert "Join" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q10_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
 
 
 def test_histogram_partial_aggregation(spark, sf_dir):
