@@ -312,3 +312,31 @@ def key_skew_profile(
         .orderBy(F.desc("key_count"), F.asc(key_col))
         .limit(top_n)
     )
+
+
+def running_distinct(
+    df: DataFrame,
+    part_col: str,
+    entity_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Running COUNT(DISTINCT entity) over an ordered stream — a window
+    Spark has no native form for. Decomposed as first-occurrence flags
+    (row_number == 1 per (partition, entity)) cumulatively summed over the
+    stream order; both windows share the same total order so the result is
+    deterministic. Two window passes over the same partitioning — one
+    shuffle. Emits the input rows plus ``n_distinct_so_far``.
+    """
+    order = [F.col(c) for c in order_cols]
+    w_first = Window.partitionBy(part_col, entity_col).orderBy(*order)
+    w_cum = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "__first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return flagged.withColumn(
+        "n_distinct_so_far", F.sum("__first").over(w_cum).cast("long")
+    ).drop("__first")

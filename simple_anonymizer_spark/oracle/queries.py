@@ -1327,3 +1327,29 @@ SELECT (100.0 * promo) / total AS promo_share_pct,
        promo AS promo_revenue, total AS total_revenue
 FROM a
 """
+
+ORACLES["window_running_distinct"] = """
+WITH ev AS (
+  SELECT event_type, event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+flagged AS (
+  SELECT event_type, event_id, ts_us,
+         CASE WHEN row_number() OVER (
+             PARTITION BY event_type, user_id ORDER BY ts_us, event_id
+           ) = 1 THEN 1 ELSE 0 END AS fst
+  FROM ev
+)
+SELECT event_type, event_id, ts_us,
+       CAST(sum(fst) OVER (
+         PARTITION BY event_type ORDER BY ts_us, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS n_distinct_so_far
+FROM flagged
+"""
+
+ORACLES["pipeline_retrieval"] = f"""
+WITH topk AS ({ORACLES["embedding_topk_ivf"]})
+SELECT t.query_id, t.rank, d.doc_id, substr(d.text, 1, 40) AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+"""

@@ -1202,3 +1202,37 @@ def q14_promo_share(spark, sf_dir):
         F.col("__promo").alias("promo_revenue"),
         F.col("__total").alias("total_revenue"),
     )
+
+
+@query("window_running_distinct")
+def window_running_distinct(spark, sf_dir):
+    """Running distinct-user count per event type — the windowed
+    COUNT(DISTINCT) Spark lacks natively, decomposed as first-occurrence
+    flags + cumulative sum (operators/stats.py:running_distinct)."""
+    from .operators.stats import running_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return running_distinct(
+        ev, "event_type", "user_id", ["ts_us", "event_id"]
+    ).select("event_type", "event_id", "ts_us", "n_distinct_so_far")
+
+
+@query("pipeline_retrieval")
+def pipeline_retrieval(spark, sf_dir):
+    """Composed retrieval pipeline: IVF ANN top-k -> join the document
+    store -> emit ranked snippets. Gates the COMPOSITION of ANN +
+    dimension join, the serving-side shape of a RAG data pipeline."""
+    from .operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    topk = similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=3, n_cells=8, nprobe=2
+    )
+    return topk.join(
+        docs.select(F.col("doc_id"), F.substring("text", 1, 40).alias("snippet")),
+        topk.neighbor_id == F.col("doc_id"),
+    ).select("query_id", "rank", "doc_id", "snippet")

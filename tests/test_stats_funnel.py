@@ -276,3 +276,16 @@ def test_funnel_steps_chain_break(spark):
             out[1].n_steps) == (100, 100, 300, 3)
     # u2: step3 'c'@70 is >= step1 but step2 never happened -> chain broken
     assert (out[2].step_2_us, out[2].step_3_us, out[2].n_steps) == (None, None, 1)
+
+
+def test_running_distinct_counts(spark):
+    rows = [
+        Row(p="t", e="u1", o=1), Row(p="t", e="u1", o=2),
+        Row(p="t", e="u2", o=3), Row(p="t", e="u1", o=4),
+        Row(p="t", e="u3", o=5), Row(p="x", e="u1", o=1),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r.p, r.o): r.n_distinct_so_far
+           for r in stats.running_distinct(df, "p", "e", ["o"]).collect()}
+    assert out == {("t", 1): 1, ("t", 2): 1, ("t", 3): 2,
+                   ("t", 4): 2, ("t", 5): 3, ("x", 1): 1}
