@@ -1,0 +1,97 @@
+"""Train/test contamination detection: token n-gram overlap between two
+corpus splits.
+
+The standard eval-hygiene check for a training pipeline — how much of each
+held-out document's content literally appears in the training corpus
+(RefinedWeb/GPT-3-style 13-gram screens; n is a parameter). No reference
+counterpart (SURVEY §2.12 extension surface).
+
+Determinism: n-grams are space-joined lowercased whitespace tokens; all
+counts are exact integers; the contamination ratio is one double division
+of exact ints (NULL for docs with no n-grams).
+
+Scale (100 TB): the training side reduces to ONE ROW PER DISTINCT N-GRAM
+(a combinable distinct), and the overlap is a left-semi equi-join on the
+n-gram string — Spark's hash partitioning spreads grams evenly, no key
+skew (a single gram is unique in the distinct set). Per-doc gram counts
+come from a second combinable aggregation. Nothing is collected; swap the
+exact distinct for a Bloom filter broadcast when the training gram set
+must fit a memory budget (documented recall trade: false positives only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct space-joined token n-grams; empty array when the document
+    has fewer than n tokens (guarded — Spark's ``sequence(1, 0)`` would
+    DESCEND, not return empty)."""
+    toks = T.tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_threshold_pct: int = 20,
+) -> DataFrame:
+    """Per-test-document contamination: how many of its distinct n-grams
+    appear anywhere in the training corpus.
+
+    Output: ``id, n_grams, n_contaminated, contamination_ratio`` (NULL
+    when the doc has no n-grams) and ``flagged`` — ratio-at-or-above
+    ``flag_threshold_pct`` percent, compared in exact integers
+    (``100 * hits >= pct * grams``) so the flag never depends on float
+    rounding.
+    """
+    train_grams = (
+        train.select(F.explode(token_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    test_grams = test.select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        test_grams.join(train_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    totals = test.select(
+        F.col(id_col),
+        F.size(token_ngrams(F.col(text_col), n)).cast("long").alias("n_grams"),
+    )
+    joined = totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+        .alias("n_contaminated"),
+    )
+    return joined.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_contaminated").cast("double")
+            / F.col("n_grams").cast("double"),
+        ).alias("contamination_ratio"),
+        (
+            (F.col("n_grams") > 0)
+            & (100 * F.col("n_contaminated")
+               >= flag_threshold_pct * F.col("n_grams"))
+        ).alias("flagged"),
+    )

@@ -1353,3 +1353,58 @@ WITH topk AS ({ORACLES["embedding_topk_ivf"]})
 SELECT t.query_id, t.rank, d.doc_id, substr(d.text, 1, 40) AS snippet
 FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
 """
+
+_DOC_SPLIT_BUCKET = (
+    "(" + O.stable_hash("(CAST(doc_id AS VARCHAR) || '_split')") + " % 10000)"
+)
+
+
+def _doc_ngrams(n: int) -> str:
+    # Distinct space-joined token n-grams; list comprehension variable must
+    # not be `i` (the inlined md5 helper binds i) — use g.
+    toks = _tokens("text")
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string(list_slice({toks}, g, g + {n - 1}), ' ') "
+        f"for g in range(1, len({toks}) - {n - 1} + 1)] "
+        f"ELSE [] END)"
+    )
+
+
+ORACLES["contamination_screen"] = f"""
+WITH split_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN {_DOC_SPLIT_BUCKET} < 8000 THEN 'train'
+              WHEN {_DOC_SPLIT_BUCKET} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+train_grams AS (
+  SELECT DISTINCT unnest({_doc_ngrams(5)}) AS gram
+  FROM split_docs WHERE split = 'train'
+),
+test_docs AS (
+  SELECT doc_id, {_doc_ngrams(5)} AS grams
+  FROM split_docs WHERE split = 'test'
+),
+test_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM test_docs
+),
+hits AS (
+  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM test_grams tg
+  WHERE tg.gram IN (SELECT gram FROM train_grams)
+  GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN len(d.grams) > 0 THEN
+         CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+           / CAST(len(d.grams) AS DOUBLE)
+       END AS contamination_ratio,
+       (len(d.grams) > 0
+        AND 100 * coalesce(h.n_contaminated, 0) >= 20 * len(d.grams))
+         AS flagged
+FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""

@@ -1236,3 +1236,18 @@ def pipeline_retrieval(spark, sf_dir):
         docs.select(F.col("doc_id"), F.substring("text", 1, 40).alias("snippet")),
         topk.neighbor_id == F.col("doc_id"),
     ).select("query_id", "rank", "doc_id", "snippet")
+
+
+@query("contamination_screen")
+def contamination_screen(spark, sf_dir):
+    """Eval hygiene: 5-gram overlap of the deterministic test split
+    against the train split (operators/contamination.py)."""
+    from .operators.contamination import contamination_report
+    from .operators.sampling import train_val_test_split
+
+    docs = train_val_test_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return contamination_report(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") == "test"),
+        n=5,
+    )

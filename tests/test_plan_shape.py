@@ -32,7 +32,7 @@ NATIVE_QUERIES = [
     "pack_sequences_docs", "agg_string_collect", "join_full_outer",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q12_priority_class", "q14_promo_share", "window_running_distinct",
-    "pipeline_retrieval",
+    "pipeline_retrieval", "contamination_screen",
 ]
 
 

@@ -289,3 +289,32 @@ def test_running_distinct_counts(spark):
            for r in stats.running_distinct(df, "p", "e", ["o"]).collect()}
     assert out == {("t", 1): 1, ("t", 2): 1, ("t", 3): 2,
                    ("t", 4): 2, ("t", 5): 3, ("x", 1): 1}
+
+
+def test_contamination_hand_case(spark):
+    from simple_anonymizer_spark.operators.contamination import (
+        contamination_report,
+        token_ngrams,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g")]
+    )
+    test = spark.createDataFrame(
+        [
+            # grams: "x a b c d", "a b c d e" (hit), "b c d e x"
+            Row(doc_id=10, text="x a b c d e x"),
+            Row(doc_id=11, text="q r s t u v"),   # no overlap
+            Row(doc_id=12, text="one two"),        # < 5 tokens: no grams
+        ]
+    )
+    out = {r.doc_id: r for r in contamination_report(train, test).collect()}
+    assert (out[10].n_grams, out[10].n_contaminated) == (3, 1)
+    assert out[10].contamination_ratio == pytest.approx(1 / 3)
+    assert not out[10].flagged is None
+    assert out[11].n_contaminated == 0 and not out[11].flagged
+    assert out[12].n_grams == 0 and out[12].contamination_ratio is None
+    # the short-doc guard: no descending-sequence blowup
+    [g] = spark.range(1).select(
+        token_ngrams(F.lit("a b"), 5).alias("g")).collect()
+    assert g.g == []
