@@ -99,6 +99,13 @@ def moments(
     Σx and Σx² accumulated as DECIMAL (exact), converted to DOUBLE once,
     and combined with IEEE-deterministic double ops + sqrt. Negative
     epsilon from the double subtraction is clamped to 0 before sqrt.
+
+    Numerical contract: the single-pass identity cancels catastrophically
+    when stddev << |mean| — absolute stddev error is bounded by
+    ~1.5e-8·|mean| (sqrt of the double rounding of the mean² term). The
+    result is still bit-identical across engines (the oracle mirrors the
+    exact op sequence); callers needing tighter accuracy near zero
+    variance should run the two-pass form (mean first, then Σ(x−mean)²).
     """
     v = _dec(F.col(value_col))
     # (12,2)² -> (25,4); the sum is given headroom to (38,4).

@@ -1408,3 +1408,65 @@ SELECT d.doc_id,
          AS flagged
 FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
+
+ORACLES["dq_audit_orders"] = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_custkey,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_orderdate,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_totalprice,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk_rows,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonpositive_total
+  FROM orders
+),
+orph AS (
+  SELECT CAST(count(*) AS BIGINT) AS fk_orphans
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+  )
+)
+SELECT 'n_rows' AS metric, n_rows AS value FROM base
+UNION ALL SELECT 'null_custkey', null_custkey FROM base
+UNION ALL SELECT 'null_orderdate', null_orderdate FROM base
+UNION ALL SELECT 'null_totalprice', null_totalprice FROM base
+UNION ALL SELECT 'dup_pk_rows', dup_pk_rows FROM base
+UNION ALL SELECT 'nonpositive_total', nonpositive_total FROM base
+UNION ALL SELECT 'fk_orphans', fk_orphans FROM orph
+"""
+
+ORACLES["anomaly_orders_3sigma"] = """
+WITH a AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                       * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4)))
+              AS VARCHAR) AS DOUBLE) AS s2
+  FROM orders GROUP BY o_orderstatus
+),
+m AS (
+  SELECT o_orderstatus,
+         s / CAST(n AS DOUBLE) AS mean_v,
+         CASE WHEN n > 1 THEN
+           sqrt(greatest(CAST(n AS DOUBLE) * s2 - s * s, 0.0)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         END AS stddev_v
+  FROM a
+),
+rows_scored AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS value,
+         m.mean_v, m.stddev_v
+  FROM orders o JOIN m USING (o_orderstatus)
+)
+SELECT o_orderkey, o_orderstatus, value, mean_v,
+       (value - mean_v) * (value - mean_v) AS dev_sq
+FROM rows_scored
+WHERE stddev_v IS NOT NULL
+  AND (value - mean_v) * (value - mean_v) > 9.0 * (stddev_v * stddev_v)
+"""

@@ -1251,3 +1251,27 @@ def contamination_screen(spark, sf_dir):
         docs.where(F.col("split") == "test"),
         n=5,
     )
+
+
+@query("dq_audit_orders")
+def dq_audit_orders(spark, sf_dir):
+    """Data-quality audit report for the orders snapshot: null rates, PK
+    duplicates, FK orphans, domain violations — long-format metrics."""
+    from .operators.quality_audit import audit_orders
+
+    return audit_orders(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+@query("anomaly_orders_3sigma")
+def anomaly_orders_3sigma(spark, sf_dir):
+    """Z-score outlier screen: orders more than 3 sample stddevs from
+    their status-group mean (squared comparison — no sqrt on the row
+    path)."""
+    from .operators.quality_audit import anomaly_flags
+
+    return anomaly_flags(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
+        "o_orderkey",
+    )

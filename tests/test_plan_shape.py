@@ -32,7 +32,8 @@ NATIVE_QUERIES = [
     "pack_sequences_docs", "agg_string_collect", "join_full_outer",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q12_priority_class", "q14_promo_share", "window_running_distinct",
-    "pipeline_retrieval", "contamination_screen",
+    "pipeline_retrieval", "contamination_screen", "dq_audit_orders",
+    "anomaly_orders_3sigma",
 ]
 
 

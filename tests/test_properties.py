@@ -81,3 +81,49 @@ def test_partial_redact_properties(s, first, last):
 @settings(max_examples=100, deadline=None)
 def test_lorem_length_preserved(s):
     assert len(P.lorem_text(s)) == len(s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.decimals(min_value=-9999, max_value=9999, places=2),
+        min_size=2, max_size=40,
+    )
+)
+def test_moments_match_statistics_on_random_data(spark, vals):
+    import statistics
+
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators import stats
+
+    floats = [float(v) for v in vals]
+    df = spark.createDataFrame([Row(g="p", v=v) for v in floats])
+    [r] = stats.moments(df, ["g"], "v").collect()
+    assert r.mean_v == pytest.approx(statistics.mean(floats), rel=1e-9, abs=1e-9)
+    # stddev tolerance follows the documented cancellation bound of the
+    # single-pass moment identity: ~1.5e-8 * |mean| absolute.
+    tol = 1.5e-8 * max(1.0, abs(statistics.mean(floats)))
+    assert r.stddev_v == pytest.approx(statistics.stdev(floats), rel=1e-7, abs=tol)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.decimals(min_value=0, max_value=9999, places=2),
+        min_size=1, max_size=30,
+    )
+)
+def test_median_matches_statistics_on_random_data(spark, vals):
+    import statistics
+
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators import stats
+
+    floats = [float(v) for v in vals]
+    df = spark.createDataFrame(
+        [Row(g="p", v=v, k=i) for i, v in enumerate(floats)]
+    )
+    [r] = stats.grouped_median(df, ["g"], "v", "k").collect()
+    assert r.median == pytest.approx(statistics.median(floats), abs=1e-9)

@@ -318,3 +318,16 @@ def test_contamination_hand_case(spark):
     [g] = spark.range(1).select(
         token_ngrams(F.lit("a b"), 5).alias("g")).collect()
     assert g.g == []
+
+
+def test_anomaly_flags_fire_on_outlier(spark):
+    from simple_anonymizer_spark.operators.quality_audit import anomaly_flags
+
+    rows = [Row(g="s", id=i, v=100.0 + (i % 5)) for i in range(40)]
+    rows.append(Row(g="s", id=999, v=5000.0))  # blatant outlier
+    rows.append(Row(g="t", id=50, v=7.0))      # n=1 group: stddev NULL, skipped
+    out = anomaly_flags(
+        spark.createDataFrame(rows), ["g"], "v", "id"
+    ).collect()
+    assert [r.id for r in out] == [999]
+    assert out[0].value == 5000.0 and out[0].g == "s"
