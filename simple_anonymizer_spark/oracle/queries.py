@@ -1470,3 +1470,13 @@ FROM rows_scored
 WHERE stddev_v IS NOT NULL
   AND (value - mean_v) * (value - mean_v) > 9.0 * (stddev_v * stddev_v)
 """
+
+ORACLES["corpus_top_bigrams"] = f"""
+WITH grams AS (
+  SELECT unnest({_doc_ngrams(2)}) AS bigram FROM documents
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams GROUP BY bigram
+ORDER BY n_docs DESC, bigram
+LIMIT 20
+"""

@@ -1275,3 +1275,20 @@ def anomaly_orders_3sigma(spark, sf_dir):
         _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
         "o_orderkey",
     )
+
+
+@query("corpus_top_bigrams")
+def corpus_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 token bigrams (tokenizer-training stats) —
+    reuses the contamination n-gram builder; exact counts, text
+    tie-break, TakeOrderedAndProject top-n."""
+    from .operators.contamination import token_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(token_ngrams(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -33,7 +33,7 @@ NATIVE_QUERIES = [
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q12_priority_class", "q14_promo_share", "window_running_distinct",
     "pipeline_retrieval", "contamination_screen", "dq_audit_orders",
-    "anomaly_orders_3sigma",
+    "anomaly_orders_3sigma", "corpus_top_bigrams",
 ]
 
 
