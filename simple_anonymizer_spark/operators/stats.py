@@ -347,3 +347,38 @@ def running_distinct(
     return flagged.withColumn(
         "n_distinct_so_far", F.sum("__first").over(w_cum).cast("long")
     ).drop("__first")
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tie_col: str,
+    lo: tuple[int, int] = (5, 100),
+    hi: tuple[int, int] = (95, 100),
+) -> DataFrame:
+    """Winsorize (clip) values at per-group quantiles — the standard
+    outlier treatment before training on heavy-tailed features.
+
+    Bounds come from ``grouped_quantiles`` (exact type-7, deterministic),
+    pivoted to one row per group and broadcast back onto the rows; the
+    clip is ``least(greatest(v, lo), hi)`` on engine-identical doubles.
+    Cost: the quantile pass + one broadcast join — rows never shuffle.
+    """
+    lo_pct = lo[0] * 100 // lo[1]
+    hi_pct = hi[0] * 100 // hi[1]
+    q = grouped_quantiles(df, group_cols, value_col, tie_col, [lo, hi])
+    bounds = q.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("q_pct") == lo_pct, F.col("quantile"))).alias("__qlo"),
+        F.max(F.when(F.col("q_pct") == hi_pct, F.col("quantile"))).alias("__qhi"),
+    )
+    v = _dec(F.col(value_col)).cast("double")
+    return df.join(F.broadcast(bounds), list(group_cols)).select(
+        F.col(tie_col),
+        *group_cols,
+        v.alias("value"),
+        F.least(F.greatest(v, F.col("__qlo")), F.col("__qhi"))
+        .alias("winsorized"),
+        (v < F.col("__qlo")).alias("clipped_low"),
+        (v > F.col("__qhi")).alias("clipped_high"),
+    )

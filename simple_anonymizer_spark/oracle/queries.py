@@ -1480,3 +1480,46 @@ FROM grams GROUP BY bigram
 ORDER BY n_docs DESC, bigram
 LIMIT 20
 """
+
+ORACLES["winsorize_order_prices"] = """
+WITH v AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DECIMAL(12,2)) AS val,
+         o_orderkey AS k
+  FROM orders
+),
+r AS (
+  SELECT g, CAST(val AS DOUBLE) AS vd,
+         row_number() OVER (PARTITION BY g ORDER BY val, k) - 1 AS i,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+),
+q AS (SELECT * FROM (VALUES (5, 100), (95, 100)) t(num, den)),
+sel AS (
+  SELECT g, num, den, n,
+         max(CASE WHEN i = ((n - 1) * num) // den THEN vd END) AS vlo,
+         max(CASE WHEN i = ((n - 1) * num) // den + 1 THEN vd END) AS vhi
+  FROM r CROSS JOIN q
+  WHERE i = ((n - 1) * num) // den
+     OR (i = ((n - 1) * num) // den + 1 AND ((n - 1) * num) % den > 0)
+  GROUP BY g, num, den, n
+),
+quants AS (
+  SELECT g, num * 100 // den AS q_pct,
+         vlo + (coalesce(vhi, vlo) - vlo)
+               * (CAST(((n - 1) * num) % den AS DOUBLE) / CAST(den AS DOUBLE))
+           AS quantile
+  FROM sel
+),
+bounds AS (
+  SELECT g,
+         max(CASE WHEN q_pct = 5 THEN quantile END) AS qlo,
+         max(CASE WHEN q_pct = 95 THEN quantile END) AS qhi
+  FROM quants GROUP BY g
+)
+SELECT v.k AS o_orderkey, v.g AS o_orderstatus,
+       CAST(v.val AS DOUBLE) AS value,
+       least(greatest(CAST(v.val AS DOUBLE), b.qlo), b.qhi) AS winsorized,
+       CAST(v.val AS DOUBLE) < b.qlo AS clipped_low,
+       CAST(v.val AS DOUBLE) > b.qhi AS clipped_high
+FROM v JOIN bounds b ON v.g = b.g
+"""

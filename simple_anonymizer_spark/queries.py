@@ -1292,3 +1292,15 @@ def corpus_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query("winsorize_order_prices")
+def winsorize_order_prices(spark, sf_dir):
+    """Per-status p05/p95 winsorization of order totals — the quantile
+    pass broadcast back onto rows, comparisons on identical doubles."""
+    from .operators import stats
+
+    return stats.winsorize(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
+        "o_orderkey",
+    )

@@ -331,3 +331,18 @@ def test_anomaly_flags_fire_on_outlier(spark):
     ).collect()
     assert [r.id for r in out] == [999]
     assert out[0].value == 5000.0 and out[0].g == "s"
+
+
+def test_winsorize_clips_and_preserves(spark):
+    rows = [Row(g="a", v=float(x), k=i)
+            for i, x in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    out = {r.k: r for r in stats.winsorize(
+        spark.createDataFrame(rows), ["g"], "v", "k",
+        lo=(10, 100), hi=(90, 100)).collect()}
+    assert len(out) == 10
+    # p10 of 1..9,1000 (type-7): idx 0.9 -> 1.9; p90: idx 8.1 -> 9 + 0.1*991
+    assert out[0].winsorized == pytest.approx(1.9)
+    assert out[0].clipped_low and not out[0].clipped_high
+    assert out[9].clipped_high and out[9].winsorized < 1000.0
+    assert not out[4].clipped_low and not out[4].clipped_high
+    assert out[4].winsorized == 5.0  # interior value untouched
