@@ -1,0 +1,104 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+The third leg of the dedup/similarity stack: MinHash-LSH trades recall
+for speed, brute force trades speed for recall — prefix filtering gives
+EXACT results (lossless for pairs at-or-above the threshold) while
+pruning the candidate space by orders of magnitude.
+
+Theory (Chaudhuri et al., Bayardo et al. — the classic prefix-filtering
+guarantee): order every document's distinct tokens by one global total
+order (ascending corpus frequency, then token text). For Jaccard ≥ θ,
+any qualifying pair has overlap ≥ ceil(θ·|x|) for each side x, so the
+first ``|x| − ceil(θ·|x|) + 1`` tokens of each side (its *prefix*) must
+contain a COMMON token. Candidates = pairs sharing ≥1 prefix token;
+everything else is safely pruned. Rare-first ordering makes prefixes
+low-frequency, so the candidate join is small and skew-resistant by
+construction (hot tokens land at the END of the order, outside prefixes).
+
+Determinism: the threshold is a rational num/den; the qualifying test is
+``inter·den ≥ num·union`` in exact integers — the emitted jaccard double
+is one exact-int division. Prefix lengths use integer ceil
+(``(n·num + den − 1) div den``).
+
+Scale (100 TB): token-frequency pass (combinable) + per-doc sort (one
+shuffle on doc id) + candidate equi-join on prefix tokens + verification
+on joined token arrays. The verify step carries both arrays through the
+join — for very large documents pre-hash tokens to ints upstream to cut
+the shuffle width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+
+def _sorted_token_arrays(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, arr) with distinct tokens sorted by (corpus frequency, token)
+    ascending — the shared global order prefix filtering requires."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__f", "token"))),
+                lambda s: s["token"],
+            ).alias("__arr")
+        )
+    )
+
+
+def jaccard_join(
+    df: DataFrame,
+    threshold: tuple[int, int] = (3, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with token-set Jaccard ≥ num/den — exact, via prefix
+    filtering. Output: ``id_a, id_b, n_inter, n_union, jaccard``
+    (id_a < id_b).
+    """
+    num, den = threshold
+    arrs = _sorted_token_arrays(df, text_col, id_col)
+    n = F.size("__arr")
+    # prefix length: n - ceil(n*num/den) + 1, integer ceil
+    plen = n - F.floor((n * num + den - 1) / den).cast("int") + 1
+    pref = arrs.select(
+        "__id", "__arr", F.explode(F.slice("__arr", 1, plen)).alias("ptok")
+    )
+    left = pref.select(
+        F.col("__id").alias("id_a"), F.col("__arr").alias("__aa"), "ptok"
+    )
+    right = pref.select(
+        F.col("__id").alias("id_b"), F.col("__arr").alias("__ab"), "ptok"
+    )
+    cand = (
+        left.join(right, "ptok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__aa", "__ab")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__aa", "__ab"))
+    union = F.size("__aa") + F.size("__ab") - inter
+    return (
+        cand.select(
+            "id_a", "id_b",
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
+        .where(F.col("n_inter") * den >= num * F.col("n_union"))
+        .select(
+            "id_a", "id_b", "n_inter", "n_union",
+            (F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
+            .alias("jaccard"),
+        )
+    )

@@ -1523,3 +1523,24 @@ SELECT v.k AS o_orderkey, v.g AS o_orderstatus,
        CAST(v.val AS DOUBLE) > b.qhi AS clipped_high
 FROM v JOIN bounds b ON v.g = b.g
 """
+
+# Exact Jaccard join: the oracle verifies ALL pairs brute-force (DuckDB is
+# fine with O(n^2) at oracle scale) — a STRONGER check than mirroring the
+# prefix filter: if Spark's pruning dropped a qualifying pair, the row
+# sets would differ.
+ORACLES["simjoin_exact_jaccard"] = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_tokens('text')}) AS s FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+           AS n_union
+  FROM t a JOIN t b ON b.doc_id > a.doc_id
+)
+SELECT id_a, id_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+FROM p
+WHERE n_inter * 20 >= 19 * n_union
+"""

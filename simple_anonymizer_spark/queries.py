@@ -1304,3 +1304,12 @@ def winsorize_order_prices(spark, sf_dir):
         _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
         "o_orderkey",
     )
+
+
+@query("simjoin_exact_jaccard")
+def simjoin_exact_jaccard(spark, sf_dir):
+    """Exact all-pairs Jaccard >= 0.95 via PPJoin-style prefix filtering
+    (lossless, unlike the LSH paths) — operators/simjoin.py."""
+    from .operators.simjoin import jaccard_join
+
+    return jaccard_join(_t(spark, sf_dir, "documents"), threshold=(19, 20))

@@ -34,7 +34,7 @@ NATIVE_QUERIES = [
     "q12_priority_class", "q14_promo_share", "window_running_distinct",
     "pipeline_retrieval", "contamination_screen", "dq_audit_orders",
     "anomaly_orders_3sigma", "corpus_top_bigrams",
-    "winsorize_order_prices",
+    "winsorize_order_prices", "simjoin_exact_jaccard",
 ]
 
 

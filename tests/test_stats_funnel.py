@@ -346,3 +346,25 @@ def test_winsorize_clips_and_preserves(spark):
     assert out[9].clipped_high and out[9].winsorized < 1000.0
     assert not out[4].clipped_low and not out[4].clipped_high
     assert out[4].winsorized == 5.0  # interior value untouched
+
+
+def test_jaccard_join_exact_boundary(spark):
+    from simple_anonymizer_spark.operators.simjoin import jaccard_join
+
+    rows = [
+        Row(doc_id=1, text="a b c d"),
+        Row(doc_id=2, text="a b c d"),      # J = 1.0 with doc 1
+        Row(doc_id=3, text="a b c x"),      # J = 3/5 = 0.6 with docs 1-2
+        Row(doc_id=4, text="p q r s"),      # J = 0 with everything
+        Row(doc_id=5, text=""),             # empty: never pairs
+    ]
+    df = spark.createDataFrame(rows)
+    at_06 = {(r.id_a, r.id_b): r for r in
+             jaccard_join(df, threshold=(3, 5)).collect()}
+    # boundary INCLUSIVE: 0.6 pairs survive a 3/5 threshold
+    assert set(at_06) == {(1, 2), (1, 3), (2, 3)}
+    assert at_06[(1, 2)].jaccard == 1.0
+    assert at_06[(1, 3)].n_inter == 3 and at_06[(1, 3)].n_union == 5
+    at_07 = {(r.id_a, r.id_b) for r in
+             jaccard_join(df, threshold=(7, 10)).collect()}
+    assert at_07 == {(1, 2)}
