@@ -94,3 +94,70 @@ def anomaly_flags(
             dev2.alias("dev_sq"),
         )
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Generic per-column profile: (column, null_count, n_distinct) —
+    the data-catalog summary, computed in ONE aggregation pass however
+    many columns the table has (the driver loop builds expressions, not
+    jobs). Distinct counts ignore nulls (SQL COUNT(DISTINCT) semantics).
+    Exact integers only — type-neutral and engine-neutral by design;
+    min/max stay out because float/date formatting is not cross-engine
+    stable in string form.
+    """
+    aggs = []
+    for field in df.schema.fields:
+        c = field.name
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null__{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__nd__{c}"))
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(field.name).alias("column"),
+            F.col(f"__null__{field.name}").alias("null_count"),
+            F.col(f"__nd__{field.name}").alias("n_distinct"),
+        )
+        for field in df.schema.fields
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("kv")).select(
+        F.col("kv.column").alias("column"),
+        F.col("kv.null_count").alias("null_count"),
+        F.col("kv.n_distinct").alias("n_distinct"),
+    )
+
+
+def fk_audit(tables: dict[str, DataFrame], foreign_keys) -> DataFrame:
+    """Schema-wide referential integrity: one row per FK edge with the
+    orphan count (child rows whose FK is fully non-null but matches no
+    parent). Each edge is one anti-join count; the union stays lazy so
+    Spark runs the whole audit as one job graph.
+    """
+    out = None
+    for fk in foreign_keys:
+        child = tables[fk.fk_table]
+        parent = tables[fk.pk_table]
+        child_cols = [c for c, _ in fk.columns]
+        cond = None
+        for (cc, pc) in fk.columns:
+            term = child[cc] == parent[pc]
+            cond = term if cond is None else cond & term
+        non_null = None
+        for cc in child_cols:
+            term = child[cc].isNotNull()
+            non_null = term if non_null is None else non_null & term
+        orphans = (
+            child.where(non_null)
+            .join(parent, cond, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+            .select(
+                F.lit(fk.fk_table).alias("child_table"),
+                F.lit(fk.pk_table).alias("parent_table"),
+                F.lit(",".join(child_cols)).alias("fk_columns"),
+                "orphans",
+            )
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out

@@ -101,8 +101,8 @@ def moments(
     epsilon from the double subtraction is clamped to 0 before sqrt.
 
     Numerical contract: the single-pass identity cancels catastrophically
-    when stddev << |mean| — absolute stddev error is bounded by
-    ~1.5e-8·|mean| (sqrt of the double rounding of the mean² term). The
+    when stddev << |mean| — absolute stddev error is ~2^-25·|mean|·sqrt(n)
+    (square root of the accumulated double rounding of the mean² terms). The
     result is still bit-identical across engines (the oracle mirrors the
     exact op sequence); callers needing tighter accuracy near zero
     variance should run the two-pass form (mean first, then Σ(x−mean)²).

@@ -1544,3 +1544,26 @@ SELECT id_a, id_b, n_inter, n_union,
 FROM p
 WHERE n_inter * 20 >= 19 * n_union
 """
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+ORACLES["profile_customer"] = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, CAST(count(*) - count({c}) AS BIGINT) AS null_count, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM customer"
+    for c in _PROFILE_COLS
+)
+
+_FK_EDGES = [
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+ORACLES["dq_fk_audit"] = "\nUNION ALL\n".join(
+    f"SELECT '{ct}' AS child_table, '{pt}' AS parent_table, "
+    f"'{cc}' AS fk_columns, CAST(count(*) AS BIGINT) AS orphans "
+    f"FROM {ct} c WHERE c.{cc} IS NOT NULL "
+    f"AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc})"
+    for ct, pt, cc, pc in _FK_EDGES
+)

@@ -1313,3 +1313,32 @@ def simjoin_exact_jaccard(spark, sf_dir):
     from .operators.simjoin import jaccard_join
 
     return jaccard_join(_t(spark, sf_dir, "documents"), threshold=(19, 20))
+
+
+@query("profile_customer")
+def profile_customer(spark, sf_dir):
+    """Per-column profile of the customer table — nulls + distinct counts
+    in one aggregation pass (quality_audit.profile_table)."""
+    from .operators.quality_audit import profile_table
+
+    return profile_table(_t(spark, sf_dir, "customer"))
+
+
+@query("dq_fk_audit")
+def dq_fk_audit(spark, sf_dir):
+    """Schema-wide referential-integrity audit over the declared FK graph
+    — one anti-join orphan count per edge, one lazy job."""
+    from .operators.quality_audit import fk_audit
+    from .sources.catalog import LogicalFK
+
+    tables = {
+        n: _t(spark, sf_dir, n)
+        for n in ("region", "nation", "customer", "orders", "lineitem")
+    }
+    edges = [
+        LogicalFK(None, "nation", "region", (("n_regionkey", "r_regionkey"),)),
+        LogicalFK(None, "customer", "nation", (("c_nationkey", "n_nationkey"),)),
+        LogicalFK(None, "orders", "customer", (("o_custkey", "c_custkey"),)),
+        LogicalFK(None, "lineitem", "orders", (("l_orderkey", "o_orderkey"),)),
+    ]
+    return fk_audit(tables, edges)

@@ -35,6 +35,7 @@ NATIVE_QUERIES = [
     "pipeline_retrieval", "contamination_screen", "dq_audit_orders",
     "anomaly_orders_3sigma", "corpus_top_bigrams",
     "winsorize_order_prices", "simjoin_exact_jaccard",
+    "profile_customer", "dq_fk_audit",
 ]
 
 

@@ -102,8 +102,8 @@ def test_moments_match_statistics_on_random_data(spark, vals):
     [r] = stats.moments(df, ["g"], "v").collect()
     assert r.mean_v == pytest.approx(statistics.mean(floats), rel=1e-9, abs=1e-9)
     # stddev tolerance follows the documented cancellation bound of the
-    # single-pass moment identity: ~1.5e-8 * |mean| absolute.
-    tol = 1.5e-8 * max(1.0, abs(statistics.mean(floats)))
+    # single-pass moment identity: ~2^-25 * |mean| * sqrt(n) absolute.
+    tol = 4e-8 * max(1.0, abs(statistics.mean(floats))) * len(floats) ** 0.5
     assert r.stddev_v == pytest.approx(statistics.stdev(floats), rel=1e-7, abs=tol)
 
 

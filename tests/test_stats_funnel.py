@@ -368,3 +368,29 @@ def test_jaccard_join_exact_boundary(spark):
     at_07 = {(r.id_a, r.id_b) for r in
              jaccard_join(df, threshold=(7, 10)).collect()}
     assert at_07 == {(1, 2)}
+
+
+def test_fk_audit_detects_injected_orphan(spark):
+    from simple_anonymizer_spark.operators.quality_audit import fk_audit
+    from simple_anonymizer_spark.sources.catalog import LogicalFK
+
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)]  # 99 orphan; NULL ok
+    )
+    [r] = fk_audit(
+        {"child": child, "parent": parent},
+        [LogicalFK(None, "child", "parent", (("fk", "pk"),))],
+    ).collect()
+    assert (r.child_table, r.parent_table, r.orphans) == ("child", "parent", 1)
+
+
+def test_profile_table_counts(spark):
+    from simple_anonymizer_spark.operators.quality_audit import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=2, b="y")]
+    )
+    out = {r.column: (r.null_count, r.n_distinct)
+           for r in profile_table(df).collect()}
+    assert out == {"a": (0, 2), "b": (1, 2)}
