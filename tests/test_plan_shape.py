@@ -64,6 +64,14 @@ def test_top_tokens_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_simjoin_is_equi_join_not_cartesian(spark, sf_dir):
+    # Prefix filtering must plan as an equi-join on the prefix token —
+    # a cartesian/BNLJ here means the pruning structure was lost.
+    plan = plan_of(spark, "simjoin_exact_jaccard", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_skew_profile_broadcasts_total(spark, sf_dir):
     # The single-row total must broadcast, not shuffle, into the join.
     plan = plan_of(spark, "skew_profile_orders", sf_dir)
