@@ -1567,3 +1567,33 @@ ORACLES["dq_fk_audit"] = "\nUNION ALL\n".join(
     f"AND NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.{cc})"
     for ct, pt, cc, pc in _FK_EDGES
 )
+
+# Multimodal stand-in codecs are byte arithmetic over UTF-8 of ASCII text,
+# so substring/repeat mirror them exactly (bytes == chars here).
+
+ORACLES["multimodal_frames"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+idx AS (
+  SELECT doc_id, text, unnest(range(0, least(n, 64 * 4), 64)) AS start
+  FROM d WHERE n > 0
+)
+SELECT doc_id AS media_id,
+       CAST(start // 64 AS BIGINT) AS frame_index,
+       CAST(length(substring(text, start + 1, 64)) AS BIGINT) AS frame_bytes,
+       substring(text, start + 1, 64) AS frame_text
+FROM idx
+"""
+
+ORACLES["multimodal_resize"] = """
+SELECT doc_id AS media_id,
+       CAST(length(r) AS BIGINT) AS n_bytes,
+       r AS resized_text
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN ''
+              ELSE substring(repeat(text, 64 // greatest(length(text), 1) + 1),
+                             1, 64)
+         END AS r
+  FROM documents
+)
+"""

@@ -1342,3 +1342,35 @@ def dq_fk_audit(spark, sf_dir):
         LogicalFK(None, "lineitem", "orders", (("l_orderkey", "o_orderkey"),)),
     ]
     return fk_audit(tables, edges)
+
+
+@query("multimodal_frames")
+def multimodal_frames(spark, sf_dir):
+    """1:N frame sampling through the Arrow mapInPandas plumbing (the
+    deterministic stand-in slices every 64 bytes, max 4 frames) — frames
+    re-decoded to text so the oracle can mirror the byte arithmetic."""
+    from .operators import multimodal
+
+    media = multimodal.with_binary_content(_tp(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+        F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+    )
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (stand-in truncates/pads to w*h bytes by cycling
+    the payload) — output re-decoded for the oracle mirror."""
+    from .operators import multimodal
+
+    media = multimodal.with_binary_content(_tp(spark, sf_dir, "documents"))
+    out = multimodal.resize_images(media, 8, 8)
+    return out.select(
+        "media_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.decode(F.col("content"), "UTF-8").alias("resized_text"),
+    )
