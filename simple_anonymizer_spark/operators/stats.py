@@ -382,3 +382,57 @@ def winsorize(
         (v < F.col("__qlo")).alias("clipped_low"),
         (v > F.col("__qhi")).alias("clipped_high"),
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bin_width_cents: int,
+) -> DataFrame:
+    """Total-variation drift between two snapshots of a value column:
+    ``TVD = 1/2 * Σ_bins |p_bin − q_bin|`` over shared fixed-width bins.
+
+    Float-determinism subtlety: summing per-bin double differences is
+    ORDER-DEPENDENT and thus not engine-stable. Instead the sum runs in
+    exact integers — ``Σ |n_a·total_b − n_b·total_a|`` — and one final
+    double division by ``2·total_a·total_b`` produces the score. Output:
+    one row ``(n_bins, total_a, total_b, tvd)``.
+
+    Scale: two histogram passes (combinable) + a full-outer join on the
+    bin id (bins number in the hundreds — trivially broadcastable).
+    """
+    ha = histogram(df_a, value_col, bin_width_cents).select(
+        "bin_lo_cents", F.col("n_rows").alias("__na")
+    )
+    hb = histogram(df_b, value_col, bin_width_cents).select(
+        F.col("bin_lo_cents").alias("__bin_b"), F.col("n_rows").alias("__nb")
+    )
+    joined = ha.join(
+        hb, ha.bin_lo_cents == hb.__bin_b, "full_outer"
+    ).select(
+        F.coalesce(F.col("__na"), F.lit(0)).alias("na"),
+        F.coalesce(F.col("__nb"), F.lit(0)).alias("nb"),
+    )
+    # Totals via a global window over the BIN rows — bounded (hundreds of
+    # bins), so the single-partition window is not a scale concern here.
+    w = Window.partitionBy()
+    with_tot = joined.select(
+        "na", "nb",
+        F.sum("na").over(w).alias("__ta"),
+        F.sum("nb").over(w).alias("__tb"),
+    )
+    agg = with_tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.max("__ta").cast("long").alias("total_a"),
+        F.max("__tb").cast("long").alias("total_b"),
+        F.sum(F.abs(F.col("na") * F.col("__tb") - F.col("nb") * F.col("__ta")))
+        .cast("long").alias("__num"),
+    )
+    return agg.select(
+        "n_bins", "total_a", "total_b",
+        (
+            F.col("__num").cast("double")
+            / (F.lit(2.0) * (F.col("total_a") * F.col("total_b")).cast("double"))
+        ).alias("tvd"),
+    )

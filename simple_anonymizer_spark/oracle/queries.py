@@ -1597,3 +1597,30 @@ FROM (
   FROM documents
 )
 """
+
+ORACLES["drift_price_distribution"] = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         o_orderdate >= TIMESTAMP '1998-01-01' AS is_late
+  FROM orders
+),
+ha AS (
+  SELECT cents - cents % 5000000 AS bin, CAST(count(*) AS BIGINT) AS na
+  FROM c WHERE NOT is_late GROUP BY 1
+),
+hb AS (
+  SELECT cents - cents % 5000000 AS bin, CAST(count(*) AS BIGINT) AS nb
+  FROM c WHERE is_late GROUP BY 1
+),
+j AS (
+  SELECT coalesce(ha.na, 0) AS na, coalesce(hb.nb, 0) AS nb
+  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin
+),
+t AS (SELECT na, nb, sum(na) OVER () AS ta, sum(nb) OVER () AS tb FROM j)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(max(ta) AS BIGINT) AS total_a,
+       CAST(max(tb) AS BIGINT) AS total_b,
+       CAST(sum(abs(na * tb - nb * ta)) AS DOUBLE)
+         / (2.0 * CAST(max(ta) * max(tb) AS DOUBLE)) AS tvd
+FROM t
+"""

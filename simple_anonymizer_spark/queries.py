@@ -1374,3 +1374,16 @@ def multimodal_resize(spark, sf_dir):
         F.length("content").cast("long").alias("n_bytes"),
         F.decode(F.col("content"), "UTF-8").alias("resized_text"),
     )
+
+
+@query("drift_price_distribution")
+def drift_price_distribution(spark, sf_dir):
+    """Distribution drift (total variation distance, exact-integer sum)
+    between early and late order-price snapshots over $50k bins."""
+    from .operators import stats
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    early = o.where(F.col("o_orderdate").cast("timestamp") < cutoff)
+    late = o.where(F.col("o_orderdate").cast("timestamp") >= cutoff)
+    return stats.distribution_drift(early, late, "o_totalprice", 5_000_000)

@@ -35,7 +35,9 @@ NATIVE_QUERIES = [
     "pipeline_retrieval", "contamination_screen", "dq_audit_orders",
     "anomaly_orders_3sigma", "corpus_top_bigrams",
     "winsorize_order_prices", "simjoin_exact_jaccard",
-    "profile_customer", "dq_fk_audit",
+    "profile_customer", "dq_fk_audit", "drift_price_distribution",
+    # multimodal_* stay OUT of this list: mapInPandas is their designed
+    # (and allowed) Python slot.
 ]
 
 

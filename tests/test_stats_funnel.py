@@ -394,3 +394,16 @@ def test_profile_table_counts(spark):
     out = {r.column: (r.null_count, r.n_distinct)
            for r in profile_table(df).collect()}
     assert out == {"a": (0, 2), "b": (1, 2)}
+
+
+def test_distribution_drift_bounds(spark):
+    a = spark.createDataFrame([Row(v=float(x)) for x in [10, 10, 20, 20]])
+    same = stats.distribution_drift(a, a, "v", 1000).collect()[0]
+    assert same.tvd == 0.0 and same.n_bins == 2
+    b = spark.createDataFrame([Row(v=float(x)) for x in [90, 90, 95]])
+    disjoint = stats.distribution_drift(a, b, "v", 1000).collect()[0]
+    assert disjoint.tvd == 1.0  # fully disjoint supports
+    mixed = stats.distribution_drift(
+        a, spark.createDataFrame([Row(v=10.0), Row(v=90.0)]), "v", 1000
+    ).collect()[0]
+    assert 0.0 < mixed.tvd < 1.0
