@@ -121,8 +121,15 @@ def pack_sequences(
     )
     if partitions is None:
         partitions = toks.sparkSession.sparkContext.defaultParallelism
-    ranged = toks.repartitionByRange(partitions, F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # CRITICAL: repartitionByRange picks boundaries by SAMPLING — two
+    # evaluations of the same plan can choose different layouts, and the
+    # per-partition prefixes would then be added to the wrong partitions
+    # (observed at sf0.1). Materializing the narrow (id, n_tokens, pid)
+    # projection pins ONE layout for both the totals pass and the cumsum.
+    ranged = (
+        toks.repartitionByRange(partitions, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
     )
     w = (
         Window.partitionBy("__pid")
@@ -144,6 +151,8 @@ def pack_sequences(
     for pid, total in totals:
         prefix[pid] = running
         running += total
+    # (the collect above materialized the cache: the cumsum job below is
+    # guaranteed to read the SAME partition layout the prefixes describe)
     base = F.lit(0).cast("long")
     if prefix:
         expr = None
@@ -156,6 +165,8 @@ def pack_sequences(
         "n_tokens",
         (F.col("__local_cum") + base).alias("__offset"),
     )
+    # NB: `ranged` stays cached while the returned plan is alive; callers
+    # running at scale can spark.catalog.clearCache() after consuming it.
     return cum.select(
         id_col,
         "n_tokens",
