@@ -157,6 +157,124 @@ def tfidf_top_terms(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters, public arXiv:2112.11446): duplicate-token
+    fraction, the hottest token bigram's coverage, and the duplicate-bigram
+    fraction. Documents dominated by a few repeated n-grams are boilerplate
+    or spam — the standard pre-training quality gate.
+
+    Output per document: ``doc id, n_tokens, dup_token_frac, top_bigram_n,
+    top_bigram_frac, dup_bigram_frac``. All fractions are single divisions
+    of exact integers (NULL when the denominator is 0, matching DuckDB's
+    x/0); ``top_bigram_frac = 2 * top_count / n_tokens`` can exceed 1.0 for
+    overlapping runs ("a a a") by design — it is a signal, not a ratio.
+
+    Scale (100 TB): bigram counting goes through explode -> two map-side-
+    combinable aggregations keyed by (doc, bigram) then doc — never a
+    per-row in-memory frequency map, so a pathological document costs
+    rows, not driver/executor memory. The token-level stats ride the scan.
+    """
+    tok = T.tokens(F.col(text_col))
+    head = F.slice(tok, 1, F.size(tok) - 1)
+    tail = F.slice(tok, 2, F.size(tok) - 1)
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("__n_distinct"),
+        bigrams.alias("__bg"),
+    )
+    per_bigram = (
+        base.select(id_col, F.explode("__bg").alias("__bigram"))
+        .groupBy(id_col, "__bigram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_doc = per_bigram.groupBy(id_col).agg(
+        F.max("__c").cast("long").alias("__top_n"),
+        F.sum("__c").cast("long").alias("__n_bg"),
+        F.count(F.lit(1)).cast("long").alias("__n_bg_distinct"),
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(None).cast("double")).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    joined = base.drop("__bg").join(per_doc, id_col, "left")
+    top_n = F.coalesce(F.col("__top_n"), F.lit(0).cast("long"))
+    n_bg = F.coalesce(F.col("__n_bg"), F.lit(0).cast("long"))
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        _frac(F.col("n_tokens") - F.col("__n_distinct"), F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        top_n.alias("top_bigram_n"),
+        _frac(F.lit(2).cast("long") * top_n, F.col("n_tokens")).alias(
+            "top_bigram_frac"
+        ),
+        _frac(n_bg - F.coalesce(F.col("__n_bg_distinct"), F.lit(0).cast("long")),
+              n_bg).alias("dup_bigram_frac"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, k: int = 30, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated-span detection: the fraction of each
+    document's character ``k``-gram positions whose gram also appears in at
+    least one OTHER document — the distributed approximation of exact
+    substring dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", public arXiv:2107.06499; suffix arrays don't
+    distribute, rolling k-gram membership does).
+
+    Output: ``doc id, n_grams, n_shared_grams, shared_frac`` where
+    ``n_grams`` counts positions (with multiplicity) and ``shared_frac``
+    is their shared fraction (single division of exact integers;
+    ``n_grams >= 1`` always — a short text is its own single gram).
+
+    Scale (100 TB): explode-by-position multiplies rows by document length
+    — that is the honest cost of substring-level dedup. Both aggregations
+    are map-side combinable; the gram join key is the natural partitioner.
+    At trillion-gram scale, shuffle the 64-bit ``xxhash64(gram)`` instead
+    of the 30-char string (declared collision tolerance ~n²/2⁶⁴) — kept
+    exact here for bit-parity with the oracle.
+    """
+    n = F.length(F.col(text_col))
+    grams_all = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.substring(F.col(text_col), i, k),
+    )
+    g = df.select(F.col(id_col), F.explode(grams_all).alias("__gram"))
+    shared = (
+        g.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__gram", F.lit(1).alias("__shared"))
+    )
+    per_doc = (
+        g.join(shared, "__gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("__shared").cast("long").alias("n_shared_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        "n_shared_grams",
+        (F.col("n_shared_grams").cast("double")
+         / F.col("n_grams").cast("double")).alias("shared_frac"),
+    )
+
+
 def top_tokens(
     df: DataFrame, n: int = 20, text_col: str = "text"
 ) -> DataFrame:

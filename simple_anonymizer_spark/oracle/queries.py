@@ -1624,3 +1624,55 @@ SELECT CAST(count(*) AS BIGINT) AS n_bins,
          / (2.0 * CAST(max(ta) * max(tb) AS DOUBLE)) AS tvd
 FROM t
 """
+
+_TOK = _tokens("text")
+ORACLES["text_repetition"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_TOK})) AS BIGINT) AS n_distinct,
+         CASE WHEN len({_TOK}) >= 2 THEN
+           [array_to_string(list_slice({_TOK}, g, g + 1), ' ')
+            for g in range(1, len({_TOK}))]
+         ELSE [] END AS bg
+  FROM documents
+),
+bgx AS (SELECT doc_id, unnest(bg) AS bigram FROM base),
+bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bgx GROUP BY 1, 2),
+bga AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n,
+         CAST(sum(c) AS BIGINT) AS n_bg,
+         CAST(count(*) AS BIGINT) AS n_bg_distinct
+  FROM bgc GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+  CASE WHEN b.n_tokens = 0 THEN NULL
+       ELSE CAST(b.n_tokens - b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+  END AS dup_token_frac,
+  coalesce(a.top_n, 0) AS top_bigram_n,
+  CASE WHEN b.n_tokens = 0 THEN NULL
+       ELSE CAST(2 * coalesce(a.top_n, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+  END AS top_bigram_frac,
+  CASE WHEN coalesce(a.n_bg, 0) = 0 THEN NULL
+       ELSE CAST(a.n_bg - a.n_bg_distinct AS DOUBLE) / CAST(a.n_bg AS DOUBLE)
+  END AS dup_bigram_frac
+FROM base b LEFT JOIN bga a ON b.doc_id = a.doc_id
+"""
+
+ORACLES["dup_spans"] = """
+WITH g AS (
+  SELECT doc_id,
+         unnest([substr(text, p, 30)
+                 for p in range(1, greatest(length(text) - 29, 1) + 1)]) AS gram
+  FROM documents
+),
+shared AS (
+  SELECT gram, 1 AS f FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(s.f) AS BIGINT) AS n_shared_grams,
+       CAST(count(s.f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS shared_frac
+FROM g LEFT JOIN shared s ON g.gram = s.gram
+GROUP BY g.doc_id
+"""

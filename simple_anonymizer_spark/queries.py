@@ -1387,3 +1387,19 @@ def drift_price_distribution(spark, sf_dir):
     early = o.where(F.col("o_orderdate").cast("timestamp") < cutoff)
     late = o.where(F.col("o_orderdate").cast("timestamp") >= cutoff)
     return stats.distribution_drift(early, late, "o_totalprice", 5_000_000)
+
+
+@query("text_repetition")
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals: duplicate-token
+    fraction, top-bigram coverage, duplicate-bigram fraction — the
+    pre-training boilerplate/spam gate (text_analysis.repetition_metrics)."""
+    return text_analysis.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@query("dup_spans")
+def dup_spans(spark, sf_dir):
+    """Cross-document duplicated-span fractions via 30-char rolling k-grams
+    — the distributed form of exact substring dedup
+    (text_analysis.duplicate_spans)."""
+    return text_analysis.duplicate_spans(_t(spark, sf_dir, "documents"), k=30)

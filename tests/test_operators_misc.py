@@ -194,3 +194,63 @@ def test_text_ratios_null_on_zero_tokens(spark):
     for r in list(stats.values()) + list(qual.values()):
         for v in r.asDict().values():
             assert not (isinstance(v, float) and math.isnan(v))
+
+
+def test_repetition_metrics_edges(spark):
+    """Hand-computed repetition signals, including the zero/one-token edges
+    and the overlapping-run > 1.0 top_bigram_frac case."""
+    from simple_anonymizer_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, bigrams: "a a" x3
+            (2, "x y x y"),          # bigrams: "x y" x2, "y x" x1
+            (3, "one"),              # single token: no bigrams
+            (4, "   "),              # zero tokens
+            (5, "all words unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_analysis.repetition_metrics(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.top_bigram_n) == (4, 3)
+    assert r1.dup_token_frac == 0.75
+    assert r1.top_bigram_frac == 1.5          # overlapping run exceeds 1.0
+    assert r1.dup_bigram_frac == 2.0 / 3.0
+    r2 = rows[2]
+    assert (r2.top_bigram_n, r2.dup_bigram_frac) == (2, 1.0 / 3.0)
+    r3 = rows[3]
+    assert (r3.n_tokens, r3.top_bigram_n, r3.top_bigram_frac) == (1, 0, 0.0)
+    assert r3.dup_bigram_frac is None         # no bigrams -> NULL, not NaN
+    r4 = rows[4]
+    assert r4.dup_token_frac is None and r4.top_bigram_frac is None
+    r5 = rows[5]
+    assert (r5.dup_token_frac, r5.top_bigram_n) == (0.0, 1)
+
+
+def test_duplicate_spans_shared_fraction(spark):
+    """Cross-doc k-gram sharing: identical docs are 100% shared, an
+    overlapping prefix is partially shared, unique text is 0%."""
+    from simple_anonymizer_spark.operators import text_analysis
+
+    shared_prefix = "0123456789" * 3          # 30 chars
+    df = spark.createDataFrame(
+        [
+            (1, shared_prefix + "AAAA"),
+            (2, shared_prefix + "BBBB"),
+            (3, "completely different content here"),
+            (4, "tiny"),                      # shorter than k -> 1 whole-text gram
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            text_analysis.duplicate_spans(df, k=30).collect()}
+    # docs 1 and 2 share exactly the grams fully inside the common prefix:
+    # positions 1..1 of a 34-char text give 5 grams; only position 1 (the
+    # pure prefix gram) is common.
+    assert rows[1].n_grams == 5 and rows[1].n_shared_grams == 1
+    assert rows[2].n_shared_grams == 1
+    assert rows[3].n_shared_grams == 0 and rows[3].shared_frac == 0.0
+    assert rows[4].n_grams == 1 and rows[4].shared_frac == 1.0
+    assert rows[5].shared_frac == 1.0
