@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
+from simple_anonymizer_spark.sources.parquet import normalize_events_ts
+
 
 def tumbling_counts(
     events: DataFrame, window_len: str = "1 hour"
@@ -87,9 +89,7 @@ def stream_tumbling_counts(
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
-    raw = reader.parquet(source_path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_events_ts(reader.parquet(source_path))
     return tumbling_counts(raw.withWatermark("ts", watermark), window_len)
 
 
@@ -119,11 +119,9 @@ def stream_dedup(
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
-    raw = reader.parquet(source_path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_events_ts(reader.parquet(source_path))
     if key_cols is None:
-        content = [c for c in raw.columns if c != "ts"]
+        content = [c for c in raw.columns if c not in ("ts", "ts_nanos")]
         raw = raw.withColumn(
             "__content_hash", F.md5(F.to_json(F.struct(*content)))
         )
@@ -189,9 +187,7 @@ def stream_interval_join(
         reader = spark.readStream
         if schema is not None:
             reader = reader.schema(schema)
-        raw = reader.parquet(source_path)
-        if dict(raw.dtypes).get("ts") == "bigint":
-            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = normalize_events_ts(reader.parquet(source_path))
         return raw.withWatermark("ts", watermark)
 
     return interval_join(read_side(), left_type, right_type, max_lag)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.merge import merge_parquet
+from ..sources.parquet import normalize_events_ts
 from ..plans.on_conflict import OnConflict
 
 
@@ -109,9 +110,7 @@ def stream_rollup(
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
-    raw = reader.parquet(source_path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = normalize_events_ts(reader.parquet(source_path))
 
     batch_id_file = rollup_path + ".last_batch.json"
 
