@@ -82,6 +82,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     partitions: int | None = None,
+    cache_owner: list | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-budget training sequences.
 
@@ -102,11 +103,21 @@ def pack_sequences(
        (window keyed on ``spark_partition_id()``);
     2. collect one total per partition (bounded: one row per partition,
        same philosophy as the broadcast-threshold probe in
-       plans/propagation.py) and broadcast each partition's exclusive
-       prefix back as a literal CASE map.
+       plans/propagation.py) and broadcast-JOIN each partition's exclusive
+       prefix back on ``__pid`` — a 2-column map of ``partitions`` rows,
+       always under the broadcast threshold, so the plan cost is O(1) in
+       partition count (a ``when()``-chain literal would grow the
+       expression tree linearly and blow codegen past ~10⁴ partitions).
 
     The result is independent of the (sampled, non-deterministic) range
     boundaries because the offset depends only on the global id order.
+
+    The intermediate (id, n_tokens, pid) projection must stay cached while
+    the returned plan is alive (re-evaluation would re-sample range
+    boundaries and mismatch the collected prefixes). Pass ``cache_owner``
+    (any list) to receive the cached DataFrame and ``unpersist()`` it once
+    the result is consumed; otherwise it lives until
+    ``spark.catalog.clearCache()``.
 
     Output: ``id, n_tokens, seq_id, seq_offset`` where ``seq_offset`` is
     the document's first-token position within its sequence.
@@ -146,27 +157,28 @@ def pack_sequences(
         .agg(F.sum("n_tokens").alias("total"))
         .collect()
     )
-    prefix: dict[int, int] = {}
+    prefix_rows = []
     running = 0
     for pid, total in totals:
-        prefix[pid] = running
+        prefix_rows.append((pid, running))
         running += total
     # (the collect above materialized the cache: the cumsum job below is
     # guaranteed to read the SAME partition layout the prefixes describe)
-    base = F.lit(0).cast("long")
-    if prefix:
-        expr = None
-        for pid, off in prefix.items():
-            cond = F.col("__pid") == pid
-            expr = F.when(cond, off) if expr is None else expr.when(cond, off)
-        base = expr.otherwise(F.lit(0)).cast("long")
-    cum = local.select(
-        id_col,
-        "n_tokens",
-        (F.col("__local_cum") + base).alias("__offset"),
-    )
-    # NB: `ranged` stays cached while the returned plan is alive; callers
-    # running at scale can spark.catalog.clearCache() after consuming it.
+    if cache_owner is not None:
+        cache_owner.append(ranged)
+    spark = toks.sparkSession
+    if prefix_rows:
+        prefix_df = spark.createDataFrame(prefix_rows, "__pid int, __base long")
+        cum = local.join(F.broadcast(prefix_df), "__pid", "left").select(
+            id_col,
+            "n_tokens",
+            (F.col("__local_cum") + F.coalesce(F.col("__base"), F.lit(0)))
+            .alias("__offset"),
+        )
+    else:
+        cum = local.select(
+            id_col, "n_tokens", F.col("__local_cum").alias("__offset")
+        )
     return cum.select(
         id_col,
         "n_tokens",

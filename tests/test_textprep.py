@@ -92,3 +92,30 @@ def test_pack_sequences_offsets_and_straddle(spark):
     out = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
            for r in pack_sequences(spark.createDataFrame(docs), 10).collect()}
     assert out == {1: (3, 0, 0), 2: (4, 0, 3), 3: (7, 0, 7), 4: (2, 1, 4)}
+
+
+def test_pack_sequences_partition_invariance_and_plan(spark):
+    """Offsets must not depend on partition count, the plan must not grow
+    an O(partitions) CASE chain (broadcast offsets join instead), and
+    cache_owner must hand back the pinned intermediate for unpersist."""
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.textprep import pack_sequences
+
+    docs = [Row(doc_id=i, text=" ".join(["t"] * (1 + i % 7)))
+            for i in range(200)]
+    df = spark.createDataFrame(docs)
+
+    owner: list = []
+    base = pack_sequences(df, 16, partitions=2, cache_owner=owner)
+    expected = sorted(tuple(r) for r in base.collect())
+
+    wide_owner: list = []
+    wide = pack_sequences(df, 16, partitions=512, cache_owner=wide_owner)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" not in plan  # the old O(partitions) literal map
+    assert "Broadcast" in plan      # offsets arrive via broadcast join
+    assert sorted(tuple(r) for r in wide.collect()) == expected
+
+    for cached in owner + wide_owner:
+        cached.unpersist()
