@@ -1676,3 +1676,56 @@ SELECT g.doc_id,
 FROM g LEFT JOIN shared s ON g.gram = s.gram
 GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketch.py) — deterministic grid, frozen hash
+# kernel salted per sketch row; the comprehension variable is `r`, never `i`
+# (the inlined raw_hash expr owns `i`).
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(key: str, depth: int, width: int, src: str,
+               extra_cols: str = "") -> str:
+    selects = []
+    for r in range(depth):
+        h = _h(f"({key} || '__cms{r}|')")
+        selects.append(
+            f"SELECT {extra_cols}{r} AS sketch_row, "
+            f"CAST({h} % {width} AS INT) AS bucket FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLES["cms_sketch_tokens"] = f"""
+WITH toks AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+),
+cells AS ({_cms_cells('token', 4, 256, 'toks')})
+SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY sketch_row, bucket
+"""
+
+ORACLES["cms_heavy_hitters"] = f"""
+WITH toks AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+),
+cells AS ({_cms_cells('token', 4, 256, 'toks')}),
+sk AS (
+  SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY sketch_row, bucket
+),
+probes AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest({_tokens('text')}) AS token FROM documents
+    WHERE doc_id % 20 = 0
+  )
+),
+pc AS ({_cms_cells('token', 4, 256, 'probes', extra_cols='token, ')}),
+est AS (
+  SELECT token, CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+  FROM pc LEFT JOIN sk USING (sketch_row, bucket)
+  GROUP BY token
+)
+SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
+"""

@@ -1403,3 +1403,34 @@ def dup_spans(spark, sf_dir):
     — the distributed form of exact substring dedup
     (text_analysis.duplicate_spans)."""
     return text_analysis.duplicate_spans(_t(spark, sf_dir, "documents"), k=30)
+
+
+@query("cms_sketch_tokens")
+def cms_sketch_tokens(spark, sf_dir):
+    """Count-min sketch grid (4x256) over corpus tokens — bounded-memory
+    frequency state: the shuffle carries at most depth*width cells no
+    matter the token cardinality (operators/sketch.py)."""
+    from .operators import sketch
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    return sketch.cms_sketch(toks, "token", depth=4, width=256)
+
+
+@query("cms_heavy_hitters")
+def cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters by count-min estimate: probe the tokens of every 20th
+    document against the corpus sketch, top-20 by estimated frequency
+    (token tie-break). Estimates are deterministic (frozen hash kernel),
+    so the DuckDB oracle replays the grid exactly."""
+    from .operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    probes = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    return sketch.cms_topk(toks, probes, "token", k=20, depth=4, width=256)

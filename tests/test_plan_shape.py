@@ -36,6 +36,7 @@ NATIVE_QUERIES = [
     "anomaly_orders_3sigma", "corpus_top_bigrams",
     "winsorize_order_prices", "simjoin_exact_jaccard",
     "profile_customer", "dq_fk_audit", "drift_price_distribution",
+    "cms_sketch_tokens", "cms_heavy_hitters",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
@@ -127,3 +128,15 @@ def test_wholestage_codegen_on_anonymizers(spark, sf_dir):
     # text hides codegen markers, so assert on the unwrapped variant.)
     plan = plan_of(spark, "anon_stable_hash", sf_dir)
     assert "*(1)" in plan
+
+
+def test_cms_sketch_partial_aggregation(spark, sf_dir):
+    # The sketch's whole scale story is map-side combine down to the
+    # depth*width grid BEFORE the shuffle: two HashAggregate levels.
+    plan = plan_of(spark, "cms_sketch_tokens", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cms_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "cms_heavy_hitters", sf_dir)
+    assert "TakeOrderedAndProject" in plan
