@@ -1729,3 +1729,80 @@ est AS (
 )
 SELECT token, est FROM est ORDER BY est DESC, token LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination (operators/bloom.py) — bit-identical words:
+# bucket r = raw_hash(gram || '__bloom{r}|') % num_bits, word bit_or of
+# 1<<(bucket%64). Comprehension-free (the union-all is generated in Python,
+# variable r) so the inlined md5 helper's `i` cannot be shadowed.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_wm(key: str, num_hashes: int, num_bits: int, src: str,
+              extra_cols: str = "") -> str:
+    selects = []
+    for r in range(num_hashes):
+        b = f"({_h(f'({key} || ' + chr(39) + f'__bloom{r}|' + chr(39) + ')')} % {num_bits})"
+        # DuckDB raises on signed 1<<63 where Spark wraps to the sign bit:
+        # emit the two's-complement literal for bit 63 explicitly.
+        mask = (
+            f"(CASE WHEN {b} % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+            f"ELSE (CAST(1 AS BIGINT) << CAST({b} % 64 AS INT)) END)"
+        )
+        selects.append(
+            f"SELECT {extra_cols}CAST({b} // 64 AS INT) AS word_idx, "
+            f"{mask} AS mask FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLES["contamination_bloom"] = f"""
+WITH split_docs AS (
+  SELECT doc_id, text,
+         CASE WHEN {_DOC_SPLIT_BUCKET} < 8000 THEN 'train'
+              WHEN {_DOC_SPLIT_BUCKET} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+train_grams AS (
+  SELECT unnest({_doc_ngrams(5)}) AS gram
+  FROM split_docs WHERE split = 'train'
+),
+bloom AS (
+  SELECT word_idx, bit_or(mask) AS word
+  FROM ({_bloom_wm('gram', 4, 1 << 16, 'train_grams')})
+  GROUP BY word_idx
+),
+test_docs AS (
+  SELECT doc_id, {_doc_ngrams(5)} AS grams
+  FROM split_docs WHERE split = 'test'
+),
+test_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM test_docs
+),
+probe_cells AS ({_bloom_wm('gram', 4, 1 << 16, 'test_grams',
+                           extra_cols='doc_id, gram, ')}),
+gram_hits AS (
+  SELECT doc_id, gram,
+         CAST(sum(CASE WHEN (COALESCE(b.word, 0) & p.mask) <> 0
+                       THEN 1 ELSE 0 END) = 4 AS BOOLEAN) AS might
+  FROM probe_cells p LEFT JOIN bloom b USING (word_idx)
+  GROUP BY doc_id, gram
+),
+hits AS (
+  SELECT doc_id, CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+  FROM gram_hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN len(d.grams) > 0 THEN
+         CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+           / CAST(len(d.grams) AS DOUBLE)
+       ELSE NULL END AS contamination_ratio,
+       (len(d.grams) > 0 AND
+        100 * coalesce(h.n_contaminated, 0) >= 20 * len(d.grams)) AS flagged
+FROM test_docs d LEFT JOIN hits h USING (doc_id)
+"""

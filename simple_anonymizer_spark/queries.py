@@ -1434,3 +1434,22 @@ def cms_heavy_hitters(spark, sf_dir):
         .distinct()
     )
     return sketch.cms_topk(toks, probes, "token", k=20, depth=4, width=256)
+
+
+@query("contamination_bloom")
+def contamination_bloom(spark, sf_dir):
+    """The contamination screen with the training gram set compressed to a
+    broadcastable Bloom filter (operators/bloom.py) — deterministic false
+    positives only, train side bounded at num_bits/64 rows. Same split and
+    output shape as contamination_screen."""
+    from .operators.bloom import bloom_contamination_report
+    from .operators.sampling import train_val_test_split
+
+    docs = train_val_test_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return bloom_contamination_report(
+        docs.where(F.col("split") == "train"),
+        docs.where(F.col("split") == "test"),
+        n=5,
+        num_bits=1 << 16,
+        num_hashes=4,
+    )

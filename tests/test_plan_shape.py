@@ -36,7 +36,7 @@ NATIVE_QUERIES = [
     "anomaly_orders_3sigma", "corpus_top_bigrams",
     "winsorize_order_prices", "simjoin_exact_jaccard",
     "profile_customer", "dq_fk_audit", "drift_price_distribution",
-    "cms_sketch_tokens", "cms_heavy_hitters",
+    "cms_sketch_tokens", "cms_heavy_hitters", "contamination_bloom",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
@@ -140,3 +140,10 @@ def test_cms_sketch_partial_aggregation(spark, sf_dir):
 def test_cms_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "cms_heavy_hitters", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    # The whole point of the Bloom screen: the filter side broadcasts and
+    # the probe relation never shuffles into a sort-merge join.
+    plan = plan_of(spark, "contamination_bloom", sf_dir)
+    assert "BroadcastHashJoin" in plan
