@@ -1,0 +1,148 @@
+"""Distributed Lloyd's k-means (spherical / cosine variant) — the trained
+coarse quantizer behind IVF ANN (``similarity.ivf_topk``'s stand-in
+``ivf_centroids`` is exactly iteration zero of this loop).
+
+Each iteration is the canonical scale shape:
+
+* **assign** — argmax-cosine over broadcast-literal centroids, a pure
+  map-side codegen expression (``similarity.ivf_assign_cell``): the corpus
+  never shuffles for assignment;
+* **update** — one ``groupBy(cell)`` shuffle whose payload is
+  map-combined per-dimension sums: at most ``n_clusters`` rows ever reach
+  the driver (the model is broadcast state, not data — same philosophy as
+  the bounded collects in ``plans/propagation.py``).
+
+Cost per iteration at 100 TB: one corpus scan + one ``n_clusters``-row
+shuffle; the driver round-trip is ``n_clusters * dim`` floats. Iterations
+are driver-looped because Lloyd's is inherently sequential in its
+centroid state — exactly the iterative-algorithm slot the round contract
+reserves for non-SQL expression, EXCEPT that this implementation is fully
+deterministic (lowest-id init, decimal-exact dimension sums, double
+division on identical operands, lowest-cell tie-breaks), so a fixed
+iteration count IS mirrored in DuckDB SQL and the whole trainer is
+oracle-gated, not rows-only.
+
+Cross-engine float rule: per-dimension sums accumulate as EXACT 2^-24
+fixed-point integers — ``sum(floor(x * 2^24))`` — not DECIMAL, because
+float->DECIMAL casts disagree across engines (Spark routes through
+``BigDecimal.valueOf``'s shortest-string double representation, DuckDB
+converts the exact binary value). Power-of-two scaling only shifts the
+exponent (IEEE-exact), ``floor`` is bit-identical everywhere, the long
+sums stay far under 2^53 so the DOUBLE conversion back is exact, and the
+mean is two divisions on identical operands. The 6e-8 quantization is
+noise at float32 input precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import ivf_assign_cell
+
+_QUANT = float(1 << 24)
+
+
+def _dim_of(corpus: DataFrame, vec_col: str) -> int:
+    row = corpus.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train centroids; returns the model as ``n_clusters`` double vectors
+    (broadcastable state). Init is the ``n_clusters`` lowest-id vectors —
+    deterministic, the property the oracle mirror depends on. Clusters
+    that lose every member keep their previous centroid (standard Lloyd
+    degeneracy handling, mirrored in SQL with a coalescing left join)."""
+    if n_clusters < 1 or iters < 0:
+        raise ValueError("n_clusters must be >= 1 and iters >= 0")
+    dim = _dim_of(corpus, vec_col)
+    init_rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(n_clusters)
+        .select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("__v"),
+            ivf_assign_cell(F.col(vec_col), centroids).alias("__cell"),
+        )
+        stats = (
+            assigned.groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("__v", d + 1).cast("double")
+                            * F.lit(_QUANT)
+                        )
+                    ).alias(f"__s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()  # bounded: n_clusters rows
+        )
+        new_centroids = list(centroids)  # empty cells keep previous
+        for r in stats:
+            n = r["__n"]
+            # same IEEE ops, same order, as the SQL mirror:
+            # (sum_as_double / 2^24) / n
+            new_centroids[r["__cell"]] = [
+                (float(r[f"__s{d}"]) / _QUANT) / n for d in range(dim)
+            ]
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side assignment of every vector to its trained cell.
+    Output: ``<id_col>, cell int``."""
+    return corpus.select(
+        F.col(id_col),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+
+
+def kmeans_cluster_profile(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train + assign + summarize in one call: per-cell member counts and
+    the first centroid component (a cross-engine float sentinel — if any
+    iteration diverged between engines, this double diverges with it).
+    Output: ``cell int, n_members long, centroid_d1 double``."""
+    centroids = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, vec[0]) for c, vec in enumerate(centroids)],
+        "cell int, centroid_d1 double",
+    )
+    counts = (
+        kmeans_assign(corpus, centroids, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    return (
+        cent_df.join(counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long")
+            .alias("n_members"),
+            "centroid_d1",
+        )
+    )

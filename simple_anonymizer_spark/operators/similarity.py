@@ -277,17 +277,23 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its ``nprobe`` closest cells and scores exactly
     inside them. Output: ``query_id, neighbor_id, rank``.
+
+    ``centroids`` plugs in a trained coarse quantizer (e.g.
+    ``kmeans.kmeans_fit``); the default is the deterministic iteration-zero
+    stand-in from ``ivf_centroids``.
 
     Scale shape: cell assignment is a shuffle-free map (see
     ``ivf_assign_cell``); the only corpus movement is the cell-key join
     against the (broadcast) probe list, and with the index stored
     partitioned by cell a probe reads ``nprobe/n_cells`` of the data.
     Recall is tunable via ``nprobe`` exactly as in FAISS-style IVF-Flat."""
-    centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),

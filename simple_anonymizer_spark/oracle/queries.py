@@ -1806,3 +1806,67 @@ SELECT d.doc_id,
         100 * coalesce(h.n_contaminated, 0) >= 20 * len(d.grams)) AS flagged
 FROM test_docs d LEFT JOIN hits h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (operators/kmeans.py): 2 deterministic Lloyd
+# iterations mirrored CTE-for-CTE — lowest-id init, argmax-cosine assign
+# (row_number DESC/cell ASC = Spark's array_position-of-max), DECIMAL(20,10)
+# dimension sums, one double division, empty cells carry the old centroid.
+# ---------------------------------------------------------------------------
+
+
+def _cosd(a: str, b: str) -> str:
+    dot = f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) for i in {_IDX}])"
+    na = f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) for i in {_IDX}]))"
+    nb = f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) for i in {_IDX}]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _kmeans_assign_cte(prev_cent: str, name: str) -> str:
+    cos = _cosd("e.embedding", "c.cv")
+    return f"""
+{name}_s AS (
+  SELECT e.vec_id, e.embedding AS xv, c.cell, {cos} AS cc
+  FROM embeddings e CROSS JOIN {prev_cent} c
+),
+{name} AS (
+  SELECT vec_id, xv, cell FROM (
+    SELECT vec_id, xv, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell ASC) AS rn
+    FROM {name}_s
+  ) WHERE rn = 1
+)"""
+
+
+def _kmeans_update_cte(assign: str, prev_cent: str, name: str) -> str:
+    return f"""
+{name}_sums AS (
+  SELECT cell, d,
+         (CAST(sum(CAST(floor(CAST(xv[d] AS DOUBLE) * 16777216.0) AS BIGINT))
+               AS DOUBLE) / 16777216.0) / count(*) AS m
+  FROM {assign}, range(1, {EMBEDDING_DIM + 1}) t(d)
+  GROUP BY cell, d
+),
+{name}_new AS (
+  SELECT cell, list(m ORDER BY d) AS cv FROM {name}_sums GROUP BY cell
+),
+{name} AS (
+  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+  FROM {prev_cent} p LEFT JOIN {name}_new n USING (cell)
+)"""
+
+
+ORACLES["embedding_kmeans"] = f"""
+WITH c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell,
+         embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+),{_kmeans_assign_cte('c0', 'a1')},{_kmeans_update_cte('a1', 'c0', 'c1')},{_kmeans_assign_cte('c1', 'a2')},{_kmeans_update_cte('a2', 'c1', 'c2')},{_kmeans_assign_cte('c2', 'a3')},
+counts AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY cell
+)
+SELECT c.cell, CAST(COALESCE(k.n_members, 0) AS BIGINT) AS n_members,
+       CAST(c.cv[1] AS DOUBLE) AS centroid_d1
+FROM c2 c LEFT JOIN counts k USING (cell)
+"""

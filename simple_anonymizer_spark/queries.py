@@ -1453,3 +1453,16 @@ def contamination_bloom(spark, sf_dir):
         num_bits=1 << 16,
         num_hashes=4,
     )
+
+
+@query("embedding_kmeans")
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings corpus (2 iterations,
+    8 cells): map-side argmax-cosine assignment + one bounded-collect
+    centroid update per iteration (operators/kmeans.py). Deterministic end
+    to end, so both iterations are mirrored in the DuckDB oracle."""
+    from .operators.kmeans import kmeans_cluster_profile
+
+    return kmeans_cluster_profile(
+        _t(spark, sf_dir, "embeddings"), n_clusters=8, iters=2
+    )

@@ -1,0 +1,87 @@
+"""Distributed k-means (operators/kmeans.py): Lloyd's invariants —
+monotone non-increasing inertia, determinism across runs, empty-cluster
+carry-over, membership conservation — and the trained-quantizer plug-in
+path into ivf_topk."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from simple_anonymizer_spark.operators import kmeans, similarity
+from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_sf_table(spark, sf_dir, "embeddings").cache()
+
+
+def _inertia(emb, centroids):
+    """Mean cosine distance (1 - cos) to the assigned centroid."""
+    assigned = emb.select(
+        F.col("embedding").alias("__v"),
+        kmeans.ivf_assign_cell(F.col("embedding"), centroids).alias("__cell"),
+    )
+    cos_arr = F.array(*[
+        similarity.cosine(
+            F.col("__v"), F.array(*[F.lit(x) for x in c])
+        )
+        for c in centroids
+    ])
+    return (
+        assigned.select(
+            (1.0 - F.element_at(cos_arr, F.col("__cell") + 1)).alias("d")
+        ).agg(F.avg("d")).first()[0]
+    )
+
+
+def test_inertia_non_increasing_over_iterations(spark, emb):
+    inertias = [
+        _inertia(emb, kmeans.kmeans_fit(emb, n_clusters=8, iters=it))
+        for it in range(4)
+    ]
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev + 1e-12, inertias
+    assert inertias[-1] < inertias[0]  # training actually moved something
+
+
+def test_deterministic_across_runs(spark, emb):
+    a = kmeans.kmeans_fit(emb, n_clusters=8, iters=2)
+    b = kmeans.kmeans_fit(emb, n_clusters=8, iters=2)
+    assert a == b  # exact float equality — the whole pipeline is pinned
+
+
+def test_membership_conserved(spark, emb):
+    prof = kmeans.kmeans_cluster_profile(emb, n_clusters=8, iters=2)
+    rows = prof.collect()
+    assert len(rows) == 8
+    assert sum(r.n_members for r in rows) == emb.count()
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # 3 requested clusters, only 2 real groups far apart: one init centroid
+    # loses all members and must survive unchanged (no NaNs, no crash).
+    rows = [Row(vec_id=i, embedding=[1.0, 0.0]) for i in range(3)]
+    rows += [Row(vec_id=10 + i, embedding=[0.0, 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    cents = kmeans.kmeans_fit(df, n_clusters=3, iters=2, vec_col="embedding")
+    assert len(cents) == 3
+    assert all(all(not math.isnan(x) for x in c) for c in cents)
+
+
+def test_trained_centroids_plug_into_ivf(spark, emb):
+    cents = kmeans.kmeans_fit(emb, n_clusters=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries, k=3, nprobe=2, centroids=cents)
+    got = out.collect()
+    assert {r.query_id for r in got} == {0, 1, 2, 3, 4}
+    for r in got:
+        assert 1 <= r.rank <= 3
+
+
+def test_validation(spark, emb):
+    with pytest.raises(ValueError, match=">= 1"):
+        kmeans.kmeans_fit(emb, n_clusters=0)
