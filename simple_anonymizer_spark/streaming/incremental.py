@@ -112,23 +112,73 @@ def stream_rollup(
         reader = reader.schema(schema)
     raw = normalize_events_ts(reader.parquet(source_path))
 
-    batch_id_file = rollup_path + ".last_batch.json"
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(batch_id_file):
-            with open(batch_id_file) as fh:
-                if json.load(fh)["last_batch_id"] >= batch_id:
-                    return  # replay after a crash: already merged
+    def merge_batch(batch_df: DataFrame, _bid: int) -> None:
         delta = tumbling_rollup_delta(batch_df, window_len)
         merge_additive(
             batch_df.sparkSession, delta, rollup_path,
             keys=["window_start", "event_type"],
             add_cols=["n_events", "sum_value_dec"],
         )
+
+    return (
+        raw.writeStream.foreachBatch(_replay_guarded(rollup_path, merge_batch))
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def _replay_guarded(table_path: str, fn):
+    """Wrap a foreachBatch body with the batch-id replay guard: a batch
+    replayed after a crash between merge and checkpoint commit is skipped
+    instead of double-merged (additive merges are NOT idempotent). The
+    last applied id lives next to the table it protects."""
+    batch_id_file = table_path + ".last_batch.json"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(batch_id_file):
+            with open(batch_id_file) as fh:
+                if json.load(fh)["last_batch_id"] >= batch_id:
+                    return  # replay after a crash: already merged
+        fn(batch_df, batch_id)
         with open(batch_id_file, "w") as fh:
             json.dump({"last_batch_id": batch_id}, fh)
 
+    return apply_batch
+
+
+def stream_sketch_rollup(
+    spark: SparkSession,
+    source_path: str,
+    sketch_path: str,
+    checkpoint: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    depth: int = 4,
+    width: int = 256,
+    schema=None,
+):
+    """Continuously-maintained count-min sketch over a stream — sketch
+    cells are ADDITIVE (cnt sums), so the same delta-aggregate + additive
+    MERGE pattern as ``stream_rollup`` keeps a full-history frequency
+    summary in ``depth*width`` rows of table state: no watermark, no state
+    store, late data folds in whenever it arrives, and point estimates
+    stay valid mid-stream (``sketch.cms_estimate`` reads the table
+    directly). Returns the DataStreamWriter (call ``.start()``)."""
+    from ..operators.sketch import cms_sketch
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = normalize_events_ts(reader.parquet(source_path))
+
+    def merge_batch(batch_df: DataFrame, _bid: int) -> None:
+        delta = cms_sketch(
+            batch_df.selectExpr(f"{key_expr} AS __key"), "__key", depth, width
+        )
+        merge_additive(
+            batch_df.sparkSession, delta, sketch_path,
+            keys=["sketch_row", "bucket"], add_cols=["cnt"],
+        )
+
     return (
-        raw.writeStream.foreachBatch(apply_batch)
+        raw.writeStream.foreachBatch(_replay_guarded(sketch_path, merge_batch))
         .option("checkpointLocation", checkpoint)
     )

@@ -85,3 +85,64 @@ def test_incremental_rollup_across_arrivals(spark, sf_dir, tmp_path):
     with open(rollup + ".last_batch.json") as fh:
         last = json.load(fh)["last_batch_id"]
     assert last >= 0
+
+
+def test_incremental_sketch_across_arrivals(spark, sf_dir, tmp_path):
+    """The streamed count-min sketch after N arrivals must equal the batch
+    sketch over all data seen so far, and a no-new-data run is a no-op."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.sketch import cms_sketch
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    halves = [raw.where(F.col("event_id") % 2 == i) for i in (0, 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_path = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    schema = raw.schema
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (
+            INC.stream_sketch_rollup(
+                spark, str(src), sketch_path, ckpt, schema=schema
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    def sketch_rows(path_or_df):
+        df = (spark.read.parquet(path_or_df)
+              if isinstance(path_or_df, str) else path_or_df)
+        return {(r.sketch_row, r.bucket): r.cnt for r in df.collect()}
+
+    def batch_expected(df):
+        return sketch_rows(
+            cms_sketch(df.selectExpr("CAST(user_id AS STRING) AS __key"),
+                       "__key", 4, 256)
+        )
+
+    all_events = read_sf_table(spark, sf_dir, "events")
+    deliver(halves[0], "part1.parquet")
+    run_once()
+    assert sketch_rows(sketch_path) == batch_expected(
+        all_events.where(F.col("event_id") % 2 == 0))
+
+    deliver(halves[1], "part2.parquet")
+    run_once()
+    full = batch_expected(all_events)
+    assert sketch_rows(sketch_path) == full
+
+    run_once()  # no new files: table unchanged
+    assert sketch_rows(sketch_path) == full
