@@ -1870,3 +1870,44 @@ SELECT c.cell, CAST(COALESCE(k.n_members, 0) AS BIGINT) AS n_members,
        CAST(c.cv[1] AS DOUBLE) AS centroid_d1
 FROM c2 c LEFT JOIN counts k USING (cell)
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order curve (operators/layout.py): min/max scaling with explicit floor
+# (Spark truncates double->long, DuckDB rounds — floor-first is exact both
+# ways), then a generated 2x16-term bit interleave. Disjoint bits, so the
+# terms sum instead of OR.
+# ---------------------------------------------------------------------------
+
+
+def _z_scaled(col: str, lo: str, hi: str, bits: int) -> str:
+    top = float((1 << bits) - 1)
+    return (
+        f"CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {top} / ({hi} - {lo})) "
+        f"AS BIGINT)"
+    )
+
+
+def _z_interleave(scaled: list[str], bits: int) -> str:
+    n = len(scaled)
+    terms = []
+    for j, s in enumerate(scaled):
+        for b in range(bits):
+            terms.append(f"((({s} >> {b}) & 1) << {b * n + j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLES["zorder_orders"] = f"""
+WITH b AS (
+  SELECT min(CAST(o_custkey AS DOUBLE)) AS lo0,
+         max(CAST(o_custkey AS DOUBLE)) AS hi0,
+         min(CAST(o_totalprice AS DOUBLE)) AS lo1,
+         max(CAST(o_totalprice AS DOUBLE)) AS hi1
+  FROM orders
+)
+SELECT o.o_orderkey,
+       {_z_interleave([_z_scaled('o.o_custkey', 'b.lo0', 'b.hi0', 16),
+                       _z_scaled('o.o_totalprice', 'b.lo1', 'b.hi1', 16)],
+                      16)} AS zval
+FROM orders o CROSS JOIN b
+"""

@@ -1466,3 +1466,27 @@ def embedding_kmeans(spark, sf_dir):
     return kmeans_cluster_profile(
         _t(spark, sf_dir, "embeddings"), n_clusters=8, iters=2
     )
+
+
+@query("zorder_orders")
+def zorder_orders(spark, sf_dir):
+    """Morton (Z-order) curve values for orders on (o_custkey,
+    o_totalprice) — the multi-column clustering key behind
+    layout.zorder_by; pure integer bit-interleave after one bounded
+    min/max pass, mirrored bit-for-bit in the oracle."""
+    from .operators import layout
+
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("lo0"),
+        F.max(F.col("o_custkey").cast("double")).alias("hi0"),
+        F.min(F.col("o_totalprice").cast("double")).alias("lo1"),
+        F.max(F.col("o_totalprice").cast("double")).alias("hi1"),
+    ).first()
+    scaled = [
+        layout._scale_expr(F.col("o_custkey"), bounds["lo0"], bounds["hi0"], 16),
+        layout._scale_expr(F.col("o_totalprice"), bounds["lo1"], bounds["hi1"], 16),
+    ]
+    return o.select(
+        "o_orderkey", layout.zorder_value(scaled, 16).alias("zval")
+    )
