@@ -290,3 +290,80 @@ def levenshtein_adjacent_pairs(
         dist.alias("edit_distance"),
         sim.alias("prefix_similarity"),
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The standing LSH index for incremental dedup: one ``(doc_id, band,
+    key)`` row per band per document — exactly the entries
+    ``minhash_lsh_pairs`` computes internally, exposed so a corpus can pay
+    its signature pass ONCE and persist the result (bucket it on
+    ``(band, key)`` via ``skew.write_bucketed`` so every future ingest
+    join is co-located and shuffle-free on the corpus side)."""
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return _band_entries(src, num_hashes, bands, shingle_k).select(
+        F.col("__id").alias(id_col), F.col("__band").alias("band"),
+        F.col("__key").alias("key"),
+    )
+
+
+def minhash_lsh_ingest(
+    corpus_index: DataFrame,
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate screen for an INCOMING batch against a standing
+    corpus — the production ingest shape: signatures are computed for the
+    new batch only; the corpus side contributes its prebuilt
+    ``minhash_band_index`` (typically read back from a bucketed table), so
+    ingest cost is O(batch), not O(corpus).
+
+    Candidates come from an equi-join on ``(band, key)`` between the new
+    batch's band entries and the index; verification recomputes shingles
+    for the matched candidate ids on both sides (candidates << corpus).
+    Output: ``new_id, corpus_id, jaccard`` — every standing document each
+    new document would near-duplicate at the threshold.
+    """
+    new_src = new_docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    new_entries = _band_entries(new_src, num_hashes, bands, shingle_k).select(
+        F.col("__id").alias("new_id"), F.col("__band").alias("band"),
+        F.col("__key").alias("key"),
+    )
+    idx = corpus_index.select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    candidates = (
+        new_entries.join(idx, ["band", "key"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        T.char_shingles(F.col(text_col), shingle_k).alias("__sh_a"),
+    )
+    sh_corpus = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        T.char_shingles(F.col(text_col), shingle_k).alias("__sh_b"),
+    )
+    return (
+        candidates.join(sh_new, "new_id")
+        .join(sh_corpus, "corpus_id")
+        .withColumn("jaccard", T.jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -1911,3 +1911,56 @@ SELECT o.o_orderkey,
                       16)} AS zval
 FROM orders o CROSS JOIN b
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH ingest (dedup.minhash_lsh_ingest): the new batch's band
+# entries join the standing corpus index on (band, key); no bucket cap on
+# this path (the candidate set is bounded by the batch, not the corpus).
+# ---------------------------------------------------------------------------
+
+
+def _band_selects_from(src: str, idcol: str, bands: int, rows: int) -> str:
+    selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT {idcol}, {b} AS band, {key} AS key FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLES["dedup_lsh_ingest"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+csh AS (SELECT doc_id, {_shingles('text')} AS sh FROM corpus),
+csig AS (
+  SELECT doc_id, sh, {_minhash_sig(f"[{_h('s')} for s in sh]", 16)} AS sig
+  FROM csh
+),
+cbands AS ({_band_selects_from('csig', 'doc_id', 4, 4)}),
+nsh AS (SELECT doc_id, {_shingles('text')} AS sh FROM newd),
+nsig AS (
+  SELECT doc_id, sh, {_minhash_sig(f"[{_h('s')} for s in sh]", 16)} AS sig
+  FROM nsh
+),
+nbands AS ({_band_selects_from('nsig', 'doc_id', 4, 4)}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM nbands n JOIN cbands c ON n.band = c.band AND n.key = c.key
+  WHERE n.doc_id <> c.doc_id
+),
+scored AS (
+  SELECT cd.new_id, cd.corpus_id,
+    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      / CAST(len(sa.sh) + len(sb.sh)
+             - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      AS jaccard
+  FROM cand cd
+  JOIN nsh sa ON sa.doc_id = cd.new_id
+  JOIN csh sb ON sb.doc_id = cd.corpus_id
+)
+SELECT new_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.5
+"""

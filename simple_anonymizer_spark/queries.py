@@ -1490,3 +1490,16 @@ def zorder_orders(spark, sf_dir):
     return o.select(
         "o_orderkey", layout.zorder_value(scaled, 16).alias("zval")
     )
+
+
+@query("dedup_lsh_ingest")
+def dedup_lsh_ingest(spark, sf_dir):
+    """Incremental near-dup ingest: every 10th document arrives as a new
+    batch and screens against the standing corpus's prebuilt LSH band
+    index (operators/dedup.py minhash_band_index + minhash_lsh_ingest) —
+    signatures are computed for the batch only."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    index = dedup.minhash_band_index(corpus)
+    return dedup.minhash_lsh_ingest(index, corpus, new)

@@ -37,7 +37,7 @@ NATIVE_QUERIES = [
     "winsorize_order_prices", "simjoin_exact_jaccard",
     "profile_customer", "dq_fk_audit", "drift_price_distribution",
     "cms_sketch_tokens", "cms_heavy_hitters", "contamination_bloom",
-    "embedding_kmeans", "zorder_orders",
+    "embedding_kmeans", "zorder_orders", "dedup_lsh_ingest",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
