@@ -130,3 +130,58 @@ def balanced_sample(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, weight_col: str, k: int, key_col: str, salt: str = "_w"
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows, inclusion probability
+    approximately proportional to ``weight_col``: rank each row by
+    ``(bucket + 1) / weight`` (heavier rows draw systematically smaller
+    ranks) and keep the global ``k`` smallest — the hash-deterministic
+    first-order form of Efraimidis-Spirakis A-Res, chosen over the exact
+    ``u^(1/w)`` key because division of identical doubles is bit-stable
+    across engines while ``pow``/``ln`` are not. The ``+1`` keeps a
+    zero bucket from erasing the weight.
+
+    Plans as TakeOrderedAndProject — no global sort materializes; weights
+    must be strictly positive."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rank = (
+        (sample_bucket(key_col, salt) + F.lit(1)).cast("double")
+        / F.col(weight_col).cast("double")
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .orderBy(rank.asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def remix_equal(
+    df: DataFrame, group_col: str, key_col: str, salt: str = "_remix"
+) -> DataFrame:
+    """Re-mix to a uniform group distribution by undersampling every group
+    to the size of the SMALLEST group — the deterministic "equal mixture"
+    step of corpus construction (e.g. balance languages before training).
+    Exact counts (not rate-approximate): per-group hash-rank top-n with a
+    unique-key tie-break, where n is the min group size from one bounded
+    aggregate (``n_groups`` rows, broadcast back as a literal).
+
+    One count aggregation + one window shuffle on ``group_col``; the
+    output is exactly ``n_groups * min_count`` rows on every engine."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).count().collect()  # bounded: one row/group
+    if not counts:
+        return df
+    min_n = min(r["count"] for r in counts)
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= min_n)
+        .drop("__rk")
+    )

@@ -1964,3 +1964,34 @@ scored AS (
 )
 SELECT new_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.5
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling + equal remix (operators/sampling.py additions).
+# ---------------------------------------------------------------------------
+
+_WDOC_BUCKET = "(" + O.stable_hash("(CAST(doc_id AS VARCHAR) || '_w')") + " % 10000)"
+_RMX_BUCKET = "(" + O.stable_hash("(CAST(doc_id AS VARCHAR) || '_remix')") + " % 10000)"
+
+ORACLES["sample_weighted_topk"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY CAST({_WDOC_BUCKET} + 1 AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC,
+         doc_id ASC
+LIMIT 100
+"""
+
+ORACLES["remix_lang_equal"] = f"""
+WITH sizes AS (
+  SELECT count(*) AS cnt FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {_RMX_BUCKET}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE rn <= (SELECT min(cnt) FROM sizes)
+"""

@@ -1503,3 +1503,29 @@ def dedup_lsh_ingest(spark, sf_dir):
     new = docs.where(F.col("doc_id") % 10 == 0)
     index = dedup.minhash_band_index(corpus)
     return dedup.minhash_lsh_ingest(index, corpus, new)
+
+
+@query("sample_weighted_topk")
+def sample_weighted_topk(spark, sf_dir):
+    """Length-weighted deterministic document sample: 100 docs, inclusion
+    probability ~ n_chars (sampling.weighted_sample_topk; hash-rank
+    divided by weight, TakeOrderedAndProject)."""
+    from .operators.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", 100, "doc_id",
+    )
+
+
+@query("remix_lang_equal")
+def remix_lang_equal(spark, sf_dir):
+    """Language-balanced corpus remix: every language undersampled to the
+    smallest language's count, exact and deterministic
+    (sampling.remix_equal)."""
+    from .operators.sampling import remix_equal
+
+    return remix_equal(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id",
+    )

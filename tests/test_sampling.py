@@ -104,3 +104,52 @@ def test_balanced_sample_caps_classes(spark):
     # Determinism: same selection under a different partition layout.
     again = balanced_sample(df.repartition(13), "label", 10, "k")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_weighted_sample_favors_heavy_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.sampling import weighted_sample_topk
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sample = weighted_sample_topk(docs, "n_chars", 100, "doc_id")
+    assert sample.count() == 100
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sample.agg(F.avg("n_chars")).first()[0]
+    # inclusion ~ weight, so the sample mean must sit clearly above the
+    # corpus mean (length-biased sampling inflates the expectation)
+    assert sample_mean > corpus_mean * 1.05, (sample_mean, corpus_mean)
+    # determinism across invocations
+    a = sorted(r.doc_id for r in sample.collect())
+    b = sorted(r.doc_id for r in
+               weighted_sample_topk(docs, "n_chars", 100, "doc_id").collect())
+    assert a == b
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    from simple_anonymizer_spark.operators.sampling import weighted_sample_topk
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = (weighted_sample_topk(docs, "n_chars", 100, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_remix_equalizes_group_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.sampling import remix_equal
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    before = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert len(set(before.values())) > 1  # fixture is actually skewed
+    after = {
+        r.lang: r["count"]
+        for r in remix_equal(docs, "lang", "doc_id")
+            .groupBy("lang").count().collect()
+    }
+    assert set(after.values()) == {min(before.values())}
+    assert set(after) == set(before)
