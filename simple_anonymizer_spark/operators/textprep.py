@@ -186,3 +186,90 @@ def pack_sequences(
          / budget_tokens).cast("long").alias("seq_id"),
         (F.col("__offset") % budget_tokens).alias("seq_offset"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with stable contiguous ids: tokens ranked by
+    (frequency DESC, token ASC) — the deterministic id assignment step of
+    tokenizer/embedding-table construction.
+    Output: ``token, token_id (0-based long), n_occurrences``.
+
+    Scale: the frequency aggregation is map-side combinable over the
+    corpus; the ranking window runs over the DISTINCT-token table, which
+    is vocabulary-bounded (10^5-10^7 rows at web scale, not corpus-sized)
+    — a deliberate single-reducer over model-sized state, same class as
+    the centroid collect in kmeans. ``min_freq``/``max_size`` prune the
+    long tail before anything downstream joins the vocab."""
+    from pyspark.sql import Window
+
+    from ..functions import textops as T
+
+    freq = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_freq)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    vocab = freq.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("token", "token_id", "n_occurrences")
+    if max_size is not None:
+        vocab = vocab.where(F.col("token_id") < max_size)
+    return vocab
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document as its token-id sequence against ``vocab``
+    (out-of-vocabulary tokens map to ``oov_id``). Ids are emitted as a
+    space-joined string so the value hash is engine-neutral (the repo's
+    scalar-output convention). Output: ``<id_col>, n_tokens, ids_csv``;
+    zero-token documents keep a row with ``n_tokens 0`` and empty csv.
+
+    Plan: positional explode -> broadcast join on the (model-sized) vocab
+    -> one per-document aggregation with an in-row positional sort. The
+    corpus shuffles once, on ``id_col``."""
+    from ..functions import textops as T
+
+    toks = T.tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "token")
+    )
+    tagged = exploded.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col, "__pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("__tid"),
+    )
+    encoded = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__tid"))
+                    ),
+                    lambda s: s["__tid"].cast("string"),
+                ),
+                " ",
+            ).alias("ids_csv"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(encoded, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("ids_csv"), F.lit("")).alias("ids_csv"),
+    )

@@ -1995,3 +1995,48 @@ ranked AS (
 SELECT doc_id, lang FROM ranked
 WHERE rn <= (SELECT min(cnt) FROM sizes)
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary + encoding (operators/textprep.py build_vocab/encode_documents).
+# ---------------------------------------------------------------------------
+
+_VOCAB_CTE = f"""
+vtoks AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) - 1
+              AS BIGINT) AS token_id,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM vtoks GROUP BY token
+)"""
+
+ORACLES["vocab_build"] = f"""
+WITH {_VOCAB_CTE}
+SELECT token, token_id, n_occurrences FROM vocab
+"""
+
+ORACLES["encode_docs"] = f"""
+WITH {_VOCAB_CTE},
+d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+pos AS (
+  -- generate_subscripts + unnest expand in lockstep (range() rejects
+  -- lateral column parameters in this DuckDB version)
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+  FROM d
+),
+tagged AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.token_id, -1) AS tid
+  FROM pos p LEFT JOIN vocab v USING (token)
+),
+enc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids_csv
+  FROM tagged GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(e.ids_csv, '') AS ids_csv
+FROM d LEFT JOIN enc e USING (doc_id)
+"""

@@ -1529,3 +1529,24 @@ def remix_lang_equal(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "lang"),
         "lang", "doc_id",
     )
+
+
+@query("vocab_build")
+def vocab_build(spark, sf_dir):
+    """Deterministic corpus vocabulary (textprep.build_vocab): contiguous
+    ids by (frequency DESC, token ASC) over the vocabulary-bounded
+    distinct-token table."""
+    from .operators.textprep import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"))
+
+
+@query("encode_docs")
+def encode_docs(spark, sf_dir):
+    """Token-id encoding of every document against the corpus vocabulary
+    (textprep.encode_documents) — the tokenize-and-encode step before
+    sequence packing; ids emitted as CSV for engine-neutral hashing."""
+    from .operators.textprep import build_vocab, encode_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return encode_documents(docs, build_vocab(docs))

@@ -38,7 +38,7 @@ NATIVE_QUERIES = [
     "profile_customer", "dq_fk_audit", "drift_price_distribution",
     "cms_sketch_tokens", "cms_heavy_hitters", "contamination_bloom",
     "embedding_kmeans", "zorder_orders", "dedup_lsh_ingest",
-    "sample_weighted_topk", "remix_lang_equal",
+    "sample_weighted_topk", "remix_lang_equal", "vocab_build", "encode_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

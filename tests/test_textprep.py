@@ -119,3 +119,50 @@ def test_pack_sequences_partition_invariance_and_plan(spark):
 
     for cached in owner + wide_owner:
         cached.unpersist()
+
+
+def test_vocab_and_encoding_roundtrip(spark):
+    """Encoding then decoding through the vocab must reproduce the
+    original token stream; OOV maps to -1; id 0 is the most frequent
+    token; zero-token docs keep an empty row."""
+    from pyspark.sql import Row, functions as F
+
+    from simple_anonymizer_spark.operators.textprep import (
+        build_vocab, encode_documents,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat"),
+        Row(doc_id=2, text="the dog"),
+        Row(doc_id=3, text="   "),
+    ])
+    vocab = build_vocab(docs)
+    v = {r.token: (r.token_id, r.n_occurrences) for r in vocab.collect()}
+    assert v["the"][0] == 0 and v["the"][1] == 3  # most frequent -> id 0
+    assert len({tid for tid, _ in v.values()}) == len(v)  # ids unique
+    assert sorted(tid for tid, _ in v.values()) == list(range(len(v)))
+
+    enc = {r.doc_id: (r.n_tokens, r.ids_csv)
+           for r in encode_documents(docs, vocab).collect()}
+    assert enc[3] == (0, "")
+    inv = {tid: tok for tok, (tid, _) in v.items()}
+    decoded = " ".join(inv[int(t)] for t in enc[1][1].split(" "))
+    assert decoded == "the cat sat on the mat"
+
+    # OOV: encode against a vocab missing "dog"
+    small = vocab.where(F.col("token") != "dog")
+    enc2 = {r.doc_id: r.ids_csv
+            for r in encode_documents(docs, small).collect()}
+    assert enc2[2].split(" ")[1] == "-1"
+
+
+def test_vocab_min_freq_and_max_size(spark):
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.textprep import build_vocab
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b b c")])
+    assert build_vocab(docs, min_freq=2).count() == 2
+    top = build_vocab(docs, max_size=1).collect()
+    assert len(top) == 1 and top[0].token == "a"
