@@ -128,8 +128,11 @@ def bloom_contamination_report(
     stays exact-integer. The train side aggregates to ≤ ``num_bits/64``
     broadcastable rows; the test side is map-side + one broadcast join."""
     from .contamination import token_ngrams
+    from .dedup import ensure_parallelism
 
     grams = token_ngrams(F.col(text_col), n)
+    train = ensure_parallelism(train)
+    test = ensure_parallelism(test)
     train_grams = train.select(F.explode(grams).alias("gram"))
     bloom = bloom_build(train_grams, "gram", num_bits, num_hashes, salt)
 

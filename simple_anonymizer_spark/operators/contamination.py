@@ -58,6 +58,10 @@ def contamination_report(
     (``100 * hits >= pct * grams``) so the flag never depends on float
     rounding.
     """
+    from .dedup import ensure_parallelism
+
+    train = ensure_parallelism(train)
+    test = ensure_parallelism(test)
     train_grams = (
         train.select(F.explode(token_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()

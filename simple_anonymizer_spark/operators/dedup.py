@@ -306,7 +306,9 @@ def minhash_band_index(
     its signature pass ONCE and persist the result (bucket it on
     ``(band, key)`` via ``skew.write_bucketed`` so every future ingest
     join is co-located and shuffle-free on the corpus side)."""
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    )
     return _band_entries(src, num_hashes, bands, shingle_k).select(
         F.col("__id").alias(id_col), F.col("__band").alias("band"),
         F.col("__key").alias("key"),
@@ -336,9 +338,9 @@ def minhash_lsh_ingest(
     Output: ``new_id, corpus_id, jaccard`` — every standing document each
     new document would near-duplicate at the threshold.
     """
-    new_src = new_docs.select(
+    new_src = ensure_parallelism(new_docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    )
+    ))
     new_entries = _band_entries(new_src, num_hashes, bands, shingle_k).select(
         F.col("__id").alias("new_id"), F.col("__band").alias("band"),
         F.col("__key").alias("key"),

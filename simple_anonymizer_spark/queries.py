@@ -1412,7 +1412,7 @@ def cms_sketch_tokens(spark, sf_dir):
     matter the token cardinality (operators/sketch.py)."""
     from .operators import sketch
 
-    toks = _t(spark, sf_dir, "documents").select(
+    toks = dedup.ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         F.explode(T.tokens(F.col("text"))).alias("token")
     )
     return sketch.cms_sketch(toks, "token", depth=4, width=256)
@@ -1426,7 +1426,7 @@ def cms_heavy_hitters(spark, sf_dir):
     so the DuckDB oracle replays the grid exactly."""
     from .operators import sketch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
     probes = (
         docs.where(F.col("doc_id") % 20 == 0)
@@ -1538,7 +1538,7 @@ def vocab_build(spark, sf_dir):
     distinct-token table."""
     from .operators.textprep import build_vocab
 
-    return build_vocab(_t(spark, sf_dir, "documents"))
+    return build_vocab(dedup.ensure_parallelism(_t(spark, sf_dir, "documents")))
 
 
 @query("encode_docs")
@@ -1548,5 +1548,5 @@ def encode_docs(spark, sf_dir):
     sequence packing; ids emitted as CSV for engine-neutral hashing."""
     from .operators.textprep import build_vocab, encode_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     return encode_documents(docs, build_vocab(docs))
