@@ -72,25 +72,43 @@ def jaccard_join(
     n = F.size("__arr")
     # prefix length: n - ceil(n*num/den) + 1, integer ceil
     plen = n - F.floor((n * num + den - 1) / den).cast("int") + 1
+    # Candidate generation carries ONLY (id, size, prefix token) — the
+    # token arrays attach after the distinct, so the (potentially large)
+    # pre-dedup join never shuffles array payloads. The classic length
+    # filter rides the join: Jaccard >= num/den forces
+    # den*|x| >= num*|y| both ways, which on high thresholds prunes most
+    # prefix collisions before they exist as rows.
     pref = arrs.select(
-        "__id", "__arr", F.explode(F.slice("__arr", 1, plen)).alias("ptok")
+        "__id", n.alias("__n"), F.explode(F.slice("__arr", 1, plen)).alias("ptok")
     )
     left = pref.select(
-        F.col("__id").alias("id_a"), F.col("__arr").alias("__aa"), "ptok"
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "ptok"
     )
     right = pref.select(
-        F.col("__id").alias("id_b"), F.col("__arr").alias("__ab"), "ptok"
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"),
+        F.col("ptok").alias("__ptok_b"),
     )
     cand = (
-        left.join(right, "ptok")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__aa", "__ab")
-        .dropDuplicates(["id_a", "id_b"])
+        left.join(
+            right,
+            (F.col("ptok") == F.col("__ptok_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na") * den >= F.col("__nb") * num)
+            & (F.col("__nb") * den >= F.col("__na") * num),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(arrs.select(F.col("__id").alias("id_a"),
+                              F.col("__arr").alias("__aa")), "id_a")
+        .join(arrs.select(F.col("__id").alias("id_b"),
+                          F.col("__arr").alias("__ab")), "id_b")
     )
     inter = F.size(F.array_intersect("__aa", "__ab"))
     union = F.size("__aa") + F.size("__ab") - inter
     return (
-        cand.select(
+        verified.select(
             "id_a", "id_b",
             inter.cast("long").alias("n_inter"),
             union.cast("long").alias("n_union"),

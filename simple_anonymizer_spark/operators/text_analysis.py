@@ -11,6 +11,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import textops as T
 
+
+def _spread(df):
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(df)
+
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Frozen: contents and order are part of the operator spec.
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -129,6 +135,7 @@ def tfidf_top_terms(
     and the join key (term) is the natural partitioner; a hot stopword term
     is bounded by the per-doc distinct-term count, not the corpus.
     """
+    df = _spread(df)
     toks = df.select(
         F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
     )
@@ -177,6 +184,7 @@ def repetition_metrics(
     per-row in-memory frequency map, so a pathological document costs
     rows, not driver/executor memory. The token-level stats ride the scan.
     """
+    df = _spread(df)
     tok = T.tokens(F.col(text_col))
     head = F.slice(tok, 1, F.size(tok) - 1)
     tail = F.slice(tok, 2, F.size(tok) - 1)
@@ -246,6 +254,7 @@ def duplicate_spans(
     of the 30-char string (declared collision tolerance ~n²/2⁶⁴) — kept
     exact here for bit-parity with the oracle.
     """
+    df = _spread(df)
     n = F.length(F.col(text_col))
     grams_all = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
@@ -284,7 +293,7 @@ def top_tokens(
     The exact answer needs the full count pass; swap in a count-min sketch
     only when a bounded-error answer is acceptable."""
     counts = (
-        df.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+        _spread(df).select(F.explode(T.tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )

@@ -414,11 +414,18 @@ def agg_approx_distinct(spark, sf_dir):
     side's sketch drifting past the bound fails the hash gate), plus the
     exact counts which must match bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
+    # Keep the DISTINCT aggregate in its own plan: mixing countDistinct
+    # with TypedImperative sketch aggregates (HLL / QuantileSummaries)
+    # forces a SortAggregate fallback over the Expand — measured 22 s vs
+    # ~1.5 s for two hash aggregations joined on the (tiny) group key.
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("__approx"),
         F.percentile_approx("l_quantity", 0.5).alias("__med"),
     )
+    g = exact.join(sketches, "l_returnflag")
     return g.select(
         "l_returnflag",
         "exact_orders",
@@ -617,7 +624,7 @@ def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, banded hyperplane-LSH
     candidates (4 bands x 8 planes — OR over bands keeps recall while each
     band's 256 buckets keep the within-bucket join near-linear)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = dedup.ensure_parallelism(_t(spark, sf_dir, "embeddings"))
     return similarity.embedding_neardup_pairs(
         e, threshold=0.9, bands=4, planes_per_band=8
     )
@@ -1284,7 +1291,7 @@ def corpus_top_bigrams(spark, sf_dir):
     tie-break, TakeOrderedAndProject top-n."""
     from .operators.contamination import token_ngrams
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(token_ngrams(F.col("text"), 2)).alias("bigram"))
         .groupBy("bigram")
