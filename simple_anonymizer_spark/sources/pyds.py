@@ -1,0 +1,120 @@
+"""Spark 4 Python Data Source over the DB-API/fake-Postgres layer —
+``spark.read.format("fakepg")`` with EXECUTOR-side partitioned reads.
+
+The ``dbapi_reader`` bridge fetches rows on the driver (fine for tests,
+a bottleneck by construction). This source moves the fetch into the
+workers through Spark's official Python Data Source API
+(``pyspark.sql.datasource``, SPARK-44076): ``partitions()`` reproduces
+Spark JDBC's range-partitioning predicates (``dbapi.partition_clauses``),
+and each ``read(partition)`` opens its own connection INSIDE the task —
+the same per-partition-connection execution model the JDBC scan uses on
+a real cluster, including per-connection snapshot pinning
+(``SET TRANSACTION SNAPSHOT`` via ``dbapi.session_init_sql``), so every
+partition of a scan observes one point-in-time view regardless of
+concurrent writers (reference: ``src/DbCopier.scala:130-145``).
+
+Options (all strings, per the DataSource API):
+
+* ``path``       — fake-PG state file (executors share it; a real DB-API
+                   driver would take a DSN here)
+* ``table``      — table to scan (required)
+* ``dbschema``   — database schema, default ``public``
+* ``where``      — pushed WHERE clause text
+* ``partition_column`` / ``lower`` / ``upper`` / ``num_partitions``
+                 — Spark-JDBC-style range partitioning
+* ``snapshot_id`` — pin all partitions to one exported snapshot
+
+Register once per session: ``spark.dataSource.register(FakePGDataSource)``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .dbapi import (
+    _spark_type,
+    introspect_types,
+    partition_clauses,
+    session_init_sql,
+)
+from .jdbc import render_select
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, clause: str):
+        self.clause = clause
+
+
+class FakePGDataSource(DataSource):
+    """``format("fakepg")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fakepg"
+
+    def _connect(self):
+        from . import fakepg
+
+        return fakepg.connect(self.options["path"])
+
+    def schema(self):
+        table = self.options["table"]
+        schema_name = self.options.get("dbschema", "public")
+        types = introspect_types(self._connect, schema_name)
+        if table not in types:
+            raise ValueError(f"unknown table {table!r}")
+        return T.StructType(
+            [T.StructField(c, _spark_type(t), True)
+             for c, t in types[table].items()]
+        )
+
+    def reader(self, schema: T.StructType) -> "FakePGReader":
+        return FakePGReader(self.options, schema)
+
+
+class FakePGReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        self.options = dict(options)
+        self.spark_schema = schema
+
+    def partitions(self) -> list[InputPartition]:
+        col = self.options.get("partition_column")
+        if not col:
+            return [_RangePartition("")]
+        clauses = partition_clauses(
+            col,
+            int(self.options["lower"]),
+            int(self.options["upper"]),
+            int(self.options["num_partitions"]),
+        )
+        return [_RangePartition(c) for c in clauses]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        # Runs in the executor's Python worker: one connection per task,
+        # exactly like a JDBC partition scan.
+        from . import fakepg
+
+        options, schema = self.options, self.spark_schema
+        cols = [f.name for f in schema.fields]
+        conjuncts = [c for c in (options.get("where"), partition.clause) if c]
+        where = " AND ".join(
+            f"({c})" if len(conjuncts) > 1 else c for c in conjuncts
+        ) or None
+        sql = render_select(
+            options["table"], cols, options.get("dbschema", "public"),
+            where, None,
+        )
+        conn = fakepg.connect(options["path"])
+        try:
+            cur = conn.cursor()
+            snapshot_id = options.get("snapshot_id")
+            if snapshot_id:
+                cur.execute(session_init_sql(snapshot_id))
+            cur.execute(sql)
+            for row in cur.fetchall():
+                yield tuple(row)
+        finally:
+            conn.close()
