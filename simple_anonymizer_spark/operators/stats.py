@@ -436,3 +436,82 @@ def distribution_drift(
             / (F.lit(2.0) * (F.col("total_a") * F.col("total_b")).cast("double"))
         ).alias("tvd"),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_bins: int = 10,
+    partitions: int | None = None,
+    cache_owner: list | None = None,
+) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram: rows are ranked under
+    the total order ``(value, tie)`` and row of global rank ``r`` (0-based)
+    lands in bin ``(r * n_bins) div n`` — bins differ in width, not count
+    (the optimizer-statistics / feature-binning shape; ``histogram`` is
+    the equal-WIDTH counterpart). Output: ``bin, n_rows, lo, hi`` with
+    decimal-exact double bin edges.
+
+    The global rank would be the classic ``Window.orderBy`` single-reducer
+    trap; instead it reuses ``pack_sequences``' distributed two-pass
+    prefix sum: range-repartition on the order key, rank within each
+    partition, collect ONE row-count per partition, and broadcast-join the
+    exclusive prefix back. Result is identical to the global rank because
+    range partitions are contiguous under the same total order. Same cache
+    contract as pack_sequences (``cache_owner`` receives the pinned
+    intermediate).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    v = _dec(F.col(value_col))
+    ranged = (
+        df.select(v.alias("__v"), F.col(tie_col).alias("__t"))
+        .repartitionByRange(partitions, F.col("__v"), F.col("__t"))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__v"), F.col("__t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "__local_r", F.count(F.lit(1)).over(w) - 1
+    )
+    totals = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    if cache_owner is not None:
+        cache_owner.append(ranged)
+    n = sum(c for _, c in totals)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "bin long, n_rows long, lo double, hi double"
+        )
+    prefix_rows, running = [], 0
+    for pid, c in totals:
+        prefix_rows.append((pid, running))
+        running += c
+    prefix_df = spark.createDataFrame(prefix_rows, "__pid int, __base long")
+    ranked = local.join(F.broadcast(prefix_df), "__pid").select(
+        "__v", (F.col("__local_r") + F.col("__base")).alias("__r")
+    )
+    return (
+        # integer `div`, not `/`: float division's correct rounding can
+        # cross an integer boundary at extreme n (CLAUDE.md float rule)
+        ranked.select(
+            F.expr(f"CAST((__r * {n_bins}) div {n} AS BIGINT)").alias("bin"),
+            "__v",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__v").cast("double").alias("lo"),
+            F.max("__v").cast("double").alias("hi"),
+        )
+    )

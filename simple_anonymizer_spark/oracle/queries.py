@@ -2040,3 +2040,26 @@ SELECT d.doc_id, CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
        COALESCE(e.ids_csv, '') AS ids_csv
 FROM d LEFT JOIN enc e USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (stats.equi_depth_histogram): global rank under
+# (value, tie), bin = (rank * n_bins) div n. The oracle uses a plain
+# window (DuckDB side has no scale constraint).
+# ---------------------------------------------------------------------------
+
+ORACLES["equidepth_order_prices"] = """
+WITH ranked AS (
+  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+         row_number() OVER (
+           ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey
+         ) - 1 AS r,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST((r * 10) // n AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(v) AS DOUBLE) AS lo,
+       CAST(max(v) AS DOUBLE) AS hi
+FROM ranked GROUP BY bin
+"""

@@ -1557,3 +1557,15 @@ def encode_docs(spark, sf_dir):
 
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     return encode_documents(docs, build_vocab(docs))
+
+
+@query("equidepth_order_prices")
+def equidepth_order_prices(spark, sf_dir):
+    """Exact equal-frequency decile histogram of order totals
+    (stats.equi_depth_histogram): distributed global rank via the
+    two-pass prefix sum, no single-reducer global window."""
+    from .operators import stats
+
+    return stats.equi_depth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", 10
+    )

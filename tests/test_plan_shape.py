@@ -39,6 +39,7 @@ NATIVE_QUERIES = [
     "cms_sketch_tokens", "cms_heavy_hitters", "contamination_bloom",
     "embedding_kmeans", "zorder_orders", "dedup_lsh_ingest",
     "sample_weighted_topk", "remix_lang_equal", "vocab_build", "encode_docs",
+    "equidepth_order_prices",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

@@ -407,3 +407,39 @@ def test_distribution_drift_bounds(spark):
         a, spark.createDataFrame([Row(v=10.0), Row(v=90.0)]), "v", 1000
     ).collect()[0]
     assert 0.0 < mixed.tvd < 1.0
+
+
+def test_equi_depth_histogram_properties(spark, sf_dir):
+    """Bins hold equal counts (+-1), edges are ordered and non-overlapping,
+    total mass conserved, result invariant to partition count."""
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.stats import equi_depth_histogram
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    orders = read_sf_table(spark, sf_dir, "orders")
+    total = orders.count()
+    owner: list = []
+    rows = sorted(
+        (r.bin, r.n_rows, r.lo, r.hi)
+        for r in equi_depth_histogram(
+            orders, "o_totalprice", "o_orderkey", 10, cache_owner=owner
+        ).collect()
+    )
+    assert [b for b, *_ in rows] == list(range(10))
+    counts = [n for _, n, *_ in rows]
+    assert sum(counts) == total
+    assert max(counts) - min(counts) <= 1  # equal frequency
+    for (_, _, lo, hi), (_, _, lo2, _) in zip(rows, rows[1:]):
+        assert lo <= hi <= lo2  # ordered, non-overlapping edges
+    wide_owner: list = []
+    wide = sorted(
+        (r.bin, r.n_rows, r.lo, r.hi)
+        for r in equi_depth_histogram(
+            orders, "o_totalprice", "o_orderkey", 10,
+            partitions=64, cache_owner=wide_owner,
+        ).collect()
+    )
+    assert wide == rows
+    for c in owner + wide_owner:
+        c.unpersist()
