@@ -88,15 +88,21 @@ def bloom_might_contain(
     salt: str = BLOOM_SALT,
 ) -> DataFrame:
     """Probe: adds ``might_contain`` to ``probes`` (distinct rows are NOT
-    assumed — each row is answered independently). The filter side is
-    explicitly broadcast: the probe relation never shuffles; per probe row
-    the plan costs ``num_hashes`` exploded rows + one broadcast-hash-join
-    lookup each."""
+    assumed — each row is answered independently: a unique row id is
+    carried through the explode so duplicate probe rows neither collapse
+    nor cross-contaminate the bit count). The filter side is explicitly
+    broadcast: the probe relation never shuffles; per probe row the plan
+    costs ``num_hashes`` exploded rows + one broadcast-hash-join lookup
+    each. Membership is ``min(hit) == 1`` (every bit set), which stays
+    correct even if the grouping key is not unique."""
     _check(num_bits, num_hashes)
     key = F.col(key_col)
     cols = probes.columns
     wm = F.array(*[_word_mask(key, r, num_bits, salt) for r in range(num_hashes)])
-    exploded = probes.select(*cols, F.posexplode(wm).alias("__r", "__wm"))
+    exploded = probes.select(
+        *cols,
+        F.monotonically_increasing_id().alias("__row_id"),
+    ).select(*cols, "__row_id", F.posexplode(wm).alias("__r", "__wm"))
     looked = exploded.join(F.broadcast(bloom),
                            exploded["__wm.word_idx"] == bloom["word_idx"],
                            "left")
@@ -105,8 +111,9 @@ def bloom_might_contain(
         .bitwiseAND(F.col("__wm.mask")) != 0
     ).cast("int")
     return (
-        looked.groupBy(*cols)
-        .agg((F.sum(hit) == num_hashes).alias("might_contain"))
+        looked.groupBy("__row_id", *cols)
+        .agg((F.min(hit) == 1).alias("might_contain"))
+        .drop("__row_id")
     )
 
 

@@ -458,9 +458,15 @@ def equi_depth_histogram(
     prefix sum: range-repartition on the order key, rank within each
     partition, collect ONE row-count per partition, and broadcast-join the
     exclusive prefix back. Result is identical to the global rank because
-    range partitions are contiguous under the same total order. Same cache
-    contract as pack_sequences (``cache_owner`` receives the pinned
-    intermediate).
+    range partitions are contiguous under the same total order.
+
+    Cache ownership: the ranged projection must stay pinned between the
+    per-partition count collect and the ranked join (partition ids have to
+    agree across the two jobs). With ``cache_owner`` given, the caller
+    unpersists (pack_sequences contract, result stays lazy). With
+    ``cache_owner=None`` the function owns it: the histogram — at most
+    ``n_bins`` rows — is materialized eagerly, the cache released, and a
+    local DataFrame returned, so repeated invocations leak nothing.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
@@ -488,11 +494,12 @@ def equi_depth_histogram(
     )
     if cache_owner is not None:
         cache_owner.append(ranged)
+    schema = "bin long, n_rows long, lo double, hi double"
     n = sum(c for _, c in totals)
     if n == 0:
-        return spark.createDataFrame(
-            [], "bin long, n_rows long, lo double, hi double"
-        )
+        if cache_owner is None:
+            ranged.unpersist()
+        return spark.createDataFrame([], schema)
     prefix_rows, running = [], 0
     for pid, c in totals:
         prefix_rows.append((pid, running))
@@ -501,7 +508,7 @@ def equi_depth_histogram(
     ranked = local.join(F.broadcast(prefix_df), "__pid").select(
         "__v", (F.col("__local_r") + F.col("__base")).alias("__r")
     )
-    return (
+    hist = (
         # integer `div`, not `/`: float division's correct rounding can
         # cross an integer boundary at extreme n (CLAUDE.md float rule)
         ranked.select(
@@ -515,3 +522,9 @@ def equi_depth_histogram(
             F.max("__v").cast("double").alias("hi"),
         )
     )
+    if cache_owner is None:
+        rows = [(r["bin"], r["n_rows"], r["lo"], r["hi"])
+                for r in hist.collect()]
+        ranged.unpersist()
+        return spark.createDataFrame(rows, schema)
+    return hist

@@ -1881,10 +1881,13 @@ FROM c2 c LEFT JOIN counts k USING (cell)
 
 
 def _z_scaled(col: str, lo: str, hi: str, bits: int) -> str:
+    # Constant-column guard mirrors layout._scale_expr: hi <= lo -> 0
+    # (without it DuckDB divides by zero into NaN/Inf while Spark emits 0).
     top = float((1 << bits) - 1)
     return (
+        f"CASE WHEN {hi} <= {lo} THEN 0 ELSE "
         f"CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {top} / ({hi} - {lo})) "
-        f"AS BIGINT)"
+        f"AS BIGINT) END"
     )
 
 

@@ -68,20 +68,27 @@ def build_merge(
 
     Mapping (mirrors ``OnConflict.render`` clause-for-clause):
 
-    * ``None``         -> insert-all only (plain INSERT append semantics)
     * ``do_nothing``   -> whenNotMatchedInsertAll (matched rows untouched)
     * ``do_update``    -> whenMatchedUpdate(update_columns or all
       non-key columns) + whenNotMatchedInsertAll
+
+    ``on_conflict=None`` is NOT a merge: plain INSERT appends every source
+    row, duplicates included (what the JDBC batch INSERT and
+    ``merge_dataframes`` both do), while an insert-only MERGE silently
+    drops source rows whose keys already exist in the target. The None
+    case must go through an append write — passing it here raises.
     """
+    if on_conflict is None:
+        raise ValueError(
+            "on_conflict=None is plain-INSERT (append) semantics; "
+            "write with mode('append') instead of MERGE"
+        )
     cond = " AND ".join(f"{_TGT}.`{k}` = {_SRC}.`{k}`" for k in keys)
     builder = table.alias(_TGT).merge(source.alias(_SRC), cond)
-    if on_conflict is None or on_conflict.action == "update":
-        if on_conflict is None:
-            update_cols = []  # plain INSERT: never touch matched rows
-        else:
-            update_cols = list(on_conflict.update_columns) or [
-                c for c in all_columns if c not in keys
-            ]
+    if on_conflict.action == "update":
+        update_cols = list(on_conflict.update_columns) or [
+            c for c in all_columns if c not in keys
+        ]
         if update_cols:
             builder = builder.whenMatchedUpdate(
                 set={c: f"{_SRC}.`{c}`" for c in update_cols}
@@ -106,9 +113,16 @@ def merge_lakehouse(
     if table is None:  # pragma: no cover - requires Delta jars
         from delta.tables import DeltaTable
 
-        if not DeltaTable.isDeltaTable(spark, path):
+        exists = DeltaTable.isDeltaTable(spark, path)
+        if not exists or on_conflict is None:
+            # First write creates the table; on_conflict=None appends to
+            # an existing one — plain-INSERT semantics, matching
+            # merge_dataframes/the JDBC path (an insert-only MERGE would
+            # silently drop source rows whose keys already exist).
             result = dedupe_source(source, keys) if on_conflict else source
-            writer = result.write.format("delta").mode("overwrite")
+            writer = result.write.format("delta").mode(
+                "append" if exists else "overwrite"
+            )
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.save(path)

@@ -22,6 +22,21 @@ def test_inserted_keys_always_might_contain(spark):
     assert got.where(~F.col("might_contain")).count() == 0  # no false negatives
 
 
+def test_duplicate_probe_rows_answered_independently(spark):
+    """k duplicate probe rows must each come back (no groupBy collapse) and
+    each answer True for an inserted key — the historical bug summed hits
+    across the duplicates, turning k*num_hashes hits into a false negative."""
+    train = spark.createDataFrame([Row(k="present")])
+    filt = bloom.bloom_build(train, "k", BITS, K)
+    probes = spark.createDataFrame(
+        [Row(k="present")] * 3 + [Row(k="absent-xyzzy")] * 2
+    )
+    got = bloom.bloom_might_contain(filt, probes, "k", BITS, K).collect()
+    assert len(got) == 5  # duplicates preserved, one answer per input row
+    answers = sorted((r.k, r.might_contain) for r in got)
+    assert [a for a in answers if a[0] == "present"] == [("present", True)] * 3
+
+
 def test_false_positive_rate_bounded(spark):
     train = spark.createDataFrame([Row(k=f"in-{n}") for n in range(500)])
     probe = spark.createDataFrame([Row(k=f"out-{n}") for n in range(2000)])

@@ -112,6 +112,34 @@ def test_merge_source_is_key_deduped(spark, target_df):
     assert [(r.id, r.v) for r in rows] == [(3, "z")]  # last under total order
 
 
+def test_build_merge_rejects_plain_insert(spark, target_df):
+    """on_conflict=None is append semantics (every source row lands,
+    duplicates included) — an insert-only MERGE would drop rows whose keys
+    already exist, so the builder refuses to translate it."""
+    table = RecordingTable(spark, target_df)
+    src = spark.createDataFrame([Row(id=2, v="B")], "id long, v string")
+    with pytest.raises(ValueError, match="append"):
+        lakehouse.build_merge(table, src, ["id"], None, src.columns)
+
+
+def test_front_door_none_matches_parquet_append(spark, tmp_path):
+    """Parity for the None case on the front door: with no Delta runtime it
+    must behave exactly like merge_parquet's plain append — existing keys
+    kept AND re-appended, not dropped."""
+    t = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")],
+                              "id long, v string")
+    src = spark.createDataFrame([Row(id=2, v="B"), Row(id=3, v="c")],
+                                "id long, v string")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    t.write.parquet(p1)
+    t.write.parquet(p2)
+    n = lakehouse.merge_table(spark, src, p1, ["id"], None)
+    merge_parquet(spark, src, p2, ["id"], None)
+    assert n == 4  # 2 existing + 2 appended; id=2 now present twice
+    assert sorted(map(tuple, spark.read.parquet(p1).collect())) == \
+        sorted(map(tuple, spark.read.parquet(p2).collect()))
+
+
 def test_front_door_falls_back_to_parquet(spark, tmp_path):
     assert not lakehouse.delta_available(spark)
     path = str(tmp_path / "t")

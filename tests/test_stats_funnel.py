@@ -443,3 +443,31 @@ def test_equi_depth_histogram_properties(spark, sf_dir):
     assert wide == rows
     for c in owner + wide_owner:
         c.unpersist()
+
+
+def test_equi_depth_histogram_owns_cache_when_unowned(spark, sf_dir):
+    """cache_owner=None must not pin partitions past the call: the function
+    materializes the tiny histogram, releases its cache, and still returns
+    the same rows (headline-query leak regression, ADVICE r3)."""
+    from simple_anonymizer_spark.operators.stats import equi_depth_histogram
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    sc = spark.sparkContext
+    before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    orders = read_sf_table(spark, sf_dir, "orders")
+    owner: list = []
+    owned = sorted(
+        map(tuple, equi_depth_histogram(
+            orders, "o_totalprice", "o_orderkey", 10, cache_owner=owner
+        ).collect())
+    )
+    for c in owner:
+        c.unpersist()
+    unowned = sorted(
+        map(tuple, equi_depth_histogram(
+            orders, "o_totalprice", "o_orderkey", 10
+        ).collect())
+    )
+    assert unowned == owned
+    after = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    assert after - before == set()  # nothing left pinned
