@@ -40,6 +40,15 @@ HEADLINE = [
     "doc_fingerprint",
     "embedding_topk",
     "multimodal_meta",
+    # Round-2/3 heavy operators — benched so a scale regression in them is
+    # caught by the committed artifact, not a manual sweep. (Keeps the
+    # original 18 above unchanged for round-over-round comparability.)
+    "simjoin_exact_jaccard",
+    "embedding_kmeans",
+    "cms_sketch_tokens",
+    "zorder_orders",
+    "equidepth_order_prices",
+    "pack_sequences_docs",
 ]
 
 

@@ -208,8 +208,14 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Per-document SimHash fingerprint (near-dup candidates share values
-    within small Hamming distance). Output: ``doc id, simhash``."""
-    return ensure_parallelism(df).select(
+    within small Hamming distance). Output: ``doc id, simhash``.
+
+    No ``ensure_parallelism`` here: the signature is one tokenize+fold
+    pass per row — cheap enough that the repartition shuffle costs more
+    than the parallelism buys (measured 0.47 s -> 0.86 s at sf0.1 when it
+    was added in round 3). The guard stays on the shingle-exploding
+    operators, whose per-row cost dwarfs a shuffle write."""
+    return df.select(
         F.col(id_col),
         T.simhash(T.element_hashes(T.tokens(F.col(text_col))), bits).alias("simhash"),
     )

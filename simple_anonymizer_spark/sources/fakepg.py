@@ -219,6 +219,21 @@ class FakePostgres:
     def connect(self) -> "FakeConnection":
         return FakeConnection(self.path)
 
+    def connect_factory(self):
+        """Picklable zero-arg connect callable (executor-side safe) — the
+        common backend contract shared with ``pgwire``-backed live servers
+        so the integration suite runs unchanged against either."""
+        import functools
+
+        return functools.partial(connect, self.path)
+
+    def constraint_state(self, name: str) -> tuple[bool, bool]:
+        """(deferrable, initially_deferred) for a named FK — test hook
+        mirroring the live tier's pg_constraint query."""
+        with _locked(self.path) as state:
+            fk = state.fks[name]
+            return fk.deferrable, fk.initially_deferred
+
 
 def connect(path: str) -> "FakeConnection":
     """Module-level DB-API connect — picklable for foreachPartition via

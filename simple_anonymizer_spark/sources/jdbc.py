@@ -122,8 +122,11 @@ def render_restore_constraint(
 
 # Catalog introspection queries (``src/DbContext.scala:49-118`` verbatim).
 COLUMNS_SQL = (
+    # ORDER BY ordinal_position: declared column order is part of the
+    # contract (dbapi_reader's default projection, catalog.columns) — a
+    # real server returns arbitrary order without it.
     "SELECT table_name, column_name, data_type FROM information_schema.columns "
-    "WHERE table_schema = %s"
+    "WHERE table_schema = %s ORDER BY table_name, ordinal_position"
 )
 PRIMARY_KEYS_SQL = """
 SELECT c.relname, a.attname

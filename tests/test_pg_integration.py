@@ -179,8 +179,8 @@ ALL_TABLES = ("users", "orders", "categories", "order_items", "employees",
 
 def make_copier(spark, source_db, target_db, specs, skipped=frozenset()):
     """Wire DbCopier to the fake through the product's own layers."""
-    src_connect = partial(fakepg.connect, source_db.path)
-    tgt_connect = partial(fakepg.connect, target_db.path)
+    src_connect = source_db.connect_factory()
+    tgt_connect = target_db.connect_factory()
     catalog = introspect_catalog(src_connect)
     coordinator = SnapshotCoordinator.export(src_connect)
     read = dbapi_reader(spark, src_connect,
@@ -266,7 +266,7 @@ def test_fakepg_jsonb_canonicalization(source_db):
 
 
 def test_introspect_catalog_contract(source_db):
-    catalog = introspect_catalog(partial(fakepg.connect, source_db.path))
+    catalog = introspect_catalog(source_db.connect_factory())
     assert catalog.tables == tuple(sorted(ALL_TABLES))
     assert catalog.primary_keys["tree_nodes"] == frozenset({"group_id", "position"})
     assert catalog.columns["users"] == ["id", "first_name", "last_name", "email"]
@@ -372,8 +372,9 @@ def test_self_ref_cross_table_propagation(spark, source_db, target_db):
     assert poetry == []
 
 
-def test_nulled_and_fixed_values(spark, source_db, target_db):
-    """DbCopierIntegrationTest.scala:159-209."""
+def nulled_and_fixed_body(spark, source_db, target_db, fresh_target):
+    """Backend-agnostic body (``fresh_target()`` supplies a second empty
+    target database of the same backend)."""
     specs = {
         "users": TableSpec.select(lambda r: [r.first_name, r.email.nulled, r.last_name]),
         "categories": TableSpec.select(lambda r: [r.name]),
@@ -388,9 +389,7 @@ def test_nulled_and_fixed_values(spark, source_db, target_db):
     assert q1(tgt, "SELECT email FROM users WHERE email IS NOT NULL") == []
 
     # := constant replacement, into a fresh target
-    import tempfile, os
-    fresh = FakePostgres(os.path.join(tempfile.mkdtemp(), "t2.db"))
-    create_schema(fresh)
+    fresh = fresh_target()
     specs2 = {
         "users": TableSpec.select(lambda r: [
             r.first_name, r.email.set_to("redacted@example.com"), r.last_name]),
@@ -405,6 +404,19 @@ def test_nulled_and_fixed_values(spark, source_db, target_db):
         coord2.close()
     emails = q1(tgt2, "SELECT DISTINCT email FROM users")
     assert emails == [("redacted@example.com",)]
+
+
+def test_nulled_and_fixed_values(spark, source_db, target_db):
+    """DbCopierIntegrationTest.scala:159-209."""
+    import os
+    import tempfile
+
+    def fresh_target():
+        db = FakePostgres(os.path.join(tempfile.mkdtemp(), "t2.db"))
+        create_schema(db)
+        return db
+
+    nulled_and_fixed_body(spark, source_db, target_db, fresh_target)
 
 
 def test_jsonb_roundtrip_preserves_untargeted(spark, source_db, target_db):
@@ -545,8 +557,8 @@ def test_limit_and_batch_size(spark, source_db, target_db):
 
 
 def single_table_env(spark, source_db, target_db):
-    src_connect = partial(fakepg.connect, source_db.path)
-    tgt_connect = partial(fakepg.connect, target_db.path)
+    src_connect = source_db.connect_factory()
+    tgt_connect = target_db.connect_factory()
     catalog = introspect_catalog(src_connect)
     read = dbapi_reader(spark, src_connect)
 
@@ -586,9 +598,10 @@ def test_copy_table_self_ref_children_before_parents(spark, source_db, target_db
     [(children,)] = q1(tgt, "SELECT COUNT(*) FROM categories WHERE parent_id IS NOT NULL")
     assert children == 7
     # constraint restored to NOT DEFERRABLE after the bracket
-    with fakepg._locked(target_db.path) as state:
-        fk = state.fks["categories_parent_id_fkey"]
-        assert not fk.deferrable and not fk.initially_deferred
+    deferrable, initially_deferred = target_db.constraint_state(
+        "categories_parent_id_fkey"
+    )
+    assert not deferrable and not initially_deferred
 
 
 def test_copy_table_multi_fk_and_composite_self_ref(spark, source_db, target_db):
@@ -605,13 +618,11 @@ def test_copy_table_multi_fk_and_composite_self_ref(spark, source_db, target_db)
     assert q1(tgt, "SELECT COUNT(*) FROM tree_nodes WHERE parent_group_id IS NOT NULL") == [(4,)]
 
 
-def test_hostile_identifier_quoting(spark, tmp_path):
-    """TableCopierIntegrationTest.scala:182-216: hostile table/column names
-    round-trip safely through rendered SQL."""
+def hostile_identifier_body(spark, src, tgt_db):
+    """Backend-agnostic body of the hostile-identifier test — the live-PG
+    tier replays it against a real server (``tests/test_pg_live.py``)."""
     table = "users; DROP TABLE orders; --"
     column = "data; DELETE FROM users; --"
-    src = FakePostgres(str(tmp_path / "hostile_src.db"))
-    tgt_db = FakePostgres(str(tmp_path / "hostile_tgt.db"))
     for db in (src, tgt_db):
         create_schema(db)
         db.create_table(table, [("id", "integer"), (column, "varchar(100)")],
@@ -620,8 +631,8 @@ def test_hostile_identifier_quoting(spark, tmp_path):
     src.load(table, [{"id": 1, column: "test data 1"},
                      {"id": 2, column: "test data 2"}])
 
-    src_connect = partial(fakepg.connect, src.path)
-    tgt_connect = partial(fakepg.connect, tgt_db.path)
+    src_connect = src.connect_factory()
+    tgt_connect = tgt_db.connect_factory()
     read = dbapi_reader(spark, src_connect)
 
     def write_table(t, df):
@@ -632,12 +643,20 @@ def test_hostile_identifier_quoting(spark, tmp_path):
     from simple_anonymizer_spark.plans.output_column import SourceColumn
     spec = TableSpec(columns=(SourceColumn("id"), SourceColumn(column)))
     assert copy_table(read, write_table, table, spec) == 2
-    assert q1(partial(fakepg.connect, src.path), "SELECT COUNT(*) FROM orders") == [(12,)]
+    assert q1(src.connect_factory(), "SELECT COUNT(*) FROM orders") == [(12,)]
     conn = tgt_connect()
     cur = conn.cursor()
     cur.execute('SELECT COUNT(*) FROM "users; DROP TABLE orders; --"')
     assert cur.fetchone() == (2,)
     conn.close()
+
+
+def test_hostile_identifier_quoting(spark, tmp_path):
+    """TableCopierIntegrationTest.scala:182-216: hostile table/column names
+    round-trip safely through rendered SQL."""
+    hostile_identifier_body(spark,
+                            FakePostgres(str(tmp_path / "hostile_src.db")),
+                            FakePostgres(str(tmp_path / "hostile_tgt.db")))
 
 
 # ---------------------------------------------------------------------------
@@ -648,7 +667,7 @@ def test_hostile_identifier_quoting(spark, tmp_path):
 def test_snapshot_pinned_partitioned_reads(spark, source_db):
     """src/DbCopier.scala:130-145: partitioned parallel reads all see the
     exported snapshot, not concurrent commits."""
-    src_connect = partial(fakepg.connect, source_db.path)
+    src_connect = source_db.connect_factory()
     coord = SnapshotCoordinator.export(src_connect)
     try:
         # concurrent writer commits after the snapshot
@@ -675,7 +694,7 @@ def test_snapshot_pinned_partitioned_reads(spark, source_db):
 def test_pushdown_select_rendering(spark, source_db):
     """Subquery pushdown semantics: WHERE/ORDER BY id DESC/LIMIT run inside
     the database (src/CopyAction.scala:72-84)."""
-    read = dbapi_reader(spark, partial(fakepg.connect, source_db.path))
+    read = dbapi_reader(spark, source_db.connect_factory())
     df = read("users", columns=["id", "email"], where_sql="id <= 8", limit=2)
     rows = sorted((r.id, r.email) for r in df.collect())
     # ORDER BY "id" DESC LIMIT 2 over ids 1..8 -> 7, 8
@@ -685,7 +704,7 @@ def test_pushdown_select_rendering(spark, source_db):
 def test_upsert_idempotent_under_task_retry(source_db, target_db):
     """src/CopyAction.scala:167-235: a retried partition (same rows, second
     transaction) must not duplicate or fail when ON CONFLICT is set."""
-    tgt = partial(fakepg.connect, target_db.path)
+    tgt = target_db.connect_factory()
     rows = [{"id": i, "first_name": f"F{i}", "last_name": f"L{i}", "email": f"e{i}@x"}
             for i in range(1, 6)]
     cols = ["id", "first_name", "last_name", "email"]
@@ -712,7 +731,7 @@ def test_upsert_idempotent_under_task_retry(source_db, target_db):
 def test_on_conflict_constraint_target(source_db, target_db):
     """ON CONFLICT ON CONSTRAINT "users_pkey" targets the named constraint
     (src/OnConflict.scala:25-31)."""
-    tgt = partial(fakepg.connect, target_db.path)
+    tgt = target_db.connect_factory()
     cols = ["id", "first_name", "last_name", "email"]
     sql = render_insert("users", cols,
                         on_conflict=OnConflict.do_nothing(constraint="users_pkey"))
@@ -728,7 +747,7 @@ def test_on_conflict_constraint_target(source_db, target_db):
 def test_transaction_rollback_on_partition_failure(source_db, target_db):
     """upsert_writer rolls the whole partition back when any batch fails —
     no partial rows from a failed task."""
-    tgt = partial(fakepg.connect, target_db.path)
+    tgt = target_db.connect_factory()
     cols = ["id", "first_name", "last_name", "email"]
     good_then_bad = [
         {"id": 1, "first_name": "A", "last_name": "B", "email": "a@b"},
@@ -744,7 +763,7 @@ def test_dbapi_reader_limit_disables_partitioning(spark, source_db):
     """LIMIT and range partitioning don't compose (matching Spark JDBC):
     a limited read must run as one query so ORDER BY id DESC LIMIT n is
     globally correct, not per-partition."""
-    read = dbapi_reader(spark, partial(fakepg.connect, source_db.path),
+    read = dbapi_reader(spark, source_db.connect_factory(),
                         partition=("id", 1, 10, 4))
     rows = read("users", columns=["id"], limit=3).collect()
     assert sorted(r.id for r in rows) == [8, 9, 10]  # global top-3 by id desc
