@@ -210,12 +210,13 @@ def simhash_signatures(
     """Per-document SimHash fingerprint (near-dup candidates share values
     within small Hamming distance). Output: ``doc id, simhash``.
 
-    No ``ensure_parallelism`` here: the signature is one tokenize+fold
-    pass per row — cheap enough that the repartition shuffle costs more
-    than the parallelism buys (measured 0.47 s -> 0.86 s at sf0.1 when it
-    was added in round 3). The guard stays on the shingle-exploding
-    operators, whose per-row cost dwarfs a shuffle write."""
-    return df.select(
+    ``ensure_parallelism`` stays: the 32-wide zip_with fold is CPU-bound
+    per row, and isolated measurement at sf0.1 (single-file input) shows
+    the repartition 3x faster than scanning in place (0.29 s vs 0.82 s,
+    AQE on — explicit numPartitions is never AQE-coalesced). The round-3
+    bench reading 0.86 s that implicated the shuffle was adjacent-query
+    noise, not this plan."""
+    return ensure_parallelism(df).select(
         F.col(id_col),
         T.simhash(T.element_hashes(T.tokens(F.col(text_col))), bits).alias("simhash"),
     )

@@ -40,6 +40,22 @@ NATIVE_QUERIES = [
     "embedding_kmeans", "zorder_orders", "dedup_lsh_ingest",
     "sample_weighted_topk", "remix_lang_equal", "vocab_build", "encode_docs",
     "equidepth_order_prices",
+    # round-4 completion: every remaining registry entry, so the invariant
+    # covers the whole QUERIES surface (verified native this round —
+    # including lens_json_field, whose fixture lens compiles to built-in
+    # json functions).
+    "lens_json_field", "spec_project_fixed", "spec_topk_orders",
+    "spec_subset_region", "selfref_closure", "window_top_orders",
+    "window_running_totals", "setop_except", "setop_intersect_union",
+    "agg_segment_stats", "agg_rollup_region", "agg_cube_status",
+    "agg_grouping_sets", "pivot_segments", "agg_approx_distinct",
+    "scalar_dates", "scalar_math", "scalar_collections", "events_sliding",
+    "events_sessionize", "dedup_distinct_docs", "ngram_jaccard_adjacent",
+    "token_count_bpe", "text_quality", "embedding_neardup",
+    "embedding_topk_lsh", "join_anti_customers", "merge_upsert",
+    "embedding_topk_ivf", "range_join_shipments", "dedup_clusters",
+    "sample_stratified", "sample_split", "text_scrub_pii", "text_chunks",
+    "pipeline_corpus", "text_repetition", "dup_spans",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
