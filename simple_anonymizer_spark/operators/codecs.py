@@ -1,0 +1,238 @@
+"""Real media codecs built ONLY on the Python standard library (+ numpy
+for pixel resampling): PNG and BMP image decode, PNG encode, WAV audio
+decode, nearest-neighbor resize.
+
+These exist because the container ships no PIL/ffmpeg, yet "the decode
+step is stubbed" was the remaining multimodal gap: the ``mapInPandas``
+plumbing in ``operators/multimodal.py`` was proven on stand-in byte
+arithmetic only. The formats below have fully public, stdlib-decodable
+encodings — PNG is zlib (RFC 1950/1951) + per-scanline filters (RFC
+2083), BMP is plain little-endian structs, WAV is RIFF PCM — so a real
+decode → transform → re-encode path can run and be pinned in tests
+without any third-party install.
+
+Scope: PNG 8-bit greyscale/RGB/RGBA, non-interlaced (the overwhelmingly
+common case); BMP 24-bit uncompressed; WAV PCM. Anything else raises
+``ValueError`` — callers fall back to injection, same contract as
+before. Video stays injection-only: no stdlib video codec exists.
+
+These are per-record kernels meant to run INSIDE the Arrow-batched
+``mapInPandas`` stages (``multimodal.decode_image(df,
+decoder=codecs.image_dims)`` etc.) — the distribution story is the
+existing multimodal plumbing, unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        yield ctype, payload
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IEND":
+            return
+
+
+def png_header(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from IHDR."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            return w, h, depth, color
+    raise ValueError("PNG missing IHDR")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full decode -> (width, height, channels, raw pixels row-major,
+    top-down). 8-bit depth, color types 0/2/4/6, non-interlaced."""
+    w, h, depth, color = png_header(data)
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth/color ({depth}/{color})")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(
+        b"".join(p for t, p in _png_chunks(data) if t == b"IDAT")
+    )
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        filter_type = raw[row_start]
+        line = bytearray(raw[row_start + 1:row_start + 1 + stride])
+        if filter_type == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif filter_type == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filter_type == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up_left = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif filter_type != 0:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return w, h, channels, bytes(out)
+
+
+def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal non-interlaced 8-bit encoder (filter 0 rows). Inverse of
+    :func:`png_decode` for the supported color types."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match dimensions")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b""))
+
+
+# -- BMP ---------------------------------------------------------------------
+
+
+def bmp_header(data: bytes) -> tuple[int, int]:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    w, h = struct.unpack("<ii", data[18:26])
+    return w, abs(h)
+
+
+def bmp_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """24-bit uncompressed BMP -> (width, height, 3, RGB pixels top-down).
+    BMP stores BGR bottom-up with 4-byte row padding; both are undone."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP ({bpp}bpp, compression {compression})")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    row_bytes = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        row = data[offset + src_y * row_bytes: offset + src_y * row_bytes + w * 3]
+        for x in range(w):
+            b, g, r = row[3 * x:3 * x + 3]
+            out[(y * w + x) * 3:(y * w + x) * 3 + 3] = bytes((r, g, b))
+    return w, h, 3, bytes(out)
+
+
+# -- WAV ---------------------------------------------------------------------
+
+
+def wav_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """RIFF PCM WAV -> (n_channels, sample_rate, bits_per_sample, n_frames,
+    frame bytes). Parsed with structs directly (not the ``wave`` module) so
+    tests can build fixtures WITH ``wave`` and decode independently."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        ctype = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + length]
+        if ctype == b"fmt ":
+            audio_format, channels, rate = struct.unpack("<HHI", payload[:8])
+            (bits,) = struct.unpack("<H", payload[14:16])
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV format {audio_format}")
+            fmt = (channels, rate, bits)
+        elif ctype == b"data":
+            frames = payload
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits = fmt
+    frame_size = channels * (bits // 8)
+    return channels, rate, bits, len(frames) // frame_size, frames
+
+
+# -- dispatch + transforms ---------------------------------------------------
+
+
+def image_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) by magic-byte sniff — the default ``decoder`` for
+    ``multimodal.decode_image``. Header-only: no pixel inflate."""
+    if data[:8] == PNG_SIGNATURE:
+        w, h, _, _ = png_header(data)
+        return w, h
+    if data[:2] == b"BM":
+        return bmp_header(data)
+    raise ValueError("unrecognized image format (PNG/BMP supported)")
+
+
+def image_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    if data[:8] == PNG_SIGNATURE:
+        return png_decode(data)
+    if data[:2] == b"BM":
+        return bmp_decode(data)
+    raise ValueError("unrecognized image format (PNG/BMP supported)")
+
+
+def resize_nearest(width: int, height: int, channels: int, pixels: bytes,
+                   new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample (numpy fancy indexing — vectorized, no
+    Python pixel loop)."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = (np.arange(new_h) * height) // new_h
+    xs = (np.arange(new_w) * width) // new_w
+    return arr[ys][:, xs].tobytes()
+
+
+def png_resizer(data: bytes, new_w: int, new_h: int) -> bytes:
+    """Real ``resizer`` kernel for ``multimodal.resize_images``: decode
+    (PNG or BMP), nearest-neighbor resample, re-encode as PNG."""
+    w, h, channels, pixels = image_decode(data)
+    return png_encode(new_w, new_h, channels,
+                      resize_nearest(w, h, channels, pixels, new_w, new_h))

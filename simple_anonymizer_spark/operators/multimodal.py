@@ -3,12 +3,16 @@
 Media travels as opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each executor core processes whole record
-batches. The actual codec work needs libraries not present in this
-container, so the decode kernels are STUBBED: ``decode_image`` raises
-``NotImplementedError`` unless a caller injects a decoder, and
-``fake_decode_meta`` provides a deterministic stand-in (byte length +
-content hash) used by tests and the oracle harness. The Spark-side
-contract — schemas, batching, partitioning — is real and tested.
+batches.
+
+Codecs: real stdlib-only decoders live in ``operators/codecs.py`` (PNG
+and BMP decode, PNG encode, WAV PCM decode, nearest-neighbor resize) —
+``decode_image`` uses them by default and any callable can be injected
+for formats beyond them (JPEG/video need libraries this container does
+not ship). The oracle-gated queries keep the deterministic stand-in
+kernels (byte length + content hash) because DuckDB cannot decode
+pixels; the real-codec path is pinned by ``tests/test_codecs.py``
+end-to-end through the same mapInPandas stages.
 """
 
 from __future__ import annotations
@@ -50,14 +54,12 @@ def with_binary_content(
 
 
 def decode_image(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
-    """Decode images to (width, height, features). Requires an injected
-    ``decoder(bytes) -> (width, height)`` since no image library ships in
-    this container."""
+    """Decode images to (media_id, n_bytes, width, height). The default
+    ``decoder(bytes) -> (width, height)`` is the stdlib-only PNG/BMP
+    header reader (``codecs.image_dims``); inject a callable (e.g.
+    PIL-based) for other formats."""
     if decoder is None:
-        raise NotImplementedError(
-            "No image decoder available in this environment; inject "
-            "decoder=... (e.g. PIL.Image.open-based) to enable."
-        )
+        from .codecs import image_dims as decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,6 +178,40 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("bits_per_sample", IntegerType(), True),
+    StructField("n_frames", LongType(), True),
+])
+
+
+def extract_audio_meta(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Audio metadata via Arrow-batched mapInPandas. Default decoder is
+    the stdlib RIFF/PCM parser (``codecs.wav_decode``); injectable for
+    other containers/codecs. ``decoder(bytes) -> (channels, rate, bits,
+    n_frames, frame_bytes)``."""
+    if decoder is None:
+        from .codecs import wav_decode as decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (None, None, None, None) if b is None else decoder(b)[:4]
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_channels": pd.array([r[0] for r in rows], dtype="Int32"),
+                "sample_rate": pd.array([r[1] for r in rows], dtype="Int32"),
+                "bits_per_sample": pd.array([r[2] for r in rows], dtype="Int32"),
+                "n_frames": pd.array([r[3] for r in rows], dtype="Int64"),
+            })
+
+    return df.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 def extract_meta_native(df: DataFrame) -> DataFrame:

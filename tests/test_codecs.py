@@ -1,0 +1,202 @@
+"""Real stdlib codecs (operators/codecs.py) and their ride through the
+multimodal mapInPandas stages: PNG/BMP/WAV fixtures are constructed by
+INDEPENDENT paths (hand-packed structs, manually filtered scanlines, the
+stdlib ``wave`` writer) so decoder bugs cannot cancel encoder bugs."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+from pyspark.sql import Row
+
+from simple_anonymizer_spark.operators import codecs, multimodal
+
+# A 2x2 RGB image used throughout: R G / B W
+PIXELS_2X2 = bytes((255, 0, 0, 0, 255, 0,
+                    0, 0, 255, 255, 255, 255))
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+
+def png_bytes_manual(width, height, channels, pixels, filters):
+    """Build a PNG by hand with the GIVEN per-row filter types — an
+    independent construction path exercising the decoder's unfiltering."""
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    rows = []
+    prev = bytes(stride)
+    for y, ftype in zip(range(height), filters):
+        line = pixels[y * stride:(y + 1) * stride]
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:  # Sub: raw = cur - left
+            enc = bytes((line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                        for i in range(stride))
+        elif ftype == 2:  # Up: raw = cur - up
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:  # Average
+            enc = bytes((line[i] - (((line[i - channels] if i >= channels else 0)
+                                     + prev[i]) >> 1)) & 0xFF
+                        for i in range(stride))
+        elif ftype == 4:  # Paeth
+            enc = bytes((line[i] - codecs._paeth(
+                line[i - channels] if i >= channels else 0,
+                prev[i],
+                prev[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride))
+        rows.append(bytes([ftype]) + enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (codecs.PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _chunk(b"IEND", b""))
+
+
+def bmp_bytes_manual(width, height, rgb_topdown):
+    """24-bit bottom-up BMP with 4-byte row padding, packed by hand."""
+    row_bytes = (width * 3 + 3) & ~3
+    pad = bytes(row_bytes - width * 3)
+    body = b""
+    for y in reversed(range(height)):  # bottom-up storage
+        row = b""
+        for x in range(width):
+            r, g, b = rgb_topdown[(y * width + x) * 3:(y * width + x) * 3 + 3]
+            row += bytes((b, g, r))  # BGR on disk
+        body += row + pad
+    offset = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+              + struct.pack("<iiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def wav_bytes_stdlib(channels=2, rate=8000, n_frames=64):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n_frames * channels}h",
+                                  *range(n_frames * channels)))
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Kernel-level pins
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filters", [(0, 0), (1, 2), (3, 4), (4, 1)])
+def test_png_decode_all_filter_types(filters):
+    data = png_bytes_manual(2, 2, 3, PIXELS_2X2, filters)
+    assert codecs.png_decode(data) == (2, 2, 3, PIXELS_2X2)
+    assert codecs.png_header(data)[:2] == (2, 2)
+
+
+def test_png_encode_decode_roundtrip_all_channel_counts():
+    for channels in (1, 3, 4):
+        pixels = bytes(range(2 * 3 * channels))
+        data = codecs.png_encode(2, 3, channels, pixels)
+        assert codecs.png_decode(data) == (2, 3, channels, pixels)
+        assert codecs.image_dims(data) == (2, 3)
+
+
+def test_png_rejects_malformed():
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.png_header(b"JFIF....")
+    interlaced = (codecs.PNG_SIGNATURE
+                  + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)))
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.png_header(interlaced)
+
+
+def test_bmp_decode_undoes_bgr_bottomup_padding():
+    data = bmp_bytes_manual(2, 2, PIXELS_2X2)
+    assert codecs.bmp_decode(data) == (2, 2, 3, PIXELS_2X2)
+    assert codecs.bmp_header(data) == (2, 2)
+    assert codecs.image_dims(data) == (2, 2)
+
+
+def test_wav_decode_matches_stdlib_writer():
+    data = wav_bytes_stdlib(channels=2, rate=8000, n_frames=64)
+    channels, rate, bits, n_frames, frames = codecs.wav_decode(data)
+    assert (channels, rate, bits, n_frames) == (2, 8000, 16, 64)
+    assert struct.unpack("<4h", frames[:8]) == (0, 1, 2, 3)
+
+
+def test_resize_nearest_pinned():
+    # 4x4 grayscale ramp -> 2x2 picks rows/cols 0 and 2
+    pixels = bytes(range(16))
+    out = codecs.resize_nearest(4, 4, 1, pixels, 2, 2)
+    assert out == bytes((0, 2, 8, 10))
+    up = codecs.resize_nearest(2, 2, 1, bytes((0, 1, 2, 3)), 4, 4)
+    assert up == bytes((0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3))
+
+
+def test_png_resizer_end_to_end_kernel():
+    data = png_bytes_manual(2, 2, 3, PIXELS_2X2, (0, 0))
+    resized = codecs.png_resizer(data, 4, 4)
+    w, h, channels, pixels = codecs.png_decode(resized)
+    assert (w, h, channels) == (4, 4, 3)
+    # top-left quadrant is the red pixel
+    assert pixels[0:3] == bytes((255, 0, 0))
+    assert pixels[(4 * 3 + 3) * 3:(4 * 3 + 3) * 3 + 3] == bytes((255, 255, 255))
+
+
+# ---------------------------------------------------------------------------
+# Through the Spark mapInPandas stages (the real multimodal plumbing)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        Row(media_id=1, content=png_bytes_manual(2, 2, 3, PIXELS_2X2, (0, 2)),
+            mime_type="image/png"),
+        Row(media_id=2, content=bmp_bytes_manual(2, 2, PIXELS_2X2),
+            mime_type="image/bmp"),
+        Row(media_id=3, content=None, mime_type=None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_image_default_decoder_real_formats(spark, media_df):
+    got = {r.media_id: r for r in multimodal.decode_image(media_df).collect()}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert (got[2].width, got[2].height) == (2, 2)
+    assert got[3].width is None and got[3].n_bytes is None
+
+
+def test_resize_images_with_real_codec(spark, media_df):
+    out = multimodal.resize_images(
+        media_df.where("content IS NOT NULL"), 4, 2,
+        resizer=codecs.png_resizer,
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        w, h, channels, pixels = codecs.png_decode(bytes(r.content))
+        assert (w, h, channels) == (4, 2, 3)
+        assert pixels[0:3] == bytes((255, 0, 0))  # red survives the resample
+
+
+def test_extract_audio_meta_through_map_in_pandas(spark):
+    rows = [
+        Row(media_id=1, content=wav_bytes_stdlib(1, 16000, 100),
+            mime_type="audio/wav"),
+        Row(media_id=2, content=wav_bytes_stdlib(2, 44100, 5),
+            mime_type="audio/wav"),
+        Row(media_id=3, content=None, mime_type=None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_audio_meta(df).collect()}
+    assert (got[1].n_channels, got[1].sample_rate, got[1].n_frames) == (1, 16000, 100)
+    assert (got[2].n_channels, got[2].sample_rate, got[2].bits_per_sample,
+            got[2].n_frames) == (2, 44100, 16, 5)
+    assert got[3].n_channels is None

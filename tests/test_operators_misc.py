@@ -25,12 +25,15 @@ def test_extract_meta_native_matches_pandas_path(spark, sf_dir):
     assert via_pandas == via_native
 
 
-def test_decode_image_requires_decoder(spark):
+def test_decode_image_default_rejects_unknown_format(spark):
+    """The default decoder is now the real stdlib PNG/BMP reader
+    (operators/codecs.py); bytes that are neither format fail loudly in
+    the executor task rather than returning garbage dims."""
     import pytest
 
     media = spark.createDataFrame([(1, b"x", "image/png")], multimodal.MEDIA_SCHEMA)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+    with pytest.raises(Exception, match="unrecognized image format"):
+        multimodal.decode_image(media).collect()
 
 
 def test_decode_image_with_injected_decoder(spark):
