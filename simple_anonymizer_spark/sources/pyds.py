@@ -1,5 +1,8 @@
-"""Spark 4 Python Data Source over the DB-API/fake-Postgres layer —
-``spark.read.format("fakepg")`` with EXECUTOR-side partitioned reads.
+"""Spark 4 Python Data Source over the DB-API layer — executor-side
+partitioned reads from either backend: ``spark.read.format("fakepg")``
+(protocol-level fake, state-file path) or ``spark.read.format("pgwire")``
+(REAL PostgreSQL over the pure-Python v3 wire client,
+``sources/pgwire.py``).
 
 The ``dbapi_reader`` bridge fetches rows on the driver (fine for tests,
 a bottleneck by construction). This source moves the fetch into the
@@ -15,8 +18,9 @@ concurrent writers (reference: ``src/DbCopier.scala:130-145``).
 
 Options (all strings, per the DataSource API):
 
-* ``path``       — fake-PG state file (executors share it; a real DB-API
-                   driver would take a DSN here)
+* ``path``       — fake-PG state file (``format("fakepg")``)
+* ``host`` / ``port`` / ``user`` / ``database`` / ``password``
+                 — live-server DSN (``format("pgwire")``)
 * ``table``      — table to scan (required)
 * ``dbschema``   — database schema, default ``public``
 * ``where``      — pushed WHERE clause text
@@ -24,12 +28,14 @@ Options (all strings, per the DataSource API):
                  — Spark-JDBC-style range partitioning
 * ``snapshot_id`` — pin all partitions to one exported snapshot
 
-Register once per session: ``spark.dataSource.register(FakePGDataSource)``.
+Register once per session: ``spark.dataSource.register(FakePGDataSource)``
+and/or ``spark.dataSource.register(PGWireDataSource)``.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import functools
+from typing import Callable, Iterator
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -41,6 +47,26 @@ from .dbapi import (
     session_init_sql,
 )
 from .jdbc import render_select
+
+
+def _connect_from_options(options) -> Callable:
+    """Picklable zero-arg connect factory resolved from read options —
+    state-file path selects the fake, host/port the live wire client.
+    Called on the driver (schema) AND inside executor tasks (read)."""
+    if "path" in options:
+        from . import fakepg
+
+        return functools.partial(fakepg.connect, options["path"])
+    from . import pgwire
+
+    return functools.partial(
+        pgwire.connect,
+        host=options.get("host", "127.0.0.1"),
+        port=int(options.get("port", "5432")),
+        user=options.get("user", "postgres"),
+        database=options.get("database", "postgres"),
+        password=options.get("password"),
+    )
 
 
 class _RangePartition(InputPartition):
@@ -55,15 +81,10 @@ class FakePGDataSource(DataSource):
     def name(cls) -> str:
         return "fakepg"
 
-    def _connect(self):
-        from . import fakepg
-
-        return fakepg.connect(self.options["path"])
-
     def schema(self):
         table = self.options["table"]
         schema_name = self.options.get("dbschema", "public")
-        types = introspect_types(self._connect, schema_name)
+        types = introspect_types(_connect_from_options(self.options), schema_name)
         if table not in types:
             raise ValueError(f"unknown table {table!r}")
         return T.StructType(
@@ -71,11 +92,19 @@ class FakePGDataSource(DataSource):
              for c, t in types[table].items()]
         )
 
-    def reader(self, schema: T.StructType) -> "FakePGReader":
-        return FakePGReader(self.options, schema)
+    def reader(self, schema: T.StructType) -> "DbApiReader":
+        return DbApiReader(self.options, schema)
 
 
-class FakePGReader(DataSourceReader):
+class PGWireDataSource(FakePGDataSource):
+    """``format("pgwire")`` — identical scan plan against a REAL server."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgwire"
+
+
+class DbApiReader(DataSourceReader):
     def __init__(self, options, schema: T.StructType):
         self.options = dict(options)
         self.spark_schema = schema
@@ -95,8 +124,6 @@ class FakePGReader(DataSourceReader):
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         # Runs in the executor's Python worker: one connection per task,
         # exactly like a JDBC partition scan.
-        from . import fakepg
-
         options, schema = self.options, self.spark_schema
         cols = [f.name for f in schema.fields]
         conjuncts = [c for c in (options.get("where"), partition.clause) if c]
@@ -107,7 +134,7 @@ class FakePGReader(DataSourceReader):
             options["table"], cols, options.get("dbschema", "public"),
             where, None,
         )
-        conn = fakepg.connect(options["path"])
+        conn = _connect_from_options(options)()
         try:
             cur = conn.cursor()
             snapshot_id = options.get("snapshot_id")
@@ -118,3 +145,7 @@ class FakePGReader(DataSourceReader):
                 yield tuple(row)
         finally:
             conn.close()
+
+
+# Back-compat alias (round-3 name).
+FakePGReader = DbApiReader
