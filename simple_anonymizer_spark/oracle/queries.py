@@ -2066,3 +2066,250 @@ SELECT CAST((r * 10) // n AS BIGINT) AS bin,
        CAST(max(v) AS DOUBLE) AS hi
 FROM ranked GROUP BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H extension block (round 4). Mirrors queries.py's adapted Q2/Q7/Q8/
+# Q9/Q11/Q13/Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22. Big DECIMAL(38,4) sums go
+# through the VARCHAR round-trip (DuckDB's int128->DOUBLE cast
+# double-rounds; the string parse is correctly rounded like Spark's
+# BigDecimal path).
+# ---------------------------------------------------------------------------
+
+def _sum38(inner: str) -> str:
+    return (
+        f"CAST(CAST(sum(CAST({inner} AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sp AS (
+  SELECT sh.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal
+  FROM shipped sh JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+),
+mn AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM sp GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_name, sp.s_suppkey, sp.s_name, sp.s_acctbal
+FROM sp
+JOIN mn ON mn.l_partkey = sp.l_partkey AND sp.s_acctbal = mn.min_bal
+JOIN part p ON p.p_partkey = sp.l_partkey
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'ECONOMY'
+"""
+
+ORACLES["q7_nation_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {_sum38(_REV)} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+"""
+
+ORACLES["q8_market_share"] = f"""
+WITH agg AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(CAST(sum(CAST(CASE WHEN s.s_nationkey = 2 THEN {_REV}
+                       ELSE CAST('0.0000' AS DECIMAL(38,4)) END AS DECIMAL(38,4)))
+              AS VARCHAR) AS DOUBLE) AS nation_revenue,
+         {_sum38(_REV)} AS total_revenue
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'SMALL'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND c.c_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region
+        ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+  GROUP BY year(o.o_orderdate)
+)
+SELECT o_year, nation_revenue / total_revenue AS mkt_share,
+       nation_revenue, total_revenue
+FROM agg
+"""
+
+ORACLES["q9_product_profit"] = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(sum(CAST(
+         CAST({_REV} AS DECIMAL(38,4))
+         - CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
+                * CAST('0.60' AS DECIMAL(4,2))
+                * CAST(l.l_quantity AS DECIMAL(4,0)) AS DECIMAL(38,4))
+       AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%e%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+ORACLES["q11_important_parts"] = """
+WITH base AS (
+  SELECT l_partkey, l_extendedprice FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS part_value
+  FROM base GROUP BY l_partkey
+),
+total AS (
+  SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS t
+  FROM base
+)
+SELECT l_partkey, part_value FROM per_part, total
+WHERE part_value > t * 0.001
+"""
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_sum38(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLES["q16_supplier_cnt"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+ORACLES["q17_small_qty_revenue"] = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS qty_sum,
+         CAST(count(*) AS DOUBLE) AS qty_cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+JOIN per_part pp ON l.l_partkey = pp.pk
+WHERE l.l_quantity < 0.5 * (pp.qty_sum / pp.qty_cnt)
+"""
+
+ORACLES["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_totalprice, big.total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLES["q19_discounted_revenue"] = f"""
+SELECT {_sum38(_REV)} AS revenue, CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)
+"""
+
+ORACLES["q20_promo_suppliers"] = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(l_quantity AS DECIMAL(12,0))
+                       ELSE CAST('0' AS DECIMAL(12,0)) END) AS DOUBLE) AS q96,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS qall
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_acctbal > 0
+  AND s_suppkey IN (SELECT l_suppkey FROM per WHERE q96 * 2.0 > qall)
+"""
+
+ORACLES["q21_waiting_suppliers"] = """
+WITH fo AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM fo l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM fo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM fo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+ORACLES["q22_idle_customers"] = """
+WITH avg_bal AS (
+  SELECT CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+              AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+            AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c.c_nationkey
+"""

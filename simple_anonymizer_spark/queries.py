@@ -1569,3 +1569,479 @@ def equidepth_order_prices(spark, sf_dir):
     return stats.equi_depth_histogram(
         _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", 10
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H extension block (round 4) — the remaining classic decision-support
+# shapes, adapted to the available star schema (no partsupp / commitdate /
+# comment columns; substitutions documented per query). These exercise the
+# plan shapes the first TPC-H batch (q1/q3/q4/q5/q6/q10/q12/q14) did not:
+# correlated min/avg subqueries, HAVING against a global aggregate,
+# left-outer count distributions, EXISTS/NOT-EXISTS chains, OR-of-range
+# predicates, and aggregation-derived semi-join filters.
+# ---------------------------------------------------------------------------
+
+_ONE_DEC = "1.00"
+
+
+def _rev_dec() -> Column:
+    """Exact decimal revenue term: extprice * (1 - discount)."""
+    return (
+        _dec(F.col("l_extendedprice"))
+        * (F.lit(_ONE_DEC).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2))
+    ).cast("decimal(38,4)")
+
+
+@query("q2_min_cost_supplier")
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (correlated MIN subquery): for each mid-size ECONOMY part,
+    the shipper(s) whose account balance equals the minimum over that
+    part's shippers. partsupp is absent, so "supplies part" is derived
+    from the distinct (l_partkey, l_suppkey) pairs actually shipped.
+
+    Scale: the shipped-pairs distinct is a map-side-combinable aggregate
+    over lineitem; supplier is broadcast; the per-part MIN is a tiny
+    second aggregate re-joined on the part key (no window needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    sp = shipped.join(
+        F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal")),
+        shipped.l_suppkey == F.col("s_suppkey"),
+    )
+    mn = sp.groupBy("l_partkey").agg(F.min("s_acctbal").alias("__min_bal"))
+    return (
+        sp.join(mn, "l_partkey")
+        .where(F.col("s_acctbal") == F.col("__min_bal"))
+        .join(
+            F.broadcast(
+                p.where((F.col("p_size").between(10, 20)) & (F.col("p_type") == "ECONOMY"))
+                .select("p_partkey", "p_name")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@query("q7_nation_volume")
+def q7_nation_volume(spark, sf_dir):
+    """Q7: shipping volume between two trading nations by direction and
+    ship year. lineitem->supplier gives the exporting nation,
+    lineitem->orders->customer the importing one."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    d = F.col("l_shipdate").cast("timestamp")
+    supp_n = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.where(
+            (d >= F.lit("1996-01-01").cast("timestamp"))
+            & (d < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year(d).cast("long").alias("l_year"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+    )
+
+
+@query("q8_market_share")
+def q8_market_share(spark, sf_dir):
+    """Q8: NATION_2's share of SMALL-part revenue delivered into ASIA per
+    order year — two exact decimal sums, one double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    od = F.col("o_orderdate").cast("timestamp")
+    asia_nations = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               n.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    zero = F.lit("0.0000").cast("decimal(38,4)")
+    agg = (
+        li.join(F.broadcast(p.where(F.col("p_type") == "SMALL").select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            o.where(
+                (od >= F.lit("1996-01-01").cast("timestamp"))
+                & (od < F.lit("1998-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", F.year(od).cast("long").alias("o_year")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("s_nationkey") == 2, _rev_dec()).otherwise(zero))
+            .cast("double").alias("nation_revenue"),
+            F.sum(_rev_dec()).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        "nation_revenue",
+        "total_revenue",
+    )
+
+
+@query("q9_product_profit")
+def q9_product_profit(spark, sf_dir):
+    """Q9: profit on parts whose name contains 'e', by supplier nation and
+    order year. ps_supplycost is absent: cost is modeled as 60% of the
+    part's retail price per unit — the decimal arithmetic stays exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    od = F.col("o_orderdate").cast("timestamp")
+    cost = (
+        _dec(F.col("p_retailprice"))
+        * F.lit("0.60").cast("decimal(4,2)")
+        * _dec(F.col("l_quantity"), 4, 0)
+    ).cast("decimal(38,4)")
+    amount = (_rev_dec() - cost).cast("decimal(38,4)")
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_name").contains("e")).select("p_partkey", "p_retailprice")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", F.year(od).cast("long").alias("o_year")),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query("q11_important_parts")
+def q11_important_parts(spark, sf_dir):
+    """Q11 shape (HAVING vs a global aggregate): per-part shipped value
+    from EUROPE-nation suppliers, keeping parts worth more than 0.1% of
+    the total — the fraction threshold is scale-invariant. The scalar
+    total is a one-row cross join (broadcast by AQE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    europe_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    base = li.join(F.broadcast(europe_sup), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice")).cast("decimal(38,4)"))
+        .cast("double").alias("part_value")
+    )
+    total = base.agg(
+        F.sum(_dec(F.col("l_extendedprice")).cast("decimal(38,4)"))
+        .cast("double").alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("__total") * F.lit(0.001))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query("q13_customer_distribution")
+def q13_customer_distribution(spark, sf_dir):
+    """Q13: distribution of per-customer order counts via a left outer
+    join (customers with zero orders land in the c_count=0 bucket). The
+    comment-pattern exclusion is modeled as dropping '5-LOW' orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.select("c_custkey")
+        .join(
+            o.where(F.col("o_orderpriority") != "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query("q15_top_supplier")
+def q15_top_supplier(spark, sf_dir):
+    """Q15: supplier(s) achieving the maximum quarterly revenue — the
+    revenue view joined against its own scalar MAX."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    d = F.col("l_shipdate").cast("timestamp")
+    rev = (
+        li.where(
+            (d >= F.lit("1996-01-01").cast("timestamp"))
+            & (d < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_dec()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query("q16_supplier_cnt")
+def q16_supplier_cnt(spark, sf_dir):
+    """Q16: how many distinct suppliers can ship each (brand, type, size)
+    combo, excluding one brand and complaint suppliers (modeled as
+    negative account balance); supply relation derived from lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(
+                p.where(
+                    (F.col("p_brand") != "Brand#5")
+                    & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query("q17_small_qty_revenue")
+def q17_small_qty_revenue(spark, sf_dir):
+    """Q17 (correlated AVG subquery): revenue lost to small-quantity
+    Brand#3 orders. The per-part average is sum/count on exact integral
+    quantities, so the 0.5*avg comparison is bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(_dec(F.col("l_quantity"), 12, 0)).cast("double").alias("__qty_sum"),
+        F.count(F.lit(1)).cast("double").alias("__qty_cnt"),
+    )
+    return (
+        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#3").select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .where(
+            F.col("l_quantity")
+            < F.lit(0.5) * (F.col("__qty_sum") / F.col("__qty_cnt"))
+        )
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice")).cast("decimal(38,4)"))
+             .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@query("q18_large_orders")
+def q18_large_orders(spark, sf_dir):
+    """Q18: customers with orders whose line quantities sum past 300 —
+    the HAVING-subquery IN filter as an aggregate + inner join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), 12, 0)).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c.select("c_custkey", "c_name"), o.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query("q19_discounted_revenue")
+def q19_discounted_revenue(spark, sf_dir):
+    """Q19: OR-of-range-predicate revenue — three disjunctive
+    brand/size/quantity envelopes over a part join, one decimal sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.where(cond).agg(
+        F.sum(_rev_dec()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query("q20_promo_suppliers")
+def q20_promo_suppliers(spark, sf_dir):
+    """Q20 shape (nested-IN semi-join chain): healthy-balance suppliers
+    who shipped more than half of some ECONOMY part's lifetime quantity
+    during 1996 — the availqty comparison re-derived from shipments."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    d = F.col("l_shipdate").cast("timestamp")
+    in96 = (
+        (d >= F.lit("1996-01-01").cast("timestamp"))
+        & (d < F.lit("1997-01-01").cast("timestamp"))
+    )
+    zero = F.lit("0").cast("decimal(12,0)")
+    per = (
+        li.join(
+            F.broadcast(p.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in96, _dec(F.col("l_quantity"), 12, 0)).otherwise(zero))
+            .cast("double").alias("__q96"),
+            F.sum(_dec(F.col("l_quantity"), 12, 0)).cast("double").alias("__qall"),
+        )
+        .where(F.col("__q96") * F.lit(2.0) > F.col("__qall"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.where(F.col("s_acctbal") > 0)
+        .join(per, s.s_suppkey == per.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query("q21_waiting_suppliers")
+def q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape (EXISTS + NOT EXISTS): ASIA suppliers who were the sole
+    returner on a multi-supplier finished order — a semi-join on
+    same-order-different-supplier and an anti-join on
+    same-order-different-supplier-also-returned."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    fo = li.join(
+        o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    l1 = fo.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = fo.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    ).distinct()
+    l3 = (
+        fo.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3"))
+        .distinct()
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("__ok2"))
+            & (F.col("l_suppkey") != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("__ok3"))
+            & (F.col("l_suppkey") != F.col("__sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(asia_sup), waited.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@query("q22_idle_customers")
+def q22_idle_customers(spark, sf_dir):
+    """Q22 shape (scalar-AVG filter + anti-join): rich customers with no
+    recent orders, summarized by nation. The positive-balance average is
+    an exact decimal sum over a double count — one division each side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec(F.col("c_acctbal")).cast("decimal(38,4)")).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("__avg_bal")
+        )
+    )
+    recent = (
+        o.where(
+            F.col("o_orderdate").cast("timestamp")
+            >= F.lit("1999-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal")).cast("decimal(38,4)"))
+            .cast("double").alias("totacctbal"),
+        )
+    )
