@@ -1,0 +1,122 @@
+"""Weighted PageRank over an edge DataFrame, in exact integer arithmetic.
+
+Joins `operators/components.py` (connected components) as the second
+iterative graph primitive. The classic formulation accumulates floating-
+point rank mass, whose sum order differs run-to-run and engine-to-engine;
+here every quantity is fixed-point int64 so each iteration is a pure
+integer join + sum — bit-identical on any engine and any partitioning:
+
+* ranks carry ``RANK_SCALE = 10^12`` fixed point;
+* edge weights are pre-normalized per source to ``W_SCALE = 10^6``
+  (``wn = w * 10^6 div out_w``, floor — the lost mass is deterministic);
+* one step: ``r'_j = (15*RANK_SCALE div (100*N)) + (85 * sum_i (r_i *
+  wn_ij div 10^6)) div 100`` — damping 0.85, teleport 0.15.
+
+int64 bound: ``r * wn <= 10^12 * 10^6 < 2^63``. Dangling nodes keep the
+teleport term only (their mass is not redistributed — documented drop,
+same convention both engines).
+
+Scale (100 TB): the per-iteration work is one equi-join of edges against
+the rank table on the source key and one map-side-combinable integer sum
+keyed by destination — the textbook distributed PageRank shape. Rank and
+edge tables co-partition on the node key across iterations; only the
+node COUNT (one scalar) ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 10**12
+W_SCALE = 10**6
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank.
+
+    Output: ``node, rank_fp (int64, 10^12 fixed point), rank (double)``.
+    """
+    src, dst, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar to the driver — bounds every constant below
+    base = (15 * RANK_SCALE) // (100 * n)
+
+    out_w = edges.groupBy(src.alias("__s")).agg(
+        F.sum(w.cast("long")).alias("__out_w")
+    )
+    norm_edges = (
+        edges.join(out_w, src == F.col("__s"))
+        .select(
+            src.alias("e_src"),
+            dst.alias("e_dst"),
+            F.expr(
+                f"CAST({weight_col} AS BIGINT) * {W_SCALE} div __out_w"
+            ).alias("wn"),
+        )
+    )
+
+    ranks = nodes.select(
+        "node", F.lit(RANK_SCALE // n).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contribs = (
+            norm_edges.join(ranks, norm_edges.e_src == ranks.node)
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(f"r * wn div {W_SCALE}").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(RANK_SCALE))).alias("rank"),
+    )
+
+
+def nation_trade_edges(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Customer-nation -> supplier-nation trade graph, weighted by the
+    number of lineitems flowing between them. Supplier broadcasts;
+    customer stays a shuffle join (it scales with the fact tables);
+    the orders join shuffles on the order key."""
+    return (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

@@ -1,0 +1,111 @@
+"""Lexical retrieval: BM25 scoring over a tokenized document corpus.
+
+Complements the embedding-side retrieval stack (`operators/similarity.py`
+ANN + `pipeline_retrieval`) with the sparse half of a hybrid RAG pipeline:
+corpus statistics (document frequency, length normalization) joined back
+against per-document term frequencies.
+
+Determinism contract: BM25's usual ``ln``-based IDF is transcendental and
+NOT guaranteed bit-identical across engines, so — like
+``text_analysis.tfidf_top_terms`` — the score keeps the same monotone
+structure but stays inside exactly-specified IEEE arithmetic:
+
+* the TF saturation term ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+  with k1=1.2, b=0.75 is multiplied through by ``10 * total_len`` so both
+  numerator and denominator are exact int64 products::
+
+      tf_part = (22*tf*total_len) / (10*tf*total_len + 3*total_len + 9*dl*N)
+
+* IDF becomes the exact rational ``(2N - 2df + 1) / (2df + 1)`` — the
+  Robertson-Sparck-Jones odds with the +0.5 smoothing cleared of its
+  halves (monotone-equivalent to ``ln`` of it);
+* each per-term score is two correctly-rounded divisions and one multiply
+  (bit-identical everywhere), and the per-document sum goes through
+  2^20 fixed-point so the accumulation is an exact integer sum, immune to
+  float addition order.
+
+int64 bounds: ``22 * tf * total_len`` must stay below 2^63 — fine up to
+corpora of ~4e16 token-occurrences per shard of the stats join; beyond
+that, compute corpus stats per partition-group.
+
+Scale (100 TB): one explode pass feeds two map-side-combinable aggregates
+(per-doc tf, per-doc length); df is an aggregate of tf keyed by term;
+corpus scalars (N, total_len) broadcast via a one-row cross join; the
+scored join is keyed on the query's terms (a broadcast list). Global
+top-k is orderBy+limit = TakeOrderedAndProject, never a single-partition
+window over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+FP_SCALE = 1 << 20  # fixed-point scale for the per-document score sum
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    Output: ``id_col, score_fp (int64 fixed point), score (double),
+    n_terms_hit, rank`` — rank ties broken by the document id.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    corpus = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("total_len"))
+    )
+
+    hits = (
+        tf.where(F.col("term").isin(*query_terms))
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    tf_part = (
+        (F.lit(22).cast("long") * F.col("tf") * F.col("total_len")).cast("double")
+        / (
+            F.lit(10).cast("long") * F.col("tf") * F.col("total_len")
+            + F.lit(3).cast("long") * F.col("total_len")
+            + F.lit(9).cast("long") * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+    )
+    idf_part = (
+        (F.lit(2).cast("long") * F.col("n_docs")
+         - F.lit(2).cast("long") * F.col("df") + F.lit(1)).cast("double")
+        / (F.lit(2).cast("long") * F.col("df") + F.lit(1)).cast("double")
+    )
+    term_score_fp = F.floor(tf_part * idf_part * F.lit(float(FP_SCALE)))
+
+    scored = (
+        hits.select(F.col(id_col), term_score_fp.alias("__fp"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__fp").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc(id_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score_fp"), F.asc(id_col))
+    return scored.select(
+        id_col,
+        "score_fp",
+        (F.col("score_fp").cast("double") / F.lit(float(FP_SCALE))).alias("score"),
+        "n_terms_hit",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -300,3 +300,55 @@ def top_tokens(
     return counts.orderBy(
         F.desc("n_occurrences"), F.asc("token")
     ).limit(n)
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level bigram language-model table: count(w1 w2) and the
+    empirical conditional P(w2 | w1) — the count table a KenLM-style
+    n-gram LM is estimated from.
+
+    The context total is the sum of bigram counts per ``w1`` (occurrences
+    of ``w1`` in non-final position), so probabilities per context sum to
+    exactly 1; the division is integer-over-integer (cross-engine exact).
+
+    Output: ``w1, w2, n_bigram, n_context, p_cond``.
+
+    Scale (100 TB): in-row zip_with builds adjacent pairs without a
+    positional self-join; then two map-side-combinable aggregations keyed
+    by (w1, w2) and w1 — the same shape as corpus token counting. The
+    output is bounded by the distinct-bigram vocabulary, not corpus size.
+    """
+    df = _spread(df)
+    tok = T.tokens(F.col(text_col))
+    head = F.slice(tok, 1, F.size(tok) - 1)
+    tail = F.slice(tok, 2, F.size(tok) - 1)
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(head, tail, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = df.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+    counts = exploded.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigram")
+    )
+    contexts = counts.groupBy("w1").agg(
+        F.sum("n_bigram").cast("long").alias("n_context")
+    )
+    return (
+        counts.join(contexts, "w1")
+        .where(F.col("n_bigram") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_context",
+            (F.col("n_bigram").cast("double") / F.col("n_context").cast("double"))
+            .alias("p_cond"),
+        )
+    )

@@ -2313,3 +2313,158 @@ WHERE c.c_acctbal > avg_bal.a
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c.c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pipeline operators: BM25, bigram LM, Markov transitions,
+# blocked linkage, integer PageRank.
+# ---------------------------------------------------------------------------
+
+ORACLES["bm25_docs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_tokens('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+corpus AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM toks) AS total_len
+),
+hits AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (CAST(22 * tf.tf * c.total_len AS DOUBLE)
+            / CAST(10 * tf.tf * c.total_len + 3 * c.total_len
+                   + 9 * dl.dl * c.n_docs AS DOUBLE))
+           * (CAST(2 * c.n_docs - 2 * df.df + 1 AS DOUBLE)
+              / CAST(2 * df.df + 1 AS DOUBLE))
+           * 1048576.0
+         ) AS BIGINT) AS fp
+  FROM tf
+  JOIN dfreq df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN ('spark', 'window', 'hash')
+),
+scored AS (
+  SELECT doc_id, CAST(sum(fp) AS BIGINT) AS score_fp,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, score_fp,
+       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+       n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY score_fp DESC, doc_id
+LIMIT 50
+"""
+
+ORACLES["bigram_lm_docs"] = f"""
+WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+  FROM d
+),
+pairs AS (
+  SELECT token AS w1,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM pos
+),
+counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram
+  FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+contexts AS (
+  SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context
+  FROM counts GROUP BY w1
+)
+SELECT c.w1, c.w2, c.n_bigram, x.n_context,
+       CAST(c.n_bigram AS DOUBLE) / CAST(x.n_context AS DOUBLE) AS p_cond
+FROM counts c JOIN contexts x USING (w1)
+"""
+
+ORACLES["markov_event_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         ) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS prev_total
+  FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n_trans, x.prev_total,
+       CAST(t.n_trans AS DOUBLE) / CAST(x.prev_total AS DOUBLE) AS p_cond
+FROM trans t JOIN totals x USING (prev_type)
+"""
+
+ORACLES["linkage_customer_supplier"] = """
+SELECT c.c_custkey, s.s_suppkey, c.c_name, s.s_name,
+       right(c.c_name, 4) AS block,
+       CAST(levenshtein(c.c_name, s.s_name) AS BIGINT) AS distance
+FROM customer c JOIN supplier s ON right(c.c_name, 4) = right(s.s_name, 4)
+WHERE levenshtein(c.c_name, s.s_name) <= 5
+"""
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration integer PageRank mirroring
+    operators/graph.py step-for-step (same floor divisions, same
+    teleport/damping constants, same dangling-node convention)."""
+    rank_scale, w_scale = 10**12, 10**6
+    ctes = [
+        """edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes)",
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src)",
+        f"""ne AS (
+  SELECT e.src, e.dst, (e.w * {w_scale}) // o.ow AS wn
+  FROM edges e JOIN outw o ON e.src = o.src
+)""",
+        f"r0 AS (SELECT node, {rank_scale} // nn.c AS r FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT ne.dst AS node, CAST(sum((p.r * ne.wn) // {w_scale}) AS BIGINT) AS s
+  FROM ne JOIN r{i - 1} p ON ne.src = p.node GROUP BY ne.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         (({15 * rank_scale}) // (100 * nn.c))
+         + (85 * coalesce(c{i}.s, CAST(0 AS BIGINT))) // 100 AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rf.node AS nationkey, n.n_name, rf.r AS rank_fp,
+       CAST(rf.r AS DOUBLE) / {float(rank_scale)} AS rank
+FROM r{iterations} rf JOIN nation n ON rf.node = n.n_nationkey
+"""
+    )
+
+
+ORACLES["pagerank_trade"] = _pagerank_sql(3)

@@ -2045,3 +2045,86 @@ def q22_idle_customers(spark, sf_dir):
             .cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pipeline operators: lexical retrieval, sequence models, record
+# linkage, and an iterative graph primitive beyond connected components.
+# ---------------------------------------------------------------------------
+
+
+@query("bm25_docs")
+def bm25_docs(spark, sf_dir):
+    """BM25 top-50 documents for a fixed bag of query terms
+    (retrieval.bm25_scores) — the sparse half of a hybrid RAG stack;
+    all-integer TF/IDF rationals + 2^20 fixed-point score accumulation
+    keep the ranking bit-identical cross-engine."""
+    from .operators.retrieval import bm25_scores
+
+    return bm25_scores(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents")),
+        ["spark", "window", "hash"],
+        top_k=50,
+    )
+
+
+@query("bigram_lm_docs")
+def bigram_lm_docs(spark, sf_dir):
+    """Corpus bigram language-model count table with exact conditional
+    probabilities (text_analysis.bigram_lm)."""
+    return text_analysis.bigram_lm(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
+
+
+@query("markov_event_transitions")
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (sequences.markov_transitions), ordered by the engine's
+    (timestamp, event_id) tie-break rule."""
+    from .operators.sequences import markov_transitions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return markov_transitions(ev)
+
+
+@query("linkage_customer_supplier")
+def linkage_customer_supplier(spark, sf_dir):
+    """Blocked record linkage (linkage.blocked_levenshtein_link):
+    candidates blocked on the trailing-digit key, verified by exact
+    Levenshtein distance — the Splink/Dedupe blocking pattern as an
+    equi-join."""
+    from .operators.linkage import blocked_levenshtein_link
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return blocked_levenshtein_link(
+        c, s,
+        F.expr("right(c_name, 4)"), F.expr("right(s_name, 4)"),
+        "c_name", "s_name", max_distance=5,
+    ).select("c_custkey", "s_suppkey", "c_name", "s_name", "block", "distance")
+
+
+@query("pagerank_trade")
+def pagerank_trade(spark, sf_dir):
+    """Integer-scaled weighted PageRank (graph.pagerank, 3 iterations,
+    damping 0.85) over the customer-nation -> supplier-nation trade
+    graph — every iteration an exact int64 join + sum, bit-identical
+    under any partitioning."""
+    from .operators.graph import nation_trade_edges, pagerank
+
+    edges = nation_trade_edges(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+    )
+    pr = pagerank(edges, iterations=3)
+    n = _t(spark, sf_dir, "nation")
+    return pr.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        pr.node == F.col("n_nationkey"),
+    ).select(F.col("node").alias("nationkey"), "n_name", "rank_fp", "rank")

@@ -56,6 +56,15 @@ NATIVE_QUERIES = [
     "embedding_topk_ivf", "range_join_shipments", "dedup_clusters",
     "sample_stratified", "sample_split", "text_scrub_pii", "text_chunks",
     "pipeline_corpus", "text_repetition", "dup_spans",
+    # round-4 additions: TPC-H extension block + retrieval/sequence/
+    # linkage/graph operators — all pure column algebra.
+    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_discounted_revenue", "q20_promo_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
+    "linkage_customer_supplier", "pagerank_trade",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

@@ -1,0 +1,225 @@
+"""Behavioral tests for the round-4 pipeline operators: BM25 retrieval,
+bigram LM, Markov transitions, blocked linkage, integer PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.operators.graph import (
+    RANK_SCALE,
+    nation_trade_edges,
+    pagerank,
+)
+from simple_anonymizer_spark.operators.linkage import blocked_levenshtein_link
+from simple_anonymizer_spark.operators.retrieval import bm25_scores
+from simple_anonymizer_spark.operators.sequences import markov_transitions
+from simple_anonymizer_spark.operators.text_analysis import bigram_lm
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # 'zebra' appears in one doc, 'the' in all: equal-tf hit on the rare
+    # term must score strictly higher.
+    docs = _docs(spark, [
+        (1, "the zebra runs"),
+        (2, "the cat sits"),
+        (3, "the dog barks"),
+        (4, "the bird sings"),
+    ])
+    out = bm25_scores(docs, ["zebra"], top_k=10).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].score > 0
+    both = {r.doc_id: r.score_fp
+            for r in bm25_scores(docs, ["zebra", "the"], top_k=10).collect()}
+    assert both[1] > both[2]  # zebra+the beats the-only
+
+
+def test_bm25_length_normalization(spark):
+    # Same tf for the query term; the shorter document must rank first.
+    docs = _docs(spark, [
+        (1, "zebra fast"),
+        (2, "zebra " + "filler " * 30),
+        (3, "other words entirely"),
+    ])
+    out = bm25_scores(docs, ["zebra"], top_k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].score_fp > out[1].score_fp
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_bm25_partition_invariance(spark):
+    docs = _docs(spark, [
+        (i, f"alpha beta gamma_{i % 7} delta word{i % 3}") for i in range(40)
+    ])
+    a = bm25_scores(docs.repartition(1), ["alpha", "word1"], top_k=15).collect()
+    b = bm25_scores(docs.repartition(13), ["alpha", "word1"], top_k=15).collect()
+    key = lambda rows: sorted((r.doc_id, r.score_fp, r.rank) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_bm25_top_k_cap(spark):
+    docs = _docs(spark, [(i, "common term here") for i in range(30)])
+    assert bm25_scores(docs, ["common"], top_k=5).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_counts_and_probs(spark):
+    docs = _docs(spark, [
+        (1, "a b a b"),
+        (2, "a b c"),
+        (3, "x"),          # too short: contributes nothing
+    ])
+    rows = {(r.w1, r.w2): r for r in bigram_lm(docs).collect()}
+    # bigrams: doc1 -> (a b), (b a), (a b); doc2 -> (a b), (b c)
+    assert rows[("a", "b")].n_bigram == 3
+    assert rows[("b", "a")].n_bigram == 1
+    assert rows[("b", "c")].n_bigram == 1
+    assert rows[("a", "b")].n_context == 3
+    assert rows[("a", "b")].p_cond == 1.0
+    assert rows[("b", "a")].p_cond == 0.5
+
+
+def test_bigram_lm_probs_sum_to_one_per_context(spark):
+    docs = _docs(spark, [
+        (i, f"w{i % 3} w{(i + 1) % 4} w{i % 5} w{(i + 2) % 3}")
+        for i in range(30)
+    ])
+    sums = (
+        bigram_lm(docs)
+        .groupBy("w1")
+        .agg(F.sum("p_cond").alias("s"))
+        .collect()
+    )
+    for r in sums:
+        assert r.s == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_tiny_sequence(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "view"),
+            (2, 10, 4, "view"), (2, 20, 5, "click"), (2, 30, 6, "buy"),
+        ],
+        "user_id long, ts_us long, event_id long, event_type string",
+    )
+    rows = {(r.prev_type, r.next_type): r for r in markov_transitions(ev).collect()}
+    assert rows[("view", "click")].n_trans == 2
+    assert rows[("click", "view")].n_trans == 1
+    assert rows[("click", "buy")].n_trans == 1
+    assert rows[("click", "view")].p_cond == 0.5
+    assert rows[("view", "click")].p_cond == 1.0
+
+
+def test_markov_tie_break_on_event_id(spark):
+    # Same timestamp: event_id orders the pair deterministically.
+    ev = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 10, 2, "b")],
+        "user_id long, ts_us long, event_id long, event_type string",
+    )
+    rows = markov_transitions(ev).collect()
+    assert len(rows) == 1
+    assert (rows[0].prev_type, rows[0].next_type) == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Blocked linkage
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_linkage_matches_within_block_only(spark):
+    left = spark.createDataFrame(
+        [(1, "Customer#0042"), (2, "Customer#0099")],
+        "c_id long, c_name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "Supplier#0042"), (11, "Supplier#0042x"), (12, "Xustomer#0099")],
+        "s_id long, s_name string",
+    )
+    out = blocked_levenshtein_link(
+        left, right,
+        F.expr("right(c_name, 4)"), F.expr("right(s_name, 4)"),
+        "c_name", "s_name", max_distance=5,
+    ).collect()
+    pairs = {(r.c_id, r.s_id): r.distance for r in out}
+    assert pairs == {(1, 10): 5, (2, 12): 1}
+    # 11 shares no block key ('042x'); never compared despite distance 6.
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, weight long")
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # 3-cycle with equal weights: every node keeps rank 1/3 exactly.
+    pr = pagerank(_edges(spark, [(0, 1, 5), (1, 2, 5), (2, 0, 5)]),
+                  iterations=3).collect()
+    vals = {r.node: r.rank_fp for r in pr}
+    assert len(set(vals.values())) == 1
+    # floor losses only: total <= SCALE, within 3 units of exact thirds
+    assert abs(vals[0] - RANK_SCALE // 3) <= 3
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    # Star into node 0: it outranks everything; node 1 (sole target of
+    # 0's out-edge) beats the teleport-only leaves 2 and 3.
+    pr = pagerank(
+        _edges(spark, [(1, 0, 1), (2, 0, 1), (3, 0, 1), (0, 1, 1)]),
+        iterations=3,
+    ).collect()
+    vals = {r.node: r.rank_fp for r in pr}
+    assert vals[0] > vals[1] > vals[2] == vals[3]
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    edges = _edges(spark, [
+        (i, (i * 7 + 3) % 10, 1 + i % 4) for i in range(10)
+    ])
+    pr = pagerank(edges, iterations=3).collect()
+    total = sum(r.rank_fp for r in pr)
+    assert total <= RANK_SCALE
+    # floor drops are tiny: within 1e-5 of full mass for this graph
+    assert total >= RANK_SCALE - 10**7
+
+
+def test_pagerank_partition_invariance(spark):
+    rows = [(i % 13, (i * 5 + 2) % 13, 1 + i % 3) for i in range(60)]
+    base = _edges(spark, rows).groupBy("src", "dst").agg(
+        F.sum("weight").alias("weight")
+    )
+    a = pagerank(base.repartition(1), iterations=3).collect()
+    b = pagerank(base.repartition(7), iterations=3).collect()
+    assert sorted((r.node, r.rank_fp) for r in a) == \
+        sorted((r.node, r.rank_fp) for r in b)
+
+
+def test_nation_trade_edges_weights(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    edges = nation_trade_edges(li, o, c, s)
+    total = edges.agg(F.sum("weight")).collect()[0][0]
+    assert total == li.count()  # every lineitem lands in exactly one edge
