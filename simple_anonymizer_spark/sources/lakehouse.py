@@ -144,14 +144,32 @@ def merge_table(
     keys: list[str],
     on_conflict: OnConflict | None = None,
     partition_by: list[str] | None = None,
+    backend: str = "auto",
 ) -> int:
-    """One MERGE front door: Delta transaction-log MERGE when the runtime
-    is present, the single-writer parquet staging swap otherwise. Both
-    execute the same relational plan; only durability/concurrency differ
-    (see module docstring)."""
+    """One MERGE front door. Backends (all run the same relational plan;
+    they differ only in sink durability/concurrency):
+
+    * ``"delta"``    — jar-backed ``DeltaTable.merge`` (multi-writer ACID,
+      engine-side file pruning);
+    * ``"deltalog"`` — the pure-Python Delta transaction log
+      (``sources/deltalog.py``): same ACID commit protocol and stats-based
+      file pruning, executed without jars;
+    * ``"parquet"``  — single-writer staging-swap (``merge_parquet``);
+    * ``"auto"``     — ``delta`` when the runtime is importable, else the
+      parquet swap (the format users get without opting into a log).
+    """
     from .merge import merge_parquet
 
-    if delta_available(spark):  # pragma: no cover - requires Delta jars
+    if backend not in ("auto", "delta", "deltalog", "parquet"):
+        raise ValueError(f"unknown merge backend {backend!r}")
+    if backend == "deltalog":
+        from .deltalog import merge_deltalog
+
+        return merge_deltalog(
+            spark, source, path, keys, on_conflict, partition_by
+        )
+    if backend == "delta" or (backend == "auto" and delta_available(spark)):
+        # pragma: no cover - requires Delta jars
         return merge_lakehouse(
             spark, source, path, keys, on_conflict, partition_by
         )

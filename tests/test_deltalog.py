@@ -1,0 +1,186 @@
+"""Executed transaction-log MERGE: the pure-Python Delta log
+(sources/deltalog.py) — ACID commits, snapshot reads, time travel,
+stats-based file pruning, and optimistic-concurrency conflicts, all
+against real files on disk."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.plans.on_conflict import OnConflict
+from simple_anonymizer_spark.sources.deltalog import (
+    DeltaConcurrentModification,
+    PyDeltaLog,
+    history,
+    merge_deltalog,
+    read_deltalog,
+)
+from simple_anonymizer_spark.sources.lakehouse import merge_table
+
+DO_UPDATE = OnConflict(action="update")
+DO_NOTHING = OnConflict(action="nothing")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def _rows(spark, path, version=None):
+    return sorted(
+        (r.id, r.val) for r in read_deltalog(spark, path, version).collect()
+    )
+
+
+def test_create_and_read_back(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = merge_deltalog(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                       DO_UPDATE)
+    assert n == 2
+    assert _rows(spark, path) == [(1, "a"), (2, "b")]
+    assert PyDeltaLog(path).latest_version() == 0
+
+
+def test_log_format_follows_protocol(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    log_file = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log_file, encoding="utf-8")]
+    protocol = next(a["protocol"] for a in actions if "protocol" in a)
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    schema = json.loads(meta["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["id", "val"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(
+        {"path", "partitionValues", "size", "modificationTime", "dataChange"}
+        <= set(a) for a in adds
+    )
+    stats = json.loads(adds[0]["stats"])
+    assert stats["numRecords"] >= 1 and "id" in stats["minValues"]
+
+
+def test_upsert_do_update(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                   DO_UPDATE)
+    n = merge_deltalog(spark, _df(spark, [(2, "B"), (3, "c")]), path, ["id"],
+                       DO_UPDATE)
+    assert n == 3
+    assert _rows(spark, path) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_upsert_do_nothing_keeps_existing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                   DO_NOTHING)
+    merge_deltalog(spark, _df(spark, [(2, "CLOBBER"), (3, "c")]), path, ["id"],
+                   DO_NOTHING)
+    assert _rows(spark, path) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_none_is_plain_append_with_duplicates(spark, tmp_path):
+    # Parity with merge_dataframes / the JDBC INSERT path: no dedup, no
+    # matching — every source row lands (the ADVICE.md lakehouse fix).
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    n = merge_deltalog(spark, _df(spark, [(1, "dup"), (1, "dup2")]), path,
+                       ["id"], None)
+    assert n == 3
+    assert sorted(r[1] for r in _rows(spark, path)) == ["a", "dup", "dup2"]
+
+
+def test_time_travel_reads_old_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    merge_deltalog(spark, _df(spark, [(1, "A2")]), path, ["id"], DO_UPDATE)
+    assert _rows(spark, path, version=0) == [(1, "a")]
+    assert _rows(spark, path, version=1) == [(1, "A2")]
+    assert _rows(spark, path) == [(1, "A2")]
+
+
+def test_stats_pruning_leaves_disjoint_files_alone(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # Two single-file commits with disjoint id ranges.
+    merge_deltalog(spark, _df(spark, [(i, f"lo{i}") for i in range(10)])
+                   .coalesce(1), path, ["id"], DO_UPDATE)
+    merge_deltalog(spark, _df(spark, [(i, f"hi{i}") for i in range(1000, 1010)])
+                   .coalesce(1), path, ["id"], DO_UPDATE)
+    lo_files = {f["path"] for f in PyDeltaLog(path).snapshot(0).files}
+    # Source touches only the high range: the low-range file must survive.
+    merge_deltalog(spark, _df(spark, [(1005, "HI")]).coalesce(1), path,
+                   ["id"], DO_UPDATE)
+    hist = history(path)
+    assert hist[-1]["numRemovedFiles"] == 1  # pruned: only the hi file
+    after = {f["path"] for f in PyDeltaLog(path).snapshot().files}
+    assert lo_files <= after  # low file untouched, not rewritten
+    assert _rows(spark, path)[:3] == [(0, "lo0"), (1, "lo1"), (2, "lo2")]
+    assert (1005, "HI") in _rows(spark, path)
+
+
+def test_removed_files_invisible_but_on_disk(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]).coalesce(1), path, ["id"],
+                   DO_UPDATE)
+    v0_files = {f["path"] for f in PyDeltaLog(path).snapshot().files}
+    merge_deltalog(spark, _df(spark, [(1, "b")]).coalesce(1), path, ["id"],
+                   DO_UPDATE)
+    snap_files = {f["path"] for f in PyDeltaLog(path).snapshot().files}
+    assert v0_files.isdisjoint(snap_files)  # rewritten
+    for p in v0_files:  # no vacuum: bytes still there for time travel
+        assert os.path.exists(os.path.join(path, p))
+
+
+def test_commit_conflict_raises_and_merge_retries(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    log = PyDeltaLog(path)
+    # Direct API: losing the race for version 1 raises.
+    log.commit([{"commitInfo": {"op": "winner"}}], read_version=0)
+    with pytest.raises(DeltaConcurrentModification):
+        log.commit([{"commitInfo": {"op": "loser"}}], read_version=0)
+    # The MERGE front-end replays against the new snapshot and lands as
+    # version 2.
+    merge_deltalog(spark, _df(spark, [(2, "b")]), path, ["id"], DO_UPDATE)
+    assert log.latest_version() == 2
+    assert _rows(spark, path) == [(1, "a"), (2, "b")]
+
+
+def test_merge_table_deltalog_backend(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = merge_table(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                    DO_UPDATE, backend="deltalog")
+    assert n == 2
+    n = merge_table(spark, _df(spark, [(2, "B2")]), path, ["id"], DO_UPDATE,
+                    backend="deltalog")
+    assert n == 2
+    assert _rows(spark, path) == [(1, "a"), (2, "B2")]
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+
+
+def test_partitioned_tables_rejected(spark, tmp_path):
+    with pytest.raises(NotImplementedError):
+        merge_deltalog(spark, _df(spark, [(1, "a")]), str(tmp_path / "t"),
+                       ["id"], DO_UPDATE, partition_by=["val"])
+
+
+def test_sf_scale_upsert_roundtrip(spark, sf_dir, tmp_path):
+    # End-to-end on real fixture data: copy orders, bump a slice's price.
+    path = str(tmp_path / "orders_delta")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = merge_deltalog(spark, orders, path, ["o_orderkey"], DO_UPDATE)
+    assert n == orders.count()
+    patch = (
+        orders.where(F.col("o_orderkey") < 100)
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    merge_deltalog(spark, patch, path, ["o_orderkey"], DO_UPDATE)
+    out = read_deltalog(spark, path)
+    assert out.count() == n
+    assert out.where((F.col("o_orderkey") < 100)
+                     & (F.col("o_totalprice") != 0.0)).count() == 0
+    assert out.where(F.col("o_orderkey") >= 100).count() == n - patch.count()
