@@ -49,6 +49,14 @@ HEADLINE = [
     "zorder_orders",
     "equidepth_order_prices",
     "pack_sequences_docs",
+    # Round-4 operators: the heaviest of the TPC-H extension block plus
+    # the new retrieval/sequence/graph operators.
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "pagerank_trade",
+    "bm25_docs",
+    "bigram_lm_docs",
+    "markov_event_transitions",
 ]
 
 
