@@ -395,3 +395,88 @@ def history(path: str) -> list[dict]:
         out.append({"version": v, "numAddedFiles": adds,
                     "numRemovedFiles": removes})
     return out
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE — lakehouse maintenance
+# ---------------------------------------------------------------------------
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """Compact small files (and optionally re-cluster along a Z-order
+    curve) — the OPTIMIZE / OPTIMIZE ZORDER BY maintenance operation.
+
+    Per the Delta spec, rearrangement commits carry ``dataChange: false``
+    on every add and remove: the logical table is untouched, only the
+    physical layout changes. Without ``zorder_cols`` the rewrite set is
+    just the files under ``target_file_bytes`` (bin-packed via coalesce —
+    no shuffle); with ``zorder_cols`` every live file rewrites through
+    ``layout.zorder_by`` so parquet row-group stats (and this log's own
+    ``add.stats``) prune multi-column predicates afterwards.
+
+    Returns ``{"version", "filesAdded", "filesRemoved"}``; a no-op
+    (nothing worth compacting) returns version unchanged with zeros.
+
+    Scale (100 TB): streaming MERGE ingestion accretes small files —
+    compaction is what keeps scan task counts and footer overhead
+    bounded. The rewrite reads only the compaction set; concurrent
+    writers are safe (optimistic replay recomputes against the fresh
+    snapshot on conflict).
+    """
+    from ..operators.layout import zorder_by
+
+    log = PyDeltaLog(path)
+    for attempt in range(max_retries + 1):
+        snap = log.snapshot()
+        if snap.version < 0 or snap.metadata is None:
+            raise DeltaLogError(f"no Delta table at {path}")
+        if zorder_cols:
+            todo = list(snap.files)
+        else:
+            todo = [f for f in snap.files if f["size"] < target_file_bytes]
+            if len(todo) < 2:
+                return {"version": snap.version, "filesAdded": 0,
+                        "filesRemoved": 0}
+        if not todo:
+            return {"version": snap.version, "filesAdded": 0,
+                    "filesRemoved": 0}
+        schema = ST.StructType.fromJson(
+            json.loads(snap.metadata["schemaString"])
+        )
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f["path"]) for f in todo]
+        )
+        total = sum(f["size"] for f in todo)
+        n_out = max(1, -(-total // target_file_bytes))
+        if zorder_cols:
+            out = zorder_by(df, zorder_cols, partitions=n_out)
+        else:
+            out = df.coalesce(n_out)
+        adds = _write_data_files(spark, out, path)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        removes = [_remove_action(f) for f in todo]
+        for r in removes:
+            r["remove"]["dataChange"] = False
+        try:
+            v = log.commit(adds + removes, read_version=snap.version)
+            return {"version": v, "filesAdded": len(adds),
+                    "filesRemoved": len(removes)}
+        except DeltaConcurrentModification:
+            # Lost the race: the just-written files are orphans (never
+            # referenced by any committed version) — remove them and
+            # replay against the new snapshot.
+            for a in adds:
+                try:
+                    os.remove(os.path.join(path, a["add"]["path"]))
+                except OSError:  # pragma: no cover
+                    pass
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")  # pragma: no cover

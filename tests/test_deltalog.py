@@ -184,3 +184,113 @@ def test_sf_scale_upsert_roundtrip(spark, sf_dir, tmp_path):
     assert out.where((F.col("o_orderkey") < 100)
                      & (F.col("o_totalprice") != 0.0)).count() == 0
     assert out.where(F.col("o_orderkey") >= 100).count() == n - patch.count()
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import optimize_table
+
+    path = str(tmp_path / "t")
+    # Five tiny single-file commits -> five small files.
+    for i in range(5):
+        merge_deltalog(
+            spark,
+            _df(spark, [(i * 10 + j, f"v{i}_{j}") for j in range(10)])
+            .coalesce(1),
+            path, ["id"], DO_UPDATE,
+        )
+    before = _rows(spark, path)
+    assert len(PyDeltaLog(path).snapshot().files) == 5
+    out = optimize_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert out["filesRemoved"] == 5 and out["filesAdded"] == 1
+    snap = PyDeltaLog(path).snapshot()
+    assert len(snap.files) == 1
+    assert _rows(spark, path) == before  # logical table untouched
+    # Spec: rearrangement commits carry dataChange=false throughout.
+    log_file = os.path.join(path, "_delta_log", f"{out['version']:020d}.json")
+    for line in open(log_file, encoding="utf-8"):
+        action = json.loads(line)
+        body = action.get("add") or action.get("remove")
+        assert body is not None and body["dataChange"] is False
+    # Time travel to the pre-optimize version still works.
+    assert _rows(spark, path, version=out["version"] - 1) == before
+
+
+def test_optimize_noop_when_nothing_small(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import optimize_table
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]).coalesce(1), path, ["id"],
+                   DO_UPDATE)
+    out = optimize_table(spark, path, target_file_bytes=1)  # nothing < 1B
+    assert out == {"version": 0, "filesAdded": 0, "filesRemoved": 0}
+    assert PyDeltaLog(path).latest_version() == 0
+
+
+def test_optimize_zorder_clusters_and_preserves_rows(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import (
+        PyDeltaLog as _Log, optimize_table)
+
+    path = str(tmp_path / "t")
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    for chunk in range(4):  # interleaved id ranges -> overlapping files
+        merge_deltalog(
+            spark,
+            _df(spark, rows[chunk::4]).coalesce(1),
+            path, ["id"], DO_UPDATE,
+        )
+    before = _rows(spark, path)
+    out = optimize_table(spark, path, target_file_bytes=64 * 1024 * 1024,
+                         zorder_cols=["id"])
+    assert out["filesRemoved"] == 4
+    assert _rows(spark, path) == before
+    # Post-cluster stats must be present so MERGE pruning keeps working.
+    for f in _Log(path).snapshot().files:
+        stats = json.loads(f["stats"])
+        assert "id" in stats["minValues"]
+    merge_deltalog(spark, _df(spark, [(0, "patched")]).coalesce(1), path,
+                   ["id"], DO_UPDATE)
+    assert (0, "patched") in _rows(spark, path)
+
+
+def test_streaming_foreachbatch_upserts_into_deltalog(spark, tmp_path):
+    """Structured-Streaming ingestion: a file-source stream upserted
+    micro-batch-by-micro-batch into the ACID table via foreachBatch."""
+    import glob
+    import shutil as _sh
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        staging = str(tmp_path / f"stage_{name}")
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(staging)
+        for i, f in enumerate(glob.glob(f"{staging}/part-*.parquet")):
+            _sh.move(f, str(src_dir / f"{name}_{i}.parquet"))
+
+    land([(1, "a"), (2, "b")], "batch0")
+    land([(2, "B2"), (3, "c")], "batch1")
+
+    def upsert(batch_df, _batch_id):
+        merge_deltalog(batch_df.sparkSession, batch_df, table, ["id"],
+                       DO_UPDATE)
+
+    stream = (
+        spark.readStream.schema("id long, val string")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(str(src_dir))
+    )
+    (stream.writeStream.foreachBatch(upsert)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    rows = dict(_rows(spark, table))
+    assert rows[1] == "a" and rows[3] == "c"
+    assert rows[2] in ("b", "B2")  # file listing order decides which lands last
+    assert PyDeltaLog(table).latest_version() >= 1  # one commit per batch
