@@ -2468,3 +2468,33 @@ FROM r{iterations} rf JOIN nation n ON rf.node = n.n_nationkey
 
 
 ORACLES["pagerank_trade"] = _pagerank_sql(3)
+
+
+ORACLES["gdpr_cascade_delete"] = """
+WITH surv_c AS (
+  SELECT c_custkey FROM customer WHERE NOT coalesce(c_acctbal < 0, false)
+),
+surv_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IS NULL OR o_custkey IN (SELECT c_custkey FROM surv_c)
+),
+surv_l AS (
+  SELECT 1 AS x FROM lineitem
+  WHERE l_orderkey IS NULL OR l_orderkey IN (SELECT o_orderkey FROM surv_o)
+),
+report AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS b,
+         (SELECT count(*) FROM surv_c) AS s
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem), (SELECT count(*) FROM surv_l)
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders), (SELECT count(*) FROM surv_o)
+)
+SELECT table_name, CAST(b AS BIGINT) AS rows_before,
+       CAST(s AS BIGINT) AS rows_surviving,
+       CAST(b - s AS BIGINT) AS rows_deleted
+FROM report
+"""

@@ -2128,3 +2128,15 @@ def pagerank_trade(spark, sf_dir):
         F.broadcast(n.select("n_nationkey", "n_name")),
         pr.node == F.col("n_nationkey"),
     ).select(F.col("node").alias("nationkey"), "n_name", "rank_fp", "rank")
+
+
+@query("gdpr_cascade_delete")
+def gdpr_cascade_delete(spark, sf_dir):
+    """Right-to-erasure audit (plans/deletion.py): delete negative-balance
+    customers, cascade through orders -> lineitem on the FK graph, and
+    emit the per-table compliance report. Dual of FK subsetting — same
+    semi-join machinery, negated seed predicate."""
+    from .plans.deletion import deletion_audit
+
+    dfs = {n: _t(spark, sf_dir, n) for n in ["customer", "orders", "lineitem"]}
+    return deletion_audit(dfs, _tpch_catalog(), {"customer": "c_acctbal < 0"})

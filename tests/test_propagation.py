@@ -232,3 +232,57 @@ def test_composite_self_ref_closure(spark):
     out = apply_subsetting({"t": df}, cat, {"t": "group_id = 1"})
     got = sorted((r.group_id, r.position) for r in out["t"].collect())
     assert got == [(1, 1), (1, 2), (1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Cascade deletion (plans/deletion.py) — the subsetting dual
+# ---------------------------------------------------------------------------
+
+
+def test_cascade_delete_null_fk_and_null_predicate(spark):
+    from simple_anonymizer_spark.plans.deletion import (
+        cascade_delete, deletion_audit)
+    from simple_anonymizer_spark.sources.catalog import Catalog, LogicalFK
+
+    catalog = Catalog.declared(
+        columns={"parent": ["pid", "bal"], "child": ["cid", "pid"]},
+        primary_keys={"parent": {"pid"}},
+        foreign_keys=[LogicalFK(None, "child", "parent", (("pid", "pid"),))],
+    )
+    parent = spark.createDataFrame(
+        [(1, -5.0), (2, 10.0), (3, None)], "pid long, bal double"
+    )
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, None)], "cid long, pid long"
+    )
+    out = cascade_delete(
+        {"parent": parent, "child": child}, catalog, {"parent": "bal < 0"}
+    )
+    # parent 1 deleted (bal<0); parent 3 KEPT (NULL predicate is not TRUE).
+    assert sorted(r.pid for r in out["parent"].collect()) == [2, 3]
+    # child 10 cascades away; child 12 (NULL FK) survives.
+    assert sorted(r.cid for r in out["child"].collect()) == [11, 12]
+    audit = {r.table_name: r for r in deletion_audit(
+        {"parent": parent, "child": child}, catalog, {"parent": "bal < 0"}
+    ).collect()}
+    assert audit["parent"].rows_deleted == 1
+    assert audit["child"].rows_surviving == 2
+
+
+def test_cascade_delete_selfref_subtree(spark):
+    from simple_anonymizer_spark.plans.deletion import cascade_delete
+    from simple_anonymizer_spark.sources.catalog import Catalog, LogicalFK
+
+    catalog = Catalog.declared(
+        columns={"emp": ["eid", "mgr"]},
+        primary_keys={"emp": {"eid"}},
+        foreign_keys=[LogicalFK(None, "emp", "emp", (("mgr", "eid"),))],
+    )
+    # 1 <- 2 <- 3 <- 4 chain plus an independent root 10 <- 11.
+    emp = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3), (10, None), (11, 10)],
+        "eid long, mgr long",
+    )
+    out = cascade_delete({"emp": emp}, catalog, {"emp": "eid = 2"})
+    # Deleting 2 severs 3 and 4 (transitively); the other tree survives.
+    assert sorted(r.eid for r in out["emp"].collect()) == [1, 10, 11]
