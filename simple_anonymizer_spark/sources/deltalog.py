@@ -44,6 +44,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
 from ..plans.on_conflict import OnConflict
@@ -298,6 +299,25 @@ def _overlapping_files(
     return out
 
 
+def _evolve_schema(
+    table_schema: ST.StructType, src_schema: ST.StructType
+) -> list[ST.StructField]:
+    """Source fields absent from the table — the mergeSchema additions
+    (appended nullable, table column order preserved). Raises on a
+    same-name type clash; type *widening* is the jar runtime's job."""
+    existing = {f.name: f for f in table_schema.fields}
+    new = []
+    for f in src_schema.fields:
+        if f.name not in existing:
+            new.append(ST.StructField(f.name, f.dataType, nullable=True))
+        elif existing[f.name].dataType != f.dataType:
+            raise DeltaLogError(
+                f"column {f.name!r}: source type {f.dataType.simpleString()} "
+                f"!= table type {existing[f.name].dataType.simpleString()}"
+            )
+    return new
+
+
 def merge_deltalog(
     spark: SparkSession,
     source: DataFrame,
@@ -306,6 +326,7 @@ def merge_deltalog(
     on_conflict: OnConflict | None = None,
     partition_by: list[str] | None = None,
     max_retries: int = 3,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE ``source`` into the pure-Python Delta table at ``path``;
     returns the merged row count. Semantics match ``merge_parquet`` /
@@ -317,7 +338,13 @@ def merge_deltalog(
     * ``do_nothing``/``do_update`` -> stats-pruned rewrite of only the
       files overlapping the source's key range.
 
-    Loses of a concurrent-commit race replay automatically (up to
+    ``merge_schema=True`` enables additive schema evolution: source
+    columns the table lacks are appended (nullable) via a new
+    ``metaData`` action in the same commit; rows in untouched files read
+    NULL for them (the parquet reader fills missing columns) — Delta's
+    own ``mergeSchema`` behavior. Without the flag a wider source raises.
+
+    Losers of a concurrent-commit race replay automatically (up to
     ``max_retries``) against the fresh snapshot — the merge result is
     recomputed, not blindly re-committed.
     """
@@ -335,6 +362,27 @@ def merge_deltalog(
         for attempt in range(max_retries + 1):
             snap = log.snapshot()
             try:
+                extra_actions: list[dict] = []
+                if snap.version >= 0:
+                    table_schema = ST.StructType.fromJson(
+                        json.loads(snap.metadata["schemaString"])
+                    )
+                    new_fields = _evolve_schema(table_schema, source.schema)
+                    if new_fields and not merge_schema:
+                        raise DeltaLogError(
+                            f"source adds columns "
+                            f"{[f.name for f in new_fields]}; pass "
+                            f"merge_schema=True to evolve the table schema"
+                        )
+                    if new_fields:
+                        schema = ST.StructType(
+                            list(table_schema.fields) + new_fields
+                        )
+                        meta = dict(snap.metadata)
+                        meta["schemaString"] = schema.json()
+                        extra_actions.append({"metaData": meta})
+                    else:
+                        schema = table_schema
                 if snap.version < 0:
                     os.makedirs(path, exist_ok=True)
                     result = (
@@ -344,12 +392,20 @@ def merge_deltalog(
                     actions += _write_data_files(spark, result, path)
                     log.commit(actions, read_version=-1)
                 elif on_conflict is None:
-                    adds = _write_data_files(spark, source, path)
-                    log.commit(adds, read_version=snap.version)
-                else:
-                    schema = ST.StructType.fromJson(
-                        json.loads(snap.metadata["schemaString"])
+                    aligned = source
+                    for f in schema.fields:
+                        if f.name not in source.columns:
+                            aligned = aligned.withColumn(
+                                f.name,
+                                F.lit(None).cast(f.dataType),
+                            )
+                    adds = _write_data_files(
+                        spark, aligned.select(*[f.name for f in schema.fields]),
+                        path,
                     )
+                    log.commit(extra_actions + adds,
+                               read_version=snap.version)
+                else:
                     key = keys[0]
                     key_type = schema[key].dataType
                     row = source.selectExpr(
@@ -359,15 +415,27 @@ def merge_deltalog(
                         snap.files, key, row["lo"], row["hi"], key_type
                     )
                     if touched:
+                        # Old files under the (possibly evolved) schema:
+                        # the parquet reader fills absent columns with NULL.
                         target = spark.read.schema(schema).parquet(
                             *[os.path.join(path, f["path"]) for f in touched]
                         )
                     else:
                         target = spark.createDataFrame([], schema)
-                    merged = merge_dataframes(target, source, keys, on_conflict)
+                    aligned = source
+                    for f in schema.fields:
+                        if f.name not in source.columns:
+                            aligned = aligned.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    aligned = aligned.select(*[f.name for f in schema.fields])
+                    merged = merge_dataframes(
+                        target, aligned, keys, on_conflict
+                    )
                     actions = _write_data_files(spark, merged, path)
                     actions += [_remove_action(f) for f in touched]
-                    log.commit(actions, read_version=snap.version)
+                    log.commit(extra_actions + actions,
+                               read_version=snap.version)
                 break
             except DeltaConcurrentModification:
                 if attempt == max_retries:

@@ -294,3 +294,52 @@ def test_streaming_foreachbatch_upserts_into_deltalog(spark, tmp_path):
     assert rows[1] == "a" and rows[3] == "c"
     assert rows[2] in ("b", "B2")  # file listing order decides which lands last
     assert PyDeltaLog(table).latest_version() >= 1  # one commit per batch
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (mergeSchema)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_adds_column_old_rows_null(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import DeltaLogError
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                   DO_UPDATE)
+    wide = spark.createDataFrame([(2, "B2", 99), (3, "c", 7)],
+                                 "id long, val string, score long")
+    # Without the flag: refuse rather than silently drop the column.
+    with pytest.raises(DeltaLogError, match="merge_schema"):
+        merge_deltalog(spark, wide, path, ["id"], DO_UPDATE)
+    merge_deltalog(spark, wide, path, ["id"], DO_UPDATE, merge_schema=True)
+    out = {r.id: (r.val, r.score) for r in read_deltalog(spark, path).collect()}
+    assert out == {1: ("a", None), 2: ("B2", 99), 3: ("c", 7)}
+    # metaData id must survive the evolution (same table identity).
+    log = PyDeltaLog(path)
+    assert (log.snapshot(0).metadata["id"]
+            == log.snapshot().metadata["id"])
+    assert "score" in log.snapshot().metadata["schemaString"]
+
+
+def test_merge_schema_append_and_narrow_source(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    wide = spark.createDataFrame([(5, "e", 1.5)],
+                                 "id long, val string, w double")
+    merge_deltalog(spark, wide, path, ["id"], None, merge_schema=True)
+    # A post-evolution narrow source null-fills the new column.
+    merge_deltalog(spark, _df(spark, [(9, "i")]), path, ["id"], DO_UPDATE)
+    out = {r.id: (r.val, r.w) for r in read_deltalog(spark, path).collect()}
+    assert out == {1: ("a", None), 5: ("e", 1.5), 9: ("i", None)}
+
+
+def test_merge_schema_type_clash_rejected(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import DeltaLogError
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    clash = spark.createDataFrame([(2, 42)], "id long, val long")
+    with pytest.raises(DeltaLogError, match="val"):
+        merge_deltalog(spark, clash, path, ["id"], DO_UPDATE,
+                       merge_schema=True)
