@@ -27,11 +27,17 @@ module contributes only the transactional sink. Tables written here use
 ``minReaderVersion=1`` / ``minWriterVersion=2`` and no advanced table
 features, so a real delta-spark runtime can read them as-is.
 
+Also implemented: OPTIMIZE / OPTIMIZE ZORDER BY (``optimize_table``,
+dataChange=false rearrangement commits), additive schema evolution
+(``merge_schema=True``), a Change Data Feed (``change_data=True`` writes
+``cdc`` actions under ``_change_data/``; ``table_changes`` replays them,
+deriving inserts from plain-add commits per the spec's fallback), and a
+version-window ``vacuum``.
+
 Deliberate scope bounds: unpartitioned tables only (``partition_by``
-raises — partitionValues plumbing is the jar runtime's job), no
+raises — partitionValues plumbing is the jar runtime's job) and no
 checkpoint parquet files (log replay is O(versions); fine below
-thousands of commits), no VACUUM (removed files stay on disk, invisible
-to readers — exactly Delta's own pre-vacuum behavior).
+thousands of commits).
 """
 
 from __future__ import annotations
@@ -327,6 +333,7 @@ def merge_deltalog(
     partition_by: list[str] | None = None,
     max_retries: int = 3,
     merge_schema: bool = False,
+    change_data: bool = False,
 ) -> int:
     """MERGE ``source`` into the pure-Python Delta table at ``path``;
     returns the merged row count. Semantics match ``merge_parquet`` /
@@ -434,6 +441,11 @@ def merge_deltalog(
                     )
                     actions = _write_data_files(spark, merged, path)
                     actions += [_remove_action(f) for f in touched]
+                    if change_data:
+                        changes = _merge_change_rows(
+                            target, aligned, keys, on_conflict
+                        )
+                        actions += _write_cdc_files(spark, changes, path)
                     log.commit(extra_actions + actions,
                                read_version=snap.version)
                 break
@@ -548,3 +560,195 @@ def optimize_table(
             if attempt == max_retries:
                 raise
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed
+# ---------------------------------------------------------------------------
+
+CDC_DIR = "_change_data"
+CHANGE_TYPE = "_change_type"
+
+
+def _merge_change_rows(target, source, keys, on_conflict):
+    """The CDF row set a MERGE produces: inserts, and for ``do_update``
+    the pre/post images of matched rows — same relational convention as
+    ``merge.merge_dataframes`` (dedup, update-column subset)."""
+    from .merge import dedupe_source
+
+    cols = target.columns
+    src = dedupe_source(source.select(*cols), keys)
+    inserts = src.join(target.select(*keys), on=keys, how="left_anti").select(
+        *cols, F.lit("insert").alias(CHANGE_TYPE)
+    )
+    if on_conflict.action == "nothing":
+        return inserts
+    update_cols = list(on_conflict.update_columns) or [
+        c for c in cols if c not in keys
+    ]
+    marked = src.select(*[F.col(c).alias(f"__s_{c}") for c in cols])
+    joined = target.join(
+        marked,
+        [target[k] == marked[f"__s_{k}"] for k in keys],
+        "inner",
+    )
+    pre = joined.select(
+        *[target[c].alias(c) for c in cols],
+        F.lit("update_preimage").alias(CHANGE_TYPE),
+    )
+    post = joined.select(
+        *[
+            (F.col(f"__s_{c}").alias(c) if c in update_cols
+             else target[c].alias(c))
+            for c in cols
+        ],
+        F.lit("update_postimage").alias(CHANGE_TYPE),
+    )
+    return inserts.unionByName(pre).unionByName(post)
+
+
+def _write_cdc_files(
+    spark: SparkSession, df: DataFrame, table_path: str
+) -> list[dict]:
+    """Materialize CDF rows under ``_change_data/`` and return their
+    ``cdc`` actions (spec: cdc files never count as data change)."""
+    cdc_root = os.path.join(table_path, CDC_DIR)
+    os.makedirs(cdc_root, exist_ok=True)
+    staging = os.path.join(table_path, f".cdc-staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(staging)
+    actions = []
+    try:
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final = f"{CDC_DIR}/cdc-{uuid.uuid4().hex}.snappy.parquet"
+            dst = os.path.join(table_path, final)
+            os.rename(os.path.join(staging, name), dst)
+            import pyarrow.parquet as pq
+
+            if pq.ParquetFile(dst).metadata.num_rows == 0:
+                os.remove(dst)
+                continue
+            actions.append(
+                {
+                    "cdc": {
+                        "path": final,
+                        "partitionValues": {},
+                        "size": os.stat(dst).st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The change feed between two versions (inclusive): rows tagged
+    ``_change_type`` (insert / update_preimage / update_postimage) plus
+    ``_commit_version`` — what an incremental downstream pipeline
+    consumes instead of re-diffing snapshots.
+
+    Commits that recorded ``cdc`` actions replay those files verbatim;
+    commits with only ``dataChange`` adds (create, plain append) derive
+    inserts from the added data files, per the spec's fallback rule.
+    """
+    log = PyDeltaLog(path)
+    latest = log.latest_version()
+    if latest < 0:
+        raise DeltaLogError(f"no Delta table at {path}")
+    hi = latest if to_version is None else min(to_version, latest)
+    snap = log.snapshot(hi)
+    schema = ST.StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+    out_schema = ST.StructType(
+        list(schema.fields)
+        + [ST.StructField(CHANGE_TYPE, ST.StringType(), False),
+           ST.StructField("_commit_version", ST.LongType(), False)]
+    )
+    parts = []
+    for v in range(from_version, hi + 1):
+        cdc_paths, add_paths, has_cdc = [], [], False
+        with open(log._version_file(v), encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    has_cdc = True
+                    cdc_paths.append(os.path.join(path, action["cdc"]["path"]))
+                elif "add" in action and action["add"].get("dataChange", True):
+                    add_paths.append(os.path.join(path, action["add"]["path"]))
+        if has_cdc:
+            part = spark.read.schema(
+                ST.StructType(list(schema.fields)
+                              + [ST.StructField(CHANGE_TYPE, ST.StringType(),
+                                                False)])
+            ).parquet(*cdc_paths)
+        elif add_paths:
+            part = spark.read.schema(schema).parquet(*add_paths).select(
+                "*", F.lit("insert").alias(CHANGE_TYPE)
+            )
+        else:
+            continue
+        parts.append(part.select(
+            "*", F.lit(v).cast("long").alias("_commit_version")
+        ))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VACUUM
+# ---------------------------------------------------------------------------
+
+
+def vacuum(path: str, retain_last: int = 1) -> int:
+    """Physically delete data files no version in the retained window
+    references, and change-data files from commits before it. Time
+    travel older than ``retain_last`` versions stops resolving — the
+    same trade Delta's VACUUM makes (its retention is time-based; a
+    version window is the deterministic test-friendly equivalent).
+    Returns the number of files deleted."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    log = PyDeltaLog(path)
+    latest = log.latest_version()
+    if latest < 0:
+        raise DeltaLogError(f"no Delta table at {path}")
+    floor_v = max(0, latest - retain_last + 1)
+    referenced = set()
+    for v in range(floor_v, latest + 1):
+        referenced |= {f["path"] for f in log.snapshot(v).files}
+    deleted = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet") and name not in referenced:
+            os.remove(os.path.join(path, name))
+            deleted += 1
+    # cdc files belong to exactly one commit: drop those below the floor.
+    kept_cdc = set()
+    for v in range(floor_v, latest + 1):
+        with open(log._version_file(v), encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    kept_cdc.add(action["cdc"]["path"])
+    cdc_root = os.path.join(path, CDC_DIR)
+    if os.path.isdir(cdc_root):
+        for name in os.listdir(cdc_root):
+            rel = f"{CDC_DIR}/{name}"
+            if name.endswith(".parquet") and rel not in kept_cdc:
+                os.remove(os.path.join(cdc_root, name))
+                deleted += 1
+    return deleted

@@ -343,3 +343,88 @@ def test_merge_schema_type_clash_rejected(spark, tmp_path):
     with pytest.raises(DeltaLogError, match="val"):
         merge_deltalog(spark, clash, path, ["id"], DO_UPDATE,
                        merge_schema=True)
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed + VACUUM
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_upsert_emits_images_and_inserts(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import table_changes
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                   DO_UPDATE)
+    merge_deltalog(spark, _df(spark, [(2, "B2"), (3, "c")]), path, ["id"],
+                   DO_UPDATE, change_data=True)
+    ch = table_changes(spark, path, from_version=1).collect()
+    tagged = sorted((r.id, r.val, r._change_type) for r in ch)
+    assert tagged == [
+        (2, "B2", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (3, "c", "insert"),
+    ]
+    assert all(r._commit_version == 1 for r in ch)
+
+
+def test_cdf_fallback_derives_inserts_from_creates_and_appends(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import table_changes
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    merge_deltalog(spark, _df(spark, [(2, "b")]), path, ["id"], None)
+    ch = sorted((r.id, r._change_type, r._commit_version)
+                for r in table_changes(spark, path).collect())
+    assert ch == [(1, "insert", 0), (2, "insert", 1)]
+
+
+def test_cdf_do_nothing_emits_inserts_only(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import table_changes
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_NOTHING)
+    merge_deltalog(spark, _df(spark, [(1, "CLOBBER"), (2, "b")]), path, ["id"],
+                   DO_NOTHING, change_data=True)
+    ch = [(r.id, r.val, r._change_type)
+          for r in table_changes(spark, path, from_version=1).collect()]
+    assert ch == [(2, "b", "insert")]  # the matched row produced NO change
+
+
+def test_cdf_version_range_filter(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import table_changes
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        merge_deltalog(spark, _df(spark, [(100 + i, f"v{i}")]), path, ["id"],
+                       DO_UPDATE, change_data=True)
+    mid = table_changes(spark, path, from_version=1, to_version=2).collect()
+    assert sorted(r._commit_version for r in mid) == [1, 2]
+
+
+def test_vacuum_drops_unreferenced_keeps_current(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import vacuum
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]).coalesce(1), path, ["id"],
+                   DO_UPDATE)
+    v0_files = {f["path"] for f in PyDeltaLog(path).snapshot(0).files}
+    merge_deltalog(spark, _df(spark, [(1, "b")]).coalesce(1), path, ["id"],
+                   DO_UPDATE)
+    current = _rows(spark, path)
+    deleted = vacuum(path, retain_last=1)
+    assert deleted >= 1
+    for p in v0_files:
+        assert not os.path.exists(os.path.join(path, p))
+    assert _rows(spark, path) == current  # current snapshot intact
+
+
+def test_vacuum_retains_window(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import vacuum
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        merge_deltalog(spark, _df(spark, [(1, f"v{i}")]).coalesce(1), path,
+                       ["id"], DO_UPDATE)
+    assert vacuum(path, retain_last=10) == 0  # everything inside the window
+    assert _rows(spark, path, version=0) == [(1, "v0")]  # time travel intact
