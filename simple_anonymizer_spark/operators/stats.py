@@ -528,3 +528,105 @@ def equi_depth_histogram(
         ranged.unpersist()
         return spark.createDataFrame(rows, schema)
     return hist
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_buckets: int,
+    partitions: int | None = None,
+    cache_owner: list | None = None,
+) -> DataFrame:
+    """Per-row equal-frequency bucket (0-based): global rank ``r`` under
+    the total order ``(value, tie)`` lands in ``(r * n_buckets) div n`` —
+    the per-row counterpart of ``equi_depth_histogram``, same distributed
+    two-pass prefix-sum rank (no single-reducer global window), same
+    ``cache_owner`` contract as ``pack_sequences`` (the ranged projection
+    must stay pinned while the returned plan is alive).
+
+    Output: ``tie_col, value_col, bucket`` — join back on the unique tie
+    key to attach the bucket to full rows.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(F.col(value_col).alias("__v"), F.col(tie_col).alias("__t"))
+        .repartitionByRange(partitions, F.col("__v"), F.col("__t"))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    if cache_owner is not None:
+        cache_owner.append(ranged)
+    w = Window.partitionBy("__pid").orderBy(F.col("__v"), F.col("__t"))
+    local = ranged.withColumn(
+        "__local_rank", F.row_number().over(w).cast("long") - 1
+    )
+    totals = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in totals)
+    prefix_rows, acc = [], 0
+    for pid, c in totals:
+        prefix_rows.append((pid, acc))
+        acc += c
+    prefixes = spark.createDataFrame(
+        prefix_rows or [(0, 0)], "__pid int, __prefix long"
+    )
+    return (
+        local.join(F.broadcast(prefixes), "__pid")
+        .select(
+            F.col("__t").alias(tie_col),
+            F.col("__v").alias(value_col),
+            F.expr(f"(__prefix + __local_rank) * {n_buckets} div {max(n, 1)}")
+            .cast("long").alias("bucket"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n: int = 4,
+    cache_owner: list | None = None,
+) -> DataFrame:
+    """RFM segmentation: per-customer Recency / Frequency / Monetary
+    metrics, each scored 1..n by equal-frequency quantile bucket (higher
+    is better on all three; ties broken by customer key).
+
+    The classic formulation is three ``ntile()`` calls over one global
+    window — a single-reducer sort three times over. Here each metric
+    buckets through :func:`quantile_buckets`' distributed rank, on the
+    per-customer aggregate (already |customers|-sized, far smaller than
+    the order log).
+
+    Output: ``customer, recency_us, frequency, monetary, r_score,
+    f_score, m_score, rfm`` (``rfm`` = 100*r + 10*f + m).
+    """
+    per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(F.unix_micros(F.col(date_col).cast("timestamp")))
+        .alias("recency_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(_dec(F.col(amount_col)).cast("decimal(38,4)"))
+        .cast("double").alias("monetary"),
+    )
+    out = per_cust
+    for metric, score in (("recency_us", "r_score"), ("frequency", "f_score"),
+                          ("monetary", "m_score")):
+        buckets = quantile_buckets(
+            per_cust, metric, "customer", n, cache_owner=cache_owner
+        ).select("customer", (F.col("bucket") + 1).alias(score))
+        out = out.join(buckets, "customer")
+    return out.select(
+        "customer", "recency_us", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long").alias("rfm"),
+    )

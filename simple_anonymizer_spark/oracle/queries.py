@@ -2498,3 +2498,32 @@ SELECT table_name, CAST(b AS BIGINT) AS rows_before,
        CAST(b - s AS BIGINT) AS rows_deleted
 FROM report
 """
+
+
+ORACLES["rfm_customer_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey AS customer,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS recency_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM per_cust),
+scored AS (
+  SELECT p.*,
+    ((row_number() OVER (ORDER BY recency_us, customer) - 1) * 4) // n.c + 1
+      AS r_score,
+    ((row_number() OVER (ORDER BY frequency, customer) - 1) * 4) // n.c + 1
+      AS f_score,
+    ((row_number() OVER (ORDER BY monetary, customer) - 1) * 4) // n.c + 1
+      AS m_score
+  FROM per_cust p CROSS JOIN n
+)
+SELECT customer, recency_us, frequency, monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM scored
+"""

@@ -2140,3 +2140,14 @@ def gdpr_cascade_delete(spark, sf_dir):
 
     dfs = {n: _t(spark, sf_dir, n) for n in ["customer", "orders", "lineitem"]}
     return deletion_audit(dfs, _tpch_catalog(), {"customer": "c_acctbal < 0"})
+
+
+@query("rfm_customer_segments")
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation (stats.rfm_segments): per-customer recency /
+    frequency / monetary quartile scores via the distributed-rank
+    bucketer — three classic ntile() global sorts replaced by the
+    two-pass prefix-sum rank."""
+    from .operators.stats import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))

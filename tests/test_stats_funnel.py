@@ -471,3 +471,43 @@ def test_equi_depth_histogram_owns_cache_when_unowned(spark, sf_dir):
     assert unowned == owned
     after = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
     assert after - before == set()  # nothing left pinned
+
+
+def test_quantile_buckets_partition_invariance_and_exactness(spark):
+    from simple_anonymizer_spark.operators.stats import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(200)], "k long, v double"
+    )
+    owner = []
+    a = sorted(
+        (r.k, r.bucket)
+        for r in quantile_buckets(df.repartition(1), "v", "k", 4,
+                                  cache_owner=owner).collect()
+    )
+    b = sorted(
+        (r.k, r.bucket)
+        for r in quantile_buckets(df.repartition(13), "v", "k", 4,
+                                  cache_owner=owner).collect()
+    )
+    assert a == b
+    counts = {}
+    for _, bucket in a:
+        counts[bucket] = counts.get(bucket, 0) + 1
+    assert counts == {0: 50, 1: 50, 2: 50, 3: 50}  # exactly equal depth
+    for c in owner:
+        c.unpersist()
+
+
+def test_rfm_scores_monotone_in_metrics(spark, sf_dir):
+    from simple_anonymizer_spark.operators.stats import rfm_segments
+
+    owner = []
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    seg = rfm_segments(orders, cache_owner=owner).collect()
+    by_freq = sorted(seg, key=lambda r: (r.frequency, r.customer))
+    scores = [r.f_score for r in by_freq]
+    assert scores == sorted(scores)  # ranking monotone in the metric
+    assert set(scores) == {1, 2, 3, 4}
+    for c in owner:
+        c.unpersist()
