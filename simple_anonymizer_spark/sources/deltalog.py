@@ -283,11 +283,13 @@ def read_deltalog(
 
 
 def _overlapping_files(
-    files: list[dict], key: str, lo, hi, key_type
+    files: list[dict], bounds: dict[str, tuple]
 ) -> list[dict]:
-    """Files whose [min,max] range for ``key`` intersects [lo,hi]; files
-    without usable stats always rewrite (safe side)."""
-    if lo is None or not isinstance(key_type, _STATS_TYPES):
+    """Files whose per-column [min,max] ranges intersect the source's on
+    EVERY merge key in ``bounds`` (a file is prunable if it provably
+    misses the source range on ANY key); files without usable stats for
+    a key skip that key's test (safe side)."""
+    if not bounds:
         return list(files)
     out = []
     for f in files:
@@ -296,11 +298,15 @@ def _overlapping_files(
             parsed = json.loads(stats) if stats else None
         except (TypeError, ValueError):  # pragma: no cover
             parsed = None
-        if not parsed or key not in parsed.get("minValues", {}):
-            out.append(f)
-            continue
-        fmin, fmax = parsed["minValues"][key], parsed["maxValues"][key]
-        if not (fmin > hi or fmax < lo):
+        overlap = True
+        for key, (lo, hi) in bounds.items():
+            if not parsed or key not in parsed.get("minValues", {}):
+                continue
+            fmin, fmax = parsed["minValues"][key], parsed["maxValues"][key]
+            if fmin > hi or fmax < lo:
+                overlap = False
+                break
+        if overlap:
             out.append(f)
     return out
 
@@ -413,14 +419,22 @@ def merge_deltalog(
                     log.commit(extra_actions + adds,
                                read_version=snap.version)
                 else:
-                    key = keys[0]
-                    key_type = schema[key].dataType
-                    row = source.selectExpr(
-                        f"min(`{key}`) as lo", f"max(`{key}`) as hi"
-                    ).collect()[0]
-                    touched = _overlapping_files(
-                        snap.files, key, row["lo"], row["hi"], key_type
-                    )
+                    statable = [
+                        k for k in keys
+                        if isinstance(schema[k].dataType, _STATS_TYPES)
+                    ]
+                    bounds = {}
+                    if statable:
+                        row = source.selectExpr(
+                            *[f"min(`{k}`) as `__lo_{k}`" for k in statable],
+                            *[f"max(`{k}`) as `__hi_{k}`" for k in statable],
+                        ).collect()[0]
+                        bounds = {
+                            k: (row[f"__lo_{k}"], row[f"__hi_{k}"])
+                            for k in statable
+                            if row[f"__lo_{k}"] is not None
+                        }
+                    touched = _overlapping_files(snap.files, bounds)
                     if touched:
                         # Old files under the (possibly evolved) schema:
                         # the parquet reader fills absent columns with NULL.

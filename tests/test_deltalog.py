@@ -428,3 +428,72 @@ def test_vacuum_retains_window(spark, tmp_path):
                        ["id"], DO_UPDATE)
     assert vacuum(path, retain_last=10) == 0  # everything inside the window
     assert _rows(spark, path, version=0) == [(1, "v0")]  # time travel intact
+
+
+def test_multikey_pruning_second_key_disjoint(spark, tmp_path):
+    """Files disjoint on the SECOND merge key alone are pruned."""
+    path = str(tmp_path / "t")
+    df2 = lambda rows: spark.createDataFrame(rows, "a long, b long, v string")
+    merge_deltalog(spark, df2([(1, 100 + i, f"x{i}") for i in range(5)])
+                   .coalesce(1), path, ["a", "b"], DO_UPDATE)
+    merge_deltalog(spark, df2([(1, 900 + i, f"y{i}") for i in range(5)])
+                   .coalesce(1), path, ["a", "b"], DO_UPDATE)
+    lo_files = {f["path"] for f in PyDeltaLog(path).snapshot(0).files}
+    # a-range overlaps (all a=1); only the b-range distinguishes files.
+    merge_deltalog(spark, df2([(1, 902, "HIT")]).coalesce(1), path,
+                   ["a", "b"], DO_UPDATE)
+    assert history(path)[-1]["numRemovedFiles"] == 1
+    after = {f["path"] for f in PyDeltaLog(path).snapshot().files}
+    assert lo_files <= after
+    rows = {(r.a, r.b): r.v for r in read_deltalog(spark, path).collect()}
+    assert rows[(1, 902)] == "HIT" and rows[(1, 100)] == "x0"
+
+
+def test_merge_model_based_random_sequence(spark, tmp_path):
+    """Model check: a seeded random sequence of mixed merges against the
+    Delta log must equal the same sequence applied to a dict model
+    (update/insert-if-absent/append semantics)."""
+    import random
+
+    rng = random.Random(42)
+    path = str(tmp_path / "t")
+    model: list[tuple[int, str]] = []  # appends allowed -> list, keyed view
+
+    def model_apply(rows, mode):
+        nonlocal model
+        if mode == "append":
+            model.extend(rows)
+            return
+        # dedupe_source keeps the row with max non-key cols per key
+        best = {}
+        for k, v in rows:
+            if k not in best or v > best[k]:
+                best[k] = v
+        keyed = {}
+        order = []
+        for k, v in model:
+            keyed.setdefault(k, []).append(v)
+        existing = set(keyed)
+        if mode == "update":
+            model = [
+                (k, best[k]) if k in best else (k, v) for k, v in model
+            ]
+        for k in sorted(best):
+            if k not in existing:
+                model.append((k, best[k]))
+
+    for step in range(8):
+        mode = rng.choice(["update", "nothing", "append"])
+        rows = [(rng.randrange(12), f"s{step}v{rng.randrange(99)}")
+                for _ in range(rng.randrange(1, 5))]
+        oc = {"update": DO_UPDATE, "nothing": DO_NOTHING, "append": None}[mode]
+        if mode == "nothing":
+            # model: insert-if-absent only
+            model_apply(rows, "nothing")
+        else:
+            model_apply(rows, mode)
+        merge_deltalog(spark, _df(spark, rows), path, ["id"], oc)
+
+    got = sorted(_rows(spark, path))
+    want = sorted(model)
+    assert got == want, f"model divergence:\n got={got}\nwant={want}"
