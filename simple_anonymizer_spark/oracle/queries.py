@@ -2527,3 +2527,36 @@ SELECT customer, recency_us, frequency, monetary,
        CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
 FROM scored
 """
+
+
+# Privacy audits (operators/privacy.py)
+
+ORACLES["privacy_k_anonymity"] = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       100.0 * CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS pct_at_risk
+FROM groups
+"""
+
+ORACLES["privacy_l_diversity"] = """
+WITH groups AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_mktsegment
+)
+SELECT CAST(min(l) AS BIGINT) AS l_diversity,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS homogeneous_groups,
+       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_l
+FROM groups
+"""

@@ -2151,3 +2151,33 @@ def rfm_customer_segments(spark, sf_dir):
     from .operators.stats import rfm_segments
 
     return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+@query("privacy_k_anonymity")
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/privacy.py) of the customer table
+    under the (nation, market segment) quasi-identifier — the
+    re-identification guarantee an anonymized release actually achieves."""
+    from .operators.privacy import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"],
+        k_threshold=5,
+    )
+
+
+@query("privacy_l_diversity")
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/privacy.py): distinct order-priority
+    values per (nation, segment) customer group via the orders join —
+    k-anonymity's homogeneity blind spot, measured."""
+    from .operators.privacy import l_diversity
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(o.select("o_custkey", "o_orderpriority"),
+                    c.c_custkey == F.col("o_custkey"))
+    return l_diversity(
+        joined, ["c_nationkey", "c_mktsegment"], "o_orderpriority",
+        l_threshold=3,
+    )

@@ -257,3 +257,32 @@ def test_duplicate_spans_shared_fraction(spark):
     assert rows[3].n_shared_grams == 0 and rows[3].shared_frac == 0.0
     assert rows[4].n_grams == 1 and rows[4].shared_frac == 1.0
     assert rows[5].shared_frac == 1.0
+
+
+def test_k_anonymity_known_groups(spark):
+    from simple_anonymizer_spark.operators.privacy import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 6 + [("b", 1)] * 3 + [("c", 2)],
+        "qi string, other int",
+    )
+    r = k_anonymity(df, ["qi"], k_threshold=5).collect()[0]
+    assert r.k_anonymity == 1      # the 'c' singleton
+    assert r.n_groups == 3
+    assert r.n_rows == 10
+    assert r.rows_at_risk == 4     # 'b' (3) + 'c' (1) under threshold 5
+    assert r.pct_at_risk == 40.0
+
+
+def test_l_diversity_detects_homogeneous_group(spark):
+    from simple_anonymizer_spark.operators.privacy import l_diversity
+
+    df = spark.createDataFrame(
+        [("a", "flu"), ("a", "flu"), ("a", "flu"),      # homogeneous!
+         ("b", "flu"), ("b", "cold"), ("b", "ulcer")],
+        "qi string, diagnosis string",
+    )
+    r = l_diversity(df, ["qi"], "diagnosis", l_threshold=3).collect()[0]
+    assert r.l_diversity == 1
+    assert r.homogeneous_groups == 1
+    assert r.groups_below_l == 1   # only 'a'; 'b' has l=3

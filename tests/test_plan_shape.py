@@ -66,6 +66,7 @@ NATIVE_QUERIES = [
     "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
     "linkage_customer_supplier", "pagerank_trade",
     "gdpr_cascade_delete", "rfm_customer_segments",
+    "privacy_k_anonymity", "privacy_l_diversity",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
