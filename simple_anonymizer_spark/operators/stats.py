@@ -616,7 +616,9 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(_dec(F.col(amount_col)).cast("decimal(38,4)"))
         .cast("double").alias("monetary"),
-    )
+        # Referenced four times (output + three bucketers): pin the
+        # aggregate so the order log scans once, not four times.
+    ).localCheckpoint(eager=False)
     out = per_cust
     for metric, score in (("recency_us", "r_score"), ("frequency", "f_score"),
                           ("monetary", "m_score")):
