@@ -497,3 +497,51 @@ def test_merge_model_based_random_sequence(spark, tmp_path):
     got = sorted(_rows(spark, path))
     want = sorted(model)
     assert got == want, f"model divergence:\n got={got}\nwant={want}"
+
+
+def test_cdf_driven_anonymized_replica(spark, tmp_path):
+    """Composition: maintain an anonymized replica incrementally from the
+    source table's Change Data Feed — upstream MERGE commits flow through
+    table_changes, post-images anonymize with the native-expression
+    anonymizers, and the replica upserts via its own ACID MERGE. The
+    GDPR-replica pipeline end-to-end."""
+    from simple_anonymizer_spark.functions import anonymizers as A
+    from simple_anonymizer_spark.sources.deltalog import table_changes
+
+    src_path = str(tmp_path / "src")
+    rep_path = str(tmp_path / "rep")
+    cust = spark.createDataFrame(
+        [(1, "Alice Smith"), (2, "Bob Jones")], "id long, name string"
+    )
+
+    def sync(from_v):
+        post = (
+            table_changes(spark, src_path, from_version=from_v)
+            .where(F.col("_change_type").isin("insert", "update_postimage"))
+            .select("id", A.full_name(F.col("name")).alias("name"))
+        )
+        merge_deltalog(spark, post, rep_path, ["id"], DO_UPDATE)
+
+    merge_deltalog(spark, cust, src_path, ["id"], DO_UPDATE)
+    sync(0)
+    merge_deltalog(
+        spark,
+        spark.createDataFrame([(2, "Robert Jones"), (3, "Cara Voss")],
+                              "id long, name string"),
+        src_path, ["id"], DO_UPDATE, change_data=True,
+    )
+    sync(1)
+
+    replica = {r.id: r.name for r in read_deltalog(spark, rep_path).collect()}
+    source = {r.id: r.name for r in read_deltalog(spark, src_path).collect()}
+    assert set(replica) == {1, 2, 3}
+    # Replica carries NO raw names, and tracks the source deterministically:
+    # the same anonymizer over the current source equals the replica.
+    from simple_anonymizer_spark.sources.deltalog import read_deltalog as rd
+    expected = {
+        r.id: r.name
+        for r in rd(spark, src_path)
+        .select("id", A.full_name(F.col("name")).alias("name")).collect()
+    }
+    assert replica == expected
+    assert all(n not in replica.values() for n in source.values())
