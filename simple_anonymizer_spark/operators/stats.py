@@ -530,26 +530,22 @@ def equi_depth_histogram(
     return hist
 
 
-def quantile_buckets(
+def global_ranks(
     df: DataFrame,
     value_col: str,
     tie_col: str,
-    n_buckets: int,
     partitions: int | None = None,
     cache_owner: list | None = None,
-) -> DataFrame:
-    """Per-row equal-frequency bucket (0-based): global rank ``r`` under
-    the total order ``(value, tie)`` lands in ``(r * n_buckets) div n`` —
-    the per-row counterpart of ``equi_depth_histogram``, same distributed
-    two-pass prefix-sum rank (no single-reducer global window), same
-    ``cache_owner`` contract as ``pack_sequences`` (the ranged projection
-    must stay pinned while the returned plan is alive).
+) -> tuple[DataFrame, int]:
+    """Exact 0-based dense global rank under the total order ``(value,
+    tie)`` — the distributed two-pass prefix-sum rank (range-repartition,
+    rank within partitions, collect ONE count per partition, broadcast
+    the exclusive prefixes back), never a single-reducer global window.
+    Same ``cache_owner`` contract as ``pack_sequences``: the ranged
+    projection must stay pinned while the returned plan is alive.
 
-    Output: ``tie_col, value_col, bucket`` — join back on the unique tie
-    key to attach the bucket to full rows.
+    Returns ``(DataFrame(tie_col, value_col, __rank), n_rows)``.
     """
-    if n_buckets < 1:
-        raise ValueError("n_buckets must be >= 1")
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
@@ -578,14 +574,41 @@ def quantile_buckets(
     prefixes = spark.createDataFrame(
         prefix_rows or [(0, 0)], "__pid int, __prefix long"
     )
-    return (
+    ranked = (
         local.join(F.broadcast(prefixes), "__pid")
         .select(
             F.col("__t").alias(tie_col),
             F.col("__v").alias(value_col),
-            F.expr(f"(__prefix + __local_rank) * {n_buckets} div {max(n, 1)}")
-            .cast("long").alias("bucket"),
+            (F.col("__prefix") + F.col("__local_rank")).alias("__rank"),
         )
+    )
+    return ranked, n
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_buckets: int,
+    partitions: int | None = None,
+    cache_owner: list | None = None,
+) -> DataFrame:
+    """Per-row equal-frequency bucket (0-based): global rank ``r`` under
+    the total order ``(value, tie)`` lands in ``(r * n_buckets) div n`` —
+    the per-row counterpart of ``equi_depth_histogram``, built on
+    :func:`global_ranks` (same cache contract).
+
+    Output: ``tie_col, value_col, bucket`` — join back on the unique tie
+    key to attach the bucket to full rows.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    ranked, n = global_ranks(df, value_col, tie_col, partitions, cache_owner)
+    return ranked.select(
+        tie_col,
+        value_col,
+        F.expr(f"__rank * {n_buckets} div {max(n, 1)}")
+        .cast("long").alias("bucket"),
     )
 
 
