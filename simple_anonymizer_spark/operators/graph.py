@@ -106,6 +106,105 @@ def pagerank(
     )
 
 
+def undirected_canonical(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set: ``(a, b)`` with ``a < b``, self-loops
+    dropped, parallel edges collapsed. Every triangle algorithm downstream
+    assumes this normal form."""
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    return (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient.
+
+    Output: ``node, degree (int64), tri_count (int64), lcc (double)`` with
+    ``lcc = 2 * tri / (degree * (degree - 1))`` (0.0 when degree < 2) —
+    both operands already-identical int64 before the one IEEE division.
+
+    Scale (100 TB): wedges are enumerated under the degree orientation of
+    Suri & Vassilvitskii's MapReduce triangle algorithm — each edge is
+    directed from its (degree, id)-smaller endpoint to the larger, so a
+    node generates wedges only among neighbors that out-rank it. Wedge
+    count is bounded by sum_e min-degree(e) = O(m^1.5) instead of
+    sum_v deg(v)^2, which is the difference between a hub node producing
+    deg^2 candidate pairs and producing none. Both joins are plain
+    equi-joins (on the wedge center, then on the closing (v, w) pair) —
+    shuffle-partitioned by node key, no cartesian anywhere. Counts are
+    exact integers; enumeration order is immaterial to the result, so the
+    DuckDB oracle may use the simpler id-ordered 3-way self-join.
+    """
+    und = undirected_canonical(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # Orient each edge from its (degree, id)-smaller endpoint to the larger.
+    keyed = (
+        und.join(deg.select(F.col("node").alias("a"),
+                            F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | ((F.col("o1.dv") == F.col("o2.dv"))
+               & (F.col("o1.v") < F.col("o2.v")))
+        ),
+    ).select(
+        F.col("o1.u").alias("w_u"),
+        F.col("o1.v").alias("w_x"),
+        F.col("o2.v").alias("w_y"),
+    )
+    closing = oriented.select(F.col("u").alias("w_x"), F.col("v").alias("w_y"))
+    triangles = wedges.join(closing, ["w_x", "w_y"], "left_semi")
+    per_node = (
+        triangles.select(
+            F.explode(F.array("w_u", "w_x", "w_y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))
+    )
+    return (
+        deg.join(per_node, "node", "left_outer")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("tri_count"), F.lit(0).cast("long"))
+            .alias("tri_count"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                (F.coalesce(F.col("tri_count"), F.lit(0).cast("long")) * 2)
+                .cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            )
+            .alias("lcc"),
+        )
+    )
+
+
 def nation_trade_edges(
     lineitem: DataFrame,
     orders: DataFrame,

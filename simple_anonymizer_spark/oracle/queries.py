@@ -2529,6 +2529,47 @@ FROM scored
 """
 
 
+ORACLES["graph_triangles"] = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY c.c_nationkey, s.s_nationkey
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(p.tri_count, CAST(0 AS BIGINT)) AS tri_count,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE CAST(coalesce(p.tri_count, 0) * 2 AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       END AS lcc
+FROM deg d LEFT JOIN pern p ON d.node = p.node
+"""
+
+
 # Privacy audits (operators/privacy.py)
 
 ORACLES["privacy_k_anonymity"] = """

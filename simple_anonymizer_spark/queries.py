@@ -2130,6 +2130,26 @@ def pagerank_trade(spark, sf_dir):
     ).select(F.col("node").alias("nationkey"), "n_name", "rank_fp", "rank")
 
 
+@query("graph_triangles")
+def graph_triangles(spark, sf_dir):
+    """Per-nation triangle counts + local clustering coefficient over the
+    trade graph (graph.triangle_stats) — degree-oriented wedge
+    enumeration (Suri & Vassilvitskii), exact integer counts, one IEEE
+    division at output."""
+    from .operators.graph import nation_trade_edges, triangle_stats
+
+    edges = nation_trade_edges(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+    )
+    # DuckDB's least()/greatest() promote INTEGER keys to BIGINT; match it.
+    return triangle_stats(edges).withColumn(
+        "node", F.col("node").cast("long")
+    ).select("node", "degree", "tri_count", "lcc")
+
+
 @query("gdpr_cascade_delete")
 def gdpr_cascade_delete(spark, sf_dir):
     """Right-to-erasure audit (plans/deletion.py): delete negative-balance

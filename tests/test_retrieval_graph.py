@@ -223,3 +223,55 @@ def test_nation_trade_edges_weights(spark, sf_dir):
     edges = nation_trade_edges(li, o, c, s)
     total = edges.agg(F.sum("weight")).collect()[0][0]
     assert total == li.count()  # every lineitem lands in exactly one edge
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, pairs):
+    from simple_anonymizer_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {r.node: (r.degree, r.tri_count, r.lcc)
+            for r in triangle_stats(df).collect()}
+
+
+def test_triangles_k4_complete(spark):
+    # K4: every node has degree 3, sits in 3 triangles, lcc = 1.0.
+    pairs = [(i, j) for i in range(4) for j in range(4) if i != j]
+    out = _tri(spark, pairs)
+    assert out == {n: (3, 3, 1.0) for n in range(4)}
+
+
+def test_triangles_path_has_none(spark):
+    out = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert all(t == 0 and lcc == 0.0 for (_, t, lcc) in out.values())
+    assert out[0][0] == 1 and out[1][0] == 2
+
+
+def test_triangles_bowtie_center_counts_both(spark):
+    # Two triangles sharing node 2: center sees 2, wings see 1 each.
+    out = _tri(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)])
+    assert out[2] == (4, 2, 2 * 2 / (4 * 3))
+    for n in (0, 1, 3, 4):
+        assert out[n] == (2, 1, 1.0)
+
+
+def test_triangles_ignore_loops_direction_and_duplicates(spark):
+    # Self-loops, reversed duplicates, and parallel edges must not
+    # change the canonical count.
+    noisy = [(0, 0), (0, 1), (1, 0), (1, 2), (1, 2), (2, 0), (2, 2)]
+    out = _tri(spark, noisy)
+    assert out == {n: (2, 1, 1.0) for n in range(3)}
+
+
+def test_triangles_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.graph import triangle_stats
+
+    rows = [(i % 17, (i * 11 + 5) % 17) for i in range(200)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(map(tuple, triangle_stats(df.repartition(1)).collect()))
+    b = sorted(map(tuple, triangle_stats(df.repartition(9)).collect()))
+    assert a == b
