@@ -1,0 +1,102 @@
+"""Market-basket association rules: frequent co-occurring item pairs
+with support / confidence / lift.
+
+The classic A-Priori observation does the heavy lifting for scale: a
+pair can only be frequent if both items are, so the transaction set is
+pruned to frequent items BEFORE the pair-generating self-join. At 100 TB
+that prefilter is the difference between pairing every hub item (deg^2
+candidates from items in millions of baskets) and pairing only the
+bounded frequent-item vocabulary. The self-join is an equi-join on the
+basket key — baskets co-partition, pairs are generated locally within a
+basket, and the pair aggregation map-side-combines down to the frequent
+pair vocabulary.
+
+All counts are exact int64; confidence and lift each perform exactly one
+IEEE division on already-identical integers (the engine's cross-engine
+float rule), so a DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Frequent item pairs with association metrics.
+
+    Output: ``item_a, item_b (item_a < item_b), pair_count, supp_a,
+    supp_b, n_baskets (int64), confidence, lift (double)`` where
+    ``confidence = P(b | a) = pair/supp_a`` and
+    ``lift = P(a,b) / (P(a)P(b)) = pair * n / (supp_a * supp_b)``.
+
+    ``top_k`` bounds the output by (pair_count DESC, item_a, item_b) —
+    a total order, so it plans as TakeOrderedAndProject.
+    """
+    tx = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    # Single-row basket total: broadcast into every output row instead of
+    # collecting to the driver — keeps the operator fully lazy/composable.
+    n_b = tx.agg(
+        F.count_distinct(F.col("basket")).cast("long").alias("n_baskets")
+    )
+    supp = (
+        tx.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        .where(F.col("supp") >= min_item_support)
+    )
+    # A-Priori prune: only frequent items enter the pair join.
+    tx_f = tx.join(supp.select("item"), "item", "left_semi")
+    t1, t2 = tx_f.alias("t1"), tx_f.alias("t2")
+    pairs = (
+        t1.join(
+            t2,
+            (F.col("t1.basket") == F.col("t2.basket"))
+            & (F.col("t1.item") < F.col("t2.item")),
+        )
+        .groupBy(
+            F.col("t1.item").alias("item_a"),
+            F.col("t2.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_support)
+    )
+    out = (
+        pairs.join(
+            supp.select(F.col("item").alias("item_a"),
+                        F.col("supp").alias("supp_a")),
+            "item_a",
+        )
+        .join(
+            supp.select(F.col("item").alias("item_b"),
+                        F.col("supp").alias("supp_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "supp_a",
+            "supp_b",
+            "n_baskets",
+            (F.col("pair_count").cast("double")
+             / F.col("supp_a").cast("double")).alias("confidence"),
+            ((F.col("pair_count") * F.col("n_baskets")).cast("double")
+             / (F.col("supp_a") * F.col("supp_b")).cast("double"))
+            .alias("lift"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("pair_count").desc(), "item_a", "item_b"
+        ).limit(top_k)
+    return out

@@ -2570,6 +2570,39 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["assoc_brand_pairs"] = """
+WITH tx AS (
+  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM tx),
+supp AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS supp
+  FROM tx GROUP BY item HAVING count(*) >= 2
+),
+pairs AS (
+  SELECT t1.item AS item_a, t2.item AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM tx t1
+  JOIN tx t2 ON t1.basket = t2.basket AND t1.item < t2.item
+  WHERE t1.item IN (SELECT item FROM supp)
+    AND t2.item IN (SELECT item FROM supp)
+  GROUP BY t1.item, t2.item
+)
+SELECT p.item_a, p.item_b, p.pair_count, sa.supp AS supp_a,
+       sb.supp AS supp_b, nb.n_baskets,
+       CAST(p.pair_count AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+       CAST(p.pair_count * nb.n_baskets AS DOUBLE)
+         / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+FROM pairs p
+JOIN supp sa ON p.item_a = sa.item
+JOIN supp sb ON p.item_b = sb.item
+CROSS JOIN nb
+ORDER BY p.pair_count DESC, p.item_a, p.item_b
+LIMIT 100
+"""
+
+
 # Privacy audits (operators/privacy.py)
 
 ORACLES["privacy_k_anonymity"] = """

@@ -2150,6 +2150,23 @@ def graph_triangles(spark, sf_dir):
     ).select("node", "degree", "tri_count", "lcc")
 
 
+@query("assoc_brand_pairs")
+def assoc_brand_pairs(spark, sf_dir):
+    """Market-basket association rules (assoc.association_rules): top-100
+    co-ordered part-brand pairs with support / confidence / lift —
+    A-Priori item prune before the basket self-join."""
+    from .operators.assoc import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_item_support=2, top_k=100
+    )
+
+
 @query("gdpr_cascade_delete")
 def gdpr_cascade_delete(spark, sf_dir):
     """Right-to-erasure audit (plans/deletion.py): delete negative-balance
