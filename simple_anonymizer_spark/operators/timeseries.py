@@ -1,0 +1,98 @@
+"""Time-series regularization: calendar gap-fill and linear
+interpolation over per-key daily aggregates.
+
+Irregular event streams become fixed-cadence training series in three
+steps, each a native relational stage:
+
+1. bucket to (key, day) aggregates — partial/final hash aggregate,
+   map-side combined, DECIMAL-exact value sums;
+2. expand each key's [min_day, max_day] span with ``sequence()`` +
+   ``explode`` — generated rows never shuffle (the span row carries its
+   key), and a left join marks which calendar days were observed;
+3. interpolate gaps with ignore-nulls window functions — one sort per
+   key partition, no driver participation.
+
+Scale (100 TB): everything partitions by the series key; the calendar
+explode multiplies rows only by each key's own span, and the four
+window expressions share a single (key, day) sort. Floats follow the
+engine rule — DECIMAL accumulation for sums, then IEEE-deterministic
+arithmetic on already-identical doubles for the interpolation weights —
+so a DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_DAY = 86_400_000_000
+
+
+def resample_interpolate_daily(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Daily resample of an event stream with linear gap interpolation.
+
+    Input: ``key_col``, ``ts_col`` (TIMESTAMP), ``value_col`` (double).
+    Output one row per key per calendar day in the key's observed span:
+    ``<key>, day (epoch days, int64), n_events (int64, 0 on gap days),
+    avg_value (double — the day's mean, or the linear interpolation
+    between the nearest observed neighbors), interpolated (int64 0/1)``.
+
+    Gap days sit strictly between observed endpoints (the span is
+    [min_day, max_day] of the key's own observations), so the
+    interpolation neighbors always exist.
+    """
+    key = F.col(key_col)
+    day = F.expr(f"unix_micros({ts_col}) div {US_PER_DAY}").alias("day")
+    daily = (
+        df.groupBy(key.alias("__k"), day)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum_dec"),
+        )
+        .select(
+            "__k",
+            "day",
+            "n_events",
+            (F.col("__sum_dec").cast("double")
+             / F.col("n_events").cast("double")).alias("__avg_obs"),
+        )
+    )
+    spans = daily.groupBy("__k").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    cal = spans.select(
+        "__k", F.explode(F.sequence("__d0", "__d1")).alias("day")
+    )
+    j = cal.join(daily, ["__k", "day"], "left_outer")
+    w_back = (
+        Window.partitionBy("__k").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n_events").isNotNull(), F.col("day"))
+    prev_v = F.last("__avg_obs", ignorenulls=True).over(w_back)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_back)
+    next_v = F.first("__avg_obs", ignorenulls=True).over(w_fwd)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * (
+        (F.col("day") - prev_d).cast("double")
+        / (next_d - prev_d).cast("double")
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("day").cast("long").alias("day"),
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long"))
+        .alias("n_events"),
+        F.when(F.col("n_events").isNotNull(), F.col("__avg_obs"))
+        .otherwise(interp)
+        .alias("avg_value"),
+        F.when(F.col("n_events").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("interpolated"),
+    )

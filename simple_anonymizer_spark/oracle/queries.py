@@ -2603,6 +2603,52 @@ LIMIT 100
 """
 
 
+ORACLES["ts_daily_interpolate"] = """
+WITH obs AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_obs
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id
+),
+cal AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM spans
+),
+j AS (
+  SELECT c.user_id, c.day, o.n_events, o.avg_obs
+  FROM cal c LEFT JOIN obs o ON c.user_id = o.user_id AND c.day = o.day
+),
+f AS (
+  SELECT user_id, day, n_events, avg_obs,
+    last_value(avg_obs IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN n_events IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(avg_obs IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN n_events IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN n_events IS NOT NULL THEN avg_obs
+            ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                   / CAST(nd - pd AS DOUBLE))
+       END AS avg_value,
+       CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS interpolated
+FROM f
+"""
+
+
 # Privacy audits (operators/privacy.py)
 
 ORACLES["privacy_k_anonymity"] = """

@@ -2167,6 +2167,17 @@ def assoc_brand_pairs(spark, sf_dir):
     )
 
 
+@query("ts_daily_interpolate")
+def ts_daily_interpolate(spark, sf_dir):
+    """Per-user daily resample with linear gap interpolation
+    (timeseries.resample_interpolate_daily) — irregular events become a
+    fixed-cadence series, gaps filled between observed neighbors."""
+    from .operators.timeseries import resample_interpolate_daily
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return resample_interpolate_daily(ev, "user_id", "ts", "value")
+
+
 @query("gdpr_cascade_delete")
 def gdpr_cascade_delete(spark, sf_dir):
     """Right-to-erasure audit (plans/deletion.py): delete negative-balance

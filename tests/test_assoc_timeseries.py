@@ -4,6 +4,7 @@ time-series resample/interpolation operators."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from simple_anonymizer_spark.operators.assoc import association_rules
 
@@ -63,3 +64,71 @@ def test_assoc_top_k_orders_by_count_then_items(spark):
     assert got == [("a", "b"), ("a", "c")]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Time-series daily resample + linear interpolation
+# ---------------------------------------------------------------------------
+
+
+from simple_anonymizer_spark.operators.timeseries import (  # noqa: E402
+    resample_interpolate_daily,
+)
+
+
+def _series(spark, rows):
+    # rows: (key, day, value) -> one event at noon of that day
+    df = spark.createDataFrame(
+        [(k, (d * 86400 + 43200) * 10**6, v) for k, d, v in rows],
+        "user_id long, us long, value double",
+    ).select(
+        "user_id",
+        (F.timestamp_micros(F.col("us"))).alias("ts"),
+        "value",
+    )
+    out = resample_interpolate_daily(df, "user_id", "ts", "value")
+    return {(r.user_id, r.day): (r.n_events, r.avg_value, r.interpolated)
+            for r in out.collect()}
+
+
+def test_ts_gap_is_linearly_interpolated(spark):
+    out = _series(spark, [(1, 10, 1.0), (1, 14, 9.0)])
+    assert out[(1, 10)] == (1, 1.0, 0)
+    assert out[(1, 14)] == (1, 9.0, 0)
+    # gap days 11..13 are interpolated at slope 2/day
+    assert out[(1, 11)] == (0, 3.0, 1)
+    assert out[(1, 12)] == (0, 5.0, 1)
+    assert out[(1, 13)] == (0, 7.0, 1)
+    assert len(out) == 5
+
+
+def test_ts_multiple_events_average_per_day(spark):
+    out = _series(spark, [(1, 5, 2.0), (1, 5, 4.0), (1, 6, 1.0)])
+    assert out[(1, 5)] == (2, 3.0, 0)
+    assert out[(1, 6)] == (1, 1.0, 0)
+
+
+def test_ts_single_observation_no_gap_rows(spark):
+    out = _series(spark, [(7, 3, 1.5)])
+    assert out == {(7, 3): (1, 1.5, 0)}
+
+
+def test_ts_keys_are_independent(spark):
+    out = _series(spark, [(1, 0, 0.0), (1, 2, 2.0), (2, 100, 5.0)])
+    assert out[(1, 1)] == (0, 1.0, 1)
+    assert out[(2, 100)] == (1, 5.0, 0)
+    # key 2's span never bleeds into key 1's calendar
+    assert (1, 100) not in out and len(out) == 4
+
+
+def test_ts_partition_invariance(spark):
+    rows = [(i % 5, (i * 3) % 40, float(i % 11)) for i in range(120)]
+    df = spark.createDataFrame(
+        [(k, (d * 86400 + 1) * 10**6, v) for k, d, v in rows],
+        "user_id long, us long, value double",
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    a = sorted(map(tuple,
+        resample_interpolate_daily(df.repartition(1), "user_id", "ts", "value").collect()))
+    b = sorted(map(tuple,
+        resample_interpolate_daily(df.repartition(7), "user_id", "ts", "value").collect()))
+    assert a == b

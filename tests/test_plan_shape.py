@@ -65,7 +65,7 @@ NATIVE_QUERIES = [
     "q21_waiting_suppliers", "q22_idle_customers",
     "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
     "linkage_customer_supplier", "pagerank_trade", "graph_triangles",
-    "assoc_brand_pairs",
+    "assoc_brand_pairs", "ts_daily_interpolate",
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
