@@ -21,8 +21,12 @@ harmless: they are the SAFE ones; risk concentrates in the tiny groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.hashing import _raw_hash
 
 
 def k_anonymity(
@@ -47,6 +51,87 @@ def k_anonymity(
         "k_anonymity", "n_groups", "n_rows", "rows_at_risk",
         (F.lit(100.0) * F.col("rows_at_risk").cast("double")
          / F.col("n_rows").cast("double")).alias("pct_at_risk"),
+    )
+
+
+HASH_BITS = 31  # resolution of the stable-hash uniform (functions/hashing.py)
+
+
+def dlap_thresholds(eps: float, bits: int = HASH_BITS) -> list[int]:
+    """Cumulative thresholds of the discrete Laplace (two-sided
+    geometric) distribution with parameter ``alpha = exp(-eps)``, scaled
+    to the ``[0, 2^bits)`` hash-uniform grid.
+
+    ``P(noise = k) = (1-alpha)/(1+alpha) * alpha^|k|`` is the canonical
+    eps-DP mechanism for integer counts of sensitivity 1 (Ghosh,
+    Roughgarden & Sundararajan 2009). The returned list holds
+    ``floor(CDF(k) * 2^bits)`` for ``k = -K .. K-1`` with K sized so the
+    truncated tail mass is below the grid resolution; the inverse-CDF
+    lookup is then ``noise(u) = #{t : t <= u} - K`` — pure integer
+    comparisons, so Spark and DuckDB embed the SAME literal table and
+    agree bit-for-bit.
+    """
+    alpha = math.exp(-eps)
+    max_k = int(math.ceil((bits + 2) * math.log(2) / eps)) + 1
+    out = []
+    for k in range(-max_k, max_k):
+        if k < 0:
+            c = alpha ** (-k) / (1 + alpha)
+        else:
+            c = 1 - alpha ** (k + 1) / (1 + alpha)
+        out.append(min(2**bits, int(math.floor(c * 2**bits))))
+    return out
+
+
+def dlap_noise_expr(u: Column, eps: float) -> Column:
+    """Deterministic discrete-Laplace noise from a hash uniform ``u``
+    (int64 in ``[0, 2^31)``) — the count of CDF thresholds at or below
+    ``u``, recentered."""
+    thresholds = dlap_thresholds(eps)
+    arr = F.array(*[F.lit(t).cast("long") for t in thresholds])
+
+    def _le(t: Column) -> Column:
+        return t <= u
+
+    return (F.size(F.filter(arr, _le)).cast("long")
+            - F.lit(len(thresholds) // 2).cast("long"))
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    eps: float = 0.5,
+    seed: str = "dp",
+) -> DataFrame:
+    """eps-differentially-private group counts (release form).
+
+    Each group's true count gets discrete-Laplace noise derived from the
+    stable hash of ``seed | group key`` — deterministic under a fixed
+    seed (reproducible releases, exact oracle parity), fresh noise under
+    a new seed. Counts clamp at 0. Scope: counting queries where one
+    input row contributes to exactly one group (sensitivity 1); callers
+    must pre-bound per-entity contributions if entities repeat.
+
+    Scale (100 TB): one map-side-combinable count aggregation; the noise
+    expression runs per GROUP (not per row) over a constant-folded
+    threshold array, so the release costs the same as the plain count.
+
+    Output: ``*group_cols, noisy_count (int64)``.
+    """
+    grp = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+          for c in group_cols],
+    )
+    noise = dlap_noise_expr(_raw_hash(key), eps)
+    return grp.select(
+        *group_cols,
+        F.greatest(F.lit(0).cast("long"), F.col("__n") + noise)
+        .alias("noisy_count"),
     )
 
 

@@ -2665,6 +2665,30 @@ SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
 FROM groups
 """
 
+# eps-DP noisy counts: the discrete-Laplace threshold table comes from the
+# SAME Python builder the Spark expression embeds (operators/privacy.py),
+# so the two engines look up identical literals.
+from ..operators.privacy import dlap_thresholds as _dlap_thresholds  # noqa: E402
+
+_DP_T = _dlap_thresholds(0.5)
+_DP_K = len(_DP_T) // 2
+_DP_KEY = (
+    "('release-1' || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '<null>')"
+    " || '|' || coalesce(c_mktsegment, '<null>'))"
+)
+ORACLES["privacy_dp_counts"] = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         {O.raw_hash(_DP_KEY)} AS uh
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment,
+       greatest(CAST(0 AS BIGINT),
+                n + CAST(len([t for t in {_DP_T} if t <= uh]) AS BIGINT)
+                  - CAST({_DP_K} AS BIGINT)) AS noisy_count
+FROM g
+"""
+
 ORACLES["privacy_l_diversity"] = """
 WITH groups AS (
   SELECT c.c_nationkey, c.c_mktsegment,

@@ -2214,6 +2214,22 @@ def privacy_k_anonymity(spark, sf_dir):
     )
 
 
+@query("privacy_dp_counts")
+def privacy_dp_counts(spark, sf_dir):
+    """eps-DP noisy release of customer counts by (nation, segment)
+    (operators/privacy.dp_noisy_counts) — discrete-Laplace noise drawn
+    deterministically from the stable hash of the seeded group key, so
+    the release is reproducible and exactly oracle-checkable."""
+    from .operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        eps=0.5,
+        seed="release-1",
+    )
+
+
 @query("privacy_l_diversity")
 def privacy_l_diversity(spark, sf_dir):
     """l-diversity audit (operators/privacy.py): distinct order-priority

@@ -286,3 +286,64 @@ def test_l_diversity_detects_homogeneous_group(spark):
     assert r.l_diversity == 1
     assert r.homogeneous_groups == 1
     assert r.groups_below_l == 1   # only 'a'; 'b' has l=3
+
+
+def test_dp_noisy_counts_deterministic_under_seed(spark):
+    from simple_anonymizer_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i % 20, "x") for i in range(400)], "g long, v string"
+    )
+    a = sorted(map(tuple, dp_noisy_counts(df, ["g"], eps=0.5, seed="s1").collect()))
+    b = sorted(map(tuple, dp_noisy_counts(df, ["g"], eps=0.5, seed="s1").collect()))
+    assert a == b
+    c = sorted(map(tuple, dp_noisy_counts(df, ["g"], eps=0.5, seed="s2").collect()))
+    assert a != c  # fresh seed, fresh noise
+
+
+def test_dp_noisy_counts_high_eps_is_accurate(spark):
+    from simple_anonymizer_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i % 25, "x") for i in range(1000)], "g long, v string"
+    )
+    out = {r.g: r.noisy_count for r in
+           dp_noisy_counts(df, ["g"], eps=8.0, seed="s").collect()}
+    diffs = [abs(v - 40) for v in out.values()]
+    assert max(diffs) <= 2
+    assert sum(1 for d in diffs if d == 0) >= 20  # eps=8: noise ~always 0
+
+
+def test_dp_noisy_counts_noise_actually_present_and_clamped(spark):
+    from simple_anonymizer_spark.operators.privacy import dp_noisy_counts
+
+    # 200 singleton groups, heavy noise: some counts move, none below 0.
+    df = spark.createDataFrame([(i,) for i in range(200)], "g long")
+    out = [r.noisy_count for r in
+           dp_noisy_counts(df, ["g"], eps=0.2, seed="s").collect()]
+    assert all(v >= 0 for v in out)
+    assert any(v != 1 for v in out)
+    assert any(v == 0 for v in out)  # clamp engaged somewhere at eps=0.2
+
+
+def test_dp_noise_distribution_roughly_symmetric(spark):
+    from simple_anonymizer_spark.operators.privacy import dp_noisy_counts
+
+    # Large equal groups (no clamping): mean noise over 500 groups ~ 0.
+    df = spark.createDataFrame(
+        [(i % 500, "x") for i in range(5000)], "g long, v string"
+    )
+    out = [r.noisy_count - 10 for r in
+           dp_noisy_counts(df, ["g"], eps=1.0, seed="sym").collect()]
+    assert abs(sum(out)) / len(out) < 0.5
+    assert min(out) < 0 < max(out)
+
+
+def test_dlap_thresholds_monotone_and_centered():
+    from simple_anonymizer_spark.operators.privacy import dlap_thresholds
+
+    t = dlap_thresholds(0.5)
+    assert t == sorted(t)
+    k = len(t) // 2
+    # CDF(-1) < 0.5 <= CDF(0): the median of the noise is 0
+    assert t[k - 1] < 2**30 <= t[k]

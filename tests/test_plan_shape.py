@@ -67,7 +67,7 @@ NATIVE_QUERIES = [
     "linkage_customer_supplier", "pagerank_trade", "graph_triangles",
     "assoc_brand_pairs", "ts_daily_interpolate",
     "gdpr_cascade_delete", "rfm_customer_segments",
-    "privacy_k_anonymity", "privacy_l_diversity",
+    "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
