@@ -115,6 +115,69 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the deterministic k-means trainer, compare
+    cosine similarity only WITHIN each cluster, and keep the lowest-id
+    representative of every near-duplicate pair.
+
+    Output: one row per input vector — ``<id_col>, cell (int),
+    kept (int64 0/1)`` where ``kept = 0`` marks a vector some lower-id
+    same-cell vector covers at ``cosine >= threshold``.
+
+    Scale (100 TB): this is the whole point of the clustering step — the
+    quadratic pair comparison is confined to each cell, so cost is
+    ``sum_c |cell_c|^2`` instead of n^2; ``n_clusters`` is the knob that
+    trades recall (duplicates straddling a cell boundary are missed —
+    SemDeDup's documented approximation) against per-cell join size. The
+    pair join is a plain equi-join on the cell id, so AQE's skew handling
+    applies to an oversized cell. Assignment itself never shuffles
+    (broadcast-literal centroids), and every float op follows the
+    engine's cross-engine rules, so the trained pipeline is oracle-gated
+    end-to-end, not rows-only.
+    """
+    from .similarity import cosine
+
+    centroids = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb"), "cell"
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, id_col, "left_outer")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("__dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
 def kmeans_cluster_profile(
     corpus: DataFrame,
     n_clusters: int = 8,

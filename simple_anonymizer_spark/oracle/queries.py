@@ -1871,6 +1871,24 @@ SELECT c.cell, CAST(COALESCE(k.n_members, 0) AS BIGINT) AS n_members,
 FROM c2 c LEFT JOIN counts k USING (cell)
 """
 
+# SemDeDup (kmeans.semantic_dedup): the SAME two Lloyd iterations as
+# embedding_kmeans, then within-cell cosine pairs and lowest-id survivors.
+ORACLES["semantic_dedup_embeddings"] = f"""
+WITH c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell,
+         embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+),{_kmeans_assign_cte('c0', 'a1')},{_kmeans_update_cte('a1', 'c0', 'c1')},{_kmeans_assign_cte('c1', 'a2')},{_kmeans_update_cte('a2', 'c1', 'c2')},{_kmeans_assign_cte('c2', 'a3')},
+dups AS (
+  SELECT DISTINCT y.vec_id
+  FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_cosd('x.xv', 'y.xv')} >= 0.9
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM a3 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Z-order curve (operators/layout.py): min/max scaling with explicit floor

@@ -2178,6 +2178,17 @@ def ts_daily_interpolate(spark, sf_dir):
     return resample_interpolate_daily(ev, "user_id", "ts", "value")
 
 
+@query("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup semantic deduplication (kmeans.semantic_dedup): k-means
+    cells bound the quadratic cosine comparison; lowest-id survivor per
+    near-duplicate pair. Same trained quantizer as embedding_kmeans."""
+    from .operators.kmeans import semantic_dedup
+
+    e = dedup.ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    return semantic_dedup(e, n_clusters=8, iters=2, threshold=0.9)
+
+
 @query("gdpr_cascade_delete")
 def gdpr_cascade_delete(spark, sf_dir):
     """Right-to-erasure audit (plans/deletion.py): delete negative-balance

@@ -85,3 +85,58 @@ def test_trained_centroids_plug_into_ivf(spark, emb):
 def test_validation(spark, emb):
     with pytest.raises(ValueError, match=">= 1"):
         kmeans.kmeans_fit(emb, n_clusters=0)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+
+
+def test_semantic_dedup_drops_higher_id_duplicate(spark):
+    # ids 1/2 seed the two cells (lowest-id init); 3 is a near-dup of 1
+    # landing in 1's cell, 4 is distinct in 2's cell.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.001, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.7, 0.7]),
+    ]
+    out = {r.vec_id: r.kept for r in
+           kmeans.semantic_dedup(_vecs(spark, rows), n_clusters=2,
+                                 iters=1, threshold=0.99).collect()}
+    assert out[1] == 1 and out[3] == 0      # lowest id survives
+    assert out[2] == 1 and out[4] == 1
+    assert len(out) == 4                    # one row per input vector
+
+
+def test_semantic_dedup_all_distinct_keeps_everything(spark):
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(5)])
+            for i in range(5)]
+    out = kmeans.semantic_dedup(_vecs(spark, rows), n_clusters=2,
+                                iters=1, threshold=0.9).collect()
+    assert all(r.kept == 1 for r in out)
+
+
+def test_semantic_dedup_threshold_monotone(spark, emb):
+    strict = kmeans.semantic_dedup(emb, n_clusters=4, iters=1,
+                                   threshold=0.99)
+    loose = kmeans.semantic_dedup(emb, n_clusters=4, iters=1,
+                                  threshold=0.8)
+    kept_strict = {r.vec_id for r in strict.collect() if r.kept}
+    kept_loose = {r.vec_id for r in loose.collect() if r.kept}
+    assert kept_loose <= kept_strict      # lower threshold drops more
+
+
+def test_semantic_dedup_duplicate_chain_keeps_exactly_one(spark):
+    # Three mutually-identical vectors: only the lowest id survives.
+    rows = [(i, [3.0, 4.0]) for i in (7, 8, 9)] + [(1, [4.0, -3.0])]
+    out = {r.vec_id: r.kept for r in
+           kmeans.semantic_dedup(_vecs(spark, rows), n_clusters=2,
+                                 iters=1, threshold=0.999).collect()}
+    assert out == {7: 1, 8: 0, 9: 0, 1: 1}
