@@ -188,6 +188,112 @@ def pack_sequences(
     )
 
 
+def scrub_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup, SCRUB form: rewrite each document with
+    every token position covered by a cross-document duplicated k-token
+    gram removed. Completes ``text_analysis.duplicate_spans`` (which only
+    measures the shared fraction) into the corpus-cleaning step of Lee et
+    al. 2021 (arXiv:2107.06499) — suffix arrays don't distribute, rolling
+    k-gram membership plus position-cover reassembly does.
+
+    A position is removed when ANY duplicated gram occurrence covers it
+    (gram starting at p covers p..p+k-1); documents shorter than k form
+    one whole-document gram. Output: ``<id_col>, n_tokens, n_removed
+    (int64), clean_text`` (kept tokens rejoined in order; empty when
+    everything was duplicated).
+
+    Scale (100 TB): the honest cost is the positional explode (rows ×
+    document length). Everything downstream is bounded: the gram
+    frequency aggregation map-side-combines on the gram key, only
+    DUPLICATED occurrences explode into cover positions (duplication is
+    the rare case in a healthy corpus), and the rebuild is one shuffle on
+    the doc id with an in-row positional sort. At trillion-gram scale
+    shuffle ``xxhash64(gram)`` instead of the gram text — kept exact here
+    for bit-parity with the oracle.
+    """
+    from ..functions import textops as T
+
+    base = df.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+    tok = base.select(
+        id_col, F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = (
+        base.where(n > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("p"),
+                        F.array_join(
+                            F.slice(F.col("__toks"), s + 1, k), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__sg"),
+        )
+        .select(id_col, F.col("__sg.p").alias("__p"),
+                F.col("__sg.g").alias("__gram"))
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    covered = (
+        grams.join(dup, "__gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
+            ).alias("__cpos"),
+        )
+        .distinct()
+    )
+    j = tok.join(
+        covered,
+        (tok[id_col] == covered[id_col])
+        & (tok["__pos"] == covered["__cpos"]),
+        "left_outer",
+    ).select(tok[id_col], "__pos", "__tok", "__cpos")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count("__cpos").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__cpos").isNull(),
+                            F.struct("__pos", "__tok"),
+                        )
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return base.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -2667,6 +2667,46 @@ FROM f
 """
 
 
+ORACLES["scrub_dup_spans"] = f"""
+WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM d
+),
+gr AS (
+  SELECT doc_id, sg['p'] AS p, sg['g'] AS gram
+  FROM (
+    SELECT doc_id,
+           unnest([{{'p': s, 'g': array_to_string(toks[s+1:s+8], ' ')}}
+                   for s in range(0, greatest(len(toks) - 8, 0) + 1)]) AS sg
+    FROM d WHERE len(toks) > 0
+  )
+),
+dup AS (
+  SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS cpos
+  FROM gr WHERE gram IN (SELECT gram FROM dup)
+),
+j AS (
+  SELECT t.doc_id, t.pos, t.tok, c.cpos
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(cpos) AS BIGINT) AS n_removed,
+         string_agg(CASE WHEN cpos IS NULL THEN tok END, ' ' ORDER BY pos)
+           AS clean_text
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # Privacy audits (operators/privacy.py)
 
 ORACLES["privacy_k_anonymity"] = """

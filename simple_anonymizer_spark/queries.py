@@ -2189,6 +2189,19 @@ def semantic_dedup_embeddings(spark, sf_dir):
     return semantic_dedup(e, n_clusters=8, iters=2, threshold=0.9)
 
 
+@query("scrub_dup_spans")
+def scrub_dup_spans(spark, sf_dir):
+    """Exact-substring dedup scrub (textprep.scrub_duplicate_spans):
+    documents rewritten with cross-document duplicated 8-token spans
+    removed — the corpus-cleaning counterpart of dup_spans."""
+    from .operators.textprep import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents")),
+        k=8, min_docs=2,
+    )
+
+
 @query("gdpr_cascade_delete")
 def gdpr_cascade_delete(spark, sf_dir):
     """Right-to-erasure audit (plans/deletion.py): delete negative-balance

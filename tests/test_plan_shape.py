@@ -66,7 +66,7 @@ NATIVE_QUERIES = [
     "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
     "linkage_customer_supplier", "pagerank_trade", "graph_triangles",
     "assoc_brand_pairs", "ts_daily_interpolate",
-    "semantic_dedup_embeddings",
+    "semantic_dedup_embeddings", "scrub_dup_spans",
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
     # multimodal_* stay OUT of this list: mapInPandas is their designed

@@ -166,3 +166,74 @@ def test_vocab_min_freq_and_max_size(spark):
     assert build_vocab(docs, min_freq=2).count() == 2
     top = build_vocab(docs, max_size=1).collect()
     assert len(top) == 1 and top[0].token == "a"
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span scrubbing
+# ---------------------------------------------------------------------------
+
+
+def _scrub(spark, docs, **kw):
+    from simple_anonymizer_spark.operators.textprep import (
+        scrub_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in scrub_duplicate_spans(df, **kw).collect()}
+
+
+def test_scrub_removes_cross_doc_span_keeps_unique(spark):
+    span = "one two three"
+    out = _scrub(spark, [
+        (1, f"alpha beta {span} gamma"),
+        (2, f"delta {span} epsilon zeta"),
+    ], k=3, min_docs=2)
+    assert out[1] == (6, 3, "alpha beta gamma")
+    assert out[2] == (6, 3, "delta epsilon zeta")
+
+
+def test_scrub_short_doc_whole_gram(spark):
+    # doc 2 is shorter than k: its single whole-doc gram matches doc 1's
+    # interior, scrubbing doc 2 entirely.
+    out = _scrub(spark, [
+        (1, "aa bb xx yy"),
+        (2, "bb xx"),
+    ], k=3, min_docs=2)
+    # doc 2's whole-gram 'bb xx' appears only once in doc 1's gram set
+    # ('aa bb xx', 'bb xx yy') - so nothing matches at k=3
+    assert out[2] == (2, 0, "bb xx")
+    # but at k=2 the shared bigram is scrubbed from both
+    out2 = _scrub(spark, [
+        (1, "aa bb xx yy"),
+        (2, "bb xx"),
+    ], k=2, min_docs=2)
+    assert out2[2] == (2, 2, "")
+    assert out2[1] == (4, 2, "aa yy")
+
+
+def test_scrub_within_doc_repeat_not_flagged(spark):
+    # the same trigram twice in ONE doc: distinct-doc count is 1.
+    out = _scrub(spark, [
+        (1, "p q r s p q r"),
+        (2, "unrelated words here"),
+    ], k=3, min_docs=2)
+    assert out[1] == (7, 0, "p q r s p q r")
+
+
+def test_scrub_empty_doc_survives(spark):
+    out = _scrub(spark, [(1, ""), (2, "a b c d"), (3, "a b c d")],
+                 k=3, min_docs=2)
+    assert out[1] == (0, 0, "")
+    assert out[2] == (4, 4, "")
+
+
+def test_scrub_overlapping_spans_union_cover(spark):
+    # two duplicated trigrams overlapping by one token: covered set is
+    # the union, not double-counted.
+    out = _scrub(spark, [
+        (1, "a b c d e tail1"),
+        (2, "a b c left2"),
+        (3, "c d e right3"),
+    ], k=3, min_docs=2)
+    assert out[1] == (6, 5, "tail1")
