@@ -135,6 +135,89 @@ def dp_noisy_counts(
     )
 
 
+# Example ladder for the customer QI release (shared by the Spark query
+# and the DuckDB oracle — expression syntax valid in BOTH engines: STRING
+# is DuckDB's VARCHAR alias, floor-before-BIGINT-cast avoids the
+# truncate-vs-round cast divergence).
+CUSTOMER_QI_LADDER: dict[str, list[str]] = {
+    "c_mktsegment": ["c_mktsegment", "'*'"],
+    "c_nationkey": ["CAST(c_nationkey AS STRING)", "'*'"],
+    "c_acctbal": [
+        "CAST(CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS STRING)",
+        "CAST(CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS STRING)",
+        "'*'",
+    ],
+}
+
+
+def generalize_to_k(
+    df: DataFrame,
+    id_col: str,
+    ladder: dict[str, list[str]],
+    k: int,
+) -> DataFrame:
+    """Samarati-style minimal uniform generalization: coarsen the
+    quasi-identifier columns up their generalization ladders until the
+    release is k-anonymous, using the LOWEST level that suffices.
+
+    ``ladder`` maps each QI column to SQL expression strings (most
+    specific first, each producing a string; shorter ladders repeat
+    their last rung). Level ``l`` applies rung ``min(l, len-1)`` of
+    every ladder; the chosen level is the smallest whose minimum group
+    size reaches ``k``, falling back to the deepest level (typically
+    full suppression ``'*'``) when none does.
+
+    Output: ``<id_col>``, one generalized string column per QI (same
+    name), and ``gen_level (int64)``.
+
+    Scale (100 TB): one map-side-combinable aggregation per candidate
+    level (ladders are 2-4 rungs, so a handful of scans — or one, if
+    the caller pre-projects all rungs and uses grouping sets), then a
+    single-row broadcast of the chosen level into a pure projection.
+    Everything is exact string/integer algebra — level choice is
+    bit-reproducible, which is what makes the release auditable.
+    """
+    cols = list(ladder)
+    n_levels = max(len(v) for v in ladder.values())
+
+    def rung(col: str, level: int) -> F.Column:
+        exprs = ladder[col]
+        return F.expr(exprs[min(level, len(exprs) - 1)])
+
+    per_level = [
+        df.groupBy(*[rung(c, lv).alias(f"__g{i}")
+                     for i, c in enumerate(cols)])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min("__n").cast("long").alias("__min_size"))
+        .select(F.lit(lv).cast("long").alias("__level"), "__min_size")
+        for lv in range(n_levels)
+    ]
+    levels_df = per_level[0]
+    for p in per_level[1:]:
+        levels_df = levels_df.unionAll(p)
+    chosen = levels_df.agg(
+        F.coalesce(
+            F.min(F.when(F.col("__min_size") >= k, F.col("__level"))),
+            F.lit(n_levels - 1).cast("long"),
+        ).alias("__chosen")
+    )
+
+    def pick(col: str) -> F.Column:
+        out = rung(col, n_levels - 1)
+        for lv in range(n_levels - 2, -1, -1):
+            out = F.when(F.col("__chosen") == lv, rung(col, lv)).otherwise(out)
+        return out.alias(col)
+
+    return (
+        df.crossJoin(F.broadcast(chosen))
+        .select(
+            F.col(id_col),
+            *[pick(c) for c in cols],
+            F.col("__chosen").alias("gen_level"),
+        )
+    )
+
+
 def l_diversity(
     df: DataFrame,
     quasi_cols: list[str],

@@ -2747,6 +2747,50 @@ SELECT c_nationkey, c_mktsegment,
 FROM g
 """
 
+# Samarati minimal generalization: level CTEs + chosen-level CASE built
+# from the SAME ladder dict the Spark operator consumes.
+from ..operators.privacy import CUSTOMER_QI_LADDER as _QI  # noqa: E402
+
+_QI_COLS = list(_QI)
+_QI_LEVELS = max(len(v) for v in _QI.values())
+
+
+def _qi_rung(col: str, lv: int) -> str:
+    exprs = _QI[col]
+    return exprs[min(lv, len(exprs) - 1)]
+
+
+_QI_LEVEL_CTES = ",\n".join(
+    f"l{lv} AS (SELECT CAST({lv} AS BIGINT) AS level, "
+    f"CAST(min(n) AS BIGINT) AS ms FROM ("
+    f"SELECT {', '.join(_qi_rung(c, lv) + f' AS g{i}' for i, c in enumerate(_QI_COLS))}, "
+    f"count(*) AS n FROM customer GROUP BY {', '.join(str(i + 1) for i in range(len(_QI_COLS)))}))"
+    for lv in range(_QI_LEVELS)
+)
+
+
+def _qi_case(col: str) -> str:
+    branches = " ".join(
+        f"WHEN ch.lv = {lv} THEN {_qi_rung(col, lv)}"
+        for lv in range(_QI_LEVELS - 1)
+    )
+    return f"CASE {branches} ELSE {_qi_rung(col, _QI_LEVELS - 1)} END AS {col}"
+
+
+ORACLES["anon_generalize_k"] = f"""
+WITH {_QI_LEVEL_CTES},
+lvs AS ({' UNION ALL '.join(f'SELECT * FROM l{lv}' for lv in range(_QI_LEVELS))}),
+chosen AS (
+  SELECT COALESCE(min(CASE WHEN ms >= 5 THEN level END),
+                  CAST({_QI_LEVELS - 1} AS BIGINT)) AS lv
+  FROM lvs
+)
+SELECT c_custkey,
+       {', '.join(_qi_case(c) for c in _QI_COLS)},
+       CAST(ch.lv AS BIGINT) AS gen_level
+FROM customer CROSS JOIN chosen ch
+"""
+
 ORACLES["privacy_l_diversity"] = """
 WITH groups AS (
   SELECT c.c_nationkey, c.c_mktsegment,

@@ -2254,6 +2254,19 @@ def privacy_dp_counts(spark, sf_dir):
     )
 
 
+@query("anon_generalize_k")
+def anon_generalize_k(spark, sf_dir):
+    """Samarati-style minimal generalization (privacy.generalize_to_k):
+    customer quasi-identifiers coarsened up their ladders to the LOWEST
+    level achieving 5-anonymity — the release-side transform the
+    k-anonymity audit measures."""
+    from .operators.privacy import CUSTOMER_QI_LADDER, generalize_to_k
+
+    return generalize_to_k(
+        _t(spark, sf_dir, "customer"), "c_custkey", CUSTOMER_QI_LADDER, k=5
+    )
+
+
 @query("privacy_l_diversity")
 def privacy_l_diversity(spark, sf_dir):
     """l-diversity audit (operators/privacy.py): distinct order-priority

@@ -347,3 +347,53 @@ def test_dlap_thresholds_monotone_and_centered():
     k = len(t) // 2
     # CDF(-1) < 0.5 <= CDF(0): the median of the noise is 0
     assert t[k - 1] < 2**30 <= t[k]
+
+
+def _gen(spark, rows, ladder, k):
+    from simple_anonymizer_spark.operators.privacy import generalize_to_k
+
+    df = spark.createDataFrame(rows, "id long, zip string, age long")
+    out = generalize_to_k(df, "id", ladder, k)
+    return {r.id: tuple(r)[1:] for r in out.collect()}
+
+
+_LADDER = {
+    "zip": ["zip", "substr(zip, 1, 3)", "'*'"],
+    "age": ["CAST(age AS STRING)",
+            "CAST(CAST(floor(age / 10) * 10 AS BIGINT) AS STRING)", "'*'"],
+}
+
+
+def test_generalize_identity_when_already_k_anonymous(spark):
+    rows = [(i, "12345", 30) for i in range(4)]
+    out = _gen(spark, rows, _LADDER, k=2)
+    assert all(v == ("12345", "30", 0) for v in out.values())
+
+
+def test_generalize_picks_minimal_sufficient_level(spark):
+    # Level 0: all four rows distinct (singletons). Level 1: zip prefixes
+    # and age decades collapse into two groups of 2 -> k=2 holds.
+    rows = [(1, "12345", 31), (2, "12346", 34),
+            (3, "98701", 57), (4, "98702", 52)]
+    out = _gen(spark, rows, _LADDER, k=2)
+    assert out[1] == ("123", "30", 1)
+    assert out[3] == ("987", "50", 1)
+
+
+def test_generalize_falls_back_to_full_suppression(spark):
+    rows = [(1, "12345", 31), (2, "98702", 52)]
+    out = _gen(spark, rows, _LADDER, k=2)
+    assert out[1] == ("*", "*", 2)
+    assert out[2] == ("*", "*", 2)
+
+
+def test_generalize_short_ladder_repeats_last_rung(spark):
+    ladder = {"zip": ["zip", "'*'"],   # 2 rungs vs age's 3
+              "age": _LADDER["age"]}
+    rows = [(1, "11111", 31), (2, "11111", 39),
+            (3, "11111", 57), (4, "11111", 52)]
+    # level 0 singletons (ages distinct); level 1: zip stays 'zip'?? no -
+    # zip's rung 1 is '*', age decades give groups of 2.
+    out = _gen(spark, rows, ladder, k=2)
+    assert out[1] == ("*", "30", 1)
+    assert out[3] == ("*", "50", 1)

@@ -69,6 +69,7 @@ NATIVE_QUERIES = [
     "semantic_dedup_embeddings", "scrub_dup_spans",
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
+    "anon_generalize_k",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
