@@ -57,6 +57,14 @@ HEADLINE = [
     "bm25_docs",
     "bigram_lm_docs",
     "markov_event_transitions",
+    # Round-4 late additions: the explode/join-heavy new operators (span
+    # scrubbing, within-cell semantic dedup, basket pairing, calendar
+    # expansion) — the cheap ones (triangles, DP counts, generalization)
+    # ride the oracle gate only.
+    "scrub_dup_spans",
+    "semantic_dedup_embeddings",
+    "assoc_brand_pairs",
+    "ts_daily_interpolate",
 ]
 
 

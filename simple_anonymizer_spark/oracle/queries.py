@@ -2588,6 +2588,56 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["agg_mode_disc_percentiles"] = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+md AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY n DESC, o_orderpriority ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+  FROM orders
+),
+pct AS (
+  SELECT o_orderstatus,
+         CAST(max(cnt) AS BIGINT) AS n_orders,
+         max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+                  THEN o_totalprice END) AS p25_disc,
+         max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                  THEN o_totalprice END) AS p50_disc,
+         max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+                  THEN o_totalprice END) AS p75_disc
+  FROM ranked GROUP BY o_orderstatus
+)
+SELECT p.o_orderstatus, p.n_orders, m.mode_priority,
+       p.p25_disc, p.p50_disc, p.p75_disc
+FROM pct p JOIN md m ON p.o_orderstatus = m.o_orderstatus
+"""
+
+ORACLES["unpivot_lineitem_metrics"] = """
+WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM long GROUP BY metric
+"""
+
 ORACLES["assoc_brand_pairs"] = """
 WITH tx AS (
   SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item

@@ -2150,6 +2150,76 @@ def graph_triangles(spark, sf_dir):
     ).select("node", "degree", "tri_count", "lcc")
 
 
+@query("agg_mode_disc_percentiles")
+def agg_mode_disc_percentiles(spark, sf_dir):
+    """Per-status modal order priority (deterministic count-desc /
+    value-asc tie-break — engine mode() functions pick arbitrarily on
+    ties) and discrete quartiles of the order price (percentile_disc
+    semantics via an explicit rank, value at ceil(p*n))."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wm = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("__n").desc(), F.col("o_orderpriority").asc()
+    )
+    mode = (
+        counts.withColumn("__rn", F.row_number().over(wm))
+        .where(F.col("__rn") == 1)
+        .select("o_orderstatus",
+                F.col("o_orderpriority").alias("mode_priority"))
+    )
+    wp = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus", "o_totalprice",
+        F.row_number().over(wp).alias("__rn"),
+        F.count(F.lit(1)).over(wc).alias("__cnt"),
+    )
+
+    def disc(p: float):
+        return F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.lit(p) * F.col("__cnt")),
+                F.col("o_totalprice"),
+            )
+        )
+
+    pct = ranked.groupBy("o_orderstatus").agg(
+        F.max("__cnt").cast("long").alias("n_orders"),
+        disc(0.25).alias("p25_disc"),
+        disc(0.5).alias("p50_disc"),
+        disc(0.75).alias("p75_disc"),
+    )
+    return pct.join(mode, "o_orderstatus").select(
+        "o_orderstatus", "n_orders", "mode_priority",
+        "p25_disc", "p50_disc", "p75_disc",
+    )
+
+
+@query("unpivot_lineitem_metrics")
+def unpivot_lineitem_metrics(spark, sf_dir):
+    """Native UNPIVOT (melt) of the four lineitem measures into long
+    format — plans as one Expand over a single scan, not four unioned
+    scans — then a per-metric profile."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 @query("assoc_brand_pairs")
 def assoc_brand_pairs(spark, sf_dir):
     """Market-basket association rules (assoc.association_rules): top-100

@@ -397,3 +397,30 @@ def test_generalize_short_ladder_repeats_last_rung(spark):
     out = _gen(spark, rows, ladder, k=2)
     assert out[1] == ("*", "30", 1)
     assert out[3] == ("*", "50", 1)
+
+
+def test_mode_tie_break_prefers_smallest_value(spark):
+    # Two priorities tied at 2 occurrences within status 'A': the
+    # lexicographically smaller one must win deterministically.
+    from simple_anonymizer_spark.queries import QUERIES
+    import tempfile, os
+
+    rows = [
+        (1, "A", "2-HIGH"), (2, "A", "2-HIGH"),
+        (3, "A", "1-URGENT"), (4, "A", "1-URGENT"),
+        (5, "A", "3-LOW"),
+        (6, "B", "3-LOW"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(k, s, 100.0 + k, p) for k, s, p in rows],
+            "o_orderkey long, o_orderstatus string, o_totalprice double,"
+            " o_orderpriority string",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r.o_orderstatus: r for r in
+               QUERIES["agg_mode_disc_percentiles"](spark, d).collect()}
+    assert out["A"].mode_priority == "1-URGENT"
+    assert out["A"].n_orders == 5
+    # discrete percentiles are actual data values at ceil(p*n)
+    assert out["A"].p50_disc == 103.0   # 3rd of 5 sorted prices
+    assert out["B"].p25_disc == out["B"].p50_disc == out["B"].p75_disc == 106.0

@@ -67,6 +67,7 @@ NATIVE_QUERIES = [
     "linkage_customer_supplier", "pagerank_trade", "graph_triangles",
     "assoc_brand_pairs", "ts_daily_interpolate",
     "semantic_dedup_embeddings", "scrub_dup_spans",
+    "agg_mode_disc_percentiles", "unpivot_lineitem_metrics",
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
     "anon_generalize_k",
@@ -161,6 +162,14 @@ def test_wholestage_codegen_on_anonymizers(spark, sf_dir):
     # text hides codegen markers, so assert on the unwrapped variant.)
     plan = plan_of(spark, "anon_stable_hash", sf_dir)
     assert "*(1)" in plan
+
+
+def test_unpivot_is_expand_over_single_scan(spark, sf_dir):
+    # Native UNPIVOT must plan as one Expand over one parquet scan — a
+    # 4-way union of scans would read the table four times.
+    plan = plan_of(spark, "unpivot_lineitem_metrics", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_cms_sketch_partial_aggregation(spark, sf_dir):
