@@ -2588,6 +2588,70 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["json_props_profile"] = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+FROM p GROUP BY event_type
+"""
+
+ORACLES["anomaly_mad_orders"] = """
+WITH rows_u AS (
+  SELECT o_orderstatus AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS u,
+         o_orderkey AS t
+  FROM orders
+),
+r1 AS (
+  SELECT g, u, t,
+         row_number() OVER (PARTITION BY g ORDER BY u, t) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM rows_u
+),
+med AS (
+  SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+         CASE WHEN count(*) = 1 THEN 2 * sum(u) ELSE sum(u) END AS m2
+  FROM r1
+  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(floor(n / 2) AS BIGINT) + 1
+  GROUP BY g
+),
+devs AS (
+  SELECT r.g, r.u, r.t, m.m2, m.n_rows, abs(2 * r.u - m.m2) AS dev2
+  FROM rows_u r JOIN med m ON r.g = m.g
+),
+r2 AS (
+  SELECT g, dev2, m2, n_rows,
+         row_number() OVER (PARTITION BY g ORDER BY dev2, t) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM devs
+),
+mad AS (
+  SELECT g,
+         CASE WHEN count(*) = 1 THEN 2 * sum(dev2) ELSE sum(dev2) END AS mad4
+  FROM r2
+  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+     OR rn = CAST(floor(n / 2) AS BIGINT) + 1
+  GROUP BY g
+)
+SELECT d.g AS o_orderstatus,
+       CAST(max(d.n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(max(d.m2) AS DOUBLE) / 200.0 AS median,
+       CAST(max(m.mad4) AS DOUBLE) / 400.0 AS mad
+FROM devs d JOIN mad m ON d.g = m.g
+GROUP BY d.g
+"""
+
 ORACLES["agg_mode_disc_percentiles"] = """
 WITH counts AS (
   SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -2150,6 +2150,40 @@ def graph_triangles(spark, sf_dir):
     ).select("node", "degree", "tri_count", "lcc")
 
 
+@query("anomaly_mad_orders")
+def anomaly_mad_orders(spark, sf_dir):
+    """Robust MAD outlier report per order status
+    (stats.mad_outliers) — the breakdown-resistant complement of the
+    3-sigma screen; all medians in exact integer cents."""
+    from .operators import stats
+
+    return stats.mad_outliers(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"], "o_totalprice", "o_orderkey", c=3,
+    )
+
+
+@query("json_props_profile")
+def json_props_profile(spark, sf_dir):
+    """Typed flatten of the events JSON props column via native
+    from_json (JVM JsonToStructs — no Python), profiled per event type.
+    Exact integer aggregation; one IEEE division for the mean."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("__p"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("__p.k")).cast("long").alias("sum_k"),
+        F.min(F.col("__p.k")).cast("long").alias("min_k"),
+        F.max(F.col("__p.k")).cast("long").alias("max_k"),
+    ).select(
+        "event_type", "n_events", "sum_k", "min_k", "max_k",
+        (F.col("sum_k").cast("double") / F.col("n_events").cast("double"))
+        .alias("avg_k"),
+    )
+
+
 @query("agg_mode_disc_percentiles")
 def agg_mode_disc_percentiles(spark, sf_dir):
     """Per-status modal order priority (deterministic count-desc /

@@ -511,3 +511,58 @@ def test_rfm_scores_monotone_in_metrics(spark, sf_dir):
     assert set(scores) == {1, 2, 3, 4}
     for c in owner:
         c.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_wild_value(spark):
+    from simple_anonymizer_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("A", float(v), i) for i, v in enumerate([1, 2, 3, 4, 100])],
+        "g string, v double, t long",
+    )
+    r = mad_outliers(df, ["g"], "v", "t", c=3).collect()[0]
+    assert (r.n_rows, r.n_outliers) == (5, 1)   # only the 100
+    assert r.median == 3.0 and r.mad == 1.0
+
+
+def test_mad_outliers_even_group_exact_halves(spark):
+    from simple_anonymizer_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("A", float(v), i) for i, v in enumerate([1, 2, 3, 4])],
+        "g string, v double, t long",
+    )
+    r = mad_outliers(df, ["g"], "v", "t", c=3).collect()[0]
+    assert r.median == 2.5 and r.mad == 1.0
+    assert r.n_outliers == 0
+
+
+def test_mad_outliers_resists_contamination_where_sigma_fails(spark):
+    from simple_anonymizer_spark.operators.stats import mad_outliers
+
+    # 20 inliers at 10 +/- 1 cent and two 1e6 spikes: a 3-sigma rule's
+    # stddev explodes (sigma ~ 3e5, spikes < 3.3 sigma -> missed);
+    # median/MAD still flags both.
+    vals = [10.0 + (i % 3 - 1) * 0.01 for i in range(20)] + [1e6, 1e6]
+    df = spark.createDataFrame(
+        [("A", v, i) for i, v in enumerate(vals)], "g string, v double, t long"
+    )
+    r = mad_outliers(df, ["g"], "v", "t", c=3).collect()[0]
+    assert r.n_outliers == 2
+    assert r.median == 10.0
+
+
+def test_mad_outliers_groups_independent(spark):
+    from simple_anonymizer_spark.operators.stats import mad_outliers
+
+    rows = [("A", float(v), i) for i, v in enumerate([1, 2, 3])] + \
+           [("B", float(v), i) for i, v in enumerate([100, 200, 300, 10000])]
+    df = spark.createDataFrame(rows, "g string, v double, t long")
+    out = {r.g: r for r in mad_outliers(df, ["g"], "v", "t").collect()}
+    assert out["A"].median == 2.0 and out["A"].n_outliers == 0
+    assert out["B"].median == 250.0 and out["B"].n_outliers == 1
