@@ -40,31 +40,53 @@ def association_rules(
     ``top_k`` bounds the output by (pair_count DESC, item_a, item_b) —
     a total order, so it plans as TakeOrderedAndProject.
     """
-    tx = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # ONE scan of the transaction input: group straight to per-basket
+    # sorted item sets (collect_set dedups within the basket, so no
+    # separate distinct shuffle). supp, the basket total, and the pairs
+    # all derive from this grouped frame — Spark's exchange reuse serves
+    # the repeated references from one shuffle.
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("__items"))
+    )
     # Single-row basket total: broadcast into every output row instead of
     # collecting to the driver — keeps the operator fully lazy/composable.
-    n_b = tx.agg(
-        F.count_distinct(F.col("basket")).cast("long").alias("n_baskets")
-    )
+    n_b = items.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     supp = (
-        tx.groupBy("item")
+        items.select(F.explode("__items").alias("item"))
+        .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .where(F.col("supp") >= min_item_support)
     )
-    # A-Priori prune: only frequent items enter the pair join.
-    tx_f = tx.join(supp.select("item"), "item", "left_semi")
-    t1, t2 = tx_f.alias("t1"), tx_f.alias("t2")
+    # Pairs form IN-ROW per basket (the LSH bucket-combinatorics pattern):
+    # nested transform+flatten emits each basket's C(m,2) ordered pairs
+    # locally — per-basket pair counts are bounded by basket size, never
+    # corpus size. The A-Priori prune lands at the pair-count joins below:
+    # the INNER joins on the support-filtered item table drop every pair
+    # touching an infrequent item, which is result-equivalent to pruning
+    # the transactions first. (For corpora with HUGE baskets, pre-filter
+    # the item arrays before pairing; with real-world bounded baskets the
+    # in-row generation is already the cheap side.)
+
+    def _pairs_of(arr):
+        def outer(x, i):
+            def inner(y):
+                return F.struct(x.alias("item_a"), y.alias("item_b"))
+
+            return F.transform(
+                F.slice(arr, i + 2, F.size(arr)), inner
+            )
+
+        return F.flatten(F.transform(arr, outer))
+
     pairs = (
-        t1.join(
-            t2,
-            (F.col("t1.basket") == F.col("t2.basket"))
-            & (F.col("t1.item") < F.col("t2.item")),
-        )
+        items.select(F.explode(_pairs_of(F.col("__items"))).alias("__p"))
         .groupBy(
-            F.col("t1.item").alias("item_a"),
-            F.col("t2.item").alias("item_b"),
+            F.col("__p.item_a").alias("item_a"),
+            F.col("__p.item_b").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
         .where(F.col("pair_count") >= min_pair_support)
