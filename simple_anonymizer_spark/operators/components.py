@@ -21,7 +21,7 @@ halves the round count; the per-round dataflow below is the same shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def connected_components(
@@ -84,4 +84,46 @@ def cluster_stats(components: DataFrame) -> DataFrame:
     ``component, n_members``."""
     return components.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def golden_records(
+    rows: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    score: Column,
+    node_col: str = "node",
+) -> DataFrame:
+    """Survivorship: elect one canonical record per duplicate cluster.
+
+    ``labels`` is the ``connected_components`` output; ``score`` ranks
+    candidates within a cluster (higher wins, id ascending breaks ties —
+    a total order, so the election is deterministic). Output: one row
+    per input record — ``<id_col>, component, canonical_id (the
+    elected record's id), is_canonical (int64 0/1)``.
+
+    Scale (100 TB): one equi-join onto the label table, one window sort
+    per component (components are duplicate clusters — small by
+    construction), and a component-keyed join of the winners back. The
+    same shuffle key (component) serves both stages.
+    """
+    joined = rows.join(
+        labels, rows[id_col] == labels[node_col]
+    ).select(rows[id_col].alias("__id"), F.col("component"),
+             score.alias("__score"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("__id").asc()
+    )
+    ranked = joined.select(
+        "__id", "component", F.row_number().over(w).alias("__rn")
+    )
+    canon = ranked.where(F.col("__rn") == 1).select(
+        "component", F.col("__id").alias("canonical_id")
+    )
+    return ranked.join(canon, "component").select(
+        F.col("__id").alias(id_col),
+        "component",
+        "canonical_id",
+        (F.col("__id") == F.col("canonical_id")).cast("long")
+        .alias("is_canonical"),
     )

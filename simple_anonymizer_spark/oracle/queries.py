@@ -784,6 +784,24 @@ labels AS (
 SELECT node, component FROM labels
 """
 
+# Golden records: the SAME recursive-component CTEs as dedup_clusters,
+# extended with the per-cluster survivorship election.
+_dc = ORACLES["dedup_clusters"].strip()
+_dc_body = _dc.rsplit("\nSELECT ", 1)[0]
+ORACLES["dedup_golden_records"] = f"""{_dc_body},
+ranked AS (
+  SELECT d.doc_id, l.component,
+         row_number() OVER (PARTITION BY l.component
+                            ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN labels l ON d.doc_id = l.node
+),
+canon AS (SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+SELECT r.doc_id, r.component, c.canonical_id,
+       CAST(CASE WHEN r.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
+FROM ranked r JOIN canon c USING (component)
+"""
+
 _SAMPLE_KEY = "CAST(c_custkey AS VARCHAR)"
 _SPLIT_KEY = "(" + _SAMPLE_KEY + " || '_split')"
 _SPLIT_BUCKET = f"({O.stable_hash(_SPLIT_KEY)} % 10000)"

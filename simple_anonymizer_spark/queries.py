@@ -748,6 +748,24 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+@query("dedup_golden_records")
+def dedup_golden_records(spark, sf_dir):
+    """Survivorship election over the MinHash duplicate clusters
+    (components.golden_records): each cluster keeps its longest document
+    (doc_id ascending on ties) as the canonical record."""
+    from .operators.components import connected_components, golden_records
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    labels = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return golden_records(
+        docs.select("doc_id", "text"), labels, "doc_id",
+        F.length(F.col("text")),
+    )
+
+
 @query("sample_stratified")
 def sample_stratified(spark, sf_dir):
     """Deterministic per-stratum sampling (sampleBy without RNG): keyed

@@ -63,3 +63,38 @@ def test_no_python_in_round_plan(spark):
     out = connected_components(edges_of(spark, [(1, 2), (3, 4), (2, 3)]))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship
+# ---------------------------------------------------------------------------
+
+
+def test_golden_records_elects_highest_score_lowest_id(spark):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.components import (
+        connected_components,
+        golden_records,
+    )
+
+    # Cluster {1,2,3} (3 longest), cluster {4,5} tie on length -> 4 wins,
+    # 6 is a singleton.
+    rows = spark.createDataFrame(
+        [(1, "aa"), (2, "bbbb"), (3, "cccccc"), (4, "dd"), (5, "ee"),
+         (6, "f")],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    labels = connected_components(
+        edges, nodes=rows.select(F.col("doc_id").alias("node"))
+    )
+    out = {r.doc_id: (r.component, r.canonical_id, r.is_canonical)
+           for r in golden_records(rows, labels, "doc_id",
+                                   F.length(F.col("text"))).collect()}
+    assert out[1] == (1, 3, 0) and out[2] == (1, 3, 0) and out[3] == (1, 3, 1)
+    assert out[4] == (4, 4, 1) and out[5] == (4, 4, 0)
+    assert out[6] == (6, 6, 1)
+    assert len(out) == 6
