@@ -2606,6 +2606,22 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["concentration_segments"] = """
+WITH per_seg AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       CAST(sum(n) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(n * n) AS DOUBLE)
+         / CAST(sum(n) * sum(n) AS DOUBLE) AS hhi,
+       CAST(sum(n) * sum(n) - sum(n * n) AS DOUBLE)
+         / CAST(sum(n) * sum(n) AS DOUBLE) AS gini_impurity,
+       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_share
+FROM per_seg GROUP BY c_nationkey
+"""
+
 ORACLES["json_props_profile"] = """
 WITH p AS (
   SELECT event_type,

@@ -2202,6 +2202,34 @@ def json_props_profile(spark, sf_dir):
     )
 
 
+@query("concentration_segments")
+def concentration_segments(spark, sf_dir):
+    """Per-nation market-segment concentration: Herfindahl index and
+    Gini impurity from EXACT integer category counts — sum(n_i^2)/n^2
+    needs no floating-point accumulation, just one IEEE division."""
+    c = _t(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return per_seg.groupBy("c_nationkey").agg(
+        F.sum("__n").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("__n") * F.col("__n")).cast("long").alias("__s2"),
+        F.max("__n").cast("long").alias("__maxn"),
+    ).select(
+        "c_nationkey", "n_customers", "n_segments",
+        (F.col("__s2").cast("double")
+         / (F.col("n_customers") * F.col("n_customers")).cast("double"))
+        .alias("hhi"),
+        ((F.col("n_customers") * F.col("n_customers") - F.col("__s2"))
+         .cast("double")
+         / (F.col("n_customers") * F.col("n_customers")).cast("double"))
+        .alias("gini_impurity"),
+        (F.col("__maxn").cast("double") / F.col("n_customers").cast("double"))
+        .alias("top_share"),
+    )
+
+
 @query("agg_mode_disc_percentiles")
 def agg_mode_disc_percentiles(spark, sf_dir):
     """Per-status modal order priority (deterministic count-desc /
