@@ -51,3 +51,40 @@ def markov_transitions(
         (F.col("n_trans").cast("double") / F.col("prev_total").cast("double"))
         .alias("p_cond"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 25,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts_us", "event_id"),
+) -> DataFrame:
+    """Most frequent n-step event paths across all users.
+
+    A path is ``n`` consecutive event types within one user's
+    (timestamp, event_id)-ordered stream, rendered ``a>b>c``. Output:
+    ``path, n_occurrences`` — global top-``k`` under the total order
+    (count DESC, path ASC), planned as TakeOrderedAndProject.
+
+    Scale: same shape as markov_transitions — per-user lag windows (no
+    global sort), then a map-side-combinable count over a key space
+    bounded by |event types|^n, then a driver-bounded top-k.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    lags = [F.lag(F.col(type_col), i).over(w).alias(f"__t{i}")
+            for i in range(n - 1, 0, -1)]
+    seq = events.select(*lags, F.col(type_col).alias("__t0"))
+    steps = [F.col(f"__t{i}") for i in range(n - 1, -1, -1)]
+    path = F.concat_ws(">", *steps)
+    return (
+        seq.where(F.col(f"__t{n-1}").isNotNull())
+        .select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )

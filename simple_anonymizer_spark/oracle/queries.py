@@ -2606,6 +2606,35 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["window_rank_family"] = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+ORACLES["event_paths_top"] = """
+WITH seq AS (
+  SELECT event_type AS t0,
+         lag(event_type, 1) OVER w AS t1,
+         lag(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+)
+SELECT t2 || '>' || t1 || '>' || t0 AS path,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path ASC
+LIMIT 25
+"""
+
 ORACLES["concentration_segments"] = """
 WITH per_seg AS (
   SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n

@@ -2202,6 +2202,39 @@ def json_props_profile(spark, sf_dir):
     )
 
 
+@query("window_rank_family")
+def window_rank_family(spark, sf_dir):
+    """The full SQL rank-function family over one per-status price sort:
+    rank / dense_rank / percent_rank / cume_dist / ntile(4) — unique
+    (price, orderkey) ordering makes every one engine-deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query("event_paths_top")
+def event_paths_top(spark, sf_dir):
+    """Top-25 three-step event paths (sequences.top_paths): per-user
+    (ts, event_id)-ordered lag trigrams, global counts, tie-broken
+    TakeOrderedAndProject top-k."""
+    from .operators.sequences import top_paths
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return top_paths(ev, n=3, k=25)
+
+
 @query("concentration_segments")
 def concentration_segments(spark, sf_dir):
     """Per-nation market-segment concentration: Herfindahl index and

@@ -275,3 +275,39 @@ def test_triangles_partition_invariance(spark):
     a = sorted(map(tuple, triangle_stats(df.repartition(1)).collect()))
     b = sorted(map(tuple, triangle_stats(df.repartition(9)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Top event paths
+# ---------------------------------------------------------------------------
+
+
+def test_top_paths_counts_and_order(spark):
+    from simple_anonymizer_spark.operators.sequences import top_paths
+
+    rows = []
+    # user 1: a b c a b c -> paths a>b>c (x2), b>c>a, c>a>b
+    for i, t in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((1, t, i, i * 1000))
+    # user 2: a b c -> a>b>c once more
+    for i, t in enumerate(["a", "b", "c"]):
+        rows.append((2, t, 100 + i, i * 1000))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts_us long"
+    )
+    out = top_paths(ev, n=3, k=10).collect()
+    assert (out[0].path, out[0].n_occurrences) == ("a>b>c", 3)
+    rest = {(r.path, r.n_occurrences) for r in out[1:]}
+    assert rest == {("b>c>a", 1), ("c>a>b", 1)}
+
+
+def test_top_paths_never_crosses_users(spark):
+    from simple_anonymizer_spark.operators.sequences import top_paths
+
+    ev = spark.createDataFrame(
+        [(1, "a", 0, 0), (1, "b", 1, 1), (2, "c", 2, 2), (2, "d", 3, 3)],
+        "user_id long, event_type string, event_id long, ts_us long",
+    )
+    out = top_paths(ev, n=2, k=10).collect()
+    assert {(r.path, r.n_occurrences) for r in out} == \
+        {("a>b", 1), ("c>d", 1)}
