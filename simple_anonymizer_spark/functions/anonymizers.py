@@ -223,3 +223,28 @@ def register_python_udfs(spark: SparkSession, prefix: str = "pyanon_") -> None:
 
     for name, fn in pyimpl.PY_ANONYMIZERS.items():
         spark.udf.register(f"{prefix}{name}", fn, "string")
+
+
+def shift_timestamp(
+    ts: Column | str, entity: Column | str, max_days: int = 180
+) -> Column:
+    """Consistent per-entity date shifting: every timestamp belonging to
+    one entity moves by the SAME stable-hash-derived whole-day offset in
+    ``[-max_days, +max_days]`` — so intra-entity intervals, orderings,
+    and day-of-week-ish structure survive while absolute dates unlink
+    from the original record (the standard HIPAA-style date-shift
+    de-identification). A null entity or null timestamp yields NULL
+    (md5(NULL) is NULL in both engines — same convention). Returns
+    epoch MICROSECONDS (int64), the engine's cross-engine timestamp
+    emission rule.
+    """
+    t = _as_col(ts) if isinstance(ts, str) else ts
+    e = _as_col(entity) if isinstance(entity, str) else entity
+    span = 2 * max_days + 1
+    offset_days = (
+        F.pmod(_raw_hash(e.cast("string")), F.lit(span)) - F.lit(max_days)
+    ).cast("long")
+    return (
+        F.unix_micros(t.cast("timestamp"))
+        + offset_days * F.lit(86_400_000_000)
+    ).cast("long")

@@ -168,3 +168,15 @@ DUCK_ANONYMIZERS = {
     "redact": redact,
     "lorem_text": lorem_text,
 }
+
+
+def shift_timestamp(ts_expr: str, entity_expr: str, max_days: int = 180) -> str:
+    """Mirror of anonymizers.shift_timestamp: same raw-hash offset, same
+    epoch-microsecond emission."""
+    span = 2 * max_days + 1
+    h = raw_hash(f"CAST({entity_expr} AS VARCHAR)")
+    off = f"(({h} % {span}) - {max_days})"
+    return (
+        f"(epoch_us(CAST({ts_expr} AS TIMESTAMP)) "
+        f"+ {off} * 86400000000)"
+    )

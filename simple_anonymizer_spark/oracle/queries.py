@@ -2606,6 +2606,13 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["anon_shift_dates"] = f"""
+SELECT o_orderkey, o_custkey,
+       CAST({O.shift_timestamp('o_orderdate', 'o_custkey', 180)} AS BIGINT)
+         AS shifted_us
+FROM orders
+"""
+
 ORACLES["window_rank_family"] = """
 SELECT o_orderkey, o_orderstatus,
        CAST(rank() OVER w AS BIGINT) AS rnk,

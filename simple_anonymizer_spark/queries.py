@@ -110,6 +110,20 @@ def anon_redact(spark, sf_dir):
     )
 
 
+@query("anon_shift_dates")
+def anon_shift_dates(spark, sf_dir):
+    """Consistent per-customer date shifting (anonymizers.shift_timestamp):
+    all of a customer's order dates move by one stable whole-day offset,
+    preserving intra-customer intervals while unlinking absolute dates."""
+    o = _tp(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        A.shift_timestamp("o_orderdate", "o_custkey", max_days=180)
+        .alias("shifted_us"),
+    )
+
+
 @query("lens_json_field")
 def lens_json_field(spark, sf_dir):
     from pyspark.sql.types import StringType, StructField, StructType

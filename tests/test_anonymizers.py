@@ -169,3 +169,51 @@ def test_full_name_composition():
         first, _, last = P.full_name(s).partition(" ")
         assert first == P.first_name(s)
         assert last == P.last_name(s + "_last") or last in d.LAST_NAMES
+
+
+# ---------------------------------------------------------------------------
+# Per-entity date shifting
+# ---------------------------------------------------------------------------
+
+
+def test_shift_dates_preserves_intra_entity_intervals(spark):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    day_us = 86_400_000_000
+    rows = [
+        (1, "cust_a", 100), (2, "cust_a", 107),   # 7 days apart
+        (3, "cust_b", 100), (4, "cust_b", 101),
+    ]
+    df = spark.createDataFrame(
+        [(k, e, d * 86400 * 10**6) for k, e, d in rows],
+        "k long, entity string, us long",
+    ).select("k", "entity", F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r.k: r.s for r in df.select(
+        "k", A.shift_timestamp("ts", "entity").alias("s")).collect()}
+    # intervals survive per entity
+    assert out[2] - out[1] == 7 * day_us
+    assert out[4] - out[3] == 1 * day_us
+    # the shift is a whole number of days within +/-180
+    for k, e, d in rows:
+        off = out[k] - d * day_us
+        assert off % day_us == 0
+        assert abs(off // day_us) <= 180
+    # different entities generally shift differently
+    assert (out[1] - 100 * day_us) != (out[3] - 100 * day_us)
+
+
+def test_shift_dates_null_propagates(spark):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    df = spark.createDataFrame(
+        [(1, None, 1000), (2, "e", None)],
+        "k long, entity string, us long",
+    ).select("k", "entity",
+             F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r.k: r.s for r in df.select(
+        "k", A.shift_timestamp("ts", "entity").alias("s")).collect()}
+    assert out[1] is None and out[2] is None
