@@ -123,3 +123,44 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_streaming_anonymization_equals_batch(spark, sf_dir, tmp_path):
+    """The anonymizers are stateless codegen expressions, so a streaming
+    pass over the same files must produce byte-identical output to the
+    batch pass — anonymize-on-ingest is just a readStream swap."""
+    import shutil
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    src = tmp_path / "cust_src"
+    src.mkdir()
+    batch_df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    schema = batch_df.schema
+    # Streaming file sources list FILES: copy the part files in.
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "staged"))
+    for f in (tmp_path / "staged").glob("part-*.parquet"):
+        shutil.copy(f, src / f.name)
+
+    def anonymize(df):
+        return df.select(
+            "c_custkey",
+            A.stable_hash("c_name").alias("h"),
+            A.full_name("c_name").alias("nm"),
+            A.email("c_name").alias("em"),
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        anonymize(spark.readStream.schema(schema).parquet(str(src)))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(map(tuple, anonymize(batch_df).collect()))
+    assert streamed == batch and len(streamed) > 0
