@@ -248,3 +248,38 @@ def shift_timestamp(
         F.unix_micros(t.cast("timestamp"))
         + offset_days * F.lit(86_400_000_000)
     ).cast("long")
+
+
+@_preserving
+def account_number(c: Column) -> Column:
+    """Luhn-valid 12-digit synthetic account number: 11 payload digits
+    from two salted hash bit-extractions (the phone_number digit kernel,
+    doubled for entropy) plus the computed Luhn check digit — output
+    passes the same mod-10 validation real card/account validators run,
+    so anonymized data keeps flowing through format-checking pipelines.
+
+    The Luhn sum doubles every second payload digit from the right
+    (subtracting 9 above 9) — all int arithmetic, mirrored digit-for-
+    digit in the DuckDB oracle.
+    """
+    h1 = _raw_hash(c)
+    h2 = _raw_hash(F.concat(c, F.lit("_acct2")))
+
+    def digit(h: Column, i: int) -> Column:
+        return F.pmod(F.shiftright(h, i).bitwiseAND(F.lit(0xF)), F.lit(10))
+
+    payload = [digit(h1, i) for i in range(6)] + \
+              [digit(h2, i) for i in range(5)]
+    # position from the right within the payload: rightmost is doubled
+    total = F.lit(0)
+    for pos_from_right, dcol in enumerate(reversed(payload)):
+        if pos_from_right % 2 == 0:
+            doubled = dcol * 2
+            term = F.when(doubled > 9, doubled - 9).otherwise(doubled)
+        else:
+            term = dcol
+        total = total + term
+    check = F.pmod(F.lit(10) - F.pmod(total, F.lit(10)), F.lit(10))
+    return F.concat_ws(
+        "", *[p.cast("string") for p in payload], check.cast("string")
+    )

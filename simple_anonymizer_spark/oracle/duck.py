@@ -180,3 +180,28 @@ def shift_timestamp(ts_expr: str, entity_expr: str, max_days: int = 180) -> str:
         f"(epoch_us(CAST({ts_expr} AS TIMESTAMP)) "
         f"+ {off} * 86400000000)"
     )
+
+
+def account_number(expr: str) -> str:
+    """Mirror of anonymizers.account_number — same two salted hashes,
+    same digit extraction, same Luhn fold."""
+    h1 = raw_hash(expr)
+    h2 = raw_hash(f"({expr} || '_acct2')")
+    payload = [f"((({h1} >> {i}) & 15) % 10)" for i in range(6)] + \
+              [f"((({h2} >> {i}) & 15) % 10)" for i in range(5)]
+    terms = []
+    for pos_from_right, d_ in enumerate(reversed(payload)):
+        if pos_from_right % 2 == 0:
+            terms.append(
+                f"(CASE WHEN {d_} * 2 > 9 THEN {d_} * 2 - 9 ELSE {d_} * 2 END)"
+            )
+        else:
+            terms.append(d_)
+    total = "(" + " + ".join(terms) + ")"
+    check = f"((10 - ({total} % 10)) % 10)"
+    digits = " || ".join(
+        [f"CAST({p} AS VARCHAR)" for p in payload]
+        + [f"CAST({check} AS VARCHAR)"]
+    )
+    body = f"({digits})"
+    return _guard(expr, body)

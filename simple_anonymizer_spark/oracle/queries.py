@@ -2606,6 +2606,10 @@ FROM deg d LEFT JOIN pern p ON d.node = p.node
 """
 
 
+ORACLES["anon_account_numbers"] = f"""
+SELECT c_custkey, {O.account_number('c_name')} AS acct FROM customer
+"""
+
 ORACLES["anon_shift_dates"] = f"""
 SELECT o_orderkey, o_custkey,
        CAST({O.shift_timestamp('o_orderdate', 'o_custkey', 180)} AS BIGINT)

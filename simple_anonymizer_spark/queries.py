@@ -110,6 +110,18 @@ def anon_redact(spark, sf_dir):
     )
 
 
+@query("anon_account_numbers")
+def anon_account_numbers(spark, sf_dir):
+    """Luhn-valid synthetic account numbers
+    (anonymizers.account_number): 11 hash-derived payload digits plus
+    the computed mod-10 check digit — anonymized values still pass
+    format validators downstream."""
+    c = _tp(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", A.account_number("c_name").alias("acct")
+    )
+
+
 @query("anon_shift_dates")
 def anon_shift_dates(spark, sf_dir):
     """Consistent per-customer date shifting (anonymizers.shift_timestamp):

@@ -217,3 +217,46 @@ def test_shift_dates_null_propagates(spark):
     out = {r.k: r.s for r in df.select(
         "k", A.shift_timestamp("ts", "entity").alias("s")).collect()}
     assert out[1] is None and out[2] is None
+
+
+# ---------------------------------------------------------------------------
+# Luhn account numbers
+# ---------------------------------------------------------------------------
+
+
+def _luhn_ok(s: str) -> bool:
+    total = 0
+    for pos, ch in enumerate(reversed(s)):
+        d = int(ch)
+        if pos % 2 == 1:          # every second digit from the check digit
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_account_number_is_luhn_valid_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    df = spark.createDataFrame(
+        [(f"name_{i}",) for i in range(50)], "s string"
+    )
+    out = [r.a for r in df.select(A.account_number("s").alias("a")).collect()]
+    assert all(len(a) == 12 and a.isdigit() for a in out)
+    assert all(_luhn_ok(a) for a in out)
+    again = [r.a for r in df.select(A.account_number("s").alias("a")).collect()]
+    assert out == again
+    assert len(set(out)) > 40          # hash-spread, not constant
+
+
+def test_account_number_null_empty_passthrough(spark):
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    df = spark.createDataFrame([(None,), ("",), ("x",)], "s string")
+    out = {r.s: r.a for r in
+           df.select("s", A.account_number("s").alias("a")).collect()}
+    assert out[None] is None and out[""] == ""
+    assert len(out["x"]) == 12
