@@ -34,10 +34,19 @@ dataChange=false rearrangement commits), additive schema evolution
 deriving inserts from plain-add commits per the spec's fallback), and a
 version-window ``vacuum``.
 
-Deliberate scope bounds: unpartitioned tables only (``partition_by``
-raises — partitionValues plumbing is the jar runtime's job) and no
-checkpoint parquet files (log replay is O(versions); fine below
-thousands of commits).
+Also implemented (spec §Checkpoints): parquet checkpoint files —
+``write_checkpoint`` snapshots the full state into
+``_delta_log/{v:020d}.checkpoint.parquet`` (spec-shaped struct columns,
+so a jar runtime consumes it) plus the ``_last_checkpoint`` pointer;
+``snapshot()`` replays from the newest checkpoint at or below the
+target version, making replay O(commits since checkpoint) instead of
+O(all commits). ``merge_deltalog`` auto-checkpoints every
+``checkpoint_interval`` commits. And RESTORE (``restore_table``): a
+commit that re-adds the target version's files and removes the rest —
+time travel made durable, refusing if a needed data file was vacuumed.
+
+Deliberate scope bound: unpartitioned tables only (``partition_by``
+raises — partitionValues plumbing is the jar runtime's job).
 """
 
 from __future__ import annotations
@@ -97,6 +106,17 @@ class PyDeltaLog:
         ]
         return max(versions, default=-1)
 
+    def checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        return sorted(
+            int(f[:20]) for f in os.listdir(self.log_path)
+            if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+        )
+
+    def _checkpoint_file(self, v: int) -> str:
+        return os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         latest = self.latest_version()
         if latest < 0:
@@ -106,7 +126,15 @@ class PyDeltaLog:
             raise DeltaLogError(f"version {v} not in log (latest {latest})")
         metadata = None
         live: dict[str, dict] = {}  # path -> add action, insertion-ordered
-        for i in range(v + 1):
+        # Start from the newest checkpoint at or below v; JSON-replay the
+        # rest. Versions below every checkpoint still replay from 0.
+        start = 0
+        cps = [c for c in self.checkpoint_versions() if c <= v]
+        if cps:
+            cp = cps[-1]
+            metadata, live = _read_checkpoint(self._checkpoint_file(cp))
+            start = cp + 1
+        for i in range(start, v + 1):
             with open(self._version_file(i), encoding="utf-8") as fh:
                 for line in fh:
                     if not line.strip():
@@ -119,6 +147,25 @@ class PyDeltaLog:
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
         return Snapshot(version=v, metadata=metadata, files=list(live.values()))
+
+    def write_checkpoint(self, version: int | None = None) -> int:
+        """Write the spec-shaped parquet checkpoint for ``version``
+        (default: latest) plus the ``_last_checkpoint`` pointer.
+        Idempotent — re-checkpointing a version rewrites the same state;
+        concurrent writers at different versions never conflict because
+        the file name carries the version."""
+        snap = self.snapshot(version)
+        if snap.version < 0:
+            raise DeltaLogError("cannot checkpoint a non-existent table")
+        n = _write_checkpoint_file(
+            self._checkpoint_file(snap.version), snap
+        )
+        pointer = os.path.join(self.log_path, "_last_checkpoint")
+        tmp = pointer + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": snap.version, "size": n}, fh)
+        os.replace(tmp, pointer)  # atomic pointer swap
+        return snap.version
 
     # -- commits ------------------------------------------------------------
 
@@ -155,6 +202,174 @@ class PyDeltaLog:
                 }
             },
         ]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint parquet I/O (PROTOCOL.md §Checkpoints) — spec-shaped struct
+# columns so a jar-backed reader can consume the file; one action per row,
+# exactly one of the struct columns non-null.
+# ---------------------------------------------------------------------------
+
+
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        pa.field("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])),
+        pa.field("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+    ])
+
+
+def _write_checkpoint_file(file_path: str, snap: Snapshot) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = snap.metadata
+    rows = [
+        {"protocol": dict(PROTOCOL), "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta["id"],
+                "format": {
+                    "provider": meta["format"]["provider"],
+                    "options": list(meta["format"].get("options", {}).items()),
+                },
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": list(meta.get("configuration", {}).items()),
+                "createdTime": meta.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for f in snap.files:
+        rows.append({
+            "protocol": None,
+            "metaData": None,
+            "add": {
+                "path": f["path"],
+                "partitionValues": list(
+                    f.get("partitionValues", {}).items()
+                ),
+                "size": f.get("size"),
+                "modificationTime": f.get("modificationTime"),
+                "dataChange": f.get("dataChange", True),
+                "stats": f.get("stats"),
+            },
+        })
+    table = pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema())
+    tmp = file_path + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, file_path)
+    return len(rows)
+
+
+def _read_checkpoint(file_path: str) -> tuple[dict | None, dict[str, dict]]:
+    import pyarrow.parquet as pq
+
+    metadata = None
+    live: dict[str, dict] = {}
+    for row in pq.read_table(file_path).to_pylist():
+        if row.get("metaData") is not None:
+            m = row["metaData"]
+            metadata = {
+                "id": m["id"],
+                "format": {
+                    "provider": m["format"]["provider"],
+                    "options": dict(m["format"]["options"] or []),
+                },
+                "schemaString": m["schemaString"],
+                "partitionColumns": m["partitionColumns"] or [],
+                "configuration": dict(m["configuration"] or []),
+                "createdTime": m["createdTime"],
+            }
+        elif row.get("add") is not None:
+            a = row["add"]
+            add = {
+                "path": a["path"],
+                "partitionValues": dict(a["partitionValues"] or []),
+                "size": a["size"],
+                "modificationTime": a["modificationTime"],
+                "dataChange": a["dataChange"],
+            }
+            if a.get("stats") is not None:
+                add["stats"] = a["stats"]
+            live[add["path"]] = add
+    return metadata, live
+
+
+def restore_table(path: str, version: int, max_retries: int = 3) -> int:
+    """RESTORE the table to ``version`` as a NEW commit (durable time
+    travel): re-add the target snapshot's files missing from the current
+    one, remove current files absent from the target. Refuses when a
+    required data file was vacuumed away (same failure mode as Delta's
+    own RESTORE). Returns the new version."""
+    path = str(path)
+    log = PyDeltaLog(path)
+    for attempt in range(max_retries + 1):
+        cur = log.snapshot()
+        if cur.version < 0:
+            raise DeltaLogError(f"no Delta table at {path}")
+        target = log.snapshot(version)
+        missing = [
+            f["path"] for f in target.files
+            if not os.path.exists(os.path.join(path, f["path"]))
+        ]
+        if missing:
+            raise DeltaLogError(
+                f"cannot RESTORE to version {version}: data files "
+                f"{missing} were vacuumed"
+            )
+        cur_paths = {f["path"] for f in cur.files}
+        tgt_paths = {f["path"] for f in target.files}
+        actions: list[dict] = [{
+            "commitInfo": {
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "readVersion": cur.version,
+                "timestamp": int(time.time() * 1000),
+            }
+        }]
+        if target.metadata and cur.metadata and (
+            target.metadata["schemaString"] != cur.metadata["schemaString"]
+        ):
+            actions.append({"metaData": target.metadata})
+        actions += [
+            _remove_action(f) for f in cur.files
+            if f["path"] not in tgt_paths
+        ]
+        actions += [
+            {"add": dict(f, dataChange=True)} for f in target.files
+            if f["path"] not in cur_paths
+        ]
+        try:
+            return log.commit(actions, read_version=cur.version)
+        except DeltaConcurrentModification:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +555,7 @@ def merge_deltalog(
     max_retries: int = 3,
     merge_schema: bool = False,
     change_data: bool = False,
+    checkpoint_interval: int | None = 10,
 ) -> int:
     """MERGE ``source`` into the pure-Python Delta table at ``path``;
     returns the merged row count. Semantics match ``merge_parquet`` /
@@ -466,6 +682,12 @@ def merge_deltalog(
             except DeltaConcurrentModification:
                 if attempt == max_retries:
                     raise
+        # Periodic checkpoint keeps replay O(interval); losing a race
+        # here is harmless (same-version checkpoints are identical).
+        if checkpoint_interval:
+            latest = log.latest_version()
+            if latest > 0 and latest % checkpoint_interval == 0:
+                log.write_checkpoint(latest)
     finally:
         source.unpersist()
     return read_deltalog(spark, path).count()

@@ -545,3 +545,103 @@ def test_cdf_driven_anonymized_replica(spark, tmp_path):
     }
     assert replica == expected
     assert all(n not in replica.values() for n in source.values())
+
+
+# ---------------------------------------------------------------------------
+# Checkpoints (PROTOCOL.md §Checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _state(snap):
+    return snap.metadata, sorted(snap.files, key=lambda f: f["path"])
+
+
+def test_checkpoint_written_at_interval_and_pointer_updated(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(7):
+        merge_deltalog(spark, _df(spark, [(i, f"v{i}")]), path, ["id"],
+                       DO_UPDATE, checkpoint_interval=3)
+    log = PyDeltaLog(path)
+    assert log.latest_version() == 6
+    assert log.checkpoint_versions() == [3, 6]
+    pointer = json.load(open(
+        os.path.join(path, "_delta_log", "_last_checkpoint")))
+    assert pointer["version"] == 6 and pointer["size"] >= 3
+
+
+def test_checkpoint_replay_equals_full_json_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(8):
+        merge_deltalog(
+            spark, _df(spark, [(i % 3, f"v{i}"), (10 + i, "x")]), path,
+            ["id"], DO_UPDATE, checkpoint_interval=4,
+        )
+    log = PyDeltaLog(path)
+    assert log.checkpoint_versions() == [4]
+    with_cp = {v: _state(log.snapshot(v)) for v in range(8)}
+    rows_with_cp = _rows(spark, path)
+    # strip the checkpoint: pure JSON replay must reconstruct the same
+    # state at EVERY version (including those the checkpoint served).
+    os.remove(os.path.join(path, "_delta_log", f"{4:020d}.checkpoint.parquet"))
+    os.remove(os.path.join(path, "_delta_log", "_last_checkpoint"))
+    for v in range(8):
+        assert _state(log.snapshot(v)) == with_cp[v], f"version {v}"
+    assert _rows(spark, path) == rows_with_cp
+
+
+def test_checkpoint_file_is_spec_shaped(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        merge_deltalog(spark, _df(spark, [(i, "a")]), path, ["id"],
+                       DO_UPDATE, checkpoint_interval=3)
+    cp = os.path.join(path, "_delta_log", f"{3:020d}.checkpoint.parquet")
+    rows = pq.read_table(cp).to_pylist()
+    assert {"protocol", "metaData", "add"} <= set(rows[0].keys())
+    # exactly one non-null action per row
+    for r in rows:
+        assert sum(r[k] is not None for k in ("protocol", "metaData", "add")) == 1
+    assert sum(1 for r in rows if r["protocol"]) == 1
+    assert sum(1 for r in rows if r["metaData"]) == 1
+    live = PyDeltaLog(path).snapshot(3).files
+    assert sum(1 for r in rows if r["add"]) == len(live)
+
+
+# ---------------------------------------------------------------------------
+# RESTORE
+# ---------------------------------------------------------------------------
+
+
+def test_restore_reinstates_old_version_as_new_commit(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import restore_table
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a"), (2, "b")]), path, ["id"],
+                   DO_UPDATE)
+    merge_deltalog(spark, _df(spark, [(2, "B"), (3, "c")]), path, ["id"],
+                   DO_UPDATE)
+    assert _rows(spark, path) == [(1, "a"), (2, "B"), (3, "c")]
+    v = restore_table(path, 0)
+    assert v == 2
+    assert _rows(spark, path) == [(1, "a"), (2, "b")]
+    # time travel still sees the pre-restore state
+    assert _rows(spark, path, version=1) == [(1, "a"), (2, "B"), (3, "c")]
+    # the table keeps working after a restore
+    merge_deltalog(spark, _df(spark, [(4, "d")]), path, ["id"], DO_UPDATE)
+    assert _rows(spark, path) == [(1, "a"), (2, "b"), (4, "d")]
+
+
+def test_restore_refuses_when_files_vacuumed(spark, tmp_path):
+    from simple_anonymizer_spark.sources.deltalog import (
+        DeltaLogError,
+        restore_table,
+        vacuum,
+    )
+
+    path = str(tmp_path / "t")
+    merge_deltalog(spark, _df(spark, [(1, "a")]), path, ["id"], DO_UPDATE)
+    merge_deltalog(spark, _df(spark, [(1, "A2")]), path, ["id"], DO_UPDATE)
+    vacuum(path, retain_last=1)
+    with pytest.raises(DeltaLogError, match="vacuumed"):
+        restore_table(path, 0)
