@@ -473,6 +473,100 @@ def winsorize(
     )
 
 
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the UNBINNED
+    supremum distance ``sup_v |F_a(v) - F_b(v)|`` (``distribution_drift``
+    is the binned total-variation counterpart; KS needs no bin-width
+    choice and catches shifts TVD's bins can straddle).
+
+    Exactness: the supremum is found in pure integers —
+    ``max |cum_a * n_b - cum_b * n_a|`` over distinct values (valid while
+    ``n_a * n_b < 2^63``, i.e. both sides under ~3e9 rows) — and ONE
+    IEEE division produces the score. Output: one row ``(n_a, n_b,
+    ks (double), ks_at (double — the smallest value attaining it))``.
+
+    Scale (100 TB): per-value counts are map-side combinable down to the
+    distinct-value table; cumulative counts use the equi-depth
+    histogram's distributed two-pass prefix sum (range-repartition,
+    per-partition running sums, one P-row collect, broadcast exclusive
+    prefixes) instead of a single-reducer global window.
+    """
+    spark = df_a.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    cents = (_dec(F.col(value_col)) * 100).cast("long")
+    tagged = df_a.select(
+        cents.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).unionAll(df_b.select(
+        cents.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    ))
+    per_v = tagged.groupBy("__v").agg(
+        F.sum("__a").cast("long").alias("__na"),
+        F.sum("__b").cast("long").alias("__nb"),
+    )
+    ranged = (
+        per_v.repartitionByRange(partitions, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = (
+        Window.partitionBy("__pid").orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "__pid", "__v",
+        F.sum("__na").over(w).alias("__ca_local"),
+        F.sum("__nb").over(w).alias("__cb_local"),
+    )
+    totals = sorted(
+        (r["__pid"], r["sa"], r["sb"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("__na").alias("sa"), F.sum("__nb").alias("sb"))
+        .collect()
+    )
+    schema = "n_a long, n_b long, ks double, ks_at double"
+    n_a = sum(t[1] for t in totals)
+    n_b = sum(t[2] for t in totals)
+    if n_a == 0 or n_b == 0:
+        ranged.unpersist()
+        return spark.createDataFrame([], schema)
+    prefix_rows, run_a, run_b = [], 0, 0
+    for pid, sa, sb in totals:
+        prefix_rows.append((pid, run_a, run_b))
+        run_a += sa
+        run_b += sb
+    prefix = spark.createDataFrame(
+        prefix_rows, "__pid int, __base_a long, __base_b long"
+    )
+    diffs = local.join(F.broadcast(prefix), "__pid").select(
+        "__v",
+        F.abs(
+            (F.col("__ca_local") + F.col("__base_a")) * F.lit(n_b)
+            - (F.col("__cb_local") + F.col("__base_b")) * F.lit(n_a)
+        ).alias("__diff"),
+    )
+    top = diffs.agg(
+        F.max(F.struct(F.col("__diff"), (-F.col("__v")).alias("__nv")))
+        .alias("__m")
+    ).select(
+        F.col("__m.__diff").alias("__md"), (-F.col("__m.__nv")).alias("__mv")
+    ).collect()[0]
+    ranged.unpersist()
+    return spark.createDataFrame(
+        [(
+            n_a, n_b,
+            float(top["__md"]) / float(n_a * n_b),
+            float(top["__mv"]) / 100.0,
+        )],
+        schema,
+    )
+
+
 def distribution_drift(
     df_a: DataFrame,
     df_b: DataFrame,

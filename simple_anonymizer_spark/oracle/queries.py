@@ -2646,6 +2646,38 @@ ORDER BY n_occurrences DESC, path ASC
 LIMIT 25
 """
 
+ORACLES["drift_ks_status"] = """
+WITH tagged AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS a,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS b
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+per_v AS (
+  SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+  FROM tagged GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+  FROM per_v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+         CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+  FROM per_v
+),
+d AS (
+  SELECT v, abs(ca * tb - cb * ta) AS diff FROM cum CROSS JOIN tot
+),
+m AS (SELECT max(diff) AS md FROM d)
+SELECT t.ta AS n_a, t.tb AS n_b,
+       CAST(m.md AS DOUBLE) / CAST(t.ta * t.tb AS DOUBLE) AS ks,
+       CAST((SELECT min(v) FROM d WHERE diff = m.md) AS DOUBLE) / 100.0
+         AS ks_at
+FROM tot t CROSS JOIN m
+"""
+
 ORACLES["concentration_segments"] = """
 WITH per_seg AS (
   SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n

@@ -2261,6 +2261,22 @@ def event_paths_top(spark, sf_dir):
     return top_paths(ev, n=3, k=25)
 
 
+@query("drift_ks_status")
+def drift_ks_status(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift (stats.ks_statistic)
+    between finished and open orders' price distributions — unbinned
+    supremum distance via integer cross-products and the distributed
+    prefix-sum rank."""
+    from .operators import stats
+
+    o = _t(spark, sf_dir, "orders")
+    return stats.ks_statistic(
+        o.where(F.col("o_orderstatus") == "F"),
+        o.where(F.col("o_orderstatus") == "O"),
+        "o_totalprice",
+    )
+
+
 @query("concentration_segments")
 def concentration_segments(spark, sf_dir):
     """Per-nation market-segment concentration: Herfindahl index and

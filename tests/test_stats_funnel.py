@@ -566,3 +566,57 @@ def test_mad_outliers_groups_independent(spark):
     out = {r.g: r for r in mad_outliers(df, ["g"], "v", "t").collect()}
     assert out["A"].median == 2.0 and out["A"].n_outliers == 0
     assert out["B"].median == 250.0 and out["B"].n_outliers == 1
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample statistic
+# ---------------------------------------------------------------------------
+
+
+def _ks(spark, a_vals, b_vals):
+    from simple_anonymizer_spark.operators.stats import ks_statistic
+
+    da = spark.createDataFrame([(float(v),) for v in a_vals], "v double")
+    db = spark.createDataFrame([(float(v),) for v in b_vals], "v double")
+    rows = ks_statistic(da, db, "v").collect()
+    return rows[0] if rows else None
+
+
+def test_ks_identical_distributions_zero(spark):
+    r = _ks(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    assert (r.n_a, r.n_b, r.ks) == (4, 4, 0.0)
+
+
+def test_ks_disjoint_distributions_one(spark):
+    r = _ks(spark, [1, 2, 3], [10, 11, 12])
+    assert r.ks == 1.0
+    assert r.ks_at == 3.0        # the last A value separates fully
+
+
+def test_ks_known_half_shift(spark):
+    # A = {1,2}, B = {2,3}: F_A(1)=.5,F_B(1)=0 -> diff .5; at 2: 1 vs .5
+    r = _ks(spark, [1, 2], [2, 3])
+    assert r.ks == 0.5
+    assert r.ks_at == 1.0        # smallest value attaining the supremum
+    assert (r.n_a, r.n_b) == (2, 2)
+
+
+def test_ks_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.stats import ks_statistic
+
+    a = spark.createDataFrame(
+        [(float(i % 37),) for i in range(500)], "v double")
+    b = spark.createDataFrame(
+        [(float((i * 7) % 41),) for i in range(400)], "v double")
+    r1 = ks_statistic(a.repartition(1), b.repartition(1), "v").collect()[0]
+    r2 = ks_statistic(a.repartition(13), b.repartition(7), "v").collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert 0.0 < r1.ks < 1.0
+
+
+def test_ks_empty_side_returns_empty(spark):
+    from simple_anonymizer_spark.operators.stats import ks_statistic
+
+    a = spark.createDataFrame([(1.0,)], "v double")
+    b = spark.createDataFrame([], "v double")
+    assert ks_statistic(a, b, "v").collect() == []
