@@ -352,3 +352,81 @@ def bigram_lm(
             .alias("p_cond"),
         )
     )
+
+
+def doc_surprisal(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document language-model surprisal in WHOLE BITS — the
+    deterministic stand-in for CCNet-style perplexity filtering.
+
+    True perplexity needs ``log``, whose last-bit rounding differs
+    across engines; instead each bigram costs
+    ``bits(n_context) - bits(n_bigram)`` where ``bits(n) =
+    length(bin(n)) = floor(log2 n) + 1`` — an EXACT integer within one
+    bit of ``-log2 P(w2|w1)``, computed identically everywhere. Unseen
+    bigrams (scoring fresh docs against a trained ``lm``) cost
+    ``bits(total_bigrams)`` — the ~zero-probability penalty.
+
+    ``lm=None`` trains the bigram table on ``df`` itself (the corpus
+    self-scoring setup, where every bigram is in-vocabulary).
+
+    Output: ``<id_col>, n_bigrams (int64), total_bits (int64),
+    mean_bits (double — one IEEE division; NULL for docs under two
+    tokens)``. High mean-bits docs are the incoherent/outlier tail the
+    perplexity filter drops.
+
+    Scale (100 TB): pair explode is in-row (zip_with, no positional
+    join); the LM join is keyed by the bigram — vocabulary-bounded, not
+    corpus-bounded; the total is a broadcast single-row aggregate.
+    """
+    if lm is None:
+        lm = bigram_lm(df, text_col=text_col, id_col=id_col)
+    df = _spread(df)
+    tok = T.tokens(F.col(text_col))
+    head = F.slice(tok, 1, F.size(tok) - 1)
+    tail = F.slice(tok, 2, F.size(tok) - 1)
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(head, tail,
+                   lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_pairs = df.select(
+        F.col(id_col), F.explode(pairs).alias("__p")
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    total = lm.agg(
+        F.sum("n_bigram").cast("long").alias("__total")
+    )
+
+    def bits(c):
+        return F.length(F.expr(f"bin({c})")).cast("long")
+
+    scored = (
+        doc_pairs.join(lm.select("w1", "w2", "n_bigram", "n_context"),
+                       ["w1", "w2"], "left_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(
+                F.col("n_bigram").isNotNull(),
+                bits("n_context") - bits("n_bigram"),
+            ).otherwise(bits("__total")).alias("__bits"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__bits").cast("long").alias("total_bits"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+        .alias("n_bigrams"),
+        F.coalesce(F.col("total_bits"), F.lit(0).cast("long"))
+        .alias("total_bits"),
+        (F.col("total_bits").cast("double")
+         / F.col("n_bigrams").cast("double")).alias("mean_bits"),
+    )

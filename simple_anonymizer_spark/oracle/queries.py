@@ -2887,6 +2887,44 @@ FROM f
 """
 
 
+ORACLES["doc_surprisal_corpus"] = f"""
+WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+    SELECT doc_id,
+           unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in range(1, len(toks))]) AS p
+    FROM d WHERE len(toks) >= 2
+  )
+),
+lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram
+  FROM pairs GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context FROM lm GROUP BY w1
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(length(bin(c.n_context)) AS BIGINT)
+           - CAST(length(bin(l.n_bigram)) AS BIGINT) AS b
+  FROM pairs p
+  JOIN lm l ON p.w1 = l.w1 AND p.w2 = l.w2
+  JOIN ctx c ON p.w1 = c.w1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(b) AS BIGINT) AS total_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(a.total_bits, 0) AS BIGINT) AS total_bits,
+       CAST(a.total_bits AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+         AS mean_bits
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
 ORACLES["scrub_dup_spans"] = f"""
 WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
 tok AS (

@@ -2414,6 +2414,16 @@ def semantic_dedup_embeddings(spark, sf_dir):
     return semantic_dedup(e, n_clusters=8, iters=2, threshold=0.9)
 
 
+@query("doc_surprisal_corpus")
+def doc_surprisal_corpus(spark, sf_dir):
+    """Integer-exact LM surprisal scoring (text_analysis.doc_surprisal):
+    per-doc mean bigram cost in whole bits against the corpus bigram
+    table — the deterministic CCNet perplexity-filter stand-in."""
+    return text_analysis.doc_surprisal(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
+
+
 @query("scrub_dup_spans")
 def scrub_dup_spans(spark, sf_dir):
     """Exact-substring dedup scrub (textprep.scrub_duplicate_spans):

@@ -311,3 +311,61 @@ def test_top_paths_never_crosses_users(spark):
     out = top_paths(ev, n=2, k=10).collect()
     assert {(r.path, r.n_occurrences) for r in out} == \
         {("a>b", 1), ("c>d", 1)}
+
+
+# ---------------------------------------------------------------------------
+# Integer surprisal scoring
+# ---------------------------------------------------------------------------
+
+
+def test_doc_surprisal_known_bits(spark):
+    from simple_anonymizer_spark.operators.text_analysis import doc_surprisal
+
+    # lm: (a,b)x2, (a,c)x1; context a=3. bits(3)=2, bits(2)=2, bits(1)=1:
+    # cost(a,b) = 0, cost(a,c) = 1.
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    out = {r.doc_id: (r.n_bigrams, r.total_bits, r.mean_bits)
+           for r in doc_surprisal(docs).collect()}
+    assert out[1] == (1, 0, 0.0)
+    assert out[2] == (1, 0, 0.0)
+    assert out[3] == (1, 1, 1.0)
+
+
+def test_doc_surprisal_oov_against_trained_lm(spark):
+    from simple_anonymizer_spark.operators.text_analysis import (
+        bigram_lm,
+        doc_surprisal,
+    )
+
+    train = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    lm = bigram_lm(train)
+    fresh = _docs(spark, [(10, "x y"), (11, "a b")])
+    out = {r.doc_id: (r.n_bigrams, r.total_bits)
+           for r in doc_surprisal(fresh, lm=lm).collect()}
+    # unseen bigram costs bits(total=3) = 2; known (a,b) costs 0
+    assert out[10] == (1, 2)
+    assert out[11] == (1, 0)
+
+
+def test_doc_surprisal_short_doc_null_mean(spark):
+    from simple_anonymizer_spark.operators.text_analysis import doc_surprisal
+
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a b a b")])
+    out = {r.doc_id: (r.n_bigrams, r.mean_bits)
+           for r in doc_surprisal(docs).collect()}
+    assert out[1] == (1 - 1, None) or out[1] == (0, None)
+    assert out[2] == (0, None)
+    assert out[3][0] == 3
+
+
+def test_doc_surprisal_flags_incoherent_tail(spark):
+    from simple_anonymizer_spark.operators.text_analysis import doc_surprisal
+
+    # 20 fluent docs sharing one common pattern + 1 scrambled doc built
+    # from rare one-off bigrams: the outlier must score strictly higher.
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "mat the on sat cat the"))
+    out = {r.doc_id: r.mean_bits
+           for r in doc_surprisal(_docs(spark, rows)).collect()}
+    fluent = max(v for k, v in out.items() if k != 99)
+    assert out[99] > fluent
