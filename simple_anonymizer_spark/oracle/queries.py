@@ -2610,6 +2610,21 @@ ORACLES["anon_account_numbers"] = f"""
 SELECT c_custkey, {O.account_number('c_name')} AS acct FROM customer
 """
 
+ORACLES["pipeline_release_orders"] = f"""
+SELECT c.c_custkey,
+       {O.full_name('c.c_name')} AS anon_name,
+       {O.email('c.c_name')} AS anon_email,
+       {O.city('c.c_name')} AS anon_city,
+       o.o_orderkey,
+       CAST({O.shift_timestamp('o.o_orderdate', 'c.c_custkey', 180)}
+            AS BIGINT) AS shifted_us,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN orders o ON c.c_custkey = o.o_custkey
+"""
+
 ORACLES["anon_shift_dates"] = f"""
 SELECT o_orderkey, o_custkey,
        CAST({O.shift_timestamp('o_orderdate', 'o_custkey', 180)} AS BIGINT)

@@ -122,6 +122,35 @@ def anon_account_numbers(spark, sf_dir):
     )
 
 
+@query("pipeline_release_orders")
+def pipeline_release_orders(spark, sf_dir):
+    """Composite anonymized release — the reference's whole workflow in
+    one plan: subset customers to one region through the FK dimension
+    chain, anonymize their PII with the native expressions, date-shift
+    their orders per entity, and emit the joined release table."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    released = c.join(o, c.c_custkey == o.o_custkey)
+    return released.select(
+        "c_custkey",
+        A.full_name("c_name").alias("anon_name"),
+        A.email("c_name").alias("anon_email"),
+        A.city("c_name").alias("anon_city"),
+        "o_orderkey",
+        A.shift_timestamp("o_orderdate", "c_custkey", max_days=180)
+        .alias("shifted_us"),
+        _dec(F.col("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
 @query("anon_shift_dates")
 def anon_shift_dates(spark, sf_dir):
     """Consistent per-customer date shifting (anonymizers.shift_timestamp):
