@@ -65,6 +65,9 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "assoc_brand_pairs",
     "ts_daily_interpolate",
+    "doc_surprisal_corpus",
+    "dedup_golden_records",
+    "pipeline_release_orders",
 ]
 
 
