@@ -267,6 +267,22 @@ GROUP BY n_regionkey
 # Streaming-shaped
 # ---------------------------------------------------------------------------
 
+ORACLES["scalar_strings"] = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       left(c_name, 8) AS l8,
+       right(c_name, 4) AS r4,
+       lpad(c_name, 22, '*') AS padded,
+       replace(c_name, 'Customer', 'Anon') AS replaced,
+       reverse(c_name) AS rev,
+       split_part(c_name, '#', 2) AS num_part,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       translate(c_name, '0123456789', '##########') AS masked,
+       CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS first_ascii,
+       repeat(substr(c_name, 1, 2), 3) AS rep
+FROM customer
+"""
+
 ORACLES["events_tumbling"] = """
 SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start,
        event_type, count(*) AS n_events,

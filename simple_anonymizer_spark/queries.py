@@ -581,6 +581,30 @@ def scalar_collections(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@query("scalar_strings")
+def scalar_strings(spark, sf_dir):
+    """Portable string-function family: case, slicing, padding,
+    replace/translate masking, split_part, position, ascii, repeat —
+    restricted to functions with identical semantics in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("up"),
+        F.expr("left(c_name, 8)").alias("l8"),
+        F.expr("right(c_name, 4)").alias("r4"),
+        F.lpad(F.col("c_name"), 22, "*").alias("padded"),
+        F.expr("replace(c_name, 'Customer', 'Anon')").alias("replaced"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.expr("split_part(c_name, '#', 2)").alias("num_part"),
+        F.expr("instr(c_name, '#')").cast("long").alias("hash_pos"),
+        F.translate(F.col("c_name"), "0123456789", "##########")
+        .alias("masked"),
+        F.ascii(F.substring(F.col("c_name"), 1, 1)).cast("long")
+        .alias("first_ascii"),
+        F.repeat(F.substring(F.col("c_name"), 1, 2), 3).alias("rep"),
+    )
+
+
 @query("events_tumbling")
 def events_tumbling(spark, sf_dir):
     return streaming_events.tumbling_counts(_t(spark, sf_dir, "events"))

@@ -49,7 +49,8 @@ NATIVE_QUERIES = [
     "window_running_totals", "setop_except", "setop_intersect_union",
     "agg_segment_stats", "agg_rollup_region", "agg_cube_status",
     "agg_grouping_sets", "pivot_segments", "agg_approx_distinct",
-    "scalar_dates", "scalar_math", "scalar_collections", "events_sliding",
+    "scalar_dates", "scalar_math", "scalar_collections", "scalar_strings",
+    "events_sliding",
     "events_sessionize", "dedup_distinct_docs", "ngram_jaccard_adjacent",
     "token_count_bpe", "text_quality", "embedding_neardup",
     "embedding_topk_lsh", "join_anti_customers", "merge_upsert",

@@ -164,3 +164,46 @@ def test_streaming_anonymization_equals_batch(spark, sf_dir, tmp_path):
     streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
     batch = sorted(map(tuple, anonymize(batch_df).collect()))
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_static_join_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (the broadcast-enrichment shape) must equal the batch
+    join over the same files."""
+    import shutil
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch_ev.schema
+    batch_ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "staged"))
+    for f in (tmp_path / "staged").glob("part-*.parquet"):
+        shutil.copy(f, src / f.name)
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("cohort"),
+    )
+
+    def enrich(ev):
+        return (
+            ev.select("event_id", "user_id", "event_type")
+            .join(F.broadcast(dim), "user_id")
+            .groupBy("cohort", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        enrich(spark.readStream.schema(schema).parquet(str(src)))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("enriched_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    streamed = sorted(map(tuple, spark.sql(
+        "SELECT * FROM enriched_counts").collect()))
+    batch = sorted(map(tuple, enrich(batch_ev).collect()))
+    assert streamed == batch and len(streamed) > 0
