@@ -768,6 +768,44 @@ def global_ranks(
     return ranked, n
 
 
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Empirical-CDF feature scaling: every row maps to its exact global
+    quantile position ``rank / (n-1)`` in [0, 1] under the (value, tie)
+    total order — the rank-based normalization that makes a feature
+    distribution-free before training.
+
+    Output: ``<tie_col>, <value_col>, rank (int64 0-based), q (double —
+    one IEEE division; 0.0 for a single-row input)``.
+
+    Scale (100 TB): the rank is ``global_ranks``' distributed two-pass
+    prefix sum. The output is row-per-input, so instead of the
+    materialize-and-release trick of the small-output consumers, the
+    ranked result is pinned with ``localCheckpoint`` (stable partition
+    ids no longer needed afterwards) and the range cache released
+    eagerly — callers hold a leak-free distributed frame.
+    """
+    own: list = []
+    ranked, n = global_ranks(df, value_col, tie_col, partitions,
+                             cache_owner=own)
+    pinned = ranked.localCheckpoint(eager=True)
+    for c in own:
+        c.unpersist()
+    q = (
+        F.lit(0.0) if n <= 1
+        else F.col("rank").cast("double") / F.lit(float(n - 1))
+    )
+    return pinned.select(
+        tie_col,
+        value_col,
+        F.col("__rank").cast("long").alias("rank"),
+    ).select(tie_col, value_col, "rank", q.alias("q"))
+
+
 def quantile_buckets(
     df: DataFrame,
     value_col: str,

@@ -2677,6 +2677,19 @@ ORDER BY n_occurrences DESC, path ASC
 LIMIT 25
 """
 
+ORACLES["quantile_transform_prices"] = """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rank,
+       CASE WHEN n <= 1 THEN 0.0
+            ELSE CAST(rk AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS q
+FROM r
+"""
+
 ORACLES["drift_ks_status"] = """
 WITH tagged AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,

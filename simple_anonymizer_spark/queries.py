@@ -1656,6 +1656,19 @@ def encode_docs(spark, sf_dir):
     return encode_documents(docs, build_vocab(docs))
 
 
+@query("quantile_transform_prices")
+def quantile_transform_prices(spark, sf_dir):
+    """Empirical-CDF normalization of order totals
+    (stats.quantile_transform): exact global quantile position per row
+    via the distributed prefix-sum rank, cache released eagerly."""
+    from .operators import stats
+
+    return stats.quantile_transform(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice", "o_orderkey",
+    )
+
+
 @query("equidepth_order_prices")
 def equidepth_order_prices(spark, sf_dir):
     """Exact equal-frequency decile histogram of order totals

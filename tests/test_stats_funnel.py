@@ -620,3 +620,41 @@ def test_ks_empty_side_returns_empty(spark):
     a = spark.createDataFrame([(1.0,)], "v double")
     b = spark.createDataFrame([], "v double")
     assert ks_statistic(a, b, "v").collect() == []
+
+
+def test_quantile_transform_exact_positions(spark):
+    from simple_anonymizer_spark.operators.stats import quantile_transform
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([30, 10, 20, 40, 10])],
+        "k long, v double",
+    )
+    out = {r.k: (r.rank, r.q) for r in
+           quantile_transform(df, "v", "k").collect()}
+    # ties on v=10 break by key: k=1 before k=4
+    assert out[1] == (0, 0.0)
+    assert out[4] == (1, 0.25)
+    assert out[2] == (2, 0.5)
+    assert out[0] == (3, 0.75)
+    assert out[3] == (4, 1.0)
+
+
+def test_quantile_transform_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.stats import quantile_transform
+
+    # Identical ranks under any input partitioning; the range cache is
+    # unpersisted inside the operator (localCheckpoint blocks that remain
+    # are GC-managed, the same contract as pagerank's checkpoints).
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(400)], "k long, v double"
+    )
+    a = sorted(map(tuple, quantile_transform(df.repartition(3), "v", "k").collect()))
+    b = sorted(map(tuple, quantile_transform(df.repartition(11), "v", "k").collect()))
+    assert a == b
+
+
+def test_quantile_transform_single_row(spark):
+    from simple_anonymizer_spark.operators.stats import quantile_transform
+
+    df = spark.createDataFrame([(7, 3.5)], "k long, v double")
+    assert quantile_transform(df, "v", "k").collect()[0].q == 0.0
