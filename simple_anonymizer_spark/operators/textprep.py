@@ -294,6 +294,97 @@ def scrub_duplicate_spans(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-Pair Encoding merge training (Sennrich et al. 2016) — the
+    real tokenizer-training algorithm, distributed.
+
+    BPE trains on the WORD-FREQUENCY table, not the corpus: words
+    become space-separated symbol sequences (chars + ``</w>``), and each
+    iteration (1) counts adjacent symbol pairs weighted by word
+    frequency, (2) picks the most frequent pair (ties broken by pair
+    text ascending — deterministic), (3) rewrites every sequence with
+    the pair merged, greedy left-to-right non-overlapping via literal
+    ``replace`` on a double-spaced form (each symbol owns its flanking
+    spaces, so consecutive matches can't steal a shared boundary).
+
+    Output: the merge table ``iteration (int64), left, right, merged,
+    pair_count (int64)`` — rows in merge order; fewer than ``n_merges``
+    rows when the vocabulary runs out of pairs.
+
+    Scale (100 TB): the corpus is touched ONCE (word counting,
+    map-side combinable); every iteration then runs over the
+    vocabulary-bounded word table — model-sized, not corpus-sized — and
+    collects exactly one (pair, count) row to the driver, the same
+    bounded-driver-state shape as the k-means trainer. Sequences
+    re-materialize per iteration via localCheckpoint so plan depth
+    stays flat.
+    """
+    from ..functions import textops as T
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+    )
+    vocab = words.select(
+        "__freq",
+        F.concat(
+            F.array_join(F.split(F.col("__w"), ""), " "),
+            F.lit(" </w>"),
+        ).alias("__seq"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for i in range(n_merges):
+        sym = F.split(F.col("__seq"), " ")
+        head = F.slice(sym, 1, F.size(sym) - 1)
+        tail = F.slice(sym, 2, F.size(sym) - 1)
+        pairs = F.when(
+            F.size(sym) >= 2,
+            F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            vocab.select("__freq", F.explode(pairs).alias("__pair"))
+            .groupBy("__pair")
+            .agg(F.sum("__freq").cast("long").alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), F.col("__pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["__pair"], best[0]["__cnt"]
+        left, right = pair.split(" ")
+        merged = left + right
+        merges.append((i, left, right, merged, cnt))
+        # double-space the sequence so every symbol owns its flanking
+        # spaces; literal replace is then greedy non-overlapping with no
+        # shared-boundary misses, identically in every engine.
+        padded = F.concat(
+            F.lit(" "),
+            F.expr("replace(__seq, ' ', '  ')"),
+            F.lit(" "),
+        )
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + merged + " "
+        replaced = F.call_function("replace", padded, F.lit(pat), F.lit(rep))
+        new_seq = F.trim(F.regexp_replace(replaced, " +", " "))
+        vocab = vocab.select(
+            "__freq", new_seq.alias("__seq")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "iteration long, left string, right string, merged string,"
+        " pair_count long",
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -2931,6 +2931,55 @@ FROM f
 """
 
 
+# BPE merge training: N unrolled iterations, each mirroring the Spark
+# driver loop — pair counts over the current vocabulary state, best pair
+# by (count DESC, pair ASC), then the double-spaced literal replace.
+def _bpe_oracle(n_merges: int) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and each iteration references its predecessor ~3 times — without
+    # materialization the expansion is 3^N copies of the corpus scan
+    # (measured: 8 iterations took 8+ minutes; materialized, seconds).
+    parts = [
+        "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq "
+        "FROM ("
+        f"SELECT unnest({_tokens('text')}) AS w FROM documents) GROUP BY w)",
+        "v0 AS MATERIALIZED (SELECT freq, array_to_string("
+        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
+        "FROM words)",
+    ]
+    selects = []
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest([sym[j] || ' ' || sym[j + 1]
+                   for j in range(1, len(sym))]) AS pr
+    FROM (SELECT freq, string_split(seq, ' ') AS sym FROM v{i})
+  ) GROUP BY pr
+)""")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT freq, trim(regexp_replace(
+    replace(' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b{i}), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+    ' +', ' ', 'g')) AS seq
+  FROM v{i}
+)""")
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS iteration, "
+            f"split_part(pair, ' ', 1) AS \"left\", "
+            f"split_part(pair, ' ', 2) AS \"right\", "
+            f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["bpe_train_corpus"] = _bpe_oracle(8)
+
 ORACLES["doc_surprisal_corpus"] = f"""
 WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
 pairs AS (

@@ -2490,6 +2490,19 @@ def doc_surprisal_corpus(spark, sf_dir):
     )
 
 
+@query("bpe_train_corpus")
+def bpe_train_corpus(spark, sf_dir):
+    """BPE tokenizer training (textprep.bpe_train): 8 merge iterations
+    over the corpus word-frequency table — one corpus scan, then
+    model-sized iterations, one (pair, count) row to the driver each."""
+    from .operators.textprep import bpe_train
+
+    return bpe_train(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents")),
+        n_merges=8,
+    )
+
+
 @query("scrub_dup_spans")
 def scrub_dup_spans(spark, sf_dir):
     """Exact-substring dedup scrub (textprep.scrub_duplicate_spans):

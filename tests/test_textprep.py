@@ -237,3 +237,62 @@ def test_scrub_overlapping_spans_union_cover(spark):
         (3, "c d e right3"),
     ], k=3, min_docs=2)
     assert out[1] == (6, 5, "tail1")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_docs(spark, words):
+    return spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+
+
+def test_bpe_reproduces_sennrich_example(spark):
+    from simple_anonymizer_spark.operators.textprep import bpe_train
+
+    docs = _bpe_docs(
+        spark, ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    assert got == [
+        (0, "e", "s", "es", 9),
+        (1, "es", "t", "est", 9),
+        (2, "est", "</w>", "est</w>", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_overlapping_run_merges_greedy_left_to_right(spark):
+    from simple_anonymizer_spark.operators.textprep import bpe_train
+
+    # 'aaa' -> symbols a a a </w>: pair (a,a) counts both overlaps (2 per
+    # word) but the merge applies greedily left-to-right: aa + a. The
+    # next round ties (aa,a) with (a,</w>) at 4 — pair-text ascending
+    # breaks it deterministically toward 'a </w>'.
+    docs = _bpe_docs(spark, ["aaa"] * 4)
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    assert got[0] == (0, "a", "a", "aa", 8)
+    assert got[1] == (1, "a", "</w>", "a</w>", 4)
+
+
+def test_bpe_stops_when_out_of_pairs(spark):
+    from simple_anonymizer_spark.operators.textprep import bpe_train
+
+    docs = _bpe_docs(spark, ["ab", "ab"])   # a b </w>: only 3 merges exist
+    got = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    assert len(got) == 2
+    assert got[-1][3] == "ab</w>"
+
+
+def test_bpe_deterministic_across_partitionings(spark):
+    from simple_anonymizer_spark.operators.textprep import bpe_train
+
+    rows = [(i, "the cat sat on the mat " * (1 + i % 3)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in bpe_train(docs.repartition(1), n_merges=6).collect()]
+    b = [tuple(r) for r in bpe_train(docs.repartition(7), n_merges=6).collect()]
+    assert a == b and len(a) == 6
