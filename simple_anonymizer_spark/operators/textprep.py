@@ -385,6 +385,71 @@ def bpe_train(
     )
 
 
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge list (``bpe_train`` rows, in order) to
+    segment text into subword pieces.
+
+    Each token becomes its character sequence plus ``</w>``, then every
+    merge rewrites it with the same double-spaced literal replace the
+    trainer used — so segmentation is exactly the trainer's greedy
+    left-to-right semantics. Output: ``<id_col>, n_pieces (int64),
+    pieces`` (space-joined subword symbols; word boundaries carry the
+    ``</w>`` marker).
+
+    Scale (100 TB): the merge chain compiles to ``len(merges)`` nested
+    literal string rewrites per token — pure whole-stage codegen, no
+    joins, no state; the only shuffle is the per-document reassembly.
+    """
+    from ..functions import textops as T
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.col(text_col))).alias("__pos", "__w"),
+    )
+    seq = F.concat(
+        F.array_join(F.split(F.col("__w"), ""), " "), F.lit(" </w>")
+    )
+    for row in merges:
+        left, right, merged = row[1], row[2], row[3]
+        padded = F.concat(
+            F.lit(" "),
+            F.call_function("replace", seq, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        replaced = F.call_function(
+            "replace", padded,
+            F.lit(f" {left}  {right} "), F.lit(f" {merged} "),
+        )
+        seq = F.trim(F.regexp_replace(replaced, " +", " "))
+    pieces = tok.select(id_col, "__pos", seq.alias("__seq"))
+    agg = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seq"))),
+                lambda s: s["__seq"],
+            ),
+            " ",
+        ).alias("pieces"),
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(agg, id_col, "left").select(
+        id_col, F.coalesce(F.col("pieces"), F.lit("")).alias("pieces")
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("pieces") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("pieces"), " ")))
+        .cast("long")
+        .alias("n_pieces"),
+        "pieces",
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

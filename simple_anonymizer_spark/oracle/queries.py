@@ -2934,7 +2934,16 @@ FROM f
 # BPE merge training: N unrolled iterations, each mirroring the Spark
 # driver loop — pair counts over the current vocabulary state, best pair
 # by (count DESC, pair ASC), then the double-spaced literal replace.
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_seq_rewrite(best_cte: str) -> str:
+    """The double-spaced literal-replace merge step over ``seq``."""
+    return f"""trim(regexp_replace(
+    replace(' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM {best_cte}), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM {best_cte}), ' ', '') || ' '),
+    ' +', ' ', 'g'))"""
+
+
+def _bpe_cte_parts(n_merges: int) -> list[str]:
     # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
     # and each iteration references its predecessor ~3 times — without
     # materialization the expansion is 3^N copies of the corpus scan
@@ -2947,7 +2956,6 @@ def _bpe_oracle(n_merges: int) -> str:
         "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
         "FROM words)",
     ]
-    selects = []
     for i in range(n_merges):
         parts.append(f"""p{i} AS MATERIALIZED (
   SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -2962,23 +2970,55 @@ def _bpe_oracle(n_merges: int) -> str:
             f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
         )
         parts.append(f"""v{i + 1} AS MATERIALIZED (
-  SELECT freq, trim(regexp_replace(
-    replace(' ' || replace(seq, ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b{i}), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
-    ' +', ' ', 'g')) AS seq
+  SELECT freq, {_bpe_seq_rewrite(f'b{i}')} AS seq
   FROM v{i}
 )""")
-        selects.append(
-            f"SELECT CAST({i} AS BIGINT) AS iteration, "
-            f"split_part(pair, ' ', 1) AS \"left\", "
-            f"split_part(pair, ' ', 2) AS \"right\", "
-            f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{i}"
-        )
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS iteration, "
+        f"split_part(pair, ' ', 1) AS \"left\", "
+        f"split_part(pair, ' ', 2) AS \"right\", "
+        f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    ]
+    return ("WITH " + ",\n".join(_bpe_cte_parts(n_merges)) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(f"""tok AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+  FROM (SELECT doc_id, {_tokens('text')} AS toks FROM documents)
+)""")
+    parts.append(
+        "s0 AS MATERIALIZED (SELECT doc_id, pos, array_to_string("
+        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
+        "FROM tok)"
+    )
+    for i in range(n_merges):
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, pos, {_bpe_seq_rewrite(f'b{i}')} AS seq
+  FROM s{i}
+)""")
+    parts.append(f"""agg AS (
+  SELECT doc_id, string_agg(seq, ' ' ORDER BY pos) AS pieces
+  FROM s{n_merges} GROUP BY doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       CAST(CASE WHEN a.pieces IS NULL OR a.pieces = '' THEN 0
+                 ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
+         AS n_pieces,
+       COALESCE(a.pieces, '') AS pieces
+FROM documents d LEFT JOIN agg a USING (doc_id)""")
 
 
 ORACLES["bpe_train_corpus"] = _bpe_oracle(8)
+ORACLES["bpe_encode_docs"] = _bpe_encode_oracle(8)
 
 ORACLES["doc_surprisal_corpus"] = f"""
 WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),

@@ -2503,6 +2503,18 @@ def bpe_train_corpus(spark, sf_dir):
     )
 
 
+@query("bpe_encode_docs")
+def bpe_encode_docs(spark, sf_dir):
+    """Train 8 BPE merges on the corpus, then segment every document
+    with them (textprep.bpe_segment) — the trained-tokenizer encode
+    pass as one codegen replace chain per token."""
+    from .operators.textprep import bpe_segment, bpe_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = [tuple(r) for r in bpe_train(docs, n_merges=8).collect()]
+    return bpe_segment(docs, merges)
+
+
 @query("scrub_dup_spans")
 def scrub_dup_spans(spark, sf_dir):
     """Exact-substring dedup scrub (textprep.scrub_duplicate_spans):

@@ -296,3 +296,31 @@ def test_bpe_deterministic_across_partitionings(spark):
     a = [tuple(r) for r in bpe_train(docs.repartition(1), n_merges=6).collect()]
     b = [tuple(r) for r in bpe_train(docs.repartition(7), n_merges=6).collect()]
     assert a == b and len(a) == 6
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    from simple_anonymizer_spark.operators.textprep import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = _bpe_docs(
+        spark, ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    merges = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    fresh = spark.createDataFrame(
+        [(1, "lowest low"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_pieces, r.pieces)
+           for r in bpe_segment(fresh, merges).collect()}
+    # merges: es, est, est</w>, lo, low -> 'lowest' = low est</w>
+    assert out[1] == (4, "low est</w> low </w>")
+    assert out[2] == (0, "")
+
+
+def test_bpe_segment_empty_merges_is_char_split(spark):
+    from simple_anonymizer_spark.operators.textprep import bpe_segment
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    out = bpe_segment(docs, []).collect()[0]
+    assert (out.n_pieces, out.pieces) == (3, "a b </w>")
