@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_surprisal_corpus",
     "dedup_golden_records",
     "pipeline_release_orders",
+    "bpe_encode_docs",
 ]
 
 

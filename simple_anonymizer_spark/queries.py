@@ -29,7 +29,7 @@ from .sources.catalog import Catalog, LogicalFK
 from .sources.parquet import read_sf_table
 from .streaming import events as streaming_events
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
+QueryFn = Callable[[SparkSession, str], DataFrame]  # (spark, sf_dir) -> df
 QUERIES: dict[str, QueryFn] = {}
 
 
