@@ -528,6 +528,7 @@ _SETVAL_RE = re.compile(
 _ALTER_RE = re.compile(
     r'ALTER TABLE (?P<tbl>.+?) ALTER CONSTRAINT (?P<con>"(?:[^"]|"")*") (?P<mode>.+)$'
 )
+_DELETE_ALL_RE = re.compile(r"DELETE FROM (?P<tbl>\S+)$")
 
 
 class _Txn:
@@ -633,6 +634,24 @@ def _apply_insert(state: _State, work: dict[str, list[dict]], op: tuple,
                   txn: _Txn | None = None) -> dict | None:
     """Apply one insert op to ``work``; returns the row actually inserted
     (None when ON CONFLICT DO NOTHING skipped it)."""
+    if op[0] == "delete_all":
+        # Whole-table DELETE (the overwrite-sink statement). RESTRICT
+        # semantics: surviving child rows referencing the cleared table
+        # violate the FK, exactly as a real DELETE would.
+        _, table = op[0], op[1]
+        work[table] = []
+        if check_immediate:
+            for fk in state.fks.values():
+                if fk.ref_table != table:
+                    continue
+                for child in work.get(fk.table, []):
+                    if not _fk_ok(work, fk, child):
+                        raise IntegrityError(
+                            f'update or delete on table "{table}" violates '
+                            f'foreign key constraint "{fk.name}" on table '
+                            f'"{fk.table}"'
+                        )
+        return None
     _, table, row, oc = op
     tdef = state.tables[table]
     # Materialize serial defaults (non-transactional nextval) and type
@@ -870,6 +889,18 @@ class FakeCursor:
             return
         if upper.startswith("SELECT"):
             self._select(norm, params)
+            return
+        m = _DELETE_ALL_RE.match(norm)
+        if m:
+            table = self._table_name(m.group("tbl"))
+            conn = self.conn
+            txn = conn._ensure_txn()
+            with _locked(conn.path) as state:
+                if table not in state.tables:
+                    raise ProgrammingError(
+                        f'relation "{table}" does not exist'
+                    )
+            txn.ops.append(("delete_all", table, None, None))
             return
         raise ProgrammingError(f"unsupported statement: {norm[:80]}")
 

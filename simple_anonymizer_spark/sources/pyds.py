@@ -35,10 +35,17 @@ and/or ``spark.dataSource.register(PGWireDataSource)``.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import Callable, Iterator
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from .dbapi import (
     _spark_type,
@@ -46,7 +53,7 @@ from .dbapi import (
     partition_clauses,
     session_init_sql,
 )
-from .jdbc import render_select
+from .jdbc import quote_qualified, render_insert, render_select
 
 
 def _connect_from_options(options) -> Callable:
@@ -94,6 +101,31 @@ class FakePGDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "DbApiReader":
         return DbApiReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "DbApiWriter":
+        """``df.write.format("fakepg"/"pgwire")`` — executor-side batched
+        INSERT [ON CONFLICT], one connection + one transaction per
+        partition (partition-atomic, not job-atomic — the same contract
+        as Spark's own JDBC sink). ``mode("overwrite")`` clears the
+        target table driver-side before the tasks launch.
+
+        Write options: ``table`` (required), ``dbschema``,
+        ``on_conflict`` (``update`` | ``nothing``), ``primary_key``
+        (comma-separated, required for ``update``), ``batch_size``."""
+        if overwrite:
+            conn = _connect_from_options(self.options)()
+            try:
+                cur = conn.cursor()
+                cur.execute(
+                    "DELETE FROM " + quote_qualified(
+                        self.options["table"],
+                        self.options.get("dbschema", "public"),
+                    )
+                )
+                conn.commit()
+            finally:
+                conn.close()
+        return DbApiWriter(self.options, schema)
 
 
 class PGWireDataSource(FakePGDataSource):
@@ -145,6 +177,66 @@ class DbApiReader(DataSourceReader):
                 yield tuple(row)
         finally:
             conn.close()
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    n_rows: int
+
+
+class DbApiWriter(DataSourceWriter):
+    def __init__(self, options, schema: T.StructType):
+        self.options = dict(options)
+        self.spark_schema = schema
+
+    def write(self, iterator: Iterator) -> _WriteResult:
+        # Executor-side: one connection and one transaction per
+        # partition; batched executemany like jdbc.upsert_writer.
+        options, schema = self.options, self.spark_schema
+        cols = [f.name for f in schema.fields]
+        oc = None
+        oc_mode = options.get("on_conflict")
+        pk: list[str] = []
+        if oc_mode:
+            from ..plans.on_conflict import OnConflict
+
+            oc = OnConflict(action=oc_mode)
+            pk = [c.strip() for c in options.get("primary_key", "").split(",")
+                  if c.strip()]
+        insert_sql = render_insert(
+            options["table"], cols, options.get("dbschema", "public"),
+            oc, pk,
+        )
+        batch_size = int(options.get("batch_size", "1000"))
+        conn = _connect_from_options(options)()
+        n = 0
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in iterator:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    cur.executemany(insert_sql, batch)
+                    n += len(batch)
+                    batch.clear()
+            if batch:
+                cur.executemany(insert_sql, batch)
+                n += len(batch)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+        return _WriteResult(n_rows=n)
+
+    def commit(self, messages) -> None:
+        # Per-partition transactions already committed; nothing global.
+        return None
+
+    def abort(self, messages) -> None:
+        # Committed partitions stay (partition-atomic contract).
+        return None
 
 
 # Back-compat alias (round-3 name).

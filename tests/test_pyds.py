@@ -86,3 +86,89 @@ def test_snapshot_pins_out_concurrent_writer(registered, source_db):
 def test_unknown_table_raises(registered, source_db):
     with pytest.raises(Exception, match="unknown table"):
         _read(registered, source_db, "nope").schema
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("fakepg")
+# ---------------------------------------------------------------------------
+
+
+def _write(df, db, table, mode="append", **opts):
+    w = (
+        df.write.format("fakepg")
+        .option("path", db.path)
+        .option("table", table)
+        .mode(mode)
+    )
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    w.save()
+
+
+def test_write_append_roundtrip(registered, source_db):
+    spark = registered
+    before = sorted(map(tuple, _read(spark, source_db, "users").collect()))
+    extra = spark.createDataFrame(
+        [(101, "New", "User", "new.user@example.com"),
+         (102, "Other", "Person", "other@example.com")],
+        "id long, first_name string, last_name string, email string",
+    )
+    _write(extra, source_db, "users")
+    after = sorted(map(tuple, _read(spark, source_db, "users").collect()))
+    assert len(after) == len(before) + 2
+    assert (101, "New", "User", "new.user@example.com") in after
+
+
+def test_write_overwrite_replaces_leaf_table(registered, source_db):
+    spark = registered
+    fresh = spark.createDataFrame(
+        [(999, 1, '[{"number": "555"}]', "{}")],
+        "id long, user_id long, phones string, settings string",
+    )
+    _write(fresh, source_db, "profiles", mode="overwrite")
+    got = _read(spark, source_db, "profiles").collect()
+    assert len(got) == 1 and got[0].id == 999
+
+
+def test_write_overwrite_referenced_parent_restricts(registered, source_db):
+    # users has children (orders, profiles): clearing it must raise the
+    # FK violation, like a real DELETE under RESTRICT.
+    spark = registered
+    fresh = spark.createDataFrame(
+        [(1, "Only", "Row", "only@example.com")],
+        "id long, first_name string, last_name string, email string",
+    )
+    with pytest.raises(Exception, match="violates foreign key|fkey"):
+        _write(fresh, source_db, "users", mode="overwrite")
+
+
+def test_write_on_conflict_update_upserts(registered, source_db):
+    spark = registered
+    rows = sorted(map(tuple, _read(spark, source_db, "users").collect()))
+    existing_id = rows[0][0]
+    upsert = spark.createDataFrame(
+        [(existing_id, "Updated", "Name", "updated@example.com"),
+         (900, "Brand", "New", "brand@example.com")],
+        "id long, first_name string, last_name string, email string",
+    )
+    _write(upsert, source_db, "users",
+           on_conflict="update", primary_key="id")
+    after = {r.id: (r.first_name, r.email)
+             for r in _read(registered, source_db, "users").collect()}
+    assert after[existing_id] == ("Updated", "updated@example.com")
+    assert after[900] == ("Brand", "brand@example.com")
+    assert len(after) == len(rows) + 1
+
+
+def test_write_on_conflict_nothing_keeps_existing(registered, source_db):
+    spark = registered
+    rows = sorted(map(tuple, _read(spark, source_db, "users").collect()))
+    existing = rows[0]
+    dup = spark.createDataFrame(
+        [(existing[0], "X", "Y", "x@y.z")],
+        "id long, first_name string, last_name string, email string",
+    )
+    _write(dup, source_db, "users", on_conflict="nothing", primary_key="id")
+    after = {r.id: r.first_name
+             for r in _read(registered, source_db, "users").collect()}
+    assert after[existing[0]] == existing[1]   # original survived
