@@ -267,6 +267,16 @@ GROUP BY n_regionkey
 # Streaming-shaped
 # ---------------------------------------------------------------------------
 
+ORACLES["sql_front_door"] = f"""
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_balance,
+       CAST(min({O.stable_hash('c_name')}) AS BIGINT) AS min_name_hash
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
 ORACLES["scalar_strings"] = """
 SELECT c_custkey,
        upper(c_name) AS up,

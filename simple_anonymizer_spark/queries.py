@@ -581,6 +581,26 @@ def scalar_collections(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@query("sql_front_door")
+def sql_front_door(spark, sf_dir):
+    """Pure SQL-text execution path (session.register_tables): fixture
+    views + registered anon_* SQL functions, driven entirely through
+    spark.sql — same plans, same values as the DataFrame API."""
+    from .session import register_tables
+
+    register_tables(spark, sf_dir, ["customer", "nation"])
+    return spark.sql("""
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_balance,
+               CAST(min(anon_stable_hash(c_name)) AS BIGINT)
+                 AS min_name_hash
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
+
+
 @query("scalar_strings")
 def scalar_strings(spark, sf_dir):
     """Portable string-function family: case, slicing, padding,

@@ -34,3 +34,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+FIXTURE_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    tables: list[str] | None = None) -> None:
+    """SQL front door: register every fixture table as a temp view (the
+    events timestamp normalized) and the ``anon_*`` SQL functions, so a
+    SQL-only user can drive the whole engine through ``spark.sql``."""
+    from .functions import anonymizers
+    from .sources.parquet import read_sf_table
+
+    for t in tables or FIXTURE_TABLES:
+        read_sf_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    anonymizers.register_all(spark)

@@ -50,6 +50,7 @@ NATIVE_QUERIES = [
     "agg_segment_stats", "agg_rollup_region", "agg_cube_status",
     "agg_grouping_sets", "pivot_segments", "agg_approx_distinct",
     "scalar_dates", "scalar_math", "scalar_collections", "scalar_strings",
+    "sql_front_door",
     "events_sliding",
     "events_sessionize", "dedup_distinct_docs", "ngram_jaccard_adjacent",
     "token_count_bpe", "text_quality", "embedding_neardup",
