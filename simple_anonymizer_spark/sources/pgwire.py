@@ -322,6 +322,90 @@ class Connection:
             self._simple_query("BEGIN")
         return self._simple_query(text)
 
+    # -- COPY FROM STDIN (bulk-load fast path) -----------------------------
+
+    def copy_in(self, table: str, columns: list[str], rows,
+                schema: str = "public", chunk_rows: int = 500) -> int:
+        """Bulk load via the wire protocol's COPY sub-protocol — one
+        round trip per ``chunk_rows`` instead of one INSERT per batch
+        statement; the server parses text-format rows directly into the
+        heap (the documented ~10x bulk path). Runs inside the implicit
+        transaction like every other statement. Returns rows loaded.
+
+        Text-format encoding: tab-separated columns, ``\\N`` for NULL,
+        backslash-escaped ``\\ \\t \\n \\r``; bools as t/f. Supported
+        value types: str/int/float/bool/None.
+        """
+        from .catalog import quote_identifier, quote_qualified
+
+        if self.closed:
+            raise ProgrammingError("connection is closed")
+        if not self.autocommit and self._status == b"I":
+            self._simple_query("BEGIN")
+        cols = ", ".join(quote_identifier(c) for c in columns)
+        stmt = (f"COPY {quote_qualified(table, schema)} ({cols}) "
+                f"FROM STDIN")
+        self._send(b"Q", stmt.encode("utf-8") + b"\0")
+        # Wait for CopyInResponse (G) or error.
+        error: Error | None = None
+        while True:
+            tag, payload = self._recv()
+            if tag == b"G":
+                break
+            if tag == b"E":
+                error = self._parse_error(payload)
+            elif tag == b"Z":
+                self._status = payload[:1]
+                raise error or ProgrammingError("COPY refused")
+        n = 0
+        buf: list[bytes] = []
+        try:
+            for row in rows:
+                buf.append(_copy_text_row(row))
+                n += 1
+                if len(buf) >= chunk_rows:
+                    self._send(b"d", b"".join(buf))
+                    buf.clear()
+            if buf:
+                self._send(b"d", b"".join(buf))
+            self._send(b"c", b"")  # CopyDone
+        except Exception:
+            # CopyFail: server aborts the COPY and reports an error we
+            # drain below; the surrounding transaction is rolled back by
+            # the caller's normal error path.
+            self._send(b"f", b"client-side encoding failure\0")
+            raise
+        finally:
+            while True:
+                tag, payload = self._recv()
+                if tag == b"E":
+                    error = self._parse_error(payload)
+                elif tag == b"Z":
+                    self._status = payload[:1]
+                    break
+        if error is not None:
+            raise error
+        return n
+
+
+def _copy_text_field(v) -> bytes:
+    if v is None:
+        return b"\\N"
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    s = str(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .encode("utf-8")
+    )
+
+
+def _copy_text_row(row) -> bytes:
+    return b"\t".join(_copy_text_field(v) for v in row) + b"\n"
+
 
 class Cursor:
     def __init__(self, conn: Connection):

@@ -210,6 +210,29 @@ class DbApiWriter(DataSourceWriter):
         batch_size = int(options.get("batch_size", "1000"))
         conn = _connect_from_options(options)()
         n = 0
+        # Plain appends on a backend with the COPY sub-protocol take the
+        # bulk path automatically (~10x: one round trip per chunk, rows
+        # parsed straight into the heap). ON CONFLICT must INSERT.
+        use_copy = (
+            oc is None
+            and hasattr(conn, "copy_in")
+            and options.get("use_copy", "true").lower() != "false"
+        )
+        if use_copy:
+            try:
+                n = conn.copy_in(
+                    options["table"], cols,
+                    (tuple(row[c] for c in cols) for row in iterator),
+                    schema=options.get("dbschema", "public"),
+                    chunk_rows=batch_size,
+                )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                conn.close()
+            return _WriteResult(n_rows=n)
         try:
             cur = conn.cursor()
             batch = []

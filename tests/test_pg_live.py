@@ -383,3 +383,95 @@ def test_pyds_executor_side_scan_real_server(spark, source_db):
         assert {r.first_name for r in fresh.where("id = 999").collect()} == {"Late"}
     finally:
         coord.close()
+
+
+# ---------------------------------------------------------------------------
+# COPY FROM STDIN bulk load
+# ---------------------------------------------------------------------------
+
+
+def test_live_copy_in_bulk_load(target_db):
+    conn = target_db.connect()
+    try:
+        rows = [(i, f"First{i}", f"Last{i}", f"u{i}@example.com")
+                for i in range(1, 1001)]
+        n = conn.copy_in("users", ["id", "first_name", "last_name", "email"],
+                         iter(rows))
+        conn.commit()
+        assert n == 1000
+    finally:
+        conn.close()
+    check = target_db.connect()
+    try:
+        cur = check.cursor()
+        cur.execute('SELECT COUNT(*), MIN("id"), MAX("id") FROM "public"."users"')
+        assert cur.fetchall() == [(1000, 1, 1000)]
+        cur.execute('SELECT "email" FROM "public"."users" WHERE "id" = 7')
+        assert cur.fetchall() == [("u7@example.com",)]
+    finally:
+        check.close()
+
+
+def test_live_copy_in_escaping_and_nulls(target_db):
+    conn = target_db.connect()
+    try:
+        tricky = [
+            (1, "Tab\there", "New\nline", None),
+            (2, "Back\\slash", None, "ok@example.com"),
+        ]
+        conn.copy_in("users", ["id", "first_name", "last_name", "email"],
+                     iter(tricky))
+        conn.commit()
+    finally:
+        conn.close()
+    check = target_db.connect()
+    try:
+        cur = check.cursor()
+        cur.execute('SELECT "first_name", "last_name", "email" '
+                    'FROM "public"."users" ORDER BY "id"')
+        assert cur.fetchall() == [
+            ("Tab\there", "New\nline", None),
+            ("Back\\slash", None, "ok@example.com"),
+        ]
+    finally:
+        check.close()
+
+
+def test_live_copy_in_server_error_surfaces_and_aborts(target_db):
+    conn = target_db.connect()
+    try:
+        with pytest.raises(Exception, match="duplicate key|violates"):
+            conn.copy_in("users", ["id", "first_name", "last_name", "email"],
+                         iter([(1, "A", "B", "a@b.c"), (1, "A", "B", "a@b.c")]))
+        conn.rollback()
+        # the connection survives and the table stayed empty
+        cur = conn.cursor()
+        cur.execute('SELECT COUNT(*) FROM "public"."users"')
+        assert cur.fetchall() == [(0,)]
+    finally:
+        conn.close()
+
+
+def test_live_pyds_write_uses_copy_fast_path(spark, target_db):
+    from simple_anonymizer_spark.sources.pyds import PGWireDataSource
+
+    spark.dataSource.register(PGWireDataSource)
+    df = spark.createDataFrame(
+        [(i, f"F{i}", f"L{i}", f"e{i}@x.y") for i in range(1, 301)],
+        "id long, first_name string, last_name string, email string",
+    )
+    (df.write.format("pgwire")
+       .option("host", target_db.server["host"])
+       .option("port", str(target_db.server["port"]))
+       .option("user", target_db.server["user"])
+       .option("database", target_db.dbname)
+       .option("table", "users")
+       .mode("append").save())
+    back = (spark.read.format("pgwire")
+            .option("host", target_db.server["host"])
+            .option("port", str(target_db.server["port"]))
+            .option("user", target_db.server["user"])
+            .option("database", target_db.dbname)
+            .option("table", "users").load())
+    assert back.count() == 300
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
