@@ -172,3 +172,42 @@ def test_write_on_conflict_nothing_keeps_existing(registered, source_db):
     after = {r.id: r.first_name
              for r in _read(registered, source_db, "users").collect()}
     assert after[existing[0]] == existing[1]   # original survived
+
+
+def test_streaming_foreachbatch_into_fakepg(registered, source_db, tmp_path):
+    """Structured Streaming -> DB sink: each micro-batch upserts through
+    the Python Data Source writer, so a stream lands in Postgres with
+    the same ON CONFLICT semantics as the batch path."""
+    import shutil
+
+    spark = registered
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    staged = spark.createDataFrame(
+        [(200 + i, f"S{i}", f"T{i}", f"s{i}@x.y") for i in range(20)],
+        "id long, first_name string, last_name string, email string",
+    )
+    staged.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stg"))
+    for f in (tmp_path / "stg").glob("part-*.parquet"):
+        shutil.copy(f, src / f.name)
+
+    path = source_db.path
+
+    def sink(batch_df, batch_id):
+        (batch_df.write.format("fakepg")
+         .option("path", path).option("table", "users")
+         .option("on_conflict", "update").option("primary_key", "id")
+         .mode("append").save())
+
+    before = _read(spark, source_db, "users").count()
+    q = (
+        spark.readStream.schema(staged.schema).parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    after = _read(spark, source_db, "users").collect()
+    assert len(after) == before + 20
+    assert {r.first_name for r in after if r.id >= 200} == {f"S{i}" for i in range(20)}
