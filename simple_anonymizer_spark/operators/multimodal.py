@@ -226,3 +226,130 @@ def extract_meta_native(df: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    decoder: Callable | None = None,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """64-bit average-hash (aHash) over a REAL image decode — the
+    stdlib PNG/BMP pixel decoders by default (``codecs.image_decode``),
+    or an injected ``decoder(bytes) -> (w, h, channels, pixels)``.
+
+    Per image: integer grayscale (channel sum // channels, alpha
+    excluded), 8x8 block means with floor arithmetic, one global floor
+    mean, bit i set when block i >= mean — every step integer-exact, so
+    the hash is bit-reproducible anywhere. Images smaller than 8x8
+    hash to NULL (no stable block grid). Output: ``<id_col>, width,
+    height, phash (int64, two's-complement)``.
+
+    Scale (100 TB): Arrow-batched mapInPandas over whole binary records
+    — the designed Python slot for codec work; everything downstream
+    (banding, pairing) is native column algebra.
+    """
+    if decoder is None:
+        from .codecs import image_decode as decoder
+
+    def one(b):
+        if b is None:
+            return (None, None, None)
+        w, h, ch, pix = decoder(b)
+        if w < 8 or h < 8:
+            return (w, h, None)
+        color_ch = 3 if ch >= 3 else 1  # ignore alpha in RGBA/LA
+        gray = bytearray(w * h)
+        for p in range(w * h):
+            base = p * ch
+            s = 0
+            for c in range(color_ch):
+                s += pix[base + c]
+            gray[p] = s // color_ch
+        blocks = []
+        for by in range(8):
+            y0, y1 = by * h // 8, (by + 1) * h // 8
+            for bx in range(8):
+                x0, x1 = bx * w // 8, (bx + 1) * w // 8
+                total, cnt = 0, 0
+                for y in range(y0, y1):
+                    row = y * w
+                    for x in range(x0, x1):
+                        total += gray[row + x]
+                        cnt += 1
+                blocks.append(total // cnt)
+        mean = sum(blocks) // 64
+        bits = 0
+        for i, v in enumerate(blocks):
+            if v >= mean:
+                bits |= 1 << i
+        if bits >= 1 << 63:  # two's-complement into int64
+            bits -= 1 << 64
+        return (w, h, bits)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf[content_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                "phash": pd.array([r[2] for r in rows], dtype="Int64"),
+            })
+
+    schema = (f"{id_col} long, width int, height int, phash long")
+    return df.mapInPandas(run, schema)
+
+
+def perceptual_neardup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    Candidates come from 4x16-bit band buckets (pigeonhole: any pair
+    within Hamming distance 3 shares at least one exact band; beyond
+    that the band screen is a recall/cost trade, the standard pHash
+    banding). Verification is native ``bit_count(a ^ b)``. Output:
+    ``id_a, id_b (id_a < id_b), hamming (int64)``.
+
+    Scale: band explode is 4 rows per image; the pair join is an
+    equi-join on (band index, band value) — bucketed by near-identical
+    regions of the hash space, never all-pairs.
+    """
+    h = hashed.where(F.col("phash").isNotNull()).select(
+        F.col(id_col).alias("__id"), "phash"
+    )
+    bands = h.select(
+        "__id", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(f"(phash >> {16 * i}) & 65535").alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("__b"),
+    ).select("__id", "phash",
+             F.col("__b.band").alias("__band"), F.col("__b.val").alias("__val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.expr("a.phash ^ b.phash")
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -200,3 +200,75 @@ def test_extract_audio_meta_through_map_in_pandas(spark):
     assert (got[2].n_channels, got[2].sample_rate, got[2].bits_per_sample,
             got[2].n_frames) == (2, 44100, 16, 5)
     assert got[3].n_channels is None
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash over the REAL stdlib PNG decode
+# ---------------------------------------------------------------------------
+
+
+def _png_image(w, h, painter):
+    from simple_anonymizer_spark.operators.codecs import png_encode
+
+    pix = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = painter(x, y)
+            base = (y * w + x) * 3
+            pix[base:base + 3] = bytes((r, g, b))
+    return png_encode(w, h, 3, bytes(pix))
+
+
+def _hash_df(spark, images):
+    from simple_anonymizer_spark.operators.multimodal import perceptual_hash
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in images],
+        "media_id long, content binary",
+    )
+    return perceptual_hash(df)
+
+
+def test_phash_near_identical_images_close_distinct_far(spark):
+    from simple_anonymizer_spark.operators.multimodal import (
+        perceptual_neardup_pairs,
+    )
+
+    # half-black/half-white 32x32; a copy with one corner pixel flipped;
+    # and its inverse (structurally opposite).
+    base = _png_image(32, 32, lambda x, y: (255, 255, 255) if x >= 16 else (0, 0, 0))
+    tweaked = _png_image(
+        32, 32,
+        lambda x, y: (200, 200, 200) if (x, y) == (0, 0)
+        else ((255, 255, 255) if x >= 16 else (0, 0, 0)),
+    )
+    inverse = _png_image(32, 32, lambda x, y: (0, 0, 0) if x >= 16 else (255, 255, 255))
+    hashed = _hash_df(spark, [(1, base), (2, tweaked), (3, inverse)])
+    rows = {r.media_id: r for r in hashed.collect()}
+    assert rows[1].width == 32 and rows[1].phash is not None
+    assert rows[1].phash == rows[2].phash  # one pixel can't flip a block
+    assert rows[1].phash != rows[3].phash
+    pairs = perceptual_neardup_pairs(hashed, max_hamming=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert all(p.hamming == 0 for p in pairs)
+
+
+def test_phash_deterministic_and_small_image_null(spark):
+    img = _png_image(16, 16, lambda x, y: ((x * 16) % 256, (y * 16) % 256, 128))
+    tiny = _png_image(4, 4, lambda x, y: (255, 0, 0))
+    h1 = {r.media_id: r.phash for r in _hash_df(spark, [(1, img), (2, tiny)]).collect()}
+    h2 = {r.media_id: r.phash for r in _hash_df(spark, [(1, img), (2, tiny)]).collect()}
+    assert h1 == h2
+    assert h1[2] is None           # below the 8x8 grid
+    assert h1[1] is not None
+
+
+def test_phash_roundtrip_through_encode_decode(spark):
+    # encode -> decode -> re-encode: identical bytes, identical hash.
+    from simple_anonymizer_spark.operators.codecs import png_decode, png_encode
+
+    img = _png_image(24, 24, lambda x, y: ((x * 7) % 256, (y * 11) % 256, (x + y) % 256))
+    w, h, ch, pix = png_decode(img)
+    again = png_encode(w, h, ch, pix)
+    ha = _hash_df(spark, [(1, img), (2, again)]).collect()
+    assert ha[0].phash == ha[1].phash
