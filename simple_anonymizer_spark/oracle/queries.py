@@ -2732,6 +2732,19 @@ SELECT t.ta AS n_a, t.tb AS n_b,
 FROM tot t CROSS JOIN m
 """
 
+ORACLES["window_value_family"] = """
+SELECT o_orderkey, o_custkey,
+       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
+       CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_order,
+       CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_order,
+       first_value(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
+         OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
 ORACLES["concentration_segments"] = """
 WITH per_seg AS (
   SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n

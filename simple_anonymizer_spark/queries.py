@@ -2363,6 +2363,32 @@ def drift_ks_status(spark, sf_dir):
     )
 
 
+@query("window_value_family")
+def window_value_family(spark, sf_dir):
+    """first_value / last_value / nth_value over explicit frames — the
+    remaining SQL window-value functions, under a unique (date, key)
+    order so every one is engine-deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.unix_micros(ts).asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value(F.col("o_orderkey")).over(w_full).cast("long")
+        .alias("first_order"),
+        F.last_value(F.col("o_orderkey")).over(w_full).cast("long")
+        .alias("last_order"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w_full).cast("long")
+        .alias("second_order"),
+        F.first_value(_dec(F.col("o_totalprice")).cast("double"))
+        .over(w_full).alias("first_price"),
+    )
+
+
 @query("concentration_segments")
 def concentration_segments(spark, sf_dir):
     """Per-nation market-segment concentration: Herfindahl index and

@@ -71,7 +71,8 @@ NATIVE_QUERIES = [
     "semantic_dedup_embeddings", "scrub_dup_spans",
     "agg_mode_disc_percentiles", "unpivot_lineitem_metrics",
     "anomaly_mad_orders", "json_props_profile", "dedup_golden_records",
-    "concentration_segments", "window_rank_family", "event_paths_top",
+    "concentration_segments", "window_rank_family", "window_value_family",
+    "event_paths_top",
     "drift_ks_status", "doc_surprisal_corpus", "quantile_transform_prices",
     "bpe_train_corpus", "bpe_encode_docs",
     "anon_shift_dates", "anon_account_numbers", "pipeline_release_orders",
