@@ -127,3 +127,122 @@ def test_median_matches_statistics_on_random_data(spark, vals):
     )
     [r] = stats.grouped_median(df, ["g"], "v", "k").collect()
     assert r.median == pytest.approx(statistics.median(floats), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cross-checks for the late round-4 operators: the Spark
+# plans must agree with direct pure-Python computations on randomized
+# inputs (the reference's property-test strategy, applied to the new
+# families).
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    import itertools
+    import random
+
+    from simple_anonymizer_spark.operators.graph import triangle_stats
+
+    rng = random.Random(11)
+    edges = {(a, b) for a, b in
+             ((rng.randrange(12), rng.randrange(12)) for _ in range(60))
+             if a != b}
+    undirected = {tuple(sorted(e)) for e in edges}
+    adj = {}
+    for a, b in undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                expected[n] += 1
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.node: r.tri_count for r in triangle_stats(df).collect()}
+    assert got == expected
+
+
+def test_assoc_counts_match_bruteforce(spark):
+    import itertools
+    import random
+    from collections import Counter
+
+    from simple_anonymizer_spark.operators.assoc import association_rules
+
+    rng = random.Random(5)
+    baskets = {}
+    for i in range(40):
+        baskets[i] = {rng.choice("abcdefg") for _ in range(rng.randrange(1, 5))}
+    supp = Counter(it for items in baskets.values() for it in items)
+    pairs = Counter()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            pairs[(a, b)] += 1
+    rows = [(k, it) for k, items in baskets.items() for it in items]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r.item_a, r.item_b): r for r in
+           association_rules(df, "basket", "item", min_item_support=1).collect()}
+    assert set(out) == set(pairs)
+    for (a, b), r in out.items():
+        assert r.pair_count == pairs[(a, b)]
+        assert (r.supp_a, r.supp_b) == (supp[a], supp[b])
+        assert r.n_baskets == len(baskets)
+        assert r.confidence == pairs[(a, b)] / supp[a]
+
+
+def test_mad_outliers_match_bruteforce(spark):
+    import random
+
+    from simple_anonymizer_spark.operators.stats import mad_outliers
+
+    rng = random.Random(3)
+    vals = [round(rng.uniform(-50, 50), 2) for _ in range(101)]
+    vals += [500.0, -400.0]
+
+    def median_cents(xs):
+        s = sorted(xs)
+        n = len(s)
+        if n % 2:
+            return 2 * s[n // 2]
+        return s[n // 2 - 1] + s[n // 2]
+
+    cents = [round(v * 100) for v in vals]
+    m2 = median_cents(cents)
+    dev2 = [abs(2 * u - m2) for u in cents]
+    mad4 = median_cents(dev2)
+    exp_out = sum(1 for d in dev2 if 2 * d > 3 * mad4)
+    df = spark.createDataFrame(
+        [("g", float(v), i) for i, v in enumerate(vals)],
+        "g string, v double, t long",
+    )
+    r = mad_outliers(df, ["g"], "v", "t", c=3).collect()[0]
+    assert r.n_rows == len(vals)
+    assert r.median == m2 / 2 / 100
+    assert r.mad == mad4 / 4 / 100
+    assert r.n_outliers == exp_out
+
+
+def test_ks_matches_bruteforce(spark):
+    import random
+
+    from simple_anonymizer_spark.operators.stats import ks_statistic
+
+    rng = random.Random(17)
+    a = [round(rng.gauss(0, 10), 2) for _ in range(150)]
+    b = [round(rng.gauss(3, 12), 2) for _ in range(130)]
+
+    def ecdf_sup(xs, ys):
+        vals = sorted(set(xs) | set(ys))
+        best = 0.0
+        for v in vals:
+            fa = sum(1 for x in xs if x <= v) / len(xs)
+            fb = sum(1 for y in ys if y <= v) / len(ys)
+            best = max(best, abs(fa - fb))
+        return best
+
+    expected = ecdf_sup(a, b)
+    da = spark.createDataFrame([(v,) for v in a], "v double")
+    db = spark.createDataFrame([(v,) for v in b], "v double")
+    r = ks_statistic(da, db, "v").collect()[0]
+    assert abs(r.ks - expected) < 1e-12
+    assert (r.n_a, r.n_b) == (150, 130)
