@@ -246,3 +246,27 @@ def test_ks_matches_bruteforce(spark):
     r = ks_statistic(da, db, "v").collect()[0]
     assert abs(r.ks - expected) < 1e-12
     assert (r.n_a, r.n_b) == (150, 130)
+
+
+def test_bpe_segmentation_reconstructs_every_word(spark):
+    import random
+
+    from simple_anonymizer_spark.operators.textprep import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    rng = random.Random(23)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randrange(1, 7)))
+             for _ in range(80)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 8:(i + 1) * 8])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    merges = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    out = {r.doc_id: r.pieces for r in bpe_segment(docs, merges).collect()}
+    for i in range(10):
+        # strip spaces and </w> markers: the original text must survive
+        # segmentation losslessly, whatever merges were learned.
+        rebuilt = out[i].replace(" ", "").replace("</w>", " ").strip()
+        assert rebuilt == " ".join(words[i * 8:(i + 1) * 8])
