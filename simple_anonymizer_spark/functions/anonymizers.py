@@ -283,3 +283,30 @@ def account_number(c: Column) -> Column:
     return F.concat_ws(
         "", *[p.cast("string") for p in payload], check.cast("string")
     )
+
+
+def prefix_preserving_ip(ip: Column | str, salt: str = "ip") -> Column:
+    """Prefix-preserving IPv4 anonymization (the Crypto-PAn property,
+    Xu et al. 2002): two addresses sharing a k-bit prefix anonymize to
+    addresses sharing EXACTLY a k-bit prefix — subnet structure survives
+    for network analytics while addresses unlink.
+
+    Mechanism: bit i (MSB-first) flips by ``hash(salt, i, the i-bit
+    prefix VALUE) & 1`` — the flip depends only on the prefix, so equal
+    prefixes flip equally (prefix preserved) and the first differing
+    bit stays differing (no collisions beyond the real shared prefix).
+    32 chained MD5 terms per row, all whole-stage codegen; input is the
+    address as int64 in [0, 2^32). NULL passes through.
+    """
+    c = _as_col(ip) if isinstance(ip, str) else ip
+    out = F.lit(0).cast("long")
+    for i in range(32):
+        # i-bit prefix value (0 for i == 0), MSB-first
+        prefix = F.shiftrightunsigned(c, 32 - i) if i > 0 else F.lit(0).cast("long")
+        key = F.concat(
+            F.lit(f"{salt}:{i}:"), prefix.cast("string")
+        )
+        flip = _raw_hash(key).bitwiseAND(F.lit(1))
+        orig = F.shiftrightunsigned(c, 31 - i).bitwiseAND(F.lit(1))
+        out = out + F.shiftleft(orig.bitwiseXOR(flip), 31 - i)
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(out)

@@ -205,3 +205,17 @@ def account_number(expr: str) -> str:
     )
     body = f"({digits})"
     return _guard(expr, body)
+
+
+def prefix_preserving_ip(expr: str, salt: str = "ip") -> str:
+    """Mirror of anonymizers.prefix_preserving_ip — same 32 hash terms,
+    same bit assembly."""
+    terms = []
+    for i in range(32):
+        prefix = f"({expr} >> {32 - i})" if i > 0 else "0"
+        key = f"('{salt}:{i}:' || CAST({prefix} AS VARCHAR))"
+        flip = f"({raw_hash(key)} & 1)"
+        orig = f"(({expr} >> {31 - i}) & 1)"
+        terms.append(f"(xor({orig}, {flip}) << {31 - i})")
+    body = "(" + " + ".join(terms) + ")"
+    return f"(CASE WHEN {expr} IS NULL THEN NULL ELSE {body} END)"

@@ -2651,6 +2651,16 @@ JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
 JOIN orders o ON c.c_custkey = o.o_custkey
 """
 
+_IP_EXPR = f"(({O.raw_hash('CAST(c_custkey AS VARCHAR)')}) % 4294967296)"
+ORACLES["anon_ip_prefix"] = f"""
+WITH s AS (
+  SELECT c_custkey, CAST({_IP_EXPR} AS BIGINT) AS ip FROM customer
+)
+SELECT c_custkey, ip,
+       CAST({O.prefix_preserving_ip('ip')} AS BIGINT) AS ip_anon
+FROM s
+"""
+
 ORACLES["anon_shift_dates"] = f"""
 SELECT o_orderkey, o_custkey,
        CAST({O.shift_timestamp('o_orderdate', 'o_custkey', 180)} AS BIGINT)

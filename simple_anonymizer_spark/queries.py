@@ -151,6 +151,24 @@ def pipeline_release_orders(spark, sf_dir):
     )
 
 
+@query("anon_ip_prefix")
+def anon_ip_prefix(spark, sf_dir):
+    """Crypto-PAn-style prefix-preserving IP anonymization
+    (anonymizers.prefix_preserving_ip): synthetic per-customer IPv4s
+    anonymized so shared subnets stay shared, addresses unlink."""
+    from .functions.hashing import _raw_hash
+
+    c = _tp(spark, sf_dir, "customer")
+    ip = F.pmod(_raw_hash(F.col("c_custkey").cast("string")),
+                F.lit(1 << 32)).cast("long")
+    synth = c.select("c_custkey", ip.alias("ip"))
+    return synth.select(
+        "c_custkey",
+        "ip",
+        A.prefix_preserving_ip("ip").alias("ip_anon"),
+    )
+
+
 @query("anon_shift_dates")
 def anon_shift_dates(spark, sf_dir):
     """Consistent per-customer date shifting (anonymizers.shift_timestamp):

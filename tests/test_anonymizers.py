@@ -260,3 +260,50 @@ def test_account_number_null_empty_passthrough(spark):
            df.select("s", A.account_number("s").alias("a")).collect()}
     assert out[None] is None and out[""] == ""
     assert len(out["x"]) == 12
+
+
+# ---------------------------------------------------------------------------
+# Prefix-preserving IP anonymization
+# ---------------------------------------------------------------------------
+
+
+def _anon_ips(spark, ips):
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(ips)],
+                               "k long, ip long")
+    out = df.select("k", A.prefix_preserving_ip("ip").alias("a")).collect()
+    return [r.a for r in sorted(out, key=lambda r: r.k)]
+
+
+def _lcp(a, b):
+    x = (a ^ b) & 0xFFFFFFFF
+    return 32 - x.bit_length()
+
+
+def test_ip_anonymization_preserves_prefix_lengths_exactly(spark):
+    import random
+
+    rng = random.Random(9)
+    ips = [rng.randrange(1 << 32) for _ in range(12)]
+    # add structured pairs: same /24, same /16, adjacent addresses
+    base = 0xC0A80100  # 192.168.1.0
+    ips += [base + 5, base + 9, base ^ (1 << 12), base ^ 1]
+    anon = _anon_ips(spark, ips)
+    for i in range(len(ips)):
+        for j in range(i + 1, len(ips)):
+            assert _lcp(anon[i], anon[j]) == _lcp(ips[i], ips[j]), (
+                ips[i], ips[j])
+    # one-way-ish: addresses moved
+    assert any(a != v for a, v in zip(anon, ips))
+
+
+def test_ip_anonymization_deterministic_and_null(spark):
+    from simple_anonymizer_spark.functions import anonymizers as A
+
+    ips = [0, 1, 0xFFFFFFFF, 0x7F000001]
+    assert _anon_ips(spark, ips) == _anon_ips(spark, ips)
+    df = spark.createDataFrame([(1, None)], "k long, ip long")
+    assert df.select(A.prefix_preserving_ip("ip").alias("a")).collect()[0].a is None
+    # output stays a valid IPv4 integer
+    assert all(0 <= a < (1 << 32) for a in _anon_ips(spark, ips))

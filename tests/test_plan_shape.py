@@ -75,7 +75,8 @@ NATIVE_QUERIES = [
     "event_paths_top",
     "drift_ks_status", "doc_surprisal_corpus", "quantile_transform_prices",
     "bpe_train_corpus", "bpe_encode_docs",
-    "anon_shift_dates", "anon_account_numbers", "pipeline_release_orders",
+    "anon_shift_dates", "anon_account_numbers", "anon_ip_prefix",
+    "pipeline_release_orders",
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
     "anon_generalize_k",
