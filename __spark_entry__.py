@@ -82,6 +82,30 @@ _SPOT_CHECKED: set[str] = {
     "encode_docs", "equidepth_order_prices",
 }
 
+# Queries first registered during round 4 (never existed when the round-3
+# judge enumerated the backlog): they queue BEHIND the round-2/3 backlog —
+# the round-3 verdict's explicit ask is driver rows for those 55 — and
+# ahead of the spot-checked rollovers.
+_ROUND4_NEW: set[str] = {
+    "graph_triangles", "assoc_brand_pairs", "ts_daily_interpolate",
+    "privacy_dp_counts", "semantic_dedup_embeddings", "scrub_dup_spans",
+    "anon_generalize_k", "agg_mode_disc_percentiles",
+    "unpivot_lineitem_metrics", "anomaly_mad_orders", "json_props_profile",
+    "dedup_golden_records", "concentration_segments", "window_rank_family",
+    "window_value_family", "event_paths_top", "anon_shift_dates",
+    "anon_account_numbers", "anon_ip_prefix", "drift_ks_status",
+    "doc_surprisal_corpus", "quantile_transform_prices", "bpe_train_corpus",
+    "bpe_encode_docs", "pipeline_release_orders", "scalar_strings",
+    "sql_front_door", "q2_min_cost_supplier", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_discounted_revenue",
+    "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+    "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
+    "linkage_customer_supplier", "pagerank_trade", "gdpr_cascade_delete",
+    "rfm_customer_segments", "privacy_k_anonymity", "privacy_l_diversity",
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
@@ -93,8 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rank(name: str) -> int:
         if name in _DRIVER_VERIFIED:
+            return 3
+        if name in _SPOT_CHECKED:
             return 2
-        return 1 if name in _SPOT_CHECKED else 0
+        return 1 if name in _ROUND4_NEW else 0
 
     ordered = sorted(QUERIES, key=lambda n: (rank(n), list(QUERIES).index(n)))
     return {name: wrap(QUERIES[name]) for name in ordered}
