@@ -2668,6 +2668,27 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 """
 
+ORACLES["agg_grouping_flags"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["scalar_regex"] = """
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT)
+         AS n_digits,
+       CAST(CASE WHEN regexp_matches(c_name, '^Customer#')
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_std,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+       CAST(len(string_split_regex(c_name, '[#]')) AS BIGINT) AS n_parts
+FROM customer
+"""
+
 ORACLES["window_rank_family"] = """
 SELECT o_orderkey, o_orderstatus,
        CAST(rank() OVER w AS BIGINT) AS rnk,

@@ -478,6 +478,40 @@ def pivot_segments(spark, sf_dir):
     )
 
 
+@query("agg_grouping_flags")
+def agg_grouping_flags(spark, sf_dir):
+    """CUBE with grouping() flags — the metadata columns that
+    disambiguate 'NULL because rolled up' from 'NULL in the data'."""
+    o = _t(spark, sf_dir, "orders")
+    # grouping() must be computed INSIDE the cube aggregation — Spark
+    # rejects it in a downstream projection.
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "n", "g_status", "g_priority"
+    )
+
+
+@query("scalar_regex")
+def scalar_regex(spark, sf_dir):
+    """Regex scalar family restricted to patterns with identical
+    semantics in Java regex and RE2: extraction groups, match counts,
+    anchored tests, and splitting."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("digits"),
+        F.expr("regexp_count(c_name, '[0-9]')").cast("long")
+        .alias("n_digits"),
+        F.col("c_name").rlike("^Customer#").cast("long").alias("is_std"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
+        F.size(F.split(F.col("c_name"), "[#]")).cast("long")
+        .alias("n_parts"),
+    )
+
+
 @query("agg_approx_distinct")
 def agg_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL++ / quantile sketch), oracle-gated via

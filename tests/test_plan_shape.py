@@ -48,7 +48,8 @@ NATIVE_QUERIES = [
     "spec_subset_region", "selfref_closure", "window_top_orders",
     "window_running_totals", "setop_except", "setop_intersect_union",
     "agg_segment_stats", "agg_rollup_region", "agg_cube_status",
-    "agg_grouping_sets", "pivot_segments", "agg_approx_distinct",
+    "agg_grouping_sets", "agg_grouping_flags", "pivot_segments",
+    "agg_approx_distinct", "scalar_regex",
     "scalar_dates", "scalar_math", "scalar_collections", "scalar_strings",
     "sql_front_door",
     "events_sliding",
