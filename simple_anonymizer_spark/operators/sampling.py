@@ -185,3 +185,57 @@ def remix_equal(
         .where(F.col("__rk") <= min_n)
         .drop("__rk")
     )
+
+
+def remix_temperature(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total_out: int,
+    salt: str = "_temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling at T=2 (sampling probability
+    proportional to sqrt of the group's share) — the standard multilingual
+    corpus-mix step that upweights low-resource groups relative to their
+    raw share without going all the way to the uniform mix of
+    ``remix_equal``.
+
+    Exact and cross-engine deterministic: per-group weight is
+    ``floor(sqrt(n_i))`` — IEEE-754 ``sqrt`` is correctly rounded, so both
+    engines agree bit-for-bit — and the per-group quota is pure integer
+    arithmetic ``min(n_i, (total_out * w_i) div sum_w)``. No float sums
+    whose order could differ between engines. The realized output is
+    slightly under ``total_out`` (floor rounding), never over.
+
+    Scale shape: one count aggregation (``n_groups`` rows), the quota
+    table broadcast back, one window shuffle on ``group_col`` for the
+    hash-rank selection with a unique-key tie-break. No driver collect."""
+    from pyspark.sql import Window
+
+    if total_out < 0:
+        raise ValueError(f"total_out must be >= 0, got {total_out}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wts = counts.withColumn(
+        "__wt", F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
+    )
+    tot = wts.agg(F.sum("__wt").alias("__tot"))
+    quota = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__target",
+            F.least(
+                F.col("__n"),
+                F.expr(f"(CAST({int(total_out)} AS BIGINT) * __wt) div __tot"),
+            ),
+        )
+        .select(group_col, "__target")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(quota), group_col)
+        .where(F.col("__rk") <= F.col("__target"))
+        .select(*df.columns)
+    )

@@ -2061,6 +2061,37 @@ SELECT doc_id, lang FROM ranked
 WHERE rn <= (SELECT min(cnt) FROM sizes)
 """
 
+_TMP_BUCKET = "(" + O.stable_hash("(CAST(doc_id AS VARCHAR) || '_temp')") + " % 10000)"
+
+# Quota arithmetic is integer-exact on both engines: floor(sqrt(n)) over a
+# BIGINT count (IEEE sqrt is correctly rounded — bit-identical), then
+# (total * wt) // sum(wt) in integer division. No order-dependent float sums.
+ORACLES["remix_lang_temperature"] = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+wts AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+  FROM counts
+),
+quota AS (
+  SELECT lang,
+         least(n, (300 * wt) // (SELECT sum(wt) FROM wts)) AS target
+  FROM wts
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {_TMP_BUCKET}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.rn <= q.target
+"""
+
 
 # ---------------------------------------------------------------------------
 # Vocabulary + encoding (operators/textprep.py build_vocab/encode_documents).

@@ -1707,6 +1707,20 @@ def remix_lang_equal(spark, sf_dir):
     )
 
 
+@query("remix_lang_temperature")
+def remix_lang_temperature(spark, sf_dir):
+    """Temperature-based (T=2) language remix: per-language quota
+    proportional to sqrt(count), integer-exact and deterministic
+    (sampling.remix_temperature) — upweights low-resource languages
+    without flattening to the uniform mix."""
+    from .operators.sampling import remix_temperature
+
+    return remix_temperature(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", total_out=300,
+    )
+
+
 @query("vocab_build")
 def vocab_build(spark, sf_dir):
     """Deterministic corpus vocabulary (textprep.build_vocab): contiguous

@@ -38,7 +38,8 @@ NATIVE_QUERIES = [
     "profile_customer", "dq_fk_audit", "drift_price_distribution",
     "cms_sketch_tokens", "cms_heavy_hitters", "contamination_bloom",
     "embedding_kmeans", "zorder_orders", "dedup_lsh_ingest",
-    "sample_weighted_topk", "remix_lang_equal", "vocab_build", "encode_docs",
+    "sample_weighted_topk", "remix_lang_equal", "remix_lang_temperature",
+    "vocab_build", "encode_docs",
     "equidepth_order_prices",
     # round-4 completion: every remaining registry entry, so the invariant
     # covers the whole QUERIES surface (verified native this round —

@@ -153,3 +153,39 @@ def test_remix_equalizes_group_counts(spark, sf_dir):
     }
     assert set(after.values()) == {min(before.values())}
     assert set(after) == set(before)
+
+
+def test_remix_temperature_quotas_and_determinism(spark, sf_dir):
+    """T=2 remix: per-group output equals the integer quota
+    min(n, (total * floor(sqrt(n))) div sum(floor(sqrt(n)))), the total
+    never exceeds the ask, low-resource groups gain relative share, and
+    the selection is layout-invariant."""
+    import math
+
+    from simple_anonymizer_spark.operators.sampling import remix_temperature
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    before = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    total = sum(before.values())
+    ask = total // 2
+    wts = {g: math.floor(math.sqrt(n)) for g, n in before.items()}
+    sum_w = sum(wts.values())
+    expected = {g: min(before[g], (ask * wts[g]) // sum_w) for g in before}
+
+    out = remix_temperature(docs, "lang", "doc_id", ask)
+    after = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert after == {g: n for g, n in expected.items() if n > 0}
+    assert sum(after.values()) <= ask
+
+    # sqrt-share mix: the smallest group's share must strictly grow
+    # (unless already quota-capped at its full size).
+    small = min(before, key=before.get)
+    if after[small] < before[small]:
+        assert after[small] / sum(after.values()) > before[small] / total
+
+    # layout invariance: same keys regardless of partitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id
+         for r in remix_temperature(docs.repartition(17), "lang", "doc_id", ask).collect()}
+    assert a == b
