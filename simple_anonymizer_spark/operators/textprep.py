@@ -76,6 +76,81 @@ def chunk_documents(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    key_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy selection under a global weight budget: keep the
+    highest-``score_col`` rows (unique-key tie-break) until the cumulative
+    ``weight_col`` would exceed ``budget`` — the "best documents until the
+    token budget is met" corpus-curation step. A row is kept iff the total
+    weight of all strictly-better rows plus its own weight is <= budget,
+    so the cut is exact, deterministic, and order-independent.
+
+    Output: ``<key_col>, <score_col>, <weight_col>, cum_weight`` (the
+    running total including the row itself), restricted to kept rows.
+
+    Scale (100 TB): the global cumulative sum is the engine's distributed
+    two-pass prefix sum (``stats.global_ranks`` shape) — range-repartition
+    on ``(score DESC, key)``, windowed sum within each partition, ONE
+    per-partition total collected (``partitions`` rows), exclusive
+    prefixes broadcast back. Never a single-reducer global window. The
+    range projection is pinned between the two passes and released after
+    an eager ``localCheckpoint`` of the (budget-bounded) result, so
+    repeated calls leak no cached partitions."""
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(score_col).alias("__s"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .repartitionByRange(partitions, F.col("__s").desc(), F.col("__k").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__s").desc(), F.col("__k").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__cum", F.sum("__w").over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in ranged.groupBy("__pid").agg(F.sum("__w").alias("t")).collect()
+    )
+    prefix_rows, acc = [], 0
+    for pid, t in totals:
+        prefix_rows.append((pid, acc))
+        acc += t or 0
+    prefixes = spark.createDataFrame(
+        prefix_rows or [(0, 0)], "__pid int, __base long"
+    )
+    out = (
+        local.join(F.broadcast(prefixes), "__pid")
+        .where(F.col("__base") + F.col("__cum") <= F.lit(int(budget)))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__s").alias(score_col),
+            F.col("__w").alias(weight_col),
+            (F.col("__base") + F.col("__cum")).alias("cum_weight"),
+        )
+    )
+    pinned = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return pinned
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,

@@ -2092,6 +2092,26 @@ FROM ranked r JOIN quota q ON r.lang = q.lang
 WHERE r.rn <= q.target
 """
 
+# Pure integer arithmetic end-to-end (token counts summed as BIGINT under
+# a total order) — no float drift possible between engines.
+ORACLES["token_budget_corpus"] = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         CAST(len({_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_weight
+  FROM toks
+)
+SELECT doc_id, n_chars, n_tokens, cum_weight
+FROM cum WHERE cum_weight <= 10000
+"""
+
 
 # ---------------------------------------------------------------------------
 # Vocabulary + encoding (operators/textprep.py build_vocab/encode_documents).

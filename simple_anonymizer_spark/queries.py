@@ -1206,6 +1206,21 @@ def pack_sequences_docs(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), 256)
 
 
+@query("token_budget_corpus")
+def token_budget_corpus(spark, sf_dir):
+    """Greedy corpus curation under a global token budget: keep the
+    longest documents (n_chars DESC, doc_id tie-break) until 10k
+    cumulative whitespace tokens (textprep.budget_select — distributed
+    two-pass prefix sum, never a single-reducer window)."""
+    from .operators.text_analysis import token_count
+    from .operators.textprep import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", token_count("text").cast("long").alias("n_tokens")
+    )
+    return budget_select(docs, "n_chars", "n_tokens", "doc_id", 10_000)
+
+
 @query("agg_string_collect")
 def agg_string_collect(spark, sf_dir):
     """Ordered string aggregation (collect_list -> array_sort -> join):

@@ -121,6 +121,43 @@ def test_pack_sequences_partition_invariance_and_plan(spark):
         cached.unpersist()
 
 
+def test_budget_select_exact_greedy_and_partition_invariance(spark):
+    """budget_select must equal the single-machine greedy reference
+    (sort by score DESC / key ASC, take while cumulative weight fits),
+    at any partition count, including the boundary where the next row
+    would exactly exceed the budget."""
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.textprep import budget_select
+
+    rows = [Row(k=i, score=(i * 37) % 50, w=1 + (i * 13) % 9)
+            for i in range(300)]
+    ordered = sorted(rows, key=lambda r: (-r.score, r.k))
+    budget, cum, expected = 500, 0, []
+    for r in ordered:
+        if cum + r.w > budget:
+            # greedy prefix: stop at the first row that no longer fits
+            # (rows after it with equal score but larger key can't be
+            # taken either — the cut is a strict prefix of the order)
+            break
+        cum += r.w
+        expected.append((r.k, r.score, r.w, cum))
+
+    df = spark.createDataFrame(rows)
+    for parts in (2, 64):
+        got = sorted(
+            (r.k, r.score, r.w, r.cum_weight)
+            for r in budget_select(df, "score", "w", "k", budget,
+                                   partitions=parts).collect()
+        )
+        assert got == sorted(expected)
+
+    # degenerate budgets
+    assert budget_select(df, "score", "w", "k", 0).count() == 0
+    total = sum(r.w for r in rows)
+    assert budget_select(df, "score", "w", "k", total).count() == len(rows)
+
+
 def test_vocab_and_encoding_roundtrip(spark):
     """Encoding then decoding through the vocab must reproduce the
     original token stream; OOV maps to -1; id 0 is the most frequent
