@@ -104,7 +104,7 @@ _ROUND4_NEW: set[str] = {
     "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
     "linkage_customer_supplier", "pagerank_trade", "gdpr_cascade_delete",
     "rfm_customer_segments", "privacy_k_anonymity", "privacy_l_diversity",
-    "remix_lang_temperature", "token_budget_corpus",
+    "remix_lang_temperature", "token_budget_corpus", "remix_token_equal",
 }
 
 

@@ -187,6 +187,47 @@ def remix_equal(
     )
 
 
+def remix_equal_tokens(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    per_group_budget: int,
+    salt: str = "_tokmix",
+) -> DataFrame:
+    """Equal-WEIGHT remix: cap every group at the same cumulative weight
+    (e.g. the same number of training tokens per language) rather than the
+    same row count — document lengths differ across groups, so equal doc
+    counts are not equal token mass. Rows are admitted in deterministic
+    hash order (unique-key tie-break) until the group's running weight
+    would exceed ``per_group_budget``; the cut is a strict prefix of that
+    order, exact and layout-invariant.
+
+    Output: input columns plus ``cum_weight`` (the group-local running
+    total including the row).
+
+    Scale shape: one shuffle on ``group_col`` for the partitioned window —
+    groups are processed independently across executors, no global order,
+    no driver collect. Integer accumulation only."""
+    from pyspark.sql import Window
+
+    if per_group_budget < 0:
+        raise ValueError(
+            f"per_group_budget must be >= 0, got {per_group_budget}"
+        )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(sample_bucket(key_col, salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_weight", F.sum(F.col(weight_col).cast("long")).over(w)
+        )
+        .where(F.col("cum_weight") <= F.lit(int(per_group_budget)))
+    )
+
+
 def remix_temperature(
     df: DataFrame,
     group_col: str,

@@ -2112,6 +2112,27 @@ SELECT doc_id, n_chars, n_tokens, cum_weight
 FROM cum WHERE cum_weight <= 10000
 """
 
+_TKM_BUCKET = "(" + O.stable_hash("(CAST(doc_id AS VARCHAR) || '_tokmix')") + " % 10000)"
+
+ORACLES["remix_token_equal"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len({_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY {_TKM_BUCKET}, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_weight
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, cum_weight
+FROM cum WHERE cum_weight <= 2000
+"""
+
 
 # ---------------------------------------------------------------------------
 # Vocabulary + encoding (operators/textprep.py build_vocab/encode_documents).

@@ -1736,6 +1736,21 @@ def remix_lang_temperature(spark, sf_dir):
     )
 
 
+@query("remix_token_equal")
+def remix_token_equal(spark, sf_dir):
+    """Token-balanced language mix: every language capped at the same
+    cumulative token mass (2000 whitespace tokens), docs admitted in
+    deterministic hash order (sampling.remix_equal_tokens) — equal doc
+    counts are not equal token mass when lengths differ by language."""
+    from .operators.sampling import remix_equal_tokens
+    from .operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return remix_equal_tokens(docs, "lang", "n_tokens", "doc_id", 2000)
+
+
 @query("vocab_build")
 def vocab_build(spark, sf_dir):
     """Deterministic corpus vocabulary (textprep.build_vocab): contiguous

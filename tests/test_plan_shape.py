@@ -39,7 +39,7 @@ NATIVE_QUERIES = [
     "cms_sketch_tokens", "cms_heavy_hitters", "contamination_bloom",
     "embedding_kmeans", "zorder_orders", "dedup_lsh_ingest",
     "sample_weighted_topk", "remix_lang_equal", "remix_lang_temperature",
-    "token_budget_corpus", "vocab_build", "encode_docs",
+    "token_budget_corpus", "remix_token_equal", "vocab_build", "encode_docs",
     "equidepth_order_prices",
     # round-4 completion: every remaining registry entry, so the invariant
     # covers the whole QUERIES surface (verified native this round —

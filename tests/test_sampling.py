@@ -189,3 +189,47 @@ def test_remix_temperature_quotas_and_determinism(spark, sf_dir):
     b = {r.doc_id
          for r in remix_temperature(docs.repartition(17), "lang", "doc_id", ask).collect()}
     assert a == b
+
+
+def test_remix_equal_tokens_caps_weight_per_group(spark):
+    """Per-group cumulative-weight cap: every group's kept weight is
+    <= budget, the kept set is the strict hash-order prefix (verified
+    against a per-group brute-force reference), and a row heavier than
+    the whole budget at the front of the order blocks nothing behind a
+    lighter prefix — the cut is on cumulative, not individual, weight."""
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.sampling import (
+        remix_equal_tokens, sample_bucket,
+    )
+
+    rows = [Row(k=i, g=["a", "b", "c"][i % 3], w=1 + (i * 7) % 20)
+            for i in range(240)]
+    df = spark.createDataFrame(rows)
+    budget = 200
+
+    # brute-force reference: per group, admit in (bucket, key) order
+    buckets = {
+        r.k: r.b
+        for r in df.select("k", sample_bucket("k", "_tokmix").alias("b")).collect()
+    }
+    expected = set()
+    for g in "abc":
+        cum = 0
+        for r in sorted((r for r in rows if r.g == g),
+                        key=lambda r: (buckets[r.k], r.k)):
+            cum += r.w
+            if cum > budget:
+                break
+            expected.add(r.k)
+
+    out = remix_equal_tokens(df, "g", "w", "k", budget)
+    got = {r.k for r in out.collect()}
+    assert got == expected
+    per_group = {r.g: r.s for r in
+                 out.groupBy("g").agg(F.sum("w").alias("s")).collect()}
+    assert all(s <= budget for s in per_group.values())
+    # layout invariance
+    got2 = {r.k for r in
+            remix_equal_tokens(df.repartition(13), "g", "w", "k", budget).collect()}
+    assert got2 == expected
