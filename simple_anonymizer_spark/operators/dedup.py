@@ -231,8 +231,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for caller-supplied candidate pairs
     (``id_a, id_b`` columns). Used standalone when candidates come from
-    another source (same URL, same length bucket, ...)."""
-    sh = df.select(
+    another source (same URL, same length bucket, ...).
+
+    The shingle projection routes through ``ensure_parallelism`` (no-op
+    on multi-split inputs at real scale): it feeds BOTH join branches, so
+    a single-split input would otherwise serialize the CPU-heavy shingle
+    build onto one task twice."""
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         T.char_shingles(F.col(text_col), shingle_k).alias("__sh"),
     )
