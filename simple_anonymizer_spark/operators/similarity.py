@@ -234,6 +234,47 @@ def lsh_topk(
     )
 
 
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed top-k against the exact brute-force
+    top-k, per query — the quality gauge an approximate index ships with
+    ("measure, don't guess": tune ``planes`` against measured recall, not
+    intuition). Output: ``query_id, n_hits, recall_at_k`` where ``n_hits``
+    counts approximate neighbors that appear in the exact top-k; queries
+    whose LSH bucket is empty report 0, not a dropped row.
+
+    Scale shape: the exact side is the measurement tool — run it over a
+    SAMPLE of queries (both sides broadcast the query set; the corpus
+    never shuffles). The hit join is k-bounded per query, trivially
+    small. Integer hit counts divided by the constant k — cross-engine
+    identical because the neighbor SETS already are (the topk oracles
+    gate bit-identical ranks)."""
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(corpus, queries, k, planes, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return qids.join(hits, "query_id", "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        (n.cast("double") / F.lit(float(k))).alias("recall_at_k"),
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
     vec_col: str = "embedding",

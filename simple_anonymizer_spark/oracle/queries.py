@@ -605,6 +605,57 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 3
 """
 
+# Recall@k join of the two existing topk chains (exact + 4-plane LSH).
+# Hit counts are integers over neighbor SETS both engines already produce
+# bit-identically; the only float is n_hits / 3.0 on identical inputs.
+ORACLES["ann_recall_lsh"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    {_DOT} / ({_QNORM} * {_CNORM}) AS cos
+  FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+),
+exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 3),
+bk AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+lq AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM bk WHERE vec_id < 5
+),
+lscored AS (
+  SELECT lq.query_id, bk.vec_id AS neighbor_id,
+    {_DOT.replace('cv', 'bk.embedding')} /
+      ({_QNORM} * {_CNORM.replace('cv', 'bk.embedding')}) AS cos
+  FROM bk JOIN lq ON bk.bucket = lq.qbucket AND bk.vec_id <> lq.query_id
+),
+lranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM lscored
+),
+approx AS (SELECT query_id, neighbor_id FROM lranked WHERE rnk <= 3),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT qq.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_k
+FROM (SELECT query_id FROM q) qq
+LEFT JOIN hits h ON qq.query_id = h.query_id
+"""
+
 ORACLES["events_asof_signup"] = """
 SELECT e.event_id, e.user_id, s.signup_event
 FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events) e

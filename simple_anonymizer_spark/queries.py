@@ -787,6 +787,17 @@ def embedding_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=3, planes=4)
 
 
+@query("ann_recall_lsh")
+def ann_recall_lsh(spark, sf_dir):
+    """Measured recall@3 of the 4-plane LSH top-k against exact
+    brute-force top-k for the same 5 query vectors
+    (similarity.ann_recall_report) — the index-quality gauge."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_report(
+        e, e.where(F.col("vec_id") < 5), k=3, planes=4
+    )
+
+
 @query("events_asof_signup")
 def events_asof_signup(spark, sf_dir):
     """As-of join: every event matched to the user's most recent strictly

@@ -42,6 +42,37 @@ def test_banded_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert bad == 0
 
 
+def test_ann_recall_report_counts_hits_exactly(spark, sf_dir):
+    """The report's n_hits must equal the set intersection of the exact
+    and LSH top-k neighbor lists per query, every query must appear
+    (0-hit queries included), and recall is n_hits / k."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = corpus.where(F.col("vec_id") < 8)
+    k = 3
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(corpus, queries, k).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(corpus, queries, k, planes=4).collect()
+    }
+    want = {}
+    for qid in {q for q, _ in exact} | {r.vec_id for r in queries.collect()}:
+        want[qid] = len({n for q, n in exact if q == qid}
+                        & {n for q, n in approx if q == qid})
+
+    got = {r.query_id: (r.n_hits, r.recall_at_k)
+           for r in similarity.ann_recall_report(corpus, queries, k,
+                                                 planes=4).collect()}
+    assert set(got) == set(want)  # no dropped queries
+    for qid, (n_hits, recall) in got.items():
+        assert n_hits == want[qid]
+        assert recall == n_hits / k
+
+
 def test_bucket_size_distribution_bounded(spark, sf_dir):
     """Each band's buckets stay near-linear: with 2^8 buckets per band no
     bucket should hold more than a small multiple of N/256 on real data."""
