@@ -69,6 +69,12 @@ HEADLINE = [
     "dedup_golden_records",
     "pipeline_release_orders",
     "bpe_encode_docs",
+    # The pair-Jaccard single-task serialization caught by the sf0.1 sweep
+    # (fixed via ensure_parallelism) — benched so it can't silently recur.
+    "ngram_jaccard_adjacent",
+    # Round-4 session additions: the token-budget prefix-sum selection is
+    # the only one with a two-job structure worth watching at scale.
+    "token_budget_corpus",
 ]
 
 
