@@ -105,7 +105,7 @@ _ROUND4_NEW: set[str] = {
     "linkage_customer_supplier", "pagerank_trade", "gdpr_cascade_delete",
     "rfm_customer_segments", "privacy_k_anonymity", "privacy_l_diversity",
     "remix_lang_temperature", "token_budget_corpus", "remix_token_equal",
-    "ann_recall_lsh",
+    "ann_recall_lsh", "embedding_topk_pq",
 }
 
 

@@ -275,6 +275,136 @@ def ann_recall_report(
     )
 
 
+FP_SCALE = 16_777_216  # 2^24 — fixed-point scale for order-free score sums
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks as a driver-side model object:
+    ``codebooks[j][c]`` is the ``sub_dim``-float centroid ``c`` of
+    subspace ``j``. Deterministic stand-in (same convention as
+    ``ivf_centroids``): the ``k`` lowest-id vectors' subvector slices —
+    k-means iteration zero — keeping the whole operator oracle-checkable;
+    swap in trained sub-quantizers, the query plan is identical."""
+    rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    return [
+        [
+            [float(x) for x in r[vec_col][j * sub_dim:(j + 1) * sub_dim]]
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+
+
+def _pq_subdot(vec: Column, j: int, centroid: list[float], sub_dim: int) -> Column:
+    """Dot product of subspace ``j`` of ``vec`` with a literal centroid —
+    a fixed-order sequential fold, bit-identical to the oracle's
+    ``list_sum`` comprehension."""
+    sub = F.slice(vec, j * sub_dim + 1, sub_dim)
+    lit_c = F.array(*[F.lit(x) for x in centroid])
+    return F.aggregate(
+        F.zip_with(sub, lit_c, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    vec: Column, codebooks: list[list[list[float]]], sub_dim: int = 8
+) -> Column:
+    """PQ code array: per subspace, the argmax-dot centroid index (ties ->
+    lowest code, mirroring the oracle's ``ORDER BY d DESC, cidx ASC``).
+    Pure map-side expression — a 64-dim float32 vector (256 B) compresses
+    to ``m`` small ints, the property that lets a 100 TB embedding corpus
+    fit scan-able storage; assignment never shuffles."""
+    codes = []
+    for j in range(len(codebooks)):
+        dots = F.array(
+            *[_pq_subdot(vec, j, c, sub_dim) for c in codebooks[j]]
+        )
+        codes.append(
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the ADC scan): the query
+    precomputes one subspace-dot table against every centroid, and each
+    corpus vector scores as the sum of ``m`` table lookups selected by its
+    code — never touching the original floats. Output: ``query_id,
+    neighbor_id, rank, score_fp`` (score in 2^-24 fixed point: per-subspace
+    dots are bit-identical doubles on both engines, floored to integers,
+    and the final m-term sum is order-free — the kmeans cross-engine
+    pattern).
+
+    Scale shape: the corpus side carries only the code array (map-only
+    encode, no shuffle); the query table is broadcast; per-query top-k is
+    a window over the scored stream. Combine with IVF cells to avoid the
+    full scan at 100 TB — this operator is the compression half."""
+    m = len(codebooks)
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode(F.col(vec_col), codebooks, sub_dim).alias("__codes"),
+    )
+    qtab = F.array(*[
+        F.array(*[
+            F.floor(_pq_subdot(F.col("__qv"), j, c, sub_dim)
+                    * F.lit(float(FP_SCALE))).cast("long")
+            for c in codebooks[j]
+        ])
+        for j in range(m)
+    ])
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ).withColumn("__qtab", qtab).drop("__qv")
+    )
+
+    def lookup(acc: Column, j: Column) -> Column:
+        return acc + F.element_at(
+            F.element_at(F.col("__qtab"), (j + F.lit(1)).cast("int")),
+            F.element_at(F.col("__codes"), (j + F.lit(1)).cast("int")) + F.lit(1),
+        )
+
+    scored = (
+        enc.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_fp",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lookup,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_fp")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -605,6 +605,56 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= 3
 """
 
+# Product quantization: codebook = the 8 lowest-id vectors' subvector
+# slices (iteration-zero stand-in, the IVF convention); code = argmax
+# subspace dot (ties -> lowest centroid); ADC score = sum of the query's
+# per-subspace centroid dots selected by the code. Per-subspace dots are
+# fixed-order folds (bit-identical doubles), floored to 2^-24 fixed point
+# so the final 8-term sum is an order-free integer sum.
+ORACLES["embedding_topk_pq"] = """
+WITH cent AS (
+  SELECT embedding AS cv,
+         row_number() OVER (ORDER BY vec_id ASC) - 1 AS cidx
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+js AS (SELECT unnest(range(0, 8)) AS j),
+subdots AS (
+  SELECT e.vec_id, js.j, c.cidx,
+    list_sum([CAST(e.embedding[js.j * 8 + ii] AS DOUBLE)
+              * CAST(c.cv[js.j * 8 + ii] AS DOUBLE)
+              for ii in range(1, 9)]) AS d
+  FROM embeddings e, cent c, js
+),
+codes AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT vec_id, j, cidx,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d DESC, cidx ASC) AS rn
+    FROM subdots
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, j, cidx,
+         CAST(floor(d * 16777216.0) AS BIGINT) AS dfp
+  FROM subdots WHERE vec_id < 5
+),
+scores AS (
+  SELECT q.query_id, c2.vec_id AS neighbor_id,
+         CAST(sum(q.dfp) AS BIGINT) AS score_fp
+  FROM codes c2 JOIN qsub q ON q.j = c2.j AND q.cidx = c2.code
+  WHERE c2.vec_id <> q.query_id
+  GROUP BY q.query_id, c2.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, neighbor_id ASC) AS rnk
+  FROM scores
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, score_fp
+FROM ranked WHERE rnk <= 3
+"""
+
 # Recall@k join of the two existing topk chains (exact + 4-plane LSH).
 # Hit counts are integers over neighbor SETS both engines already produce
 # bit-identically; the only float is n_hits / 3.0 on identical inputs.

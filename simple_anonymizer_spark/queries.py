@@ -787,6 +787,17 @@ def embedding_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=3, planes=4)
 
 
+@query("embedding_topk_pq")
+def embedding_topk_pq(spark, sf_dir):
+    """Product-quantized top-3 (similarity.pq_topk): 8 subspaces x 8
+    centroids, asymmetric-distance scan over code arrays — 256-byte
+    vectors compressed to 8 codes; scores in 2^-24 fixed point for
+    order-free cross-engine sums."""
+    e = dedup.ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    cb = similarity.pq_codebooks(e, m=8, sub_dim=8, k=8)
+    return similarity.pq_topk(e, e.where(F.col("vec_id") < 5), cb, k=3)
+
+
 @query("ann_recall_lsh")
 def ann_recall_lsh(spark, sf_dir):
     """Measured recall@3 of the 4-plane LSH top-k against exact

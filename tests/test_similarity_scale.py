@@ -73,6 +73,55 @@ def test_ann_recall_report_counts_hits_exactly(spark, sf_dir):
         assert recall == n_hits / k
 
 
+def test_pq_codes_and_adc_scores_match_reference(spark, sf_dir):
+    """PQ codes must equal the numpy argmax of subspace dots (ties ->
+    lowest centroid), and every ADC score must equal the sum of the
+    query's fixed-point subspace-dot table entries selected by the
+    neighbor's code — recomputed independently in Python."""
+    import math
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    m, sub_dim, kc = 8, 8, 8
+    cb = similarity.pq_codebooks(corpus, m, sub_dim, kc)
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in corpus.where(F.col("vec_id") < 40).collect()}
+
+    def subdot(v, j, c):
+        acc = 0.0
+        for i in range(sub_dim):
+            acc = acc + v[j * sub_dim + i] * cb[j][c][i]
+        return acc
+
+    def ref_code(v):
+        out = []
+        for j in range(m):
+            dots = [subdot(v, j, c) for c in range(kc)]
+            out.append(dots.index(max(dots)))
+        return out
+
+    enc = corpus.where(F.col("vec_id") < 40).select(
+        "vec_id", similarity.pq_encode(F.col("embedding"), cb).alias("codes")
+    )
+    for r in enc.collect():
+        assert list(r.codes) == ref_code(vecs[r.vec_id]), r.vec_id
+
+    queries = corpus.where(F.col("vec_id") < 3)
+    got = similarity.pq_topk(corpus, queries, cb, k=3)
+    for r in got.collect():
+        qv = vecs[r.query_id]
+        nv = vecs.get(r.neighbor_id)
+        if nv is None:  # neighbor outside the checked slice: skip score check
+            continue
+        code = ref_code(nv)
+        want = sum(
+            int(math.floor(subdot(qv, j, code[j]) * similarity.FP_SCALE))
+            for j in range(m)
+        )
+        assert r.score_fp == want
+
+
 def test_bucket_size_distribution_bounded(spark, sf_dir):
     """Each band's buckets stay near-linear: with 2^8 buckets per band no
     bucket should hold more than a small multiple of N/256 on real data."""
