@@ -50,11 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["spec_subset_region"](spark, "/root/testdata/sf0.001")
 
 
-# Names already driver-verified in rounds 1-3 (green rows in
-# CORRECTNESS_r0{1,2,3}.json). The driver enumerates only the first 50
+# Names already driver-verified in rounds 1-4 (green rows in
+# CORRECTNESS_r0{1,2,3,4}.json). The driver enumerates only the first 50
 # entries of queries() iteration order, so every round the registry is
 # rotated: never-enumerated queries first, previously-green ones last.
 _DRIVER_VERIFIED: set[str] = {
+    # rounds 1-3 (CORRECTNESS_r01-r03)
     "anon_stable_hash", "anon_customer_pii", "anon_names", "anon_redact",
     "lens_json_field", "spec_project_fixed", "spec_topk_orders",
     "spec_subset_region", "spec_subset_chain", "selfref_closure",
@@ -71,41 +72,42 @@ _DRIVER_VERIFIED: set[str] = {
     "events_asof_signup", "join_anti_customers", "multimodal_meta",
     "merge_upsert", "embedding_topk_ivf", "range_join_shipments",
     "dedup_clusters", "sample_stratified",
+    # round 4 (CORRECTNESS_r04: 50/50 green)
+    "agg_grouping_flags", "scalar_regex", "sample_split", "text_scrub_pii",
+    "text_chunks", "pipeline_corpus", "agg_median_balance",
+    "agg_stats_moments", "agg_corr_qty_price", "histogram_order_prices",
+    "rolling_user_activity", "funnel_signup_purchase", "tfidf_top_terms",
+    "corpus_top_tokens", "fuzzy_levenshtein", "agg_quartiles_status",
+    "skew_profile_orders", "cohort_retention_weekly", "scd2_user_state",
+    "funnel_three_step", "window_percentiles", "events_interval_join",
+    "sample_balanced", "agg_string_collect", "join_full_outer",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q12_priority_class", "q14_promo_share", "window_running_distinct",
+    "pipeline_retrieval", "contamination_screen", "dq_audit_orders",
+    "anomaly_orders_3sigma", "corpus_top_bigrams", "winsorize_order_prices",
+    "simjoin_exact_jaccard", "profile_customer", "dq_fk_audit",
+    "multimodal_frames", "multimodal_resize", "drift_price_distribution",
+    "text_repetition", "dup_spans", "cms_sketch_tokens", "cms_heavy_hitters",
+    "contamination_bloom", "embedding_kmeans", "zorder_orders",
 }
 
-# Of the never-enumerated names, these were independently spot-verified by
-# the round-3 judge at sf0.01 — they carry the least marginal risk, so they
-# sort to the back of the unverified block (positions 51+ if the block
-# exceeds the 50-entry window).
-_SPOT_CHECKED: set[str] = {
+# 62 registered queries remain driver-unverified; the window holds 50, so
+# 12 deliberately overflow to round 6. These 12 are the lowest-marginal-risk
+# deferrals: every one is green in the repo's identical DuckDB-oracle gate
+# AND was independently spot-verified at sf0.01 by the round-3 or round-4
+# judge (the 5 round-3 spot checks, plus scalar/window families and the 4
+# round-4 judge samples). They rank between the fresh block and the
+# verified tail so round 6's window picks them up automatically.
+_DEFERRED_TO_NEXT_ROUND: set[str] = {
+    # round-3 judge spot checks
     "dedup_lsh_ingest", "pack_sequences_docs", "vocab_build",
     "encode_docs", "equidepth_order_prices",
-}
-
-# Queries first registered during round 4 (never existed when the round-3
-# judge enumerated the backlog): they queue BEHIND the round-2/3 backlog —
-# the round-3 verdict's explicit ask is driver rows for those 55 — and
-# ahead of the spot-checked rollovers.
-_ROUND4_NEW: set[str] = {
-    "graph_triangles", "assoc_brand_pairs", "ts_daily_interpolate",
-    "privacy_dp_counts", "semantic_dedup_embeddings", "scrub_dup_spans",
-    "anon_generalize_k", "agg_mode_disc_percentiles",
-    "unpivot_lineitem_metrics", "anomaly_mad_orders", "json_props_profile",
-    "dedup_golden_records", "concentration_segments", "window_rank_family",
-    "window_value_family", "event_paths_top", "anon_shift_dates",
-    "anon_account_numbers", "anon_ip_prefix", "drift_ks_status",
-    "doc_surprisal_corpus", "quantile_transform_prices", "bpe_train_corpus",
-    "bpe_encode_docs", "pipeline_release_orders", "scalar_strings",
-    "sql_front_door", "q2_min_cost_supplier", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_discounted_revenue",
-    "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
-    "bm25_docs", "bigram_lm_docs", "markov_event_transitions",
-    "linkage_customer_supplier", "pagerank_trade", "gdpr_cascade_delete",
-    "rfm_customer_segments", "privacy_k_anonymity", "privacy_l_diversity",
-    "remix_lang_temperature", "token_budget_corpus", "remix_token_equal",
-    "ann_recall_lsh", "embedding_topk_pq",
+    # scalar/window families: thin wrappers over driver-verified siblings
+    # (scalar_regex, window_percentiles pass-r4)
+    "scalar_strings", "window_rank_family", "window_value_family",
+    # round-4 judge sf0.01 spot checks (16/16 sample)
+    "sample_weighted_topk", "remix_token_equal", "drift_ks_status",
+    "anon_ip_prefix",
 }
 
 
@@ -119,10 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def rank(name: str) -> int:
         if name in _DRIVER_VERIFIED:
-            return 3
-        if name in _SPOT_CHECKED:
             return 2
-        return 1 if name in _ROUND4_NEW else 0
+        return 1 if name in _DEFERRED_TO_NEXT_ROUND else 0
 
     ordered = sorted(QUERIES, key=lambda n: (rank(n), list(QUERIES).index(n)))
     return {name: wrap(QUERIES[name]) for name in ordered}

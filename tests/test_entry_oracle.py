@@ -63,6 +63,30 @@ def test_all_queries_have_oracles():
     assert not dangling, f"oracles without query: {dangling}"
 
 
+def test_driver_window_fronts_unverified_queries():
+    """The driver enumerates only the first 50 queries() entries per round.
+    While never-driver-verified names remain, the window must contain ONLY
+    those — a stale _DRIVER_VERIFIED set silently wastes a whole driver
+    round (it happened between rounds 4 and 5), so pin it here."""
+    names = list(QUERIES)
+    unverified = [n for n in names if n not in entrymod._DRIVER_VERIFIED]
+    window = set(names[: min(50, len(names))])
+    if unverified:
+        stale = window & entrymod._DRIVER_VERIFIED
+        assert not stale, (
+            f"{len(stale)} already-verified names occupy the 50-entry driver "
+            f"window while {len(unverified)} remain unverified — update "
+            f"_DRIVER_VERIFIED from the latest CORRECTNESS_r*.json: "
+            f"{sorted(stale)[:8]}..."
+        )
+    # deferral set must never hide names forever: it only ranks names,
+    # every deferred name must still be ahead of the verified tail
+    for n in entrymod._DEFERRED_TO_NEXT_ROUND:
+        assert n in QUERIES
+        if n not in entrymod._DRIVER_VERIFIED and len(unverified) > 50:
+            assert names.index(n) < len(unverified), n
+
+
 def test_approx_aggregates_bounds_hold(spark):
     """The error-bound booleans must actually be TRUE (not just match the
     oracle's booleans) — a regression in the sketch shows up here first."""
