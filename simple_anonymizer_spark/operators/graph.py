@@ -212,16 +212,17 @@ def nation_trade_edges(
     supplier: DataFrame,
 ) -> DataFrame:
     """Customer-nation -> supplier-nation trade graph, weighted by the
-    number of lineitems flowing between them. Supplier broadcasts;
-    customer stays a shuffle join (it scales with the fact tables);
-    the orders join shuffles on the order key."""
+    number of lineitems flowing between them. Supplier and customer both
+    scale with SF (SF x 10k / SF x 150k rows), so neither carries a pinned
+    broadcast hint — AQE picks broadcast when a side is actually under the
+    threshold at runtime; the joins shuffle on their keys otherwise."""
     return (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(supplier.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("c_nationkey").alias("src"),

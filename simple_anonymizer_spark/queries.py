@@ -326,7 +326,7 @@ def q3_shipping_priority(spark, sf_dir):
     one = F.lit(1).cast("decimal(4,2)")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
         F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"), 4, 2))
@@ -352,7 +352,7 @@ def q5_region_revenue(spark, sf_dir):
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .where(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1361,7 +1361,7 @@ def q10_returned_items(spark, sf_dir):
         )
     )
     return (
-        rev.join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+        rev.join(c.select("c_custkey", "c_name", "c_nationkey"),
                  rev.o_custkey == F.col("c_custkey"))
         .select("c_custkey", "c_name", "c_nationkey", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -1401,7 +1401,7 @@ def q14_promo_share(spark, sf_dir):
             (d >= F.lit("1996-03-01").cast("timestamp"))
             & (d < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.select("p_partkey", "p_type")),
+        .join(p.select("p_partkey", "p_type"),
               li.l_partkey == F.col("p_partkey"))
         .agg(
             F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
@@ -1855,7 +1855,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     shipped = li.select("l_partkey", "l_suppkey").distinct()
     sp = shipped.join(
-        F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal")),
+        s.select("s_suppkey", "s_name", "s_acctbal"),
         shipped.l_suppkey == F.col("s_suppkey"),
     )
     mn = sp.groupBy("l_partkey").agg(F.min("s_acctbal").alias("__min_bal"))
@@ -1863,10 +1863,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         sp.join(mn, "l_partkey")
         .where(F.col("s_acctbal") == F.col("__min_bal"))
         .join(
-            F.broadcast(
-                p.where((F.col("p_size").between(10, 20)) & (F.col("p_type") == "ECONOMY"))
-                .select("p_partkey", "p_name")
-            ),
+            p.where((F.col("p_size").between(10, 20)) & (F.col("p_type") == "ECONOMY"))
+            .select("p_partkey", "p_name"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
@@ -1897,7 +1895,7 @@ def q7_nation_volume(spark, sf_dir):
             (d >= F.lit("1996-01-01").cast("timestamp"))
             & (d < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
         .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
         .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .where(
@@ -1928,9 +1926,9 @@ def q8_market_share(spark, sf_dir):
     )
     zero = F.lit("0.0000").cast("decimal(38,4)")
     agg = (
-        li.join(F.broadcast(p.where(F.col("p_type") == "SMALL").select("p_partkey")),
+        li.join(p.where(F.col("p_type") == "SMALL").select("p_partkey"),
                 li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(
             o.where(
@@ -1975,12 +1973,10 @@ def q9_product_profit(spark, sf_dir):
     amount = (_rev_dec() - cost).cast("decimal(38,4)")
     return (
         li.join(
-            F.broadcast(
-                p.where(F.col("p_name").contains("e")).select("p_partkey", "p_retailprice")
-            ),
+            p.where(F.col("p_name").contains("e")).select("p_partkey", "p_retailprice"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -2007,7 +2003,7 @@ def q11_important_parts(spark, sf_dir):
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
-    base = li.join(F.broadcast(europe_sup), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+    base = li.join(europe_sup, li.l_suppkey == F.col("s_suppkey"), "left_semi")
     per_part = base.groupBy("l_partkey").agg(
         F.sum(_dec(F.col("l_extendedprice")).cast("decimal(38,4)"))
         .cast("double").alias("part_value")
@@ -2065,7 +2061,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               rev.l_suppkey == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -2082,14 +2078,12 @@ def q16_supplier_cnt(spark, sf_dir):
     bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(bad, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .join(
-            F.broadcast(
-                p.where(
-                    (F.col("p_brand") != "Brand#5")
-                    & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
-                ).select("p_partkey", "p_brand", "p_type", "p_size")
-            ),
+            p.where(
+                (F.col("p_brand") != "Brand#5")
+                & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+            ).select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -2109,7 +2103,7 @@ def q17_small_qty_revenue(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("__qty_cnt"),
     )
     return (
-        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#3").select("p_partkey")),
+        li.join(p.where(F.col("p_brand") == "Brand#3").select("p_partkey"),
                 li.l_partkey == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("__pk"))
         .where(
@@ -2157,7 +2151,7 @@ def q19_discounted_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = li.join(
-        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        p.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     q = F.col("l_quantity")
@@ -2188,7 +2182,7 @@ def q20_promo_suppliers(spark, sf_dir):
     zero = F.lit("0").cast("decimal(12,0)")
     per = (
         li.join(
-            F.broadcast(p.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            p.where(F.col("p_type") == "ECONOMY").select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("l_partkey", "l_suppkey")
@@ -2254,7 +2248,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         )
     )
     return (
-        waited.join(F.broadcast(asia_sup), waited.l_suppkey == F.col("s_suppkey"))
+        waited.join(asia_sup, waited.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
@@ -2615,7 +2609,7 @@ def assoc_brand_pairs(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = li.join(
-        F.broadcast(p), li.l_partkey == p.p_partkey
+        p, li.l_partkey == p.p_partkey
     ).select("l_orderkey", "p_brand")
     return association_rules(
         baskets, "l_orderkey", "p_brand", min_item_support=2, top_k=100

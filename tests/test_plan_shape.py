@@ -152,6 +152,63 @@ def test_small_dims_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def _walk_logical(node):
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _walk_logical(children.apply(i))
+
+
+def _leaf_output_names(node):
+    names = set()
+    for n in _walk_logical(node):
+        if n.children().length() == 0:
+            out = n.output()
+            for i in range(out.length()):
+                names.add(out.apply(i).name())
+    return names
+
+
+# Column-name prefixes of the tables that scale with SF. region (5 rows)
+# and nation (25 rows) are the only true dimensions in the schema; every
+# other table grows linearly with the data volume, so a pinned broadcast
+# of one would OOM executors / hit the broadcast timeout at 100 TB where
+# AQE's threshold check would have chosen a shuffle join.
+_SCALING_PREFIXES = ("c_", "s_", "p_", "o_", "l_")
+
+
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+
+def _is_bounded_subtree(node):
+    """True if the hinted subtree passes through an Aggregate or Limit —
+    its row count is then a statistic of the data (group cardinality,
+    scalar, top-k), not the raw SF-scaling table size. The smell this test
+    hunts is a hint over a scan/filter/project-only pipeline, whose size
+    is a constant fraction of the table at every SF."""
+    return any(n.getClass().getSimpleName() in _BOUNDING_NODES
+               for n in _walk_logical(node))
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_pinned_broadcast_on_scaling_tables(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _walk_logical(analyzed):
+        if node.getClass().getSimpleName() != "ResolvedHint":
+            continue
+        child = node.children().apply(0)
+        if _is_bounded_subtree(child):
+            continue
+        leaves = _leaf_output_names(child)
+        scaling = {c for c in leaves
+                   if c.startswith(_SCALING_PREFIXES) and "_" in c[:3]}
+        assert not scaling, (
+            f"{name}: pinned broadcast hint over SF-scaling columns "
+            f"{sorted(scaling)[:6]} — drop the hint and let AQE decide"
+        )
+
+
 def test_topk_plans_as_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "spec_topk_orders", sf_dir)
     assert "TakeOrderedAndProject" in plan
