@@ -2,14 +2,13 @@
 with support / confidence / lift.
 
 The classic A-Priori observation does the heavy lifting for scale: a
-pair can only be frequent if both items are, so the transaction set is
-pruned to frequent items BEFORE the pair-generating self-join. At 100 TB
-that prefilter is the difference between pairing every hub item (deg^2
-candidates from items in millions of baskets) and pairing only the
-bounded frequent-item vocabulary. The self-join is an equi-join on the
-basket key — baskets co-partition, pairs are generated locally within a
-basket, and the pair aggregation map-side-combines down to the frequent
-pair vocabulary.
+pair can only be frequent if both items are, so each basket's item array
+is intersected with the broadcast frequent-item vocabulary BEFORE pair
+generation. At 100 TB that prefilter is the difference between pairing
+every hub item (deg^2 candidates from items in millions of baskets) and
+pairing only the bounded frequent-item vocabulary. Pair generation is
+in-row (no basket self-join shuffle at all), and the pair aggregation
+map-side-combines down to the frequent pair vocabulary.
 
 All counts are exact int64; confidence and lift each perform exactly one
 IEEE division on already-identical integers (the engine's cross-engine
@@ -61,15 +60,23 @@ def association_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .where(F.col("supp") >= min_item_support)
     )
+    # A-Priori prune BEFORE pair generation: the frequent-item vocabulary
+    # (bounded by min_item_support, not corpus size) collapses to a
+    # single-row sorted array and broadcasts; array_intersect drops every
+    # infrequent item from each basket map-side, so a hub basket of m
+    # items emits C(m',2) pairs for the pruned m' — not C(m,2). The
+    # support joins below then only re-attach counts (every surviving
+    # pair already has two frequent members). lambda-free set op keeps
+    # the whole prune inside whole-stage codegen (the lang_id CSE lesson).
+    freq = supp.agg(F.array_sort(F.collect_list("item")).alias("__freq"))
+    items_pruned = items.crossJoin(F.broadcast(freq)).select(
+        "basket",
+        F.array_intersect(F.col("__items"), F.col("__freq")).alias("__items"),
+    )
     # Pairs form IN-ROW per basket (the LSH bucket-combinatorics pattern):
-    # nested transform+flatten emits each basket's C(m,2) ordered pairs
-    # locally — per-basket pair counts are bounded by basket size, never
-    # corpus size. The A-Priori prune lands at the pair-count joins below:
-    # the INNER joins on the support-filtered item table drop every pair
-    # touching an infrequent item, which is result-equivalent to pruning
-    # the transactions first. (For corpora with HUGE baskets, pre-filter
-    # the item arrays before pairing; with real-world bounded baskets the
-    # in-row generation is already the cheap side.)
+    # nested transform+flatten emits each basket's ordered pairs locally —
+    # per-basket pair counts are bounded by (pruned) basket size, never
+    # corpus size.
 
     def _pairs_of(arr):
         def outer(x, i):
@@ -83,7 +90,7 @@ def association_rules(
         return F.flatten(F.transform(arr, outer))
 
     pairs = (
-        items.select(F.explode(_pairs_of(F.col("__items"))).alias("__p"))
+        items_pruned.select(F.explode(_pairs_of(F.col("__items"))).alias("__p"))
         .groupBy(
             F.col("__p.item_a").alias("item_a"),
             F.col("__p.item_b").alias("item_b"),

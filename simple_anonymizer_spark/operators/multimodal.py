@@ -242,8 +242,12 @@ def perceptual_hash(
     excluded), 8x8 block means with floor arithmetic, one global floor
     mean, bit i set when block i >= mean — every step integer-exact, so
     the hash is bit-reproducible anywhere. Images smaller than 8x8
-    hash to NULL (no stable block grid). Output: ``<id_col>, width,
-    height, phash (int64, two's-complement)``.
+    hash to NULL (no stable block grid). Undecodable content (corrupt
+    bytes, or an unsupported container such as JPEG without an injected
+    decoder) quarantines to a NULL-hash row — the repo's
+    quarantine-not-exception convention (textfiles.py) — instead of
+    failing the whole batch. Output: ``<id_col>, width, height,
+    phash (int64, two's-complement)``.
 
     Scale (100 TB): Arrow-batched mapInPandas over whole binary records
     — the designed Python slot for codec work; everything downstream
@@ -255,7 +259,10 @@ def perceptual_hash(
     def one(b):
         if b is None:
             return (None, None, None)
-        w, h, ch, pix = decoder(b)
+        try:
+            w, h, ch, pix = decoder(b)
+        except Exception:
+            return (None, None, None)  # quarantine, don't fail the batch
         if w < 8 or h < 8:
             return (w, h, None)
         color_ch = 3 if ch >= 3 else 1  # ignore alpha in RGBA/LA

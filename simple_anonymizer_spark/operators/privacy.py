@@ -112,6 +112,16 @@ def dp_noisy_counts(
     input row contributes to exactly one group (sensitivity 1); callers
     must pre-bound per-entity contributions if entities repeat.
 
+    SECURITY CONTRACT — the seed must be (a) secret from release
+    consumers (a known seed lets an adversary subtract the noise
+    exactly) and (b) unique per release: publishing two releases of
+    CHANGING data under the same seed gives identical per-group noise,
+    so differencing the releases reveals exact true-count deltas and
+    silently voids the eps-DP guarantee. Fold a release identifier into
+    ``seed`` (e.g. ``f"{secret}|{release_id}"``) and account epsilon
+    across releases by composition (k releases under eps each consume
+    k*eps of budget).
+
     Scale (100 TB): one map-side-combinable count aggregation; the noise
     expression runs per GROUP (not per row) over a constant-folded
     threshold array, so the release costs the same as the plain count.

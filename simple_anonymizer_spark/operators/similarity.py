@@ -247,19 +247,26 @@ def ann_recall_report(
     ("measure, don't guess": tune ``planes`` against measured recall, not
     intuition). Output: ``query_id, n_hits, recall_at_k`` where ``n_hits``
     counts approximate neighbors that appear in the exact top-k; queries
-    whose LSH bucket is empty report 0, not a dropped row.
+    whose LSH bucket is empty report 0, not a dropped row. The
+    denominator is ``least(k, |exact top-k|)`` — the ACHIEVABLE result
+    size — so recall can reach 1.0 even when the corpus (or a filtered
+    slice) has fewer than ``k`` eligible neighbors; a query with no
+    eligible neighbors at all reports 0.0.
 
     Scale shape: the exact side is the measurement tool — run it over a
     SAMPLE of queries (both sides broadcast the query set; the corpus
     never shuffles). The hit join is k-bounded per query, trivially
-    small. Integer hit counts divided by the constant k — cross-engine
-    identical because the neighbor SETS already are (the topk oracles
-    gate bit-identical ranks)."""
+    small. Integer hit counts divided by an integer denominator both
+    engines derive identically — cross-engine exact because the neighbor
+    SETS already are (the topk oracles gate bit-identical ranks)."""
     exact = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
     )
     approx = lsh_topk(corpus, queries, k, planes, id_col, vec_col).select(
         "query_id", "neighbor_id"
+    )
+    exact_n = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__exact_n")
     )
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"])
@@ -268,10 +275,19 @@ def ann_recall_report(
     )
     qids = queries.select(F.col(id_col).alias("query_id"))
     n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-    return qids.join(hits, "query_id", "left").select(
-        "query_id",
-        n.alias("n_hits"),
-        (n.cast("double") / F.lit(float(k))).alias("recall_at_k"),
+    denom = F.greatest(
+        F.least(F.lit(k).cast("long"),
+                F.coalesce(F.col("__exact_n"), F.lit(0)).cast("long")),
+        F.lit(1).cast("long"),
+    )
+    return (
+        qids.join(hits, "query_id", "left")
+        .join(exact_n, "query_id", "left")
+        .select(
+            "query_id",
+            n.alias("n_hits"),
+            (n.cast("double") / denom.cast("double")).alias("recall_at_k"),
+        )
     )
 
 

@@ -698,12 +698,18 @@ hits AS (
   FROM exact e JOIN approx a
     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
   GROUP BY e.query_id
+),
+exn AS (
+  SELECT query_id, count(*) AS exact_n FROM exact GROUP BY query_id
 )
 SELECT qq.query_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_k
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+         / CAST(greatest(least(3, coalesce(x.exact_n, 0)), 1) AS DOUBLE)
+         AS recall_at_k
 FROM (SELECT query_id FROM q) qq
 LEFT JOIN hits h ON qq.query_id = h.query_id
+LEFT JOIN exn x ON qq.query_id = x.query_id
 """
 
 ORACLES["events_asof_signup"] = """

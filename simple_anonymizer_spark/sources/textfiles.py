@@ -71,7 +71,16 @@ def read_csv(
     """Read CSV under an explicit schema (no inference scan). With
     ``header=True`` lines equal to the schema's header are dropped
     (each written part file carries one). Malformed rows surface in
-    ``_corrupt_record`` like the JSONL reader."""
+    ``_corrupt_record`` like the JSONL reader.
+
+    Known limitation: the header drop is TEXTUAL — a legitimate data
+    line that is byte-identical to the header (possible only when every
+    column is a string and each value equals its own column name) is
+    also dropped. Positional per-file header tracking would break the
+    splittable text-scan shape this reader exists for; if that edge
+    matters, read with ``header=False`` and filter the header rows by
+    any non-string column failing its cast (they land in
+    ``_corrupt_record``)."""
     full = _with_corrupt(schema)
     raw = spark.read.text(path).where(F.length(F.col("value")) > 0)
     if header:

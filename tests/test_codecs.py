@@ -272,3 +272,18 @@ def test_phash_roundtrip_through_encode_decode(spark):
     again = png_encode(w, h, ch, pix)
     ha = _hash_df(spark, [(1, img), (2, again)]).collect()
     assert ha[0].phash == ha[1].phash
+
+
+def test_phash_quarantines_undecodable_content(spark):
+    # Corrupt/unsupported bytes must yield a NULL row (quarantine
+    # convention), not raise inside the mapInPandas batch — one bad image
+    # in a 100 TB corpus must not fail the job.
+    good = _png_image(16, 16, lambda x, y: (x * 10 % 256, 0, 0))
+    rows = {r.media_id: r for r in _hash_df(spark, [
+        (1, good),
+        (2, b"\xff\xd8\xff\xe0 not actually decodable jpeg"),
+        (3, b"\x89PNG\r\n\x1a\n truncated"),
+    ]).collect()}
+    assert rows[1].phash is not None
+    assert rows[2].width is None and rows[2].phash is None
+    assert rows[3].width is None and rows[3].phash is None

@@ -222,3 +222,21 @@ def test_ivf_cells_partition_the_corpus(spark, sf_dir):
     stats = cells.groupBy("cell").count().collect()
     assert sum(r["count"] for r in stats) == n
     assert all(0 <= r.cell < 8 for r in stats)
+
+
+def test_ann_recall_denominator_is_achievable_topk(spark):
+    """With fewer than k eligible neighbors, recall divides by the exact
+    result size (least(k, exact_n)), so a perfect index scores 1.0 on a
+    tiny corpus instead of being structurally capped at exact_n/k."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.where(F.col("vec_id") == 0)
+    # k=5 but only 2 non-self neighbors exist; brute force finds both.
+    rows = {r.query_id: r for r in similarity.ann_recall_report(
+        corpus, queries, k=5, planes=1).collect()}
+    r = rows[0]
+    assert r.n_hits <= 2
+    # denominator is 2 (achievable), never 5
+    assert r.recall_at_k == r.n_hits / 2.0
