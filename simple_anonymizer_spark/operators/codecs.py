@@ -12,9 +12,12 @@ decode → transform → re-encode path can run and be pinned in tests
 without any third-party install.
 
 Scope: PNG 8-bit greyscale/RGB/RGBA, non-interlaced (the overwhelmingly
-common case); BMP 24-bit uncompressed; WAV PCM. Anything else raises
-``ValueError`` — callers fall back to injection, same contract as
-before. Video stays injection-only: no stdlib video codec exists.
+common case); BMP 24-bit uncompressed; WAV PCM; baseline sequential
+JPEG (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers — see
+jpeg.py, pure Python + numpy per the public ITU T.81 spec). Anything
+else raises ``ValueError`` — callers fall back to injection, same
+contract as before. Video stays injection-only: no stdlib video codec
+exists.
 
 These are per-record kernels meant to run INSIDE the Arrow-batched
 ``mapInPandas`` stages (``multimodal.decode_image(df,
@@ -209,7 +212,10 @@ def image_dims(data: bytes) -> tuple[int, int]:
         return w, h
     if data[:2] == b"BM":
         return bmp_header(data)
-    raise ValueError("unrecognized image format (PNG/BMP supported)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_header
+        return jpeg_header(data)
+    raise ValueError("unrecognized image format (PNG/BMP/JPEG supported)")
 
 
 def image_decode(data: bytes) -> tuple[int, int, int, bytes]:
@@ -217,7 +223,10 @@ def image_decode(data: bytes) -> tuple[int, int, int, bytes]:
         return png_decode(data)
     if data[:2] == b"BM":
         return bmp_decode(data)
-    raise ValueError("unrecognized image format (PNG/BMP supported)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+        return jpeg_decode(data)
+    raise ValueError("unrecognized image format (PNG/BMP/JPEG supported)")
 
 
 def resize_nearest(width: int, height: int, channels: int, pixels: bytes,

@@ -54,22 +54,33 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_size: int = 64,
     stride: int = 48,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks.
-    Output: ``<id_col>, chunk_id, chunk_text, n_chunk_tokens`` — one row
-    per window; a document shorter than ``chunk_size`` yields one chunk.
-    ``stride < chunk_size`` gives overlap (size - stride tokens)."""
+    Output: ``<id_col>, *carry_cols, chunk_id, chunk_text,
+    n_chunk_tokens`` — one row per window; a document shorter than
+    ``chunk_size`` yields one chunk. ``stride < chunk_size`` gives
+    overlap (size - stride tokens).
+
+    ``carry_cols`` rides per-document metadata (split label, language,
+    source) through the explode map-side — callers must NOT join chunks
+    back to the document frame to recover such columns: when the
+    document frame is the tail of an expensive pipeline, a join
+    references that plan in two branches and re-executes everything
+    upstream of it (the pipeline_corpus lesson)."""
     if chunk_size <= 0 or stride <= 0:
         raise ValueError("chunk_size and stride must be positive")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     narrow = df.select(
-        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__start")
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        toks.alias("__toks"), F.explode(starts).alias("__start")
     ).where((F.col("__start") == 0) | (F.col("__start") < F.size("__toks")))
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
     return narrow.select(
         id_col,
+        *carry_cols,
         (F.col("__start") / stride).cast("long").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),

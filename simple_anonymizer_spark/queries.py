@@ -1024,8 +1024,13 @@ def pipeline_corpus(spark, sf_dir):
     )
     scrubbed = kept.select("doc_id", scrub_pii(F.col("text")).alias("text"))
     split = sampling.train_val_test_split(scrubbed, "doc_id")
-    chunks = chunk_documents(split, chunk_size=32, stride=24)
-    return chunks.join(split.select("doc_id", "split"), "doc_id").select(
+    # carry the split label THROUGH the chunk explode instead of joining
+    # chunks back to `split` — the join referenced the whole upstream
+    # (LSH pairs -> connected components -> scrub) in a second branch and
+    # re-executed it; carrying the column is map-side and free.
+    chunks = chunk_documents(split, chunk_size=32, stride=24,
+                             carry_cols=("split",))
+    return chunks.select(
         "doc_id", "split", "chunk_id", "chunk_text", "n_chunk_tokens"
     )
 

@@ -88,6 +88,32 @@ NATIVE_QUERIES = [
 ]
 
 
+# The three multimodal queries are excluded from NATIVE_QUERIES because
+# mapInPandas is their DESIGNED Python slot (codec work can't be column
+# algebra). That exclusion is still an assertion, not a free pass: each
+# plan must contain EXACTLY ONE MapInPandas node and no other Python —
+# a second Python stage or a row-wise UDF sneaking in is a regression.
+PANDAS_SLOT_QUERIES = ["multimodal_meta", "multimodal_resize",
+                       "multimodal_frames"]
+
+
+@pytest.mark.parametrize("name", PANDAS_SLOT_QUERIES)
+def test_multimodal_has_exactly_one_pandas_slot(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert plan.count("MapInPandas") == 1, f"{name}: want exactly 1 slot"
+    assert "BatchEvalPython" not in plan, f"{name}: row-Python crept in"
+    assert "ArrowEvalPython" not in plan, f"{name}: scalar pandas UDF crept in"
+
+
+def test_registry_is_fully_plan_covered():
+    """NATIVE_QUERIES + PANDAS_SLOT_QUERIES must tile the whole registry —
+    adding a query without declaring its Python posture fails here."""
+    covered = set(NATIVE_QUERIES) | set(PANDAS_SLOT_QUERIES)
+    missing = sorted(set(QUERIES) - covered)
+    assert not missing, f"queries with undeclared plan posture: {missing}"
+    assert not set(NATIVE_QUERIES) & set(PANDAS_SLOT_QUERIES)
+
+
 def test_q6_filters_pushed_and_no_join(spark, sf_dir):
     # Q6 is the pushdown benchmark: date bounds reach the parquet scan.
     plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
