@@ -999,7 +999,15 @@ def pipeline_corpus(spark, sf_dir):
     cluster resolution -> keep one canonical doc per cluster -> quality
     filter -> PII scrub -> deterministic split -> token-window chunking.
     Every stage is an operator with its own oracle; this query gates the
-    COMPOSITION."""
+    COMPOSITION.
+
+    Cost floor (~4.3 s warm at sf0.1): the round-5 carry_cols fix
+    removed the join-back that re-executed the upstream twice (6.8 ->
+    4.3 s); what remains is the sum of the constituent operators
+    measured alone — MinHash banding ~1.4 s, the 5-gram
+    shingle-diversity quality scorer ~2.0 s, plus bounded
+    connected-components iterations and the scrub/chunk rewrite. No
+    stage re-executes; each input scan feeds a different computation."""
     from .operators import sampling
     from .operators.components import connected_components
     from .operators.textprep import chunk_documents, scrub_pii
