@@ -236,7 +236,17 @@ JPEG_SOI = b"\xff\xd8"
 
 
 def jpeg_header(data: bytes) -> tuple[int, int]:
-    """(width, height) from the frame header — no entropy decode."""
+    """(width, height) from the frame header — no entropy decode.
+    Malformed input raises ValueError (same contract as jpeg_decode)."""
+    try:
+        return _jpeg_header_inner(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG: {type(exc).__name__}") from exc
+
+
+def _jpeg_header_inner(data: bytes) -> tuple[int, int]:
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -259,9 +269,25 @@ class _Component:
     __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "pred", "blocks")
 
 
-def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+def jpeg_decode(data: bytes,
+                max_pixels: int = 64_000_000) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG -> (width, height, channels, pixels)
-    with channels 1 (grayscale) or 3 (RGB), row-major interleaved."""
+    with channels 1 (grayscale) or 3 (RGB), row-major interleaved.
+
+    Contract for untrusted corpus bytes: ANY malformed input raises
+    ValueError (never a stray struct/Index/Key error, never a hang),
+    and frames claiming more than ``max_pixels`` are rejected before
+    allocation — the decompression-bomb guard a 100 TB media pipeline
+    needs (a 200-byte stream can claim a 65535x65535 frame)."""
+    try:
+        return _jpeg_decode_inner(data, max_pixels)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
+        raise ValueError(f"malformed JPEG: {type(exc).__name__}") from exc
+
+
+def _jpeg_decode_inner(data: bytes, max_pixels: int):
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -346,6 +372,11 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
     if scan_start is None or not comps or not width:
         raise ValueError("truncated JPEG: no scan")
+    if width * height > max_pixels:
+        raise ValueError(f"frame {width}x{height} exceeds max_pixels")
+    for c in comps:
+        if c.tq not in qt:
+            raise ValueError("SOS references undefined quant table")
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -371,8 +402,10 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                 q = qt[c.tq]
                 for by in range(c.v):
                     for bx in range(c.h):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = np.zeros(64, dtype=np.int64)
                         t = reader.decode_symbol(c.dc)
+                        if t > 15:
+                            raise ValueError("DC category > 15")
                         diff = _extend(reader.read_bits(t), t)
                         c.pred += diff
                         zz[0] = c.pred
@@ -390,7 +423,7 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
                                 raise ValueError("AC run past block end")
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        coef = np.zeros((8, 8), dtype=np.int32)
+                        coef = np.zeros((8, 8), dtype=np.int64)
                         coef[ZIGZAG_ROWS, ZIGZAG_COLS] = zz
                         c.blocks[my * c.v + by, mx * c.h + bx] = coef * q
 

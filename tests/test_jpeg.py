@@ -196,3 +196,40 @@ def test_phash_agrees_across_png_and_jpeg(spark):
     assert rows[1] is not None and rows[2] is not None
     ham = bin((rows[1] & (2**64 - 1)) ^ (rows[2] & (2**64 - 1))).count("1")
     assert ham <= 3, f"PNG/JPEG phash diverged by {ham} bits"
+
+
+# ---------------------------------------------------------------------------
+# Robustness: untrusted-bytes contract
+# ---------------------------------------------------------------------------
+
+def test_bomb_guard_rejects_giant_frames_before_allocation():
+    import struct as _s
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg_encode(8, 8, 3, img.tobytes()))
+    sof = enc.find(b"\xff\xc0")
+    # claim a 65535x65535 frame in ~700 bytes
+    enc[sof + 5:sof + 9] = _s.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="max_pixels"):
+        jpeg_decode(bytes(enc))
+
+
+def test_fuzz_mutations_raise_valueerror_or_decode():
+    """Random single-byte mutations and truncations of a valid stream
+    must either decode (lossy garbage is fine) or raise ValueError —
+    never a stray struct/Index/Key error, never a hang. This is the
+    quarantine contract perceptual_hash relies on for corrupt corpora."""
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    base = jpeg_encode(16, 16, 3, img.tobytes(), quality=85)
+    for trial in range(300):
+        buf = bytearray(base)
+        if trial % 3 == 0:
+            buf = buf[: rng.randint(2, len(buf))]  # truncate
+        else:
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            jpeg_decode(bytes(buf))
+            jpeg_header(bytes(buf))
+        except ValueError:
+            pass  # the one allowed failure mode
