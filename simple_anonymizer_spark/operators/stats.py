@@ -725,7 +725,13 @@ def global_ranks(
     rank within partitions, collect ONE count per partition, broadcast
     the exclusive prefixes back), never a single-reducer global window.
     Same ``cache_owner`` contract as ``pack_sequences``: the ranged
-    projection must stay pinned while the returned plan is alive.
+    projection must stay pinned while the returned plan is alive — the
+    cache is CORRECTNESS-bearing (repartitionByRange samples, so an
+    uncached recompute could draw different partition boundaries than
+    the collected totals). With ``cache_owner=None`` the pin simply
+    lives until LRU eviction or session end: fine for run-once queries
+    and bench sweeps; a long-lived service should pass a list and
+    unpersist after consuming the result.
 
     Returns ``(DataFrame(tie_col, value_col, __rank), n_rows)``.
     """
