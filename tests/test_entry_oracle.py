@@ -65,20 +65,28 @@ def test_all_queries_have_oracles():
 
 def test_driver_window_fronts_unverified_queries():
     """The driver enumerates only the first 50 queries() entries per round.
-    While never-driver-verified names remain, the window must contain ONLY
-    those — a stale _DRIVER_VERIFIED set silently wastes a whole driver
-    round (it happened between rounds 4 and 5), so pin it here."""
+    Rotation policy: never-driver-verified names form a contiguous block at
+    the FRONT (a stale state once wasted a whole driver round, between
+    rounds 4 and 5); the verified remainder is ordered stalest-verified-
+    round first, so once coverage is total every round re-verifies the 50
+    names whose last green row is oldest (perpetual regression screen)."""
     names = list(QUERIES)
     unverified = [n for n in names if n not in entrymod._DRIVER_VERIFIED]
-    window = set(names[: min(50, len(names))])
-    if unverified:
-        stale = window & entrymod._DRIVER_VERIFIED
-        assert not stale, (
-            f"{len(stale)} already-verified names occupy the 50-entry driver "
-            f"window while {len(unverified)} remain unverified — update "
-            f"_DRIVER_VERIFIED from the latest CORRECTNESS_r*.json: "
-            f"{sorted(stale)[:8]}..."
-        )
+    # the unverified block must be contiguous at the front — only the
+    # first min(50, len(unverified)) slots are owed to unverified names
+    front = names[: len(unverified)]
+    stale = set(front) & entrymod._DRIVER_VERIFIED
+    assert not stale, (
+        f"{len(stale)} already-verified names rank ahead of "
+        f"{len(unverified)} unverified ones — run "
+        f"scripts/update_rotation.py --apply: {sorted(stale)[:8]}..."
+    )
+    # verified tail: stalest round first (non-decreasing round stamps)
+    tail_rounds = [entrymod._DRIVER_VERIFIED_ROUND[n]
+                   for n in names[len(unverified):]]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified names are not ordered oldest-verified-round first"
+    )
     # deferral set must never hide names forever: it only ranks names,
     # every deferred name must still be ahead of the verified tail
     for n in entrymod._DEFERRED_TO_NEXT_ROUND:
