@@ -3,12 +3,20 @@ with support / confidence / lift.
 
 The classic A-Priori observation does the heavy lifting for scale: a
 pair can only be frequent if both items are, so each basket's item array
-is intersected with the broadcast frequent-item vocabulary BEFORE pair
-generation. At 100 TB that prefilter is the difference between pairing
-every hub item (deg^2 candidates from items in millions of baskets) and
-pairing only the bounded frequent-item vocabulary. Pair generation is
-in-row (no basket self-join shuffle at all), and the pair aggregation
-map-side-combines down to the frequent pair vocabulary.
+is pruned to the frequent-item vocabulary BEFORE pair generation. At
+100 TB that prefilter is the difference between pairing every hub item
+(deg^2 candidates from items in millions of baskets) and pairing only
+the frequent-item vocabulary. Pair generation is in-row (no basket
+self-join shuffle at all), and the pair aggregation map-side-combines
+down to the frequent pair vocabulary.
+
+The vocabulary is only as bounded as ``min_item_support`` makes it: at
+low support it approaches ALL distinct items, where the default
+broadcast-array prune (single collected row + per-basket
+``array_intersect`` paying O(|vocab|)) stops being viable — pass
+``prune="join"`` there; it keeps the same semantics through an exploded
+semi-join that AQE broadcasts only when the vocabulary actually is
+small.
 
 All counts are exact int64; confidence and lift each perform exactly one
 IEEE division on already-identical integers (the engine's cross-engine
@@ -28,6 +36,7 @@ def association_rules(
     min_item_support: int = 2,
     min_pair_support: int = 1,
     top_k: int | None = None,
+    prune: str = "broadcast",
 ) -> DataFrame:
     """Frequent item pairs with association metrics.
 
@@ -38,7 +47,17 @@ def association_rules(
 
     ``top_k`` bounds the output by (pair_count DESC, item_a, item_b) —
     a total order, so it plans as TakeOrderedAndProject.
+
+    ``prune`` selects the A-Priori prefilter shape: ``"broadcast"``
+    (default) collects the frequent vocabulary into one broadcast array —
+    cheapest while the vocabulary is genuinely bounded; ``"join"`` prunes
+    via an exploded semi-join + regroup, which never materializes the
+    vocabulary in one row and is the right choice when low
+    ``min_item_support`` makes it corpus-sized. Identical output either
+    way.
     """
+    if prune not in ("broadcast", "join"):
+        raise ValueError(f"prune must be 'broadcast' or 'join', got {prune!r}")
     # ONE scan of the transaction input: group straight to per-basket
     # sorted item sets (collect_set dedups within the basket, so no
     # separate distinct shuffle). supp, the basket total, and the pairs
@@ -60,19 +79,37 @@ def association_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .where(F.col("supp") >= min_item_support)
     )
-    # A-Priori prune BEFORE pair generation: the frequent-item vocabulary
-    # (bounded by min_item_support, not corpus size) collapses to a
-    # single-row sorted array and broadcasts; array_intersect drops every
-    # infrequent item from each basket map-side, so a hub basket of m
-    # items emits C(m',2) pairs for the pruned m' — not C(m,2). The
-    # support joins below then only re-attach counts (every surviving
-    # pair already has two frequent members). lambda-free set op keeps
-    # the whole prune inside whole-stage codegen (the lang_id CSE lesson).
-    freq = supp.agg(F.array_sort(F.collect_list("item")).alias("__freq"))
-    items_pruned = items.crossJoin(F.broadcast(freq)).select(
-        "basket",
-        F.array_intersect(F.col("__items"), F.col("__freq")).alias("__items"),
-    )
+    # A-Priori prune BEFORE pair generation: drop every infrequent item
+    # from each basket so a hub basket of m items emits C(m',2) pairs for
+    # the pruned m' — not C(m,2). The support joins below then only
+    # re-attach counts (every surviving pair already has two frequent
+    # members).
+    if prune == "broadcast":
+        # Vocabulary collapses to a single-row sorted array and
+        # broadcasts; array_intersect prunes map-side with zero extra
+        # shuffle. lambda-free set op keeps the prune inside whole-stage
+        # codegen (the lang_id CSE lesson). Only viable while the
+        # vocabulary is bounded — see the module docstring.
+        freq = supp.agg(F.array_sort(F.collect_list("item")).alias("__freq"))
+        items_pruned = items.crossJoin(F.broadcast(freq)).select(
+            "basket",
+            F.array_intersect(F.col("__items"), F.col("__freq"))
+            .alias("__items"),
+        )
+    else:
+        # Exploded semi-join prune: never materializes the vocabulary in
+        # one row. Costs one extra shuffle (the regroup), but AQE still
+        # broadcasts the supp side whenever it is actually small, and a
+        # corpus-sized vocabulary degrades to a plain shuffle join
+        # instead of an un-broadcastable array. collect_set + array_sort
+        # restores the exact per-basket array the in-row pair generator
+        # expects.
+        items_pruned = (
+            items.select("basket", F.explode("__items").alias("item"))
+            .join(supp.select("item"), "item", "left_semi")
+            .groupBy("basket")
+            .agg(F.array_sort(F.collect_set("item")).alias("__items"))
+        )
     # Pairs form IN-ROW per basket (the LSH bucket-combinatorics pattern):
     # nested transform+flatten emits each basket's ordered pairs locally —
     # per-basket pair counts are bounded by (pruned) basket size, never

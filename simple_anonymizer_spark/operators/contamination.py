@@ -52,6 +52,11 @@ def contamination_report(
     """Per-test-document contamination: how many of its distinct n-grams
     appear anywhere in the training corpus.
 
+    Distinctness lives in ``token_ngrams`` itself (``array_distinct``
+    before the explode), so BOTH the ``n_contaminated`` numerator and the
+    ``n_grams`` denominator range over the document's distinct gram set —
+    a gram repeated in the text counts once in each.
+
     Output: ``id, n_grams, n_contaminated, contamination_ratio`` (NULL
     when the doc has no n-grams) and ``flagged`` — ratio-at-or-above
     ``flag_threshold_pct`` percent, compared in exact integers

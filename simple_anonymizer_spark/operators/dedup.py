@@ -346,9 +346,15 @@ def minhash_lsh_ingest(
 
     Candidates come from an equi-join on ``(band, key)`` between the new
     batch's band entries and the index; verification recomputes shingles
-    for the matched candidate ids on both sides (candidates << corpus).
-    Output: ``new_id, corpus_id, jaccard`` — every standing document each
-    new document would near-duplicate at the threshold.
+    for the matched candidate ids ONLY — the corpus scan is semi-joined
+    against the candidate id set before any shingle is computed, so the
+    verify stage is O(candidates), not O(corpus) (candidates << corpus;
+    AQE broadcasts the id set). Re-deriving the candidate subtree for the
+    semi-join is cheap here, unlike inside ``minhash_lsh_pairs`` — it is
+    a read of the persisted index plus an O(batch) signature pass, not a
+    second full-corpus signature pass. Output: ``new_id, corpus_id,
+    jaccard`` — every standing document each new document would
+    near-duplicate at the threshold.
     """
     new_src = ensure_parallelism(new_docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
@@ -370,7 +376,10 @@ def minhash_lsh_ingest(
         F.col(id_col).alias("new_id"),
         T.char_shingles(F.col(text_col), shingle_k).alias("__sh_a"),
     )
-    sh_corpus = corpus.select(
+    cand_ids = candidates.select(
+        F.col("corpus_id").alias(id_col)
+    ).distinct()
+    sh_corpus = corpus.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("corpus_id"),
         T.char_shingles(F.col(text_col), shingle_k).alias("__sh_b"),
     )

@@ -270,24 +270,30 @@ class _Component:
 
 
 def jpeg_decode(data: bytes,
-                max_pixels: int = 64_000_000) -> tuple[int, int, int, bytes]:
+                max_pixels: int = 64_000_000,
+                pixels_per_byte: int = 512) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG -> (width, height, channels, pixels)
     with channels 1 (grayscale) or 3 (RGB), row-major interleaved.
 
     Contract for untrusted corpus bytes: ANY malformed input raises
-    ValueError (never a stray struct/Index/Key error, never a hang),
-    and frames claiming more than ``max_pixels`` are rejected before
+    ValueError (never a stray struct/Index/Key error, never a hang).
+    Frames claiming more than ``max_pixels`` are rejected before
     allocation — the decompression-bomb guard a 100 TB media pipeline
-    needs (a 200-byte stream can claim a 65535x65535 frame)."""
+    needs (a 200-byte stream can claim a 65535x65535 frame) — and,
+    because decode is pure Python, frames larger than
+    ``max(65536, len(data) * pixels_per_byte)`` are rejected too, so CPU
+    and memory stay bounded RELATIVE to input size (a few-KB stream with
+    degenerate 1-bit Huffman tables can otherwise encode ~1M empty MCUs
+    under the absolute cap)."""
     try:
-        return _jpeg_decode_inner(data, max_pixels)
+        return _jpeg_decode_inner(data, max_pixels, pixels_per_byte)
     except ValueError:
         raise
     except (struct.error, IndexError, KeyError, OverflowError) as exc:
         raise ValueError(f"malformed JPEG: {type(exc).__name__}") from exc
 
 
-def _jpeg_decode_inner(data: bytes, max_pixels: int):
+def _jpeg_decode_inner(data: bytes, max_pixels: int, pixels_per_byte: int):
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -366,6 +372,16 @@ def _jpeg_decode_inner(data: bytes, max_pixels: int):
                 comp = by_id[cid]
                 comp.dc = huff_dc[tables >> 4]
                 comp.ac = huff_ac[tables & 0x0F]
+            # A scan listing fewer components than the frame (or the same
+            # component twice) leaves some comp.dc/ac slots unset — the
+            # decode loop would then raise AttributeError, outside the
+            # ValueError contract. Baseline here means one interleaved
+            # scan covering every frame component.
+            for comp in comps:
+                if not hasattr(comp, "dc") or not hasattr(comp, "ac"):
+                    raise ValueError(
+                        "scan does not assign tables to every frame component"
+                    )
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
@@ -374,6 +390,17 @@ def _jpeg_decode_inner(data: bytes, max_pixels: int):
         raise ValueError("truncated JPEG: no scan")
     if width * height > max_pixels:
         raise ValueError(f"frame {width}x{height} exceeds max_pixels")
+    # Amplification guard: pure-Python per-bit decode means work (and the
+    # float64 block planes) must stay proportional to the INPUT size, not
+    # just under an absolute cap — a few-KB stream with degenerate 1-bit
+    # Huffman tables can otherwise claim ~1M empty MCUs and burn minutes.
+    # 512 output pixels per input byte is far beyond any real baseline
+    # JPEG's ratio; the 64 KiB floor keeps tiny legitimate files safe.
+    if width * height > max(65536, len(data) * pixels_per_byte):
+        raise ValueError(
+            f"frame {width}x{height} implausible for a {len(data)}-byte "
+            f"stream (amplification guard)"
+        )
     for c in comps:
         if c.tq not in qt:
             raise ValueError("SOS references undefined quant table")

@@ -277,6 +277,12 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+ORACLES["config_front_door"] = f"""
+SELECT c_custkey, {O.full_name('c_name')} AS c_name,
+       CAST(NULL AS DOUBLE) AS c_acctbal, 'MASKED' AS c_mktsegment
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
 ORACLES["scalar_strings"] = """
 SELECT c_custkey,
        upper(c_name) AS up,

@@ -653,6 +653,34 @@ def sql_front_door(spark, sf_dir):
     """)
 
 
+@query("config_front_door")
+def config_front_door(spark, sf_dir):
+    """JSON policy-document execution path (plans/spec_config.py): the
+    reviewable-config twin of sql_front_door. A JSON doc exercising every
+    column config shape (passthrough / anonymizer-by-name / null / set
+    constant) plus a where filter compiles to the SAME TableSpec the code
+    DSL builds, then runs through the same compiler — so this gate covers
+    the whole config->spec->plan path end-to-end."""
+    import json as _json
+
+    from .plans.spec_config import specs_from_json
+
+    c = _t(spark, sf_dir, "customer")
+    policy = _json.dumps({
+        "customer": {
+            "where": "c_custkey % 3 = 0",
+            "columns": {
+                "c_custkey": "passthrough",
+                "c_name": "full_name",
+                "c_acctbal": "null",
+                "c_mktsegment": {"set": "MASKED"},
+            },
+        },
+    })
+    spec = specs_from_json(policy)["customer"]
+    return apply_spec(c, spec)
+
+
 @query("scalar_strings")
 def scalar_strings(spark, sf_dir):
     """Portable string-function family: case, slicing, padding,

@@ -55,6 +55,24 @@ def test_assoc_min_pair_support_filters(spark):
     assert set(out) == {("a", "b"), ("a", "c")}
 
 
+def test_assoc_join_prune_matches_broadcast(spark):
+    """prune='join' (the unbounded-vocabulary path) must be output-
+    identical to the default broadcast-array prune, including with a
+    support threshold actually dropping items."""
+    for kw in ({"min_item_support": 1}, {"min_item_support": 3},
+               {"min_item_support": 1, "min_pair_support": 2}):
+        a = {k: tuple(v) for k, v in _rules(spark, BASKETS, **kw).items()}
+        b = {k: tuple(v)
+             for k, v in _rules(spark, BASKETS, prune="join", **kw).items()}
+        assert a == b, kw
+
+
+def test_assoc_prune_rejects_unknown_strategy(spark):
+    with pytest.raises(ValueError):
+        association_rules(_baskets(spark, BASKETS), "basket", "item",
+                          prune="bogus")
+
+
 def test_assoc_top_k_orders_by_count_then_items(spark):
     df = association_rules(
         _baskets(spark, BASKETS), "basket", "item",

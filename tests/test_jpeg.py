@@ -213,6 +213,37 @@ def test_bomb_guard_rejects_giant_frames_before_allocation():
         jpeg_decode(bytes(enc))
 
 
+def test_scan_missing_components_raises_valueerror():
+    """A single mutated byte can make SOS list fewer components than the
+    frame header (ns < ncomp); the untouched components then never get
+    dc/ac tables and decode used to die with AttributeError — outside
+    the ValueError contract (round-5 advisor reproduction)."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg_encode(8, 8, 3, img.tobytes()))
+    sos = enc.find(b"\xff\xda")
+    assert enc[sos + 4] == 3  # ns byte
+    enc[sos + 4] = 1
+    with pytest.raises(ValueError, match="every frame component"):
+        jpeg_decode(bytes(enc))
+
+
+def test_amplification_guard_bounds_work_to_input_size():
+    """A frame under the absolute max_pixels cap but absurdly large for
+    the stream length (the crafted 1-bit-Huffman empty-MCU bomb shape)
+    must be rejected before the pure-Python decode loop runs."""
+    import struct as _s
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg_encode(8, 8, 3, img.tobytes()))
+    sof = enc.find(b"\xff\xc0")
+    # 4000x4000 = 16M pixels: under max_pixels=64M, ~23000x the input size
+    enc[sof + 5:sof + 9] = _s.pack(">HH", 4000, 4000)
+    with pytest.raises(ValueError, match="amplification"):
+        jpeg_decode(bytes(enc))
+    # the guard scales with the caller's knob, not a hidden constant
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(enc), pixels_per_byte=1)
+
+
 def test_fuzz_mutations_raise_valueerror_or_decode():
     """Random single-byte mutations and truncations of a valid stream
     must either decode (lossy garbage is fine) or raise ValueError —

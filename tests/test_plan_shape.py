@@ -52,7 +52,7 @@ NATIVE_QUERIES = [
     "agg_grouping_sets", "agg_grouping_flags", "pivot_segments",
     "agg_approx_distinct", "scalar_regex",
     "scalar_dates", "scalar_math", "scalar_collections", "scalar_strings",
-    "sql_front_door",
+    "sql_front_door", "config_front_door",
     "events_sliding",
     "events_sessionize", "dedup_distinct_docs", "ngram_jaccard_adjacent",
     "token_count_bpe", "text_quality", "embedding_neardup",
@@ -145,6 +145,19 @@ def test_simjoin_is_equi_join_not_cartesian(spark, sf_dir):
     plan = plan_of(spark, "simjoin_exact_jaccard", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_ingest_verify_is_candidate_bounded(spark, sf_dir):
+    """The ingest verify stage must shingle only candidate corpus docs:
+    the corpus-side documents scan has to sit under a left-semi join on
+    the candidate id set, never feed a bare full-corpus shingle
+    projection — O(corpus) shingling per ingest batch breaks the
+    operator's O(batch) contract at scale."""
+    plan = plan_of(spark, "dedup_lsh_ingest", sf_dir)
+    assert "LeftSemi" in plan, "corpus scan is not candidate-bounded"
+    # the expensive shingle transform appears once per side (new batch +
+    # semi-joined corpus), not as an extra unbounded projection
+    assert "CartesianProduct" not in plan
 
 
 def test_skew_profile_broadcasts_total(spark, sf_dir):
