@@ -380,7 +380,16 @@ def pq_topk(
     Scale shape: the corpus side carries only the code array (map-only
     encode, no shuffle); the query table is broadcast; per-query top-k is
     a window over the scored stream. Combine with IVF cells to avoid the
-    full scan at 100 TB — this operator is the compression half."""
+    full scan at 100 TB — this operator is the compression half.
+
+    Cost knob: the scan is structurally scale-safe, but its constant is
+    the codegen expression width — ``m`` (subspaces) x codebook width
+    (centroids per subspace) table-lookup terms per row, plus the m-term
+    query-table build under the broadcast. The sf0.1 sweep measures
+    ~5.8 s for the registry configuration (embeddings fixture, dim 64,
+    m = 8, 8 centroids per subspace), almost all of it this expression —
+    shrink ``m`` or the codebooks before reaching for more executors
+    (same recall-vs-cost dial as FAISS PQ)."""
     m = len(codebooks)
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
