@@ -222,6 +222,97 @@ def simhash_signatures(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance via pigeonhole
+    blocking (the public Manku/Jarvelin-style web-dedup design): split
+    the ``bits``-bit signature into ``blocks`` contiguous blocks — any
+    pair within Hamming distance ``max_hamming`` differs in at most
+    ``max_hamming`` blocks, so with ``blocks > max_hamming`` it agrees
+    EXACTLY on at least one block. Candidates therefore come from an
+    equi-join on (block index, block value) with perfect recall (up to
+    the bucket cap), and verification is a single
+    ``bit_count(sim_a XOR sim_b)`` — the signatures travel with the
+    pair, so unlike the Jaccard verify there is no second text scan at
+    all. Output: ``id_a, id_b, hamming`` with ``id_a < id_b``.
+
+    Structure follows ``minhash_lsh_pairs``: ONE signature pass feeds a
+    single groupBy on (block, value); in-bucket ordered pairs form
+    in-row from the sorted member array (no self-join — a self-join
+    would run the CPU-heavy signature fold twice), and
+    ``max_bucket_size`` bounds the quadratic in-row blowup exactly as
+    there (over-cap buckets are near-identical clusters that exact
+    dedup already catches at linear cost).
+    """
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
+            f"for the pigeonhole guarantee"
+        )
+    if bits % blocks:
+        raise ValueError(f"bits ({bits}) not divisible by blocks ({blocks})")
+    width = bits // blocks
+    mask = (1 << width) - 1
+
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    entries = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash").alias("__sim"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for i in range(blocks)
+        ])).alias("__b"),
+    ).select("__id", "__sim", "__b.block", "__b.val")
+
+    buckets = (
+        entries.groupBy("block", "val")
+        .agg(F.array_sort(F.collect_set(
+            F.struct(F.col("__id").alias("id"), F.col("__sim").alias("sim"))
+        )).alias("__mem"))
+        .where(F.size("__mem") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("__mem") <= max_bucket_size)
+    pair_array = F.flatten(
+        F.transform(
+            F.col("__mem"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__mem"), i + F.lit(2), F.size(F.col("__mem"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    x["sim"].alias("sim_a"), y["sim"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_array).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.sim_a", "__p.sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("long")
+    return (
+        candidates.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

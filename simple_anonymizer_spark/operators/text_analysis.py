@@ -164,6 +164,92 @@ def tfidf_top_terms(
     )
 
 
+# Gopher rule constants (Rae et al. 2021, arXiv:2112.11446 §A1.1).
+# Frozen: the lists and thresholds are part of the operator spec.
+GOPHER_STOPWORDS: list[str] = ["the", "be", "to", "of", "and", "that",
+                               "have", "with"]
+GOPHER_BULLETS: list[str] = ["•", "-", "*"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, public
+    arXiv:2112.11446 §A1.1) as one native-expression pass — the standard
+    named pre-training quality gate, emitted as per-rule booleans plus
+    the overall ``keep`` so downstream stages can audit WHICH rule fired,
+    not just that one did.
+
+    Rules (flag TRUE = rule passes): word count in [50, 100000]; mean
+    word length in [3, 10]; '#' and ellipsis symbol-to-word ratios each
+    <= 0.1; >= 80% of words contain an alphabetic character; <= 90% of
+    lines start with a bullet; <= 30% of lines end with an ellipsis;
+    >= 2 of the 8 Gopher stop words present. ``keep`` is the AND of all
+    seven.
+
+    Every threshold compares exact integers cross-multiplied (``10 *
+    hash_count <= n_words``), never a float ratio — the flags can't
+    drift between engines. The stopword-presence count is a lambda-free
+    ``array_intersect`` (the lang_id CSE lesson). Single scan, no
+    shuffle, no joins: at 100 TB this is a map-only filter that fuses
+    into whatever reads the corpus next.
+    """
+    df = _spread(df)
+    t = F.col(text_col)
+    tok = T.tokens(t)
+    n_words = F.size(tok).cast("long")
+    total_len = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+    )
+    hash_cnt = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+                ).cast("long")
+    ell3 = ((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+            / F.lit(3)).cast("long")
+    ell1 = (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+            ).cast("long")
+    ellipsis_cnt = ell3 + ell1
+    alpha_words = F.size(F.filter(tok, lambda w: w.rlike("[a-z]"))
+                         ).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    trimmed = F.transform(lines, F.ltrim)
+    bullet_lines = F.size(F.filter(
+        trimmed,
+        lambda ln: F.substring(ln, 1, 1).isin(GOPHER_BULLETS),
+    )).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+    )).cast("long")
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_present = F.size(
+        F.array_intersect(F.array_distinct(tok), stop_lit)
+    ).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("wordcount_ok"),
+        ((total_len >= 3 * n_words) & (total_len <= 10 * n_words))
+        .alias("mean_wordlen_ok"),
+        ((10 * hash_cnt <= n_words) & (10 * ellipsis_cnt <= n_words))
+        .alias("symbol_ratio_ok"),
+        (5 * alpha_words >= 4 * n_words).alias("alpha_words_ok"),
+        (10 * bullet_lines <= 9 * n_lines).alias("bullet_lines_ok"),
+        (10 * ellipsis_lines <= 3 * n_lines).alias("ellipsis_lines_ok"),
+        (stop_present >= 2).alias("stopwords_ok"),
+        (
+            (n_words >= 50) & (n_words <= 100000)
+            & (total_len >= 3 * n_words) & (total_len <= 10 * n_words)
+            & (10 * hash_cnt <= n_words) & (10 * ellipsis_cnt <= n_words)
+            & (5 * alpha_words >= 4 * n_words)
+            & (10 * bullet_lines <= 9 * n_lines)
+            & (10 * ellipsis_lines <= 3 * n_lines)
+            & (stop_present >= 2)
+        ).alias("keep"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -424,6 +424,41 @@ SELECT doc_id,
 FROM hs
 """
 
+# Mirror of simhash_neardup_pairs defaults: 4 blocks of 8 bits, Hamming
+# <= 3, bucket cap 500. a.bsz == b.bsz inside a bucket (same window
+# partition), so one cap predicate suffices. The comprehension variables
+# follow the house rule: the inlined md5 hash expr owns ``i`` in its own
+# scope only inside hs; the bit loops here reuse ``i``/``h`` exactly as
+# the driver-green dedup_simhash oracle does.
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH hs AS (
+  SELECT doc_id, [{_h('t')} for t in {_tokens('text')}] AS hashes FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CAST(list_sum([
+      CASE WHEN list_sum([
+        CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+        for h in hashes]) > 0
+      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+      for i in range(0, 32)]) AS BIGINT) AS simhash
+  FROM hs
+),
+ent AS (
+  SELECT doc_id, simhash, i AS block, (simhash >> (i * 8)) & 255 AS val
+  FROM sig, (SELECT unnest(range(4)) AS i) t
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY block, val) AS bsz FROM ent
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sized a JOIN sized b ON a.block = b.block AND a.val = b.val
+  AND a.doc_id < b.doc_id
+WHERE a.bsz <= 500
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 ORACLES["ngram_jaccard_adjacent"] = f"""
 WITH sh AS (
   SELECT doc_id, {_shingles('text')} AS sh FROM documents
@@ -481,6 +516,61 @@ SELECT doc_id,
   CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS type_token_ratio,
   CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS shingle_diversity
 FROM t
+"""
+
+
+# Gopher §A1.1 mirror: every threshold is an integer cross-multiplication
+# (10 * hash_cnt <= n_words), never a float ratio — flags are bit-stable.
+# coalesce on list_sum: DuckDB's sum of an empty list is NULL where the
+# Spark fold's init value makes it 0.
+ORACLES["quality_gopher_flags"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_tokens('text')} AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum([length(w) for w in toks]), 0) AS BIGINT)
+      AS total_len,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      AS hash_cnt,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, {"'…'"}, '')))
+      AS BIGINT) AS ellipsis_cnt,
+    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+      AS BIGINT) AS alpha_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter([ltrim(l) for l in lines],
+         l -> substr(l, 1, 1) IN ('•', '-', '*'))) AS BIGINT)
+      AS bullet_lines,
+    CAST(len(list_filter(lines,
+         l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE {"'%…'"}))
+      AS BIGINT) AS ellipsis_lines,
+    CAST(len(list_intersect(list_distinct(toks),
+         {_stop_list_sql(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])}))
+      AS BIGINT) AS stop_present
+  FROM t
+)
+SELECT doc_id, n_words,
+  (n_words >= 50 AND n_words <= 100000) AS wordcount_ok,
+  (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+    AS mean_wordlen_ok,
+  (10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words)
+    AS symbol_ratio_ok,
+  (5 * alpha_words >= 4 * n_words) AS alpha_words_ok,
+  (10 * bullet_lines <= 9 * n_lines) AS bullet_lines_ok,
+  (10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_lines_ok,
+  (stop_present >= 2) AS stopwords_ok,
+  (n_words >= 50 AND n_words <= 100000
+   AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+   AND 10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words
+   AND 5 * alpha_words >= 4 * n_words
+   AND 10 * bullet_lines <= 9 * n_lines
+   AND 10 * ellipsis_lines <= 3 * n_lines
+   AND stop_present >= 2) AS keep
+FROM m
 """
 
 

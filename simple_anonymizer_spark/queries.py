@@ -750,6 +750,16 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark, sf_dir):
+    """Banded SimHash Hamming near-dup JOIN (dedup.simhash_neardup_pairs):
+    pigeonhole blocking over 4 contiguous 8-bit signature blocks gives
+    exact recall at Hamming <= 3 (a pair within distance 3 must agree on
+    at least one of 4 blocks); candidates verify via bit_count(xor) on
+    the signatures carried through the bucket — no second text scan."""
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
 @query("ngram_jaccard_adjacent")
 def ngram_jaccard_adjacent(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -790,6 +800,14 @@ def text_quality(spark, sf_dir):
 @query("lang_id")
 def lang_id(spark, sf_dir):
     return text_analysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query("quality_gopher_flags")
+def quality_gopher_flags(spark, sf_dir):
+    """Gopher §A1.1 quality rules (text_analysis.gopher_quality_flags):
+    seven per-rule booleans + overall keep, every threshold an exact
+    integer cross-multiplication — a single map-only corpus pass."""
+    return text_analysis.gopher_quality_flags(_t(spark, sf_dir, "documents"))
 
 
 @query("embedding_topk")

@@ -37,3 +37,60 @@ def test_lsh_ingest_matches_full_run_cross_pairs(spark, sf_dir):
             for r in dedup.minhash_lsh_ingest(reread, corpus, new).collect()
         }
     assert roundtrip == cross_full
+
+
+def test_simhash_neardup_matches_bruteforce(spark, sf_dir):
+    """Pigeonhole exactness: with blocks > max_hamming and no bucket cap,
+    the banded join must find EXACTLY the pairs a brute-force Hamming
+    cross product finds — the recall guarantee the operator's scale story
+    rests on."""
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators import dedup
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120
+    )
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash_signatures(docs).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(
+            docs, max_bucket_size=None
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_neardup_bucket_cap_drops_not_errors(spark, sf_dir):
+    """A tiny cap must shrink (never grow) the pair set and keep the
+    hamming bound intact — the OOM guard is recall-affecting by design."""
+    from simple_anonymizer_spark.operators import dedup
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents")
+    full = {(r.id_a, r.id_b)
+            for r in dedup.simhash_neardup_pairs(
+                docs, max_bucket_size=None).collect()}
+    capped_rows = dedup.simhash_neardup_pairs(docs, max_bucket_size=4).collect()
+    capped = {(r.id_a, r.id_b) for r in capped_rows}
+    assert capped <= full
+    assert all(r.hamming <= 3 for r in capped_rows)
+
+
+def test_simhash_neardup_parameter_guards(spark):
+    import pytest as _pytest
+
+    from simple_anonymizer_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_neardup_pairs(df, max_hamming=4, blocks=4)
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_neardup_pairs(df, bits=32, blocks=5)

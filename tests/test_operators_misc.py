@@ -424,3 +424,40 @@ def test_mode_tie_break_prefers_smallest_value(spark):
     # discrete percentiles are actual data values at ceil(p*n)
     assert out["A"].p50_disc == 103.0   # 3rd of 5 sorted prices
     assert out["B"].p25_disc == out["B"].p50_disc == out["B"].p75_disc == 106.0
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """One crafted document per Gopher rule, plus a passing one — each
+    fails EXACTLY its targeted rule (thresholds are inclusive integer
+    cross-multiplications, pinned here at their boundaries)."""
+    from simple_anonymizer_spark.operators import text_analysis
+
+    good = "the be to of and that have with " * 7      # 56 words, mean 3.0
+    docs = [
+        (1, good.strip()),
+        (2, "the be to of and that have with"),        # 8 words: too short
+        (3, ("the be to of and that have with " * 7).strip()
+            .replace("that", "####")),                  # hash-heavy
+        (4, "\n".join("- " + good.strip() for _ in range(10))),   # bullets
+        (5, "\n".join((good.strip() + ("..." if i < 5 else ""))
+                      for i in range(10))),             # 50% ellipsis lines
+        (6, ("10 20 30 40 50 60 70 80 90 99 " * 6).strip()
+            + " the be"),                               # digits: low alpha
+        (7, ("extraordinarily incomprehensible " * 30).strip()
+            + " the be"),                               # mean wordlen > 10
+        (8, "zebra quokka wombat numbat dingo koala bilby potoroo " * 7),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            text_analysis.gopher_quality_flags(df).collect()}
+
+    assert rows[1].keep and rows[1].n_words == 56
+    assert not rows[2].wordcount_ok and rows[2].mean_wordlen_ok
+    assert not rows[3].symbol_ratio_ok and rows[3].wordcount_ok
+    assert not rows[4].bullet_lines_ok and rows[4].stopwords_ok
+    assert not rows[5].ellipsis_lines_ok and rows[5].bullet_lines_ok
+    assert not rows[6].alpha_words_ok and rows[6].wordcount_ok
+    assert not rows[7].mean_wordlen_ok
+    assert not rows[8].stopwords_ok and rows[8].alpha_words_ok
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert not rows[d].keep, d

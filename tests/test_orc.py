@@ -1,0 +1,76 @@
+"""ORC source/sink conformance (sources/orc.py): DuckDB cannot read ORC,
+so parity rests on round trips against the Parquet fixtures — same rows
+both directions — plus the optimizer contract (pushdown + pruning) that
+justifies offering the format at all."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.sources.orc import orc_reader, orc_writer
+from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+
+@pytest.fixture(scope="module")
+def orc_dir(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as d:
+        write = orc_writer(spark, d)
+        for name in ("customer", "orders", "events"):
+            n = write(name, read_sf_table(spark, sf_dir, name))
+            assert n > 0
+        yield d
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", ["customer", "orders"])
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, orc_dir, name):
+    src = read_sf_table(spark, sf_dir, name)
+    back = orc_reader(spark, orc_dir)(name)
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
+def test_orc_events_ts_normalized(spark, sf_dir, orc_dir):
+    """events written after normalization reads back with ts TIMESTAMP
+    and identical micros — the ns-fixture drift guard extends to ORC."""
+    src = read_sf_table(spark, sf_dir, "events")
+    back = orc_reader(spark, orc_dir)("events")
+    a = _sorted_rows(src.select("event_id", F.unix_micros("ts")))
+    b = _sorted_rows(back.select("event_id", F.unix_micros("ts")))
+    assert a == b and len(a) > 0
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark, orc_dir):
+    """The reason ORC is a first-class source: filters reach the scan and
+    the projection prunes — same optimizer contract as Parquet."""
+    df = (orc_reader(spark, orc_dir)("orders")
+          .where(F.col("o_orderkey") < 100)
+          .select("o_orderkey", "o_totalprice"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split(
+        "PushedFilters")[1][:120]
+    read_schema = plan.split("ReadSchema")[1][:160]
+    assert "o_totalprice" in read_schema and "o_custkey" not in read_schema
+
+
+def test_orc_parquet_cross_copy(spark, sf_dir, orc_dir):
+    """Format conversion both directions preserves rows: ORC -> Parquet
+    -> ORC on the customer table (the copier's reader/writer callables
+    compose across formats)."""
+    import os
+
+    back = orc_reader(spark, orc_dir)("customer")
+    with tempfile.TemporaryDirectory() as d:
+        back.write.mode("overwrite").parquet(os.path.join(d, "c"))
+        again = spark.read.parquet(os.path.join(d, "c"))
+        w = orc_writer(spark, d)
+        n = w("c2", again)
+        final = spark.read.orc(os.path.join(d, "c2"))
+        assert n == back.count()
+        assert _sorted_rows(final) == _sorted_rows(back)

@@ -18,8 +18,10 @@ def plan_of(spark, name, sf_dir):
 NATIVE_QUERIES = [
     "anon_customer_pii", "anon_names", "anon_redact", "anon_stable_hash",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_stats",
-    "lang_id", "doc_fingerprint", "embedding_topk", "events_tumbling",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "text_stats",
+    "lang_id", "quality_gopher_flags", "doc_fingerprint", "embedding_topk",
+    "events_tumbling",
     "events_asof_signup", "spec_subset_chain",
     # round-2 additions: stats/funnel/corpus-term operators are pure
     # column algebra — any Python in their plans is a regression.
