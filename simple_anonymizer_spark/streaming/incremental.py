@@ -182,3 +182,87 @@ def stream_sketch_rollup(
         raw.writeStream.foreachBatch(_replay_guarded(sketch_path, merge_batch))
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    state_dir: str,
+    checkpoint: str,
+    schema=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+):
+    """Streaming near-duplicate ingest against a STANDING corpus — the
+    streaming face of ``dedup.minhash_lsh_ingest``. Each micro-batch:
+
+    1. finds the batch's internal near-dup pairs (``minhash_lsh_pairs``
+       over just the batch — O(batch) signatures);
+    2. screens the batch against everything already ingested via the
+       persisted band index (``minhash_lsh_ingest`` — the candidates
+       subtree reads the index, candidates-only verify);
+    3. appends the verified pairs to ``<state_dir>/pairs``, the batch's
+       band entries to ``<state_dir>/band_index``, and the batch's
+       ``(id, text)`` rows to ``<state_dir>/corpus``.
+
+    The union of intra-batch and cross-batch pairs makes the streamed
+    output EQUAL to a batch-mode ``minhash_lsh_pairs`` over the full
+    corpus, regardless of how arrivals were chopped into batches — the
+    streamed==batch contract the test pins. Document ids must be unique
+    across the stream (the standard ingest assumption; replays are
+    handled by the batch-id guard, not id dedup).
+
+    State grows with the corpus BY DESIGN (it is the standing index —
+    one row per band per document, plus the text for verify); per-batch
+    cost stays O(batch + candidates). Appends are blind (no merge), so
+    a replayed batch would double-append — the same batch-id guard as
+    ``stream_rollup`` makes replays no-ops. Returns the
+    DataStreamWriter (call ``.start()``)."""
+    from ..operators import dedup
+
+    index_path = os.path.join(state_dir, "band_index")
+    corpus_path = os.path.join(state_dir, "corpus")
+    pairs_path = os.path.join(state_dir, "pairs")
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.parquet(source_path)
+
+    kw = dict(text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+              bands=bands, shingle_k=shingle_k)
+
+    def ingest_batch(batch_df: DataFrame, _bid: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).cache()
+        try:
+            pairs = dedup.minhash_lsh_pairs(
+                batch, jaccard_threshold=jaccard_threshold, **kw
+            ).select("id_a", "id_b", "jaccard")
+            if os.path.exists(index_path):
+                index = s.read.parquet(index_path)
+                corpus = s.read.parquet(corpus_path)
+                cross = dedup.minhash_lsh_ingest(
+                    index, corpus, batch,
+                    jaccard_threshold=jaccard_threshold, **kw
+                ).select(
+                    F.least("new_id", "corpus_id").alias("id_a"),
+                    F.greatest("new_id", "corpus_id").alias("id_b"),
+                    "jaccard",
+                )
+                pairs = pairs.unionByName(cross)
+            pairs.write.mode("append").parquet(pairs_path)
+            dedup.minhash_band_index(batch, **kw).write.mode(
+                "append").parquet(index_path)
+            batch.write.mode("append").parquet(corpus_path)
+        finally:
+            batch.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(_replay_guarded(pairs_path, ingest_batch))
+        .option("checkpointLocation", checkpoint)
+    )

@@ -287,3 +287,63 @@ def test_phash_quarantines_undecodable_content(spark):
     assert rows[1].phash is not None
     assert rows[2].width is None and rows[2].phash is None
     assert rows[3].width is None and rows[3].phash is None
+
+
+# ---------------------------------------------------------------------------
+# Audio features (integer-exact PCM stats through mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+def _wav_from_samples(samples, channels=1, rate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_features_hand_computed(spark):
+    """Square wave with a known period pins zero crossings, peak, and
+    sum of squares exactly; stereo uses channel 0 only; silence is all
+    zeros; corrupt bytes and NULLs quarantine."""
+    square = [1000 if (i // 4) % 2 == 0 else -1000 for i in range(64)]
+    stereo = []
+    for i in range(32):
+        stereo += [500 if i % 2 == 0 else -500, 30000]  # ch1 is loud junk
+    rows = [
+        Row(media_id=1, content=_wav_from_samples(square, 1, 16000),
+            mime_type="audio/wav"),
+        Row(media_id=2, content=_wav_from_samples(stereo, 2, 8000),
+            mime_type="audio/wav"),
+        Row(media_id=3, content=_wav_from_samples([0] * 10),
+            mime_type="audio/wav"),
+        Row(media_id=4, content=b"RIFFgarbage", mime_type="audio/wav"),
+        Row(media_id=5, content=None, mime_type=None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+
+    r1 = got[1]
+    assert (r1.n_samples, r1.peak_abs) == (64, 1000)
+    assert r1.duration_us == 64 * 1_000_000 // 16000
+    assert r1.sum_sq == 64 * 1000 * 1000
+    assert r1.zero_crossings == 15          # sign flips every 4 samples
+    r2 = got[2]
+    assert (r2.n_samples, r2.peak_abs) == (32, 500)   # ch0 only
+    assert r2.zero_crossings == 31
+    r3 = got[3]
+    assert (r3.sum_sq, r3.zero_crossings, r3.peak_abs) == (0, 0, 0)
+    assert got[4].n_samples is None and got[5].n_samples is None
+
+
+def test_audio_features_plan_has_one_pandas_stage(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=_wav_from_samples([1, -1]),
+             mime_type="audio/wav")],
+        multimodal.MEDIA_SCHEMA)
+    plan = (multimodal.audio_features(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan

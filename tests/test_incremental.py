@@ -146,3 +146,56 @@ def test_incremental_sketch_across_arrivals(spark, sf_dir, tmp_path):
 
     run_once()  # no new files: table unchanged
     assert sketch_rows(sketch_path) == full
+
+
+def test_stream_neardup_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed near-dup ingest across two arrivals must produce EXACTLY
+    the pairs a batch-mode minhash_lsh_pairs finds over the full corpus
+    (intra-batch + cross-batch union), and a no-new-data run appends
+    nothing."""
+    import glob
+    import shutil
+
+    from simple_anonymizer_spark.operators import dedup
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (
+            INC.stream_neardup_ingest(
+                spark, str(src), state, ckpt, schema=docs.schema
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    def pair_set(df):
+        return {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()}
+
+    deliver(halves[0], "part1.parquet")
+    run_once()
+    got1 = pair_set(spark.read.parquet(state + "/pairs"))
+    assert got1 == pair_set(dedup.minhash_lsh_pairs(halves[0]))
+
+    deliver(halves[1], "part2.parquet")
+    run_once()
+    got2 = pair_set(spark.read.parquet(state + "/pairs"))
+    want = pair_set(dedup.minhash_lsh_pairs(docs))
+    assert got2 == want and len(want) > len(got1) > 0
+
+    run_once()  # no new files: nothing appended
+    assert pair_set(spark.read.parquet(state + "/pairs")) == want
+    # the standing state grew to the full corpus
+    assert spark.read.parquet(state + "/corpus").count() == docs.count()
