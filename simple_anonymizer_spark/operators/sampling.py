@@ -19,7 +19,7 @@ a fresh sample without touching previous ones.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.hashing import stable_hash
 
@@ -280,3 +280,68 @@ def remix_temperature(
         .where(F.col("__rk") <= F.col("__target"))
         .select(*df.columns)
     )
+
+
+def per_group_cap(
+    df: DataFrame, group_col: str, k: int, key_col: str, salt: str = "_cap"
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``k`` rows per group,
+    chosen by hash order — the per-domain document cap every web-corpus
+    pipeline applies so hub domains can't dominate the training mix.
+    Selection order is ``(sample_bucket(key, salt), key)``, so the kept
+    set is reproducible across runs, engines, and partitionings, and a
+    fresh ``salt`` draws an independent quota.
+
+    Scale shape (the reason this is NOT one ``row_number() OVER
+    (PARTITION BY group)``): a hub group would funnel its entire
+    membership through a single window task. Instead, phase A computes
+    per-(group, bucket) counts (combinable aggregation; at most
+    ``DENOM`` rows per group) and finds each group's threshold bucket
+    ``t`` where the cumulative count reaches ``k`` — the windows here
+    run over the COUNTS frame, not the data. Phase B keeps every row
+    below ``t`` with a plain filter and ranks only the rows AT ``t``
+    (~1/DENOM of the group) through a window. Equivalent by
+    construction to the single-window form, at ~DENOM-times-smaller
+    worst-case window population.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    data = df.withColumn("__bucket", sample_bucket(key_col, salt))
+    counts = data.groupBy(group_col, "__bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wcum = Window.partitionBy(group_col).orderBy("__bucket")
+    cum = counts.withColumn("__cum", F.sum("__n").over(wcum))
+    # Threshold bucket per group (absent when the group is under quota),
+    # and how many rows the quota still allows from that bucket.
+    att = (
+        cum.where(F.col("__cum") >= k)
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy("__bucket")
+            ),
+        )
+        .where(F.col("__rnk") == 1)
+        .select(
+            group_col,
+            F.col("__bucket").alias("__t"),
+            (F.lit(k) - (F.col("__cum") - F.col("__n"))).alias("__need"),
+        )
+    )
+    joined = data.join(att, [group_col], "left")
+    below = joined.where(
+        F.col("__t").isNull() | (F.col("__bucket") < F.col("__t"))
+    )
+    at_thr = (
+        joined.where(F.col("__bucket") == F.col("__t"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(F.col(key_col))
+            ),
+        )
+        .where(F.col("__rn") <= F.col("__need"))
+    )
+    cols = df.columns
+    return below.select(*cols).unionByName(at_thr.select(*cols))

@@ -1035,6 +1035,20 @@ _SAMPLE_KEY = "CAST(c_custkey AS VARCHAR)"
 _SPLIT_KEY = "(" + _SAMPLE_KEY + " || '_split')"
 _SPLIT_BUCKET = f"({O.stable_hash(_SPLIT_KEY)} % 10000)"
 
+# per_group_cap mirror: the semantic form is one row_number over
+# (bucket, key) per group — the Spark side's two-phase bucket-threshold
+# selection is equivalent by construction (buckets below the threshold
+# kept whole, the threshold bucket ranked by key).
+ORACLES["sample_domain_cap"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY
+      ({O.stable_hash("(CAST(doc_id AS VARCHAR) || '_cap')")} % 10000),
+      doc_id) AS __rn
+  FROM documents)
+WHERE __rn <= 10
+"""
+
 ORACLES["sample_stratified"] = f"""
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE ({O.stable_hash(_SAMPLE_KEY)} % 10000) <

@@ -985,6 +985,18 @@ def dedup_golden_records(spark, sf_dir):
     )
 
 
+@query("sample_domain_cap")
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain document quota (sampling.per_group_cap): at most 10
+    docs per source, chosen by deterministic hash order — the hub-domain
+    cap of a web-corpus mix, with the skew-safe bucket-threshold
+    selection instead of one giant per-group window."""
+    from .operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.per_group_cap(d, "source", 10, "doc_id")
+
+
 @query("sample_stratified")
 def sample_stratified(spark, sf_dir):
     """Deterministic per-stratum sampling (sampleBy without RNG): keyed

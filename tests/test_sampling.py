@@ -233,3 +233,56 @@ def test_remix_equal_tokens_caps_weight_per_group(spark):
     got2 = {r.k for r in
             remix_equal_tokens(df.repartition(13), "g", "w", "k", budget).collect()}
     assert got2 == expected
+
+
+def test_per_group_cap_exact_quota_and_determinism(spark, sf_dir):
+    """Every over-quota group yields exactly k rows, under-quota groups
+    pass through whole, the kept set equals the naive single-window
+    form, and repartitioning changes nothing."""
+    from pyspark.sql import Window
+
+    from simple_anonymizer_spark.operators import sampling
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    d = read_sf_table(spark, sf_dir, "documents").select("doc_id", "source")
+    k = 7
+    out = sampling.per_group_cap(d, "source", k, "doc_id")
+    got = {(r.doc_id, r.source) for r in out.collect()}
+
+    sizes = {r.source: r.n for r in
+             d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r.source: r.n for r in
+            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in sizes.items():
+        assert kept.get(s, 0) == min(n, k), s
+
+    # equivalence with the semantic single-window form
+    naive = d.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                sampling.sample_bucket("doc_id", "_cap"), F.col("doc_id")
+            )
+        ),
+    ).where(F.col("__rn") <= k)
+    assert got == {(r.doc_id, r.source) for r in naive.collect()}
+
+    reparts = sampling.per_group_cap(
+        d.repartition(13), "source", k, "doc_id"
+    )
+    assert got == {(r.doc_id, r.source) for r in reparts.collect()}
+
+    # a different salt draws a different (same-sized) quota
+    other = sampling.per_group_cap(d, "source", k, "doc_id", salt="_cap2")
+    oset = {(r.doc_id, r.source) for r in other.collect()}
+    assert len(oset) == len(got) and oset != got
+
+
+def test_per_group_cap_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from simple_anonymizer_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        sampling.per_group_cap(df, "source", 0, "doc_id")
