@@ -534,3 +534,50 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard first
+    compression rung for an embedding corpus (4x over float32) before
+    PQ. ``scale = max |x_i|`` (double); ``code_i = sign(x_i) *
+    floor(|x_i| / scale * 127 + 0.5)`` giving codes in [-127, 127].
+
+    Cross-engine determinism: float32 widens to double EXACTLY, and
+    every step after that is divide / multiply / add / floor on
+    identical doubles — IEEE-identical in Spark and DuckDB (no pow/ln,
+    the weighted-sample lesson). Zero vectors quantize to all-zero
+    codes with scale 0 (guarded, no division).
+
+    Output: ``id, scale, codes (array<int>), max_abs_err`` where
+    ``max_abs_err = max_i |x_i - codes_i * scale / 127|`` — the
+    reconstruction bound computed in the same map-only pass, so
+    quantization loss is auditable without a second scan. No shuffle
+    anywhere; at 100 TB this fuses into the corpus read.
+    """
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(dv, F.abs))
+
+    def code(x: Column) -> Column:
+        return (
+            F.when(x < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.floor(F.abs(x) / scale * F.lit(127.0) + F.lit(0.5))
+        ).cast("int")
+
+    codes = F.when(
+        scale == 0,
+        F.transform(dv, lambda x: F.lit(0)),
+    ).otherwise(F.transform(dv, code))
+    err = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.array_max(F.transform(
+            dv,
+            lambda x: F.abs(x - (code(x).cast("double") * scale) / F.lit(127.0)),
+        ))
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        codes.alias("codes"),
+        err.alias("max_abs_err"),
+    )

@@ -707,6 +707,26 @@ FROM ranked WHERE rnk <= 3
 # per-subspace centroid dots selected by the code. Per-subspace dots are
 # fixed-order folds (bit-identical doubles), floored to 2^-24 fixed point
 # so the final 8-term sum is an order-free integer sum.
+# quantize_int8 mirror: float32 -> double is exact, then divide /
+# multiply / add / floor on identical doubles, parenthesized the same
+# way as the Spark expressions — bit-identical codes, scale, and error.
+_Q8_CODE = ("CAST((CASE WHEN x < 0 THEN -1 ELSE 1 END)"
+            " * floor(abs(x) / scale * 127.0 + 0.5) AS INTEGER)")
+ORACLES["embedding_quantize_int8"] = f"""
+WITH m AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS dv,
+    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+  CASE WHEN scale = 0 THEN [0 for x in dv]
+       ELSE [{_Q8_CODE} for x in dv] END AS codes,
+  CASE WHEN scale = 0 THEN 0.0
+       ELSE list_max([abs(x - ({_Q8_CODE} * scale) / 127.0) for x in dv])
+       END AS max_abs_err
+FROM m
+"""
+
 ORACLES["embedding_topk_pq"] = """
 WITH cent AS (
   SELECT embedding AS cv,

@@ -833,6 +833,14 @@ def embedding_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(e, e.where(F.col("vec_id") < 5), k=3, planes=4)
 
 
+@query("embedding_quantize_int8")
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization (similarity.quantize_int8):
+    per-vector scale + codes + reconstruction bound, all in one
+    map-only pass of IEEE-identical double arithmetic."""
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 @query("embedding_topk_pq")
 def embedding_topk_pq(spark, sf_dir):
     """Product-quantized top-3 (similarity.pq_topk): 8 subspaces x 8

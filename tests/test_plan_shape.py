@@ -59,7 +59,8 @@ NATIVE_QUERIES = [
     "events_sessionize", "dedup_distinct_docs", "ngram_jaccard_adjacent",
     "token_count_bpe", "text_quality", "embedding_neardup",
     "embedding_topk_lsh", "ann_recall_lsh", "join_anti_customers", "merge_upsert",
-    "embedding_topk_ivf", "embedding_topk_pq", "range_join_shipments",
+    "embedding_topk_ivf", "embedding_topk_pq", "embedding_quantize_int8",
+    "range_join_shipments",
     "dedup_clusters",
     "sample_stratified", "sample_domain_cap", "sample_split", "text_scrub_pii", "text_chunks",
     "pipeline_corpus", "text_repetition", "dup_spans",

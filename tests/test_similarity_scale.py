@@ -240,3 +240,29 @@ def test_ann_recall_denominator_is_achievable_topk(spark):
     assert r.n_hits <= 2
     # denominator is 2 (achievable), never 5
     assert r.recall_at_k == r.n_hits / 2.0
+
+
+def test_quantize_int8_reconstruction_bound(spark, sf_dir):
+    """Codes stay in [-127, 127], the per-vector reconstruction error
+    respects the round-half bound scale/254, and zero vectors quantize
+    to scale 0 / all-zero codes without dividing."""
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.similarity import quantize_int8
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "embeddings")
+    rows = quantize_int8(e).collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        if r.scale > 0:
+            assert r.max_abs_err <= r.scale / 254 * (1 + 1e-9), r.vec_id
+
+    z = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0, 0.0]),
+         Row(vec_id=2, embedding=[1.0, -2.0, 0.5])])
+    got = {r.vec_id: r for r in quantize_int8(z).collect()}
+    assert got[1].scale == 0.0 and got[1].codes == [0, 0, 0]
+    assert got[1].max_abs_err == 0.0
+    assert got[2].codes == [64, -127, 32]   # round(0.5*127)=64 (half up)
