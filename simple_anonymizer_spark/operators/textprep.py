@@ -621,3 +621,55 @@ def encode_documents(
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(F.col("ids_csv"), F.lit("")).alias("ids_csv"),
     )
+
+
+# Normalization rewrite chain, shared by the Spark and oracle builders
+# (the scrub_pii pattern): identical regex text on both engines — Java
+# regex and RE2 agree on these escapes, and DuckDB standard strings pass
+# backslashes to RE2 verbatim, so the patterns embed unchanged.
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0b-\x1f\x7f]", ""),  # control chars (\n and \t survive)
+    (r"\t", " "),                        # tabs become spaces
+    (r" {2,}", " "),                     # collapse space runs
+    (r" ?\n ?", "\n"),                   # spaces hugging a newline drop
+    (r"\n{3,}", "\n\n"),                 # >2 blank lines collapse to one
+]
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical whitespace/control cleanup for corpus text — the
+    standard pre-tokenization normalization pass. Steps (in order):
+    strip ASCII control characters except newline and tab, tabs to
+    spaces, collapse space runs, drop spaces hugging newlines, collapse
+    3+ newlines to a paragraph break, then trim outer spaces/newlines.
+    Pure regexp_replace chain: map-only, whole-stage codegen, fuses
+    into the corpus scan at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
+    return F.btrim(c, F.lit(" \n"))
+
+
+def normalize_text_sql(expr: str) -> str:
+    """The identical rewrite chain as DuckDB SQL (the oracle side)."""
+    out = expr
+    for pattern, repl in NORMALIZE_STEPS:
+        out = (f"regexp_replace({out}, "
+               f"'{pattern.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')")
+    return f"trim({out}, ' ' || chr(10))"
+
+
+def normalize_documents(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Per-document normalization report: the cleaned text plus exact
+    integer accounting (chars removed, changed flag) so a pipeline can
+    quantify how dirty a source is in the same pass that cleans it."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        norm.alias(text_col),
+        (F.length(F.col(text_col)) - F.length(norm)).cast("long")
+        .alias("n_chars_removed"),
+        (F.col(text_col) != norm).alias("changed"),
+    )

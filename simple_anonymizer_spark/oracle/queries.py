@@ -523,6 +523,16 @@ FROM t
 # (10 * hash_cnt <= n_words), never a float ratio — flags are bit-stable.
 # coalesce on list_sum: DuckDB's sum of an empty list is NULL where the
 # Spark fold's init value makes it 0.
+from ..operators.textprep import normalize_text_sql as _norm_sql  # noqa: E402
+
+ORACLES["text_normalize"] = f"""
+SELECT doc_id, {_norm_sql('text')} AS text,
+  CAST(length(text) - length({_norm_sql('text')}) AS BIGINT)
+    AS n_chars_removed,
+  (text <> {_norm_sql('text')}) AS changed
+FROM documents
+"""
+
 ORACLES["quality_gopher_flags"] = f"""
 WITH t AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,

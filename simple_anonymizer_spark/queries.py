@@ -802,6 +802,16 @@ def lang_id(spark, sf_dir):
     return text_analysis.language_id(_t(spark, sf_dir, "documents"))
 
 
+@query("text_normalize")
+def text_normalize(spark, sf_dir):
+    """Whitespace/control-char normalization report
+    (textprep.normalize_documents): cleaned text + exact removed-char
+    accounting in one map-only regexp chain."""
+    from .operators.textprep import normalize_documents
+
+    return normalize_documents(_t(spark, sf_dir, "documents"))
+
+
 @query("quality_gopher_flags")
 def quality_gopher_flags(spark, sf_dir):
     """Gopher §A1.1 quality rules (text_analysis.gopher_quality_flags):

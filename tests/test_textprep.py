@@ -361,3 +361,43 @@ def test_bpe_segment_empty_merges_is_char_split(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     out = bpe_segment(docs, []).collect()[0]
     assert (out.n_pieces, out.pieces) == (3, "a b </w>")
+
+
+def test_normalize_text_each_step_and_cross_engine(spark):
+    """Crafted dirty strings exercise every normalization step; the SAME
+    inputs run through the DuckDB SQL chain must match byte-for-byte —
+    the cross-engine regex contract checked on input that actually
+    contains control chars (the fixtures are clean)."""
+    import duckdb
+
+    from simple_anonymizer_spark.operators.textprep import (
+        normalize_documents, normalize_text_sql)
+
+    docs = [
+        (1, "plain text stays"),
+        (2, "ctrl\x00\x07chars\x7fgone"),
+        (3, "tabs\tand\t\tspaces   collapse"),
+        (4, "space before \n and after\n next"),
+        (5, "para\n\n\n\n\nbreaks"),
+        (6, "  \n outer trim \n\n  "),
+        (7, "keep\n\ninner\tone"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_chars_removed, r.changed)
+           for r in normalize_documents(df).collect()}
+
+    assert got[1] == ("plain text stays", 0, False)
+    assert got[2] == ("ctrlcharsgone", 3, True)
+    assert got[3] == ("tabs and spaces collapse", 3, True)
+    assert got[4] == ("space before\nand after\nnext", 3, True)
+    assert got[5] == ("para\n\nbreaks", 3, True)
+    assert got[6][0] == "outer trim"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    sql = (f"SELECT doc_id, {normalize_text_sql('text')} AS n, "
+           f"CAST(length(text) - length({normalize_text_sql('text')}) AS BIGINT),"
+           f" (text <> {normalize_text_sql('text')}) FROM t")
+    duck = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert duck == got
