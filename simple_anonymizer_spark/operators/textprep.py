@@ -673,3 +673,76 @@ def normalize_documents(
         .alias("n_chars_removed"),
         (F.col(text_col) != norm).alias("changed"),
     )
+
+
+def cdc_chunks(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    divisor: int = 64,
+    max_len: int = 512,
+) -> "DataFrame":
+    """Content-defined chunking (the rsync/FastCDC public design,
+    recompiled to column algebra): a chunk boundary falls after position
+    ``p`` when the salted hash of the ``window``-gram ending at ``p``
+    satisfies ``hash % divisor == 0`` — so boundaries are functions of
+    CONTENT, not offsets, and inserting text early in a document leaves
+    every later chunk identical (the shift-robustness fixed-window
+    chunking lacks; pinned by test). Expected chunk length ~``divisor``
+    chars; ``max_len`` force-splits pathological boundary deserts so no
+    chunk exceeds it. Empty documents yield zero chunks.
+
+    Output: ``doc id, chunk_idx (1-based), chunk_text, chunk_len``.
+
+    Scale: one salted hash per character position — the same cost shape
+    as the MinHash shingle pass (the corpus's one expensive scan) — then
+    pure array algebra; map-only, no shuffle, no Python. The chunk
+    stream feeds exact dedup (`dedup.exact_duplicates` on chunk_text)
+    for shift-robust sub-document dedup at 100 TB.
+    """
+    from ..functions import textops as T
+
+    t = F.col(text_col)
+    n = F.length(t)
+    w, D, M = window, divisor, max_len
+    idx = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    boundaries = F.transform(
+        F.filter(
+            idx,
+            lambda p: T.salted_hash(t.substr(p, F.lit(w)), "_cdc")
+            % F.lit(D) == 0,
+        ),
+        lambda p: p + (w - 1),
+    )
+    cuts = F.array_sort(F.array_distinct(F.concat(
+        F.array(F.lit(0)), boundaries, F.array(n)
+    )))
+    spans = F.flatten(F.zip_with(
+        F.slice(cuts, 1, F.size(cuts) - 1),
+        F.slice(cuts, 2, F.size(cuts) - 1),
+        lambda a, b: F.transform(
+            F.sequence(a, b - 1, F.lit(M)),
+            lambda s: F.struct(
+                s.alias("st"), F.least(s + M, b).alias("en")
+            ),
+        ),
+    ))
+    from .dedup import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), t.alias("__t"),
+                F.posexplode(spans).alias("__pos", "__sp"))
+        .select(
+            id_col,
+            (F.col("__pos") + 1).cast("long").alias("chunk_idx"),
+            F.col("__t").substr(
+                F.col("__sp.st") + 1, F.col("__sp.en") - F.col("__sp.st")
+            ).alias("chunk_text"),
+            (F.col("__sp.en") - F.col("__sp.st")).cast("long")
+            .alias("chunk_len"),
+        )
+    )

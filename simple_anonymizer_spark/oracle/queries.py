@@ -525,6 +525,44 @@ FROM t
 # Spark fold's init value makes it 0.
 from ..operators.textprep import normalize_text_sql as _norm_sql  # noqa: E402
 
+# cdc_chunks mirror (window 16, divisor 64, max_len 512). Outer
+# comprehension variables are p/pr/s2/k2 — NEVER i, which the inlined
+# md5 hash expression owns (the house comprehension-scoping gotcha).
+ORACLES["text_cdc_chunks"] = f"""
+WITH c AS (
+  SELECT doc_id, text,
+    list_sort(list_distinct(
+      [0]
+      || [p + 15 for p in range(1, greatest(length(text) - 15, 0) + 1)
+          if ({_h("substr(text, p, 16) || '_cdc'")}) % 64 = 0]
+      || [length(text)])) AS cuts
+  FROM documents
+),
+pr AS (
+  SELECT doc_id, text,
+    [[cuts[k2], cuts[k2 + 1]] for k2 in range(1, len(cuts))] AS prs
+  FROM c
+),
+sp AS (
+  SELECT doc_id, text,
+    flatten([[{{'st': s2, 'en': least(s2 + 512, pr2[2])}}
+              for s2 in range(pr2[1], pr2[2], 512)]
+             for pr2 in prs]) AS spans
+  FROM pr
+),
+x AS (
+  SELECT doc_id, text,
+    unnest([{{'ci': k2, 'st': spans[k2].st, 'en': spans[k2].en}}
+            for k2 in range(1, len(spans) + 1)],
+           recursive := true)
+  FROM sp
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+  substr(text, st + 1, en - st) AS chunk_text,
+  CAST(en - st AS BIGINT) AS chunk_len
+FROM x
+"""
+
 ORACLES["text_normalize"] = f"""
 SELECT doc_id, {_norm_sql('text')} AS text,
   CAST(length(text) - length({_norm_sql('text')}) AS BIGINT)

@@ -802,6 +802,16 @@ def lang_id(spark, sf_dir):
     return text_analysis.language_id(_t(spark, sf_dir, "documents"))
 
 
+@query("text_cdc_chunks")
+def text_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (textprep.cdc_chunks): rolling-window
+    hash boundaries + max-length force splits, map-only — the
+    shift-robust sub-document dedup primitive."""
+    from .operators.textprep import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 @query("text_normalize")
 def text_normalize(spark, sf_dir):
     """Whitespace/control-char normalization report

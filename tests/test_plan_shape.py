@@ -20,7 +20,8 @@ NATIVE_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "text_stats",
-    "lang_id", "quality_gopher_flags", "text_normalize", "doc_fingerprint",
+    "lang_id", "quality_gopher_flags", "text_normalize", "text_cdc_chunks",
+    "doc_fingerprint",
     "embedding_topk",
     "events_tumbling",
     "events_asof_signup", "spec_subset_chain",

@@ -270,3 +270,33 @@ def test_bpe_segmentation_reconstructs_every_word(spark):
         # segmentation losslessly, whatever merges were learned.
         rebuilt = out[i].replace(" ", "").replace("</w>", " ").strip()
         assert rebuilt == " ".join(words[i * 8:(i + 1) * 8])
+
+
+_dirty = st.text(
+    alphabet=st.sampled_from(list(" \t\n\x07\x0b\x7fabXY.#…-*")),
+    min_size=0, max_size=80,
+)
+
+
+@given(st.lists(_dirty, min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_normalize_idempotent_and_shrinking(strings):
+    """normalize(normalize(x)) == normalize(x) and output never grows —
+    the canonical-form property, checked on the DuckDB leg of the shared
+    regex chain (identical pattern text to the Spark side) over strings
+    biased toward control chars and whitespace runs."""
+    from simple_anonymizer_spark.operators.textprep import normalize_text_sql
+
+    con = duckdb.connect()
+    values = ", ".join(
+        "('" + s.replace("'", "''") + "')" for s in strings
+    )
+    once = normalize_text_sql("s")
+    twice = normalize_text_sql(f"({once})")
+    rows = con.execute(
+        f"SELECT s, {once}, {twice} FROM (VALUES {values}) t(s)"
+    ).fetchall()
+    for s, a, b in rows:
+        assert a == b, (s, a, b)
+        assert len(a) <= len(s), (s, a)
+        assert not a.startswith((" ", "\n")) and not a.endswith((" ", "\n"))

@@ -401,3 +401,46 @@ def test_normalize_text_each_step_and_cross_engine(spark):
            f" (text <> {normalize_text_sql('text')}) FROM t")
     duck = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
     assert duck == got
+
+
+def test_cdc_chunks_shift_robust_and_lossless(spark):
+    """Content-defined boundaries: chunks reassemble to the exact input,
+    respect max_len, and inserting a prefix changes ONLY the first chunk
+    (every later boundary is a function of window content, not offset) —
+    the property fixed-window chunking cannot have."""
+    import random
+
+    from simple_anonymizer_spark.operators.textprep import cdc_chunks
+
+    rnd = random.Random(7)
+    txt = "".join(rnd.choice("abcdefgh ij") for _ in range(400))
+    df = spark.createDataFrame(
+        [(1, txt), (2, "PREFIX-" + txt), (3, "")],
+        "doc_id long, text string",
+    )
+    by = {}
+    for r in cdc_chunks(df).collect():
+        by.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.chunk_len))
+    for k in by:
+        by[k].sort()
+    a = [c for _, c, _ in by[1]]
+    b = [c for _, c, _ in by[2]]
+    assert "".join(a) == txt and "".join(b) == "PREFIX-" + txt
+    assert len(a) > 2 and a[1:] == b[1:]          # shift robustness
+    assert all(ln <= 512 for _, _, ln in by[1])
+    assert all(i == k + 1 for k, (i, _, _) in enumerate(by[1]))
+    assert 3 not in by                             # empty doc: no chunks
+
+
+def test_cdc_chunks_max_len_forces_splits(spark):
+    """A boundary desert (one repeated char never matching the divisor
+    criterion... or matching everywhere) still yields chunks bounded by
+    max_len, and reassembly stays exact."""
+    from simple_anonymizer_spark.operators.textprep import cdc_chunks
+
+    txt = "z" * 1500
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    rows = sorted((r.chunk_idx, r.chunk_text) for r in
+                  cdc_chunks(df, max_len=100).collect())
+    assert "".join(c for _, c in rows) == txt
+    assert all(len(c) <= 100 for _, c in rows)
