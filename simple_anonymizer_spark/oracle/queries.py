@@ -563,6 +563,22 @@ SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
 FROM x
 """
 
+# Chunk-overlap report over the SAME chunk stream: the CDC oracle nests
+# as a materialized CTE (referenced once, but MATERIALIZED keeps the
+# comprehension chain from re-inlining under the aggregate).
+ORACLES["dedup_chunk_overlap"] = f"""
+WITH chunks AS MATERIALIZED ({ORACLES['text_cdc_chunks']})
+SELECT CAST({O.stable_hash('chunk_text')} AS BIGINT) AS chunk_hash,
+  CAST(length(chunk_text) AS BIGINT) AS chunk_len,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM chunks
+WHERE chunk_len >= 20
+GROUP BY chunk_text
+HAVING count(DISTINCT doc_id) > 1
+"""
+
 ORACLES["text_normalize"] = f"""
 SELECT doc_id, {_norm_sql('text')} AS text,
   CAST(length(text) - length({_norm_sql('text')}) AS BIGINT)

@@ -812,6 +812,34 @@ def text_cdc_chunks(spark, sf_dir):
     return cdc_chunks(_t(spark, sf_dir, "documents"))
 
 
+@query("dedup_chunk_overlap")
+def dedup_chunk_overlap(spark, sf_dir):
+    """Sub-document duplication report: CDC chunks shared by more than
+    one document (textprep.cdc_chunks -> hash groupBy). Content-defined
+    boundaries make this catch COPIED PASSAGES even when surrounding
+    text shifts their offsets — the chunk-level complement of whole-doc
+    dedup. Tiny chunks (< 20 chars) are noise and excluded."""
+    from .functions.hashing import stable_hash
+    from .operators.textprep import cdc_chunks
+
+    ch = cdc_chunks(_t(spark, sf_dir, "documents"))
+    return (
+        ch.where(F.col("chunk_len") >= 20)
+        .groupBy(F.col("chunk_text"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            stable_hash(F.col("chunk_text")).alias("chunk_hash"),
+            F.length(F.col("chunk_text")).cast("long").alias("chunk_len"),
+            "n_docs", "n_occurrences", "first_doc",
+        )
+    )
+
+
 @query("text_normalize")
 def text_normalize(spark, sf_dir):
     """Whitespace/control-char normalization report
