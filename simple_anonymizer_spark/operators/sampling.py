@@ -345,3 +345,23 @@ def per_group_cap(
     )
     cols = df.columns
     return below.select(*cols).unionByName(at_thr.select(*cols))
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "_gsplit",
+) -> DataFrame:
+    """Leakage-safe dataset split: the split key is the GROUP (domain /
+    source / author), not the row — every document of a group lands in
+    the same split, so intra-group near-duplicates can never straddle
+    train and test. Row-keyed splits leak by construction on web
+    corpora, where near-dups cluster within a domain; this is the
+    standard contamination guard. Same determinism contract as
+    ``split_column`` (pure hash, partitioning-invariant), zero shuffle:
+    the assignment is a map-side expression on the group value."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(
+        "split", split_column(F.col(group_col), fractions, salt)
+    )

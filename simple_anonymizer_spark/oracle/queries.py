@@ -1119,6 +1119,16 @@ _SAMPLE_KEY = "CAST(c_custkey AS VARCHAR)"
 _SPLIT_KEY = "(" + _SAMPLE_KEY + " || '_split')"
 _SPLIT_BUCKET = f"({O.stable_hash(_SPLIT_KEY)} % 10000)"
 
+_GSPLIT_KEY = "(source || '_gsplit')"
+_GSPLIT_BUCKET = f"({O.stable_hash(_GSPLIT_KEY)} % 10000)"
+ORACLES["sample_split_by_source"] = f"""
+SELECT doc_id, source,
+  CASE WHEN {_GSPLIT_BUCKET} < 8000 THEN 'train'
+       WHEN {_GSPLIT_BUCKET} < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
 # per_group_cap mirror: the semantic form is one row_number over
 # (bucket, key) per group — the Spark side's two-phase bucket-threshold
 # selection is equivalent by construction (buckets below the threshold

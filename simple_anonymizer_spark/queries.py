@@ -1041,6 +1041,17 @@ def dedup_golden_records(spark, sf_dir):
     )
 
 
+@query("sample_split_by_source")
+def sample_split_by_source(spark, sf_dir):
+    """Leakage-safe split (sampling.grouped_split): the split key is the
+    SOURCE, so intra-domain near-duplicates can never straddle
+    train/test — the contamination guard row-keyed splits lack."""
+    from .operators.sampling import grouped_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return grouped_split(d, "source")
+
+
 @query("sample_domain_cap")
 def sample_domain_cap(spark, sf_dir):
     """Per-domain document quota (sampling.per_group_cap): at most 10

@@ -65,7 +65,8 @@ NATIVE_QUERIES = [
     "embedding_topk_ivf", "embedding_topk_pq", "embedding_quantize_int8",
     "range_join_shipments",
     "dedup_clusters",
-    "sample_stratified", "sample_domain_cap", "sample_split", "text_scrub_pii", "text_chunks",
+    "sample_stratified", "sample_domain_cap", "sample_split_by_source",
+    "sample_split", "text_scrub_pii", "text_chunks",
     "pipeline_corpus", "text_repetition", "dup_spans",
     # round-4 additions: TPC-H extension block + retrieval/sequence/
     # linkage/graph operators — all pure column algebra.

@@ -286,3 +286,23 @@ def test_per_group_cap_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         sampling.per_group_cap(df, "source", 0, "doc_id")
+
+
+def test_grouped_split_no_group_straddles(spark, sf_dir):
+    """Every group lands wholly in one split (the leakage guard), the
+    assignment is partitioning-invariant, and all rows keep a split."""
+    from simple_anonymizer_spark.operators import sampling
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    d = read_sf_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.grouped_split(d, "source")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values())
+    assert set().union(*per_group.values()) <= {"train", "val", "test"}
+    again = {(r.doc_id, r.split)
+             for r in sampling.grouped_split(d.repartition(9), "source").collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
