@@ -114,22 +114,13 @@ def balanced_sample(
     training — a dominant class is capped while rare classes keep all
     their rows.
 
-    One shuffle on the class column + a per-class top-k by
-    ``(hash_bucket, key)``; the unique key tie-break makes the selection
-    total-order stable. At scale a hot class serializes through its
-    window partition — acceptable because output is capped at k per
-    class; for huge k use hash_sample with rate ~ k/class_size first.
-    """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(class_col).orderBy(
-        sample_bucket(key_col, salt), F.col(key_col)
-    )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    Delegates to ``per_group_cap``: the selection order ``(hash_bucket,
+    key)`` is identical, and the two-phase bucket-threshold plan ranks
+    only ~1/DENOM of a hot class through a window instead of funneling
+    the whole class into one window task (which this operator did
+    before round 6 — the naive shape survives only in the equivalence
+    test that pins the delegation)."""
+    return per_group_cap(df, class_col, k, key_col, salt)
 
 
 def weighted_sample_topk(
