@@ -160,22 +160,16 @@ def remix_equal(
     unique-key tie-break, where n is the min group size from one bounded
     aggregate (``n_groups`` rows, broadcast back as a literal).
 
-    One count aggregation + one window shuffle on ``group_col``; the
-    output is exactly ``n_groups * min_count`` rows on every engine."""
-    from pyspark.sql import Window
-
+    One count aggregation to find ``min_count``, then the skew-safe
+    ``per_group_cap`` selection (identical (hash_bucket, key) order, but
+    a hot group ranks only its threshold-bucket slice through a window
+    instead of its whole membership); the output is exactly
+    ``n_groups * min_count`` rows on every engine."""
     counts = df.groupBy(group_col).count().collect()  # bounded: one row/group
     if not counts:
         return df
     min_n = min(r["count"] for r in counts)
-    w = Window.partitionBy(group_col).orderBy(
-        sample_bucket(key_col, salt), F.col(key_col)
-    )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= min_n)
-        .drop("__rk")
-    )
+    return per_group_cap(df, group_col, min_n, key_col, salt)
 
 
 def remix_equal_tokens(
