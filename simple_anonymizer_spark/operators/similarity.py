@@ -37,6 +37,32 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_norm_sq(a)) * F.sqrt(_norm_sq(b)))
 
 
+def _per_query_topk(scored: DataFrame, k: int, *order: Column) -> DataFrame:
+    """Per-query exact top-k as a two-phase window cascade. Phase 1
+    ranks within (query_id, source physical partition) — an even-keyed
+    shuffle — and keeps k rows per cell; phase 2 ranks the surviving
+    ~|partitions| * k rows per query. The result is IDENTICAL to one
+    window per query (the order is total, so the global top-k survives
+    any partition-wise prune that keeps >= k per cell), but no reducer
+    ever sees a corpus-sized partition — the naive per-query window
+    funnels a query's ENTIRE scored corpus through one task, which at
+    100 TB with a handful of queries serializes the whole scan into a
+    few tasks. Adds ``rank`` (long, 1-based) and filters to the top k.
+    """
+    part = scored.withColumn("__srcpid", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "__srcpid").orderBy(*order)
+    pruned = (
+        part.withColumn("__prn", F.row_number().over(w1))
+        .where(F.col("__prn") <= k)
+        .drop("__prn", "__srcpid")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,14 +89,9 @@ def brute_force_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__cos", cosine(F.col("__qvec"), F.col("__cvec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _per_query_topk(
+        scored, k, F.col("__cos").desc(), F.col("neighbor_id").asc()
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def hyperplane_bucket(
@@ -224,14 +245,9 @@ def lsh_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__cos", cosine(F.col("__qvec"), F.col("__cvec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _per_query_topk(
+        scored, k, F.col("__cos").desc(), F.col("neighbor_id").asc()
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def ann_recall_report(
@@ -427,14 +443,9 @@ def pq_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score_fp", score)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_fp").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score_fp")
-    )
+    return _per_query_topk(
+        scored, k, F.col("score_fp").desc(), F.col("neighbor_id").asc()
+    ).select("query_id", "neighbor_id", "rank", "score_fp")
 
 
 def ivf_centroids(
@@ -526,14 +537,9 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__cos", cosine(F.col("__qvec"), F.col("__cvec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _per_query_topk(
+        scored, k, F.col("__cos").desc(), F.col("neighbor_id").asc()
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def quantize_int8(

@@ -266,3 +266,23 @@ def test_quantize_int8_reconstruction_bound(spark, sf_dir):
     assert got[1].scale == 0.0 and got[1].codes == [0, 0, 0]
     assert got[1].max_abs_err == 0.0
     assert got[2].codes == [64, -127, 32]   # round(0.5*127)=64 (half up)
+
+
+def test_per_query_topk_cascade_partition_invariant(spark, sf_dir):
+    """The two-phase top-k cascade must return the identical result at
+    any physical partitioning (the intermediate per-partition prune
+    depends on layout; the final top-k must not), and the plan must
+    carry TWO window stages — the structure that keeps any single
+    reducer from seeing a corpus-sized partition."""
+    from simple_anonymizer_spark.operators.similarity import brute_force_topk
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    e = read_sf_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    base = sorted(tuple(r) for r in brute_force_topk(e.repartition(1), q).collect())
+    wide = sorted(tuple(r) for r in brute_force_topk(e.repartition(13), q).collect())
+    assert base == wide and len(base) == 5 * 3
+
+    plan = (brute_force_topk(e, q)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Window") >= 2
