@@ -519,6 +519,23 @@ FROM t
 """
 
 
+ORACLES["corpus_report"] = f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_languages,
+    CAST(count(DISTINCT {O.stable_hash('text')}) AS BIGINT)
+      AS n_distinct_texts,
+    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+    CAST(sum(len({_tokens('text')})) AS BIGINT) AS total_tokens
+  FROM documents
+)
+SELECT *,
+  CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    AS exact_dup_ratio,
+  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+FROM m
+"""
+
 # Gopher §A1.1 mirror: every threshold is an integer cross-multiplication
 # (10 * hash_cnt <= n_words), never a float ratio — flags are bit-stable.
 # coalesce on list_sum: DuckDB's sum of an empty list is NULL where the

@@ -850,6 +850,33 @@ def text_normalize(spark, sf_dir):
     return normalize_documents(_t(spark, sf_dir, "documents"))
 
 
+@query("corpus_report")
+def corpus_report(spark, sf_dir):
+    """One-row corpus dataset card: doc/language/distinct-text counts,
+    char/token totals, exact-dup ratio, mean tokens per doc — ONE
+    combinable aggregation pass (two distinct counts + plain sums), no
+    joins; the divisions are single IEEE ops on exact integers."""
+    from .functions.hashing import stable_hash
+
+    d = _t(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_languages"),
+        F.countDistinct(stable_hash(F.col("text"))).cast("long")
+        .alias("n_distinct_texts"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long")
+        .alias("total_tokens"),
+    )
+    return agg.select(
+        "*",
+        ((F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+         / F.col("n_docs").cast("double")).alias("exact_dup_ratio"),
+        (F.col("total_tokens").cast("double")
+         / F.col("n_docs").cast("double")).alias("mean_doc_tokens"),
+    )
+
+
 @query("quality_gopher_flags")
 def quality_gopher_flags(spark, sf_dir):
     """Gopher §A1.1 quality rules (text_analysis.gopher_quality_flags):
