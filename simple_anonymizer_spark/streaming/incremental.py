@@ -266,3 +266,49 @@ def stream_neardup_ingest(
         raw.writeStream.foreachBatch(_replay_guarded(pairs_path, ingest_batch))
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_embedding_ingest(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    schema=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuously maintain a cell-partitioned IVF index from a vector
+    stream — the ANN sibling of ``stream_neardup_ingest``. Each
+    micro-batch maps through ``similarity.ivf_assign_cell`` (broadcast
+    LITERAL centroids, so assignment never shuffles) and appends to
+    ``index_path`` partitioned by cell; the standing index is
+    immediately queryable with ``similarity.ivf_topk`` (pass the same
+    ``centroids``), and because files are laid out by cell, a probe of
+    ``nprobe`` cells reads ``nprobe/n_cells`` of the data — Spark's
+    partition pruning does the index lookup.
+
+    The centroid list is the model and must stay FIXED across the
+    stream's lifetime (retraining means rebuilding the index — standard
+    IVF operations practice). Appends are blind; the batch-id guard
+    makes replayed batches no-ops. Returns the DataStreamWriter."""
+    from ..operators.similarity import ivf_assign_cell
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.parquet(source_path)
+
+    def ingest_batch(batch_df: DataFrame, _bid: int) -> None:
+        (
+            batch_df.select(
+                F.col(id_col), F.col(vec_col),
+                ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+            )
+            .write.mode("append").partitionBy("cell").parquet(index_path)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_replay_guarded(index_path, ingest_batch))
+        .option("checkpointLocation", checkpoint)
+    )

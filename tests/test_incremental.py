@@ -199,3 +199,64 @@ def test_stream_neardup_ingest_equals_batch(spark, sf_dir, tmp_path):
     assert pair_set(spark.read.parquet(state + "/pairs")) == want
     # the standing state grew to the full corpus
     assert spark.read.parquet(state + "/corpus").count() == docs.count()
+
+
+def test_stream_embedding_ingest_index_queryable_and_pruned(spark, sf_dir, tmp_path):
+    """The streamed IVF index after two arrivals must answer ivf_topk
+    identically to a batch run over all delivered vectors (same pinned
+    centroids), and the cell-partitioned layout must actually prune:
+    reading one cell touches only that cell's files."""
+    import glob
+    import shutil
+
+    from simple_anonymizer_spark.operators.similarity import (
+        ivf_centroids, ivf_topk)
+
+    vecs = read_sf_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    centroids = ivf_centroids(vecs, 8)
+    halves = [vecs.where(F.col("vec_id") % 2 == i) for i in (0, 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    index = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (
+            INC.stream_embedding_ingest(
+                spark, str(src), index, ckpt, centroids, schema=vecs.schema
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    deliver(halves[0], "a.parquet")
+    run_once()
+    deliver(halves[1], "b.parquet")
+    run_once()
+
+    idx = spark.read.parquet(index)
+    assert idx.count() == vecs.count()
+    queries = vecs.where(F.col("vec_id") < 5)
+    got = sorted(tuple(r) for r in ivf_topk(
+        idx.select("vec_id", "embedding"), queries,
+        centroids=centroids).collect())
+    want = sorted(tuple(r) for r in ivf_topk(
+        vecs, queries, centroids=centroids).collect())
+    assert got == want and len(got) > 0
+
+    # partition pruning: a single-cell read lists only that cell's files
+    one_cell = spark.read.parquet(index).where(F.col("cell") == 0)
+    files = {r[0] for r in
+             one_cell.select(F.input_file_name()).distinct().collect()}
+    assert files and all("cell=0" in f for f in files)
+
+    run_once()  # no new data: index unchanged
+    assert spark.read.parquet(index).count() == vecs.count()
