@@ -67,3 +67,63 @@ def parquet_writer(spark: SparkSession, out_dir: str) -> Callable[[str, DataFram
         return spark.read.parquet(path).count()
 
     return write
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Small-files compaction for plain parquet tables — the OPTIMIZE
+    sibling for data living outside the Delta log. Rewrites the table
+    into ``ceil(current_on_disk_bytes / target_file_bytes)`` files
+    (current bytes already reflect compression, so the estimate holds),
+    optionally range-clustered + sorted on ``sort_by`` for scan
+    locality (min/max pruning), and swaps atomically via the same
+    staging-write + rename dance as ``sources.merge.merge_parquet`` —
+    a concurrent reader sees the old table or the new one, never a
+    partial directory. Returns ``(files_before, files_after, rows)``.
+
+    Scale note: the rewrite is one pass (scan + exchange + write); at
+    a real deployment run it per-partition-directory so only fresh
+    partitions pay. Fragmentation this fixes is the streaming-append
+    pattern (stream_neardup_ingest / stream_embedding_ingest produce
+    one file per micro-batch by design)."""
+    import math
+    import uuid
+
+    path = str(path)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n)
+    staging = f"{path}.__staging__{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(staging)
+    rows = spark.read.parquet(staging).count()
+
+    old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except Exception:  # pragma: no cover - restore on swap failure
+        os.rename(old, path)
+        raise
+    import shutil
+
+    shutil.rmtree(old)
+    after = len([
+        f for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    ])
+    return len(files), after, rows

@@ -74,3 +74,34 @@ def test_orc_parquet_cross_copy(spark, sf_dir, orc_dir):
         final = spark.read.orc(os.path.join(d, "c2"))
         assert n == back.count()
         assert _sorted_rows(final) == _sorted_rows(back)
+
+
+def test_compact_parquet_merges_fragments_atomically(spark, sf_dir, tmp_path):
+    """A fragmented table (64 tiny files — the streaming-append shape)
+    compacts to the computed file count with identical rows; sort_by
+    clusters rows so file-level min/max ranges are disjoint."""
+    from simple_anonymizer_spark.sources.parquet import compact_parquet
+
+    src = read_sf_table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "frag")
+    src.repartition(64).write.parquet(frag)
+
+    before, after, rows = compact_parquet(spark, frag,
+                                          target_file_bytes=1 << 40)
+    assert before >= 64 and after == 1 and rows == src.count()
+    back = spark.read.parquet(frag)
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+    # sorted variant: per-file orderkey ranges must not overlap
+    frag2 = str(tmp_path / "frag2")
+    src.repartition(16).write.parquet(frag2)
+    compact_parquet(spark, frag2, target_file_bytes=30_000,
+                    sort_by=["o_orderkey"])
+    per_file = (spark.read.parquet(frag2)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("o_orderkey").alias("lo"),
+                     F.max("o_orderkey").alias("hi"))
+                .collect())
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    assert len(spans) >= 2
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
