@@ -3651,3 +3651,39 @@ SELECT CAST(min(l) AS BIGINT) AS l_diversity,
          AS groups_below_l
 FROM groups
 """
+
+# The round-6 chain composed (defined last — it references the
+# normalization and split helpers above): normalize -> canonical dedup
+# (min doc id per normalized text, arg_min carries its source) ->
+# per-domain cap of 10 in (hash bucket, key) order -> grouped split ->
+# per-split summary.
+ORACLES["pipeline_web_corpus"] = f"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, source, {_norm_sql('text')} AS text FROM documents
+),
+canon AS (
+  SELECT text, min(doc_id) AS doc_id, arg_min(source, doc_id) AS source
+  FROM norm GROUP BY text
+),
+capped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+      row_number() OVER (PARTITION BY source ORDER BY
+        ({O.stable_hash("(CAST(doc_id AS VARCHAR) || '_cap')")} % 10000),
+        doc_id) AS __rn
+    FROM canon)
+  WHERE __rn <= 10
+),
+labeled AS (
+  SELECT text,
+    CASE WHEN {_GSPLIT_BUCKET} < 8000 THEN 'train'
+         WHEN {_GSPLIT_BUCKET} < 9000 THEN 'val'
+         ELSE 'test' END AS split,
+    source
+  FROM capped
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(sum(len({_tokens('text')})) AS BIGINT) AS total_tokens
+FROM labeled GROUP BY split
+"""

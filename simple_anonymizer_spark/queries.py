@@ -850,6 +850,37 @@ def text_normalize(spark, sf_dir):
     return normalize_documents(_t(spark, sf_dir, "documents"))
 
 
+@query("pipeline_web_corpus")
+def pipeline_web_corpus(spark, sf_dir):
+    """Round-6 operators composed end-to-end, the web-corpus intake
+    shape: normalize text -> canonical exact-dedup on the normalized
+    form (min doc id survives, min_by carries its source) -> per-domain
+    cap of 10 (skew-safe per_group_cap) -> leakage-safe grouped split ->
+    per-split summary. One integration gate over the whole new chain."""
+    from .operators.sampling import grouped_split, per_group_cap
+    from .operators.textprep import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("text")
+    )
+    canon = norm.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", F.col("doc_id")).alias("source"),
+    )
+    capped = per_group_cap(canon, "source", 10, "doc_id")
+    split = grouped_split(capped, "source")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum(F.size(T.tokens(F.col("text")))).cast("long")
+            .alias("total_tokens"),
+        )
+    )
+
+
 @query("corpus_report")
 def corpus_report(spark, sf_dir):
     """One-row corpus dataset card: doc/language/distinct-text counts,

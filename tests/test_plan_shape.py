@@ -21,7 +21,7 @@ NATIVE_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "text_stats",
     "lang_id", "quality_gopher_flags", "text_normalize", "text_cdc_chunks",
-    "dedup_chunk_overlap", "corpus_report",
+    "dedup_chunk_overlap", "corpus_report", "pipeline_web_corpus",
     "doc_fingerprint",
     "embedding_topk",
     "events_tumbling",
