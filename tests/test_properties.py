@@ -300,3 +300,48 @@ def test_normalize_idempotent_and_shrinking(strings):
         assert a == b, (s, a, b)
         assert len(a) <= len(s), (s, a)
         assert not a.startswith((" ", "\n")) and not a.endswith((" ", "\n"))
+
+
+_cfg_scalar = st.one_of(
+    st.sampled_from(["passthrough", "null", "first_name", "email",
+                     "redact", "bogus_anon", "", "set"]),
+    st.integers(-5, 5), st.none(), st.booleans(),
+)
+_cfg_col = st.one_of(
+    _cfg_scalar,
+    st.dictionaries(
+        st.sampled_from(["set", "anonymizer", "lens", "extra", "where"]),
+        st.one_of(_cfg_scalar,
+                  st.dictionaries(st.sampled_from(["field", "array_field",
+                                                   "bad_kind"]),
+                                  st.text(max_size=8), max_size=1)),
+        max_size=3,
+    ),
+)
+_cfg_table = st.dictionaries(
+    st.sampled_from(["where", "limit", "batch_size", "on_conflict",
+                     "columns", "unknown_key"]),
+    st.one_of(st.text(max_size=12), st.integers(-2, 1000), st.none(),
+              st.dictionaries(st.text(min_size=1, max_size=6), _cfg_col,
+                              max_size=4)),
+    max_size=5,
+)
+
+
+@given(_cfg_table)
+@settings(max_examples=150, deadline=None)
+def test_spec_config_fails_closed(cfg):
+    """The config front door's contract: ANY malformed policy document
+    raises ValueError (or TypeError for non-int limits) at plan time —
+    never a stray KeyError/AttributeError deep in the compiler — and a
+    document that parses yields a TableSpec with one output column per
+    configured column."""
+    from simple_anonymizer_spark.plans.spec_config import spec_from_config
+    from simple_anonymizer_spark.plans.table_spec import TableSpec
+
+    try:
+        spec = spec_from_config(cfg)
+    except (ValueError, TypeError):
+        return  # fail-closed: the allowed plan-time rejection
+    assert isinstance(spec, TableSpec)
+    assert len(spec.columns) == len(cfg["columns"])
