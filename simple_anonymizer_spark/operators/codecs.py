@@ -16,8 +16,9 @@ common case); BMP 24-bit uncompressed; WAV PCM; baseline sequential
 JPEG (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers — see
 jpeg.py, pure Python + numpy per the public ITU T.81 spec). Anything
 else raises ``ValueError`` — callers fall back to injection, same
-contract as before. Video stays injection-only: no stdlib video codec
-exists.
+contract as before. Video FRAME decode stays injection-only (no stdlib
+video codec exists), but container METADATA is real: ``mp4_meta`` walks
+ISO BMFF boxes (ISO/IEC 14496-12) for duration/dimensions/track count.
 
 These are per-record kernels meant to run INSIDE the Arrow-batched
 ``mapInPandas`` stages (``multimodal.decode_image(df,
@@ -199,6 +200,88 @@ def wav_decode(data: bytes) -> tuple[int, int, int, int, bytes]:
     channels, rate, bits = fmt
     frame_size = channels * (bits // 8)
     return channels, rate, bits, len(frames) // frame_size, frames
+
+
+# -- MP4 / ISO BMFF (video container metadata) -------------------------------
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate ``(type, payload_start, payload_end)`` over an ISO BMFF
+    box range. Malformed sizes raise ValueError — including the
+    zero/negative-progress shapes that would otherwise loop forever on
+    crafted input."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            header = 16
+        elif size == 0:  # box extends to end of enclosing range
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError("malformed box size")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def mp4_meta(data: bytes) -> tuple[int, int | None, int | None, int]:
+    """ISO BMFF (MP4/MOV family, public ISO/IEC 14496-12) container
+    metadata WITHOUT any frame decode: ``(duration_ms, width, height,
+    n_tracks)``. Duration comes from ``mvhd`` (versions 0 and 1);
+    width/height from the first ``tkhd`` with a non-zero visual size
+    (16.16 fixed point, the last 8 payload bytes in both versions);
+    ``n_tracks`` counts ``trak`` boxes. Frame DECODE stays
+    injection-only (no stdlib video codec exists) — this closes the
+    metadata half of the video story with the same untrusted-bytes
+    contract as the other codecs: any malformed input raises
+    ValueError, never a stray struct/Index error or a hang."""
+    try:
+        return _mp4_meta_inner(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"malformed MP4: {type(exc).__name__}") from exc
+
+
+def _mp4_meta_inner(data: bytes):
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+    moov = None
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype == b"moov":
+            moov = (s, e)
+            break
+    if moov is None:
+        raise ValueError("no moov box")
+    duration_ms = width = height = None
+    n_tracks = 0
+    for btype, s, e in _mp4_boxes(data, *moov):
+        if btype == b"mvhd":
+            version = data[s]
+            if version == 1:
+                timescale, duration = struct.unpack(">IQ", data[s + 20:s + 32])
+            else:
+                timescale, duration = struct.unpack(">II", data[s + 12:s + 20])
+            if timescale == 0:
+                raise ValueError("mvhd timescale is zero")
+            duration_ms = duration * 1000 // timescale
+        elif btype == b"trak":
+            n_tracks += 1
+            for ctype, cs, ce in _mp4_boxes(data, s, e):
+                if ctype == b"tkhd":
+                    if ce - cs < 8:
+                        raise ValueError("tkhd too short")
+                    w_fp, h_fp = struct.unpack(">II", data[ce - 8:ce])
+                    w, h = w_fp >> 16, h_fp >> 16
+                    if w and h and width is None:
+                        width, height = w, h
+    if duration_ms is None:
+        raise ValueError("no mvhd box")
+    return duration_ms, width, height, n_tracks
 
 
 # -- dispatch + transforms ---------------------------------------------------

@@ -282,6 +282,47 @@ def audio_features(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_META_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("duration_ms", LongType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_tracks", IntegerType(), True),
+])
+
+
+def extract_video_meta(df: DataFrame, parser: Callable | None = None) -> DataFrame:
+    """Video container metadata via Arrow-batched mapInPandas: the real
+    from-scratch ISO BMFF walker (``codecs.mp4_meta``) by default —
+    duration, visual dimensions, track count, NO frame decode (that
+    stays injection-only; there is no stdlib video codec). Corrupt or
+    non-MP4 bytes quarantine to NULL rows, the phash convention.
+    ``parser(bytes) -> (duration_ms, width, height, n_tracks)``."""
+    if parser is None:
+        from .codecs import mp4_meta as parser
+
+    def one(b):
+        if b is None:
+            return (None, None, None, None)
+        try:
+            return parser(b)
+        except Exception:
+            return (None, None, None, None)  # quarantine, don't fail
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(b) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "duration_ms": pd.array([r[0] for r in rows], dtype="Int64"),
+                "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                "n_tracks": pd.array([r[3] for r in rows], dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 def extract_meta_native(df: DataFrame) -> DataFrame:
     """The same metadata as pure column expressions (no Python) — used when
     the 'decode' is hash/length-only; 10-100x faster than the UDF path and

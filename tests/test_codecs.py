@@ -347,3 +347,87 @@ def test_audio_features_plan_has_one_pandas_stage(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container metadata (hand-built boxes, spec constants)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_bytes(timescale=1000, duration=5000, w=640, h=360,
+               audio_track=True, mvhd_version=0, large_moov=False):
+    if mvhd_version == 1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration) + b"\x00" * 80
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration) + b"\x00" * 80
+    def tkhd(width, height):
+        return bytes(4) + b"\x00" * 72 + struct.pack(
+            ">II", width << 16, height << 16)
+    traks = _box(b"trak", _box(b"tkhd", tkhd(w, h)))
+    if audio_track:
+        traks += _box(b"trak", _box(b"tkhd", tkhd(0, 0)))
+    moov_payload = _box(b"mvhd", mvhd) + traks
+    if large_moov:
+        moov = (struct.pack(">I", 1) + b"moov"
+                + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload)
+    else:
+        moov = _box(b"moov", moov_payload)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_meta_hand_built_boxes():
+    assert codecs.mp4_meta(_mp4_bytes()) == (5000, 640, 360, 2)
+    # version-1 mvhd (64-bit duration) and largesize moov both parse
+    assert codecs.mp4_meta(_mp4_bytes(mvhd_version=1)) == (5000, 640, 360, 2)
+    assert codecs.mp4_meta(_mp4_bytes(large_moov=True)) == (5000, 640, 360, 2)
+    # timescale converts: 90 kHz clock, 450000 ticks -> 5000 ms
+    assert codecs.mp4_meta(_mp4_bytes(90000, 450000))[0] == 5000
+    # audio-only: no visual size
+    d, w, h, n = codecs.mp4_meta(_mp4_bytes(w=0, h=0, audio_track=False))
+    assert (w, h, n) == (None, None, 1)
+
+
+def test_mp4_meta_malformed_raises_valueerror():
+    good = _mp4_bytes()
+    for bad in (b"", b"shrt", b"\x00" * 40, good[:20],
+                good.replace(b"mvhd", b"xxxx")):
+        with pytest.raises(ValueError):
+            codecs.mp4_meta(bad)
+    # zero timescale and zero-progress box sizes must not hang
+    with pytest.raises(ValueError):
+        codecs.mp4_meta(_mp4_bytes(timescale=0))
+    import numpy as _np
+    rng = _np.random.RandomState(3)
+    for trial in range(200):
+        buf = bytearray(good)
+        if trial % 3 == 0:
+            buf = buf[: rng.randint(2, len(buf))]
+        else:
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            codecs.mp4_meta(bytes(buf))
+        except ValueError:
+            pass  # the one allowed failure mode
+
+
+def test_extract_video_meta_through_map_in_pandas(spark):
+    rows = [
+        Row(media_id=1, content=_mp4_bytes(), mime_type="video/mp4"),
+        Row(media_id=2, content=b"not a video", mime_type="video/mp4"),
+        Row(media_id=3, content=None, mime_type=None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_video_meta(df).collect()}
+    assert (got[1].duration_ms, got[1].width, got[1].height,
+            got[1].n_tracks) == (5000, 640, 360, 2)
+    assert got[2].duration_ms is None and got[3].duration_ms is None
+    plan = (multimodal.extract_video_meta(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
