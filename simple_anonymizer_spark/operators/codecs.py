@@ -284,6 +284,51 @@ def _mp4_meta_inner(data: bytes):
     return duration_ms, width, height, n_tracks
 
 
+def avi_meta(data: bytes) -> tuple[int, int | None, int | None, int]:
+    """RIFF AVI container metadata (public OpenDML/VfW layout — the
+    WAV sibling): ``(duration_ms, width, height, n_streams)`` from the
+    ``avih`` main header (microseconds per frame, total frames, dims).
+    Same ValueError contract as ``mp4_meta``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    try:
+        pos = 12
+        while pos + 8 <= len(data):
+            ctype = data[pos:pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            if ctype == b"LIST" and data[pos + 8:pos + 12] == b"hdrl":
+                inner = pos + 12
+                end = pos + 8 + length
+                while inner + 8 <= min(end, len(data)):
+                    itype = data[inner:inner + 4]
+                    (ilen,) = struct.unpack("<I", data[inner + 4:inner + 8])
+                    if itype == b"avih":
+                        p = data[inner + 8:inner + 8 + ilen]
+                        (us_per_frame,) = struct.unpack("<I", p[0:4])
+                        (total_frames,) = struct.unpack("<I", p[16:20])
+                        (n_streams,) = struct.unpack("<I", p[24:28])
+                        w, h = struct.unpack("<II", p[32:40])
+                        duration_ms = total_frames * us_per_frame // 1000
+                        return (duration_ms, w or None, h or None,
+                                n_streams)
+                    inner += 8 + ilen + (ilen & 1)
+            pos += 8 + length + (length & 1)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed AVI: {type(exc).__name__}") from exc
+    raise ValueError("AVI missing avih header")
+
+
+def video_meta(data: bytes) -> tuple[int, int | None, int | None, int]:
+    """Container-sniffing video metadata — the default ``parser`` for
+    ``multimodal.extract_video_meta``: ISO BMFF (ftyp at offset 4) or
+    RIFF AVI; anything else raises ValueError (quarantine upstream)."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return mp4_meta(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return avi_meta(data)
+    raise ValueError("unrecognized video container")
+
+
 # -- dispatch + transforms ---------------------------------------------------
 
 

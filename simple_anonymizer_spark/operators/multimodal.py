@@ -297,9 +297,11 @@ def extract_video_meta(df: DataFrame, parser: Callable | None = None) -> DataFra
     duration, visual dimensions, track count, NO frame decode (that
     stays injection-only; there is no stdlib video codec). Corrupt or
     non-MP4 bytes quarantine to NULL rows, the phash convention.
-    ``parser(bytes) -> (duration_ms, width, height, n_tracks)``."""
+    ``parser(bytes) -> (duration_ms, width, height, n_tracks)``. The
+    default sniffs the container (``codecs.video_meta``: ISO BMFF or
+    RIFF AVI)."""
     if parser is None:
-        from .codecs import mp4_meta as parser
+        from .codecs import video_meta as parser
 
     def one(b):
         if b is None:

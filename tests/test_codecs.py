@@ -431,3 +431,33 @@ def test_extract_video_meta_through_map_in_pandas(spark):
     plan = (multimodal.extract_video_meta(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
+
+
+def _avi_bytes(us_per_frame=40000, frames=250, w=320, h=240, streams=2):
+    avih = (struct.pack("<I", us_per_frame) + b"\x00" * 12
+            + struct.pack("<I", frames) + b"\x00" * 4
+            + struct.pack("<I", streams) + b"\x00" * 4
+            + struct.pack("<II", w, h) + b"\x00" * 16)
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih_chunk)) + b"hdrl" + avih_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_avi_meta_and_dispatch():
+    # 250 frames at 40 ms/frame (25 fps) -> 10 s
+    assert codecs.avi_meta(_avi_bytes()) == (10000, 320, 240, 2)
+    # the sniffing front door routes both containers
+    assert codecs.video_meta(_avi_bytes())[0] == 10000
+    assert codecs.video_meta(_mp4_bytes())[0] == 5000
+    for bad in (b"RIFFxxxxWAVE", b"", b"\x00" * 64, _avi_bytes()[:20]):
+        with pytest.raises(ValueError):
+            codecs.video_meta(bad)
+
+
+def test_extract_video_meta_sniffs_avi(spark):
+    rows = [Row(media_id=1, content=_avi_bytes(), mime_type="video/avi"),
+            Row(media_id=2, content=_mp4_bytes(), mime_type="video/mp4")]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.extract_video_meta(df).collect()}
+    assert (got[1].duration_ms, got[1].width, got[1].n_tracks) == (10000, 320, 2)
+    assert got[2].duration_ms == 5000
