@@ -471,3 +471,52 @@ def perceptual_neardup_pairs(
         .distinct()
     )
     return pairs
+
+
+def synthetic_video_meta(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Driver-verifiable exercise of the REAL video metadata parser:
+    inside ONE pandas stage, synthesize a deterministic minimal MP4 per
+    row (ftyp + moov(mvhd v0 + trak(tkhd)) — timescale 1000, duration
+    ticks = n_chars * 40, width = 160 + 16 * (doc_id % 20), height =
+    90 + 9 * (doc_id % 20)) with plain struct packing, then parse it
+    back through ``codecs.mp4_meta``. The output is therefore a CLOSED
+    FORM of the inputs (duration_ms = n_chars * 40), which is exactly
+    what makes the round trip oracle-checkable: any regression in the
+    box walker breaks the value-hash match. Output: ``doc id,
+    duration_ms, width, height, n_tracks``."""
+    import struct as _s
+
+    from .codecs import mp4_meta
+
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    def one(doc_id: int, n_chars: int):
+        w = 160 + 16 * (doc_id % 20)
+        h = 90 + 9 * (doc_id % 20)
+        mvhd = (bytes(4) + b"\x00" * 8
+                + _s.pack(">II", 1000, n_chars * 40) + b"\x00" * 80)
+        tkhd = (bytes(4) + b"\x00" * 72
+                + _s.pack(">II", w << 16, h << 16))
+        data = (_box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+                + _box(b"moov", _box(b"mvhd", mvhd)
+                       + _box(b"trak", _box(b"tkhd", tkhd))))
+        return mp4_meta(data)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(int(i), int(n))
+                    for i, n in zip(pdf[id_col], pdf[len_col])]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "duration_ms": pd.array([r[0] for r in rows], dtype="Int64"),
+                "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                "n_tracks": pd.array([r[3] for r in rows], dtype="Int32"),
+            })
+
+    return df.select(id_col, len_col).mapInPandas(
+        run, f"{id_col} long, duration_ms long, width int, height int, "
+             f"n_tracks int")

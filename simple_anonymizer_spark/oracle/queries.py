@@ -519,6 +519,17 @@ FROM t
 """
 
 
+# Closed form of synthetic_video_meta's synthesis: the Spark side
+# builds a real MP4 per row and parses it back with the from-scratch
+# box walker, so value equality here IS parser conformance.
+ORACLES["multimodal_video_meta"] = """
+SELECT doc_id, CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+  CAST(160 + 16 * (doc_id % 20) AS INTEGER) AS width,
+  CAST(90 + 9 * (doc_id % 20) AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS n_tracks
+FROM documents
+"""
+
 ORACLES["corpus_report"] = f"""
 WITH m AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -1004,6 +1004,19 @@ def join_anti_customers(spark, sf_dir):
     )
 
 
+@query("multimodal_video_meta")
+def multimodal_video_meta(spark, sf_dir):
+    """Video-container metadata through the REAL parser, driver-
+    verifiable: one pandas stage synthesizes a deterministic MP4 per
+    document (timescale 1000, duration ticks = n_chars * 40, dims
+    derived from doc_id) with the repo's own box builders, then parses
+    it back with codecs.mp4_meta — so the oracle is the closed form of
+    the synthesis, and a parser regression breaks the hash match."""
+    from .operators.multimodal import synthetic_video_meta
+
+    return synthetic_video_meta(_t(spark, sf_dir, "documents"))
+
+
 @query("multimodal_meta")
 def multimodal_meta(spark, sf_dir):
     from .operators import multimodal

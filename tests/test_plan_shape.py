@@ -95,13 +95,13 @@ NATIVE_QUERIES = [
 ]
 
 
-# The three multimodal queries are excluded from NATIVE_QUERIES because
+# The multimodal queries are excluded from NATIVE_QUERIES because
 # mapInPandas is their DESIGNED Python slot (codec work can't be column
 # algebra). That exclusion is still an assertion, not a free pass: each
 # plan must contain EXACTLY ONE MapInPandas node and no other Python —
 # a second Python stage or a row-wise UDF sneaking in is a regression.
 PANDAS_SLOT_QUERIES = ["multimodal_meta", "multimodal_resize",
-                       "multimodal_frames"]
+                       "multimodal_frames", "multimodal_video_meta"]
 
 
 @pytest.mark.parametrize("name", PANDAS_SLOT_QUERIES)
