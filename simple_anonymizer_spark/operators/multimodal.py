@@ -520,3 +520,54 @@ def synthetic_video_meta(
     return df.select(id_col, len_col).mapInPandas(
         run, f"{id_col} long, duration_ms long, width int, height int, "
              f"n_tracks int")
+
+
+def synthetic_audio_features(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Driver-verifiable exercise of the REAL WAV decode + feature
+    kernel: one pandas stage synthesizes a deterministic PCM file per
+    row (mono 8 kHz, n_chars samples alternating +amp/-amp with
+    amp = 100 + doc_id % 900) via plain struct packing, then runs it
+    through codecs.wav_decode + the audio_features math. Every output
+    is a CLOSED FORM of the inputs — n_samples = n_chars, peak = amp,
+    sum_sq = n_chars * amp^2, zero_crossings = n_chars - 1,
+    duration_us = n_chars * 1_000_000 // 8000 — so the oracle hash
+    gates the decoder, not a stub. Output: ``doc id, n_samples,
+    duration_us, peak_abs, sum_sq, zero_crossings``."""
+    import struct as _s
+
+    from .codecs import wav_decode
+
+    def one(doc_id: int, n: int):
+        amp = 100 + doc_id % 900
+        samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+        frames = _s.pack(f"<{n}h", *samples)
+        hdr = (b"RIFF" + _s.pack("<I", 36 + len(frames)) + b"WAVE"
+               + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   16000, 2, 16)
+               + b"data" + _s.pack("<I", len(frames)))
+        ch, rate, bits, n_frames, fr = wav_decode(hdr + frames)
+        arr = np.frombuffer(fr, dtype="<i2").astype(np.int64)
+        zc = int(((arr[:-1] < 0) != (arr[1:] < 0)).sum()) if n > 1 else 0
+        return (n_frames, n_frames * 1_000_000 // rate,
+                int(np.abs(arr).max()) if n else 0,
+                int((arr * arr).sum()), zc)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(int(i), int(n))
+                    for i, n in zip(pdf[id_col], pdf[len_col])]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_samples": pd.array([r[0] for r in rows], dtype="Int64"),
+                "duration_us": pd.array([r[1] for r in rows], dtype="Int64"),
+                "peak_abs": pd.array([r[2] for r in rows], dtype="Int32"),
+                "sum_sq": pd.array([r[3] for r in rows], dtype="Int64"),
+                "zero_crossings": pd.array([r[4] for r in rows],
+                                           dtype="Int64"),
+            })
+
+    return df.select(id_col, len_col).mapInPandas(
+        run, f"{id_col} long, n_samples long, duration_us long, "
+             f"peak_abs int, sum_sq long, zero_crossings long")

@@ -519,6 +519,21 @@ FROM t
 """
 
 
+# Closed form of synthetic_audio_features' synthesis (see the video
+# twin below): amp = 100 + doc_id % 900, alternating-sign mono 8 kHz.
+ORACLES["multimodal_audio_features"] = """
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_samples,
+  CAST(n_chars * 1000000 // 8000 AS BIGINT) AS duration_us,
+  CAST(CASE WHEN n_chars > 0 THEN 100 + doc_id % 900 ELSE 0 END
+    AS INTEGER) AS peak_abs,
+  CAST(n_chars * (100 + doc_id % 900) * (100 + doc_id % 900) AS BIGINT)
+    AS sum_sq,
+  CAST(CASE WHEN n_chars > 1 THEN n_chars - 1 ELSE 0 END AS BIGINT)
+    AS zero_crossings
+FROM documents
+"""
+
 # Closed form of synthetic_video_meta's synthesis: the Spark side
 # builds a real MP4 per row and parses it back with the from-scratch
 # box walker, so value equality here IS parser conformance.

@@ -1004,6 +1004,17 @@ def join_anti_customers(spark, sf_dir):
     )
 
 
+@query("multimodal_audio_features")
+def multimodal_audio_features(spark, sf_dir):
+    """PCM feature extraction through the REAL WAV decoder, driver-
+    verifiable: one pandas stage synthesizes an alternating-sign mono
+    wave per document and decodes it back — every feature a closed form
+    of (doc_id, n_chars), so the hash gates the decoder."""
+    from .operators.multimodal import synthetic_audio_features
+
+    return synthetic_audio_features(_t(spark, sf_dir, "documents"))
+
+
 @query("multimodal_video_meta")
 def multimodal_video_meta(spark, sf_dir):
     """Video-container metadata through the REAL parser, driver-

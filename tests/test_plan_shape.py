@@ -101,7 +101,8 @@ NATIVE_QUERIES = [
 # plan must contain EXACTLY ONE MapInPandas node and no other Python —
 # a second Python stage or a row-wise UDF sneaking in is a regression.
 PANDAS_SLOT_QUERIES = ["multimodal_meta", "multimodal_resize",
-                       "multimodal_frames", "multimodal_video_meta"]
+                       "multimodal_frames", "multimodal_video_meta",
+                       "multimodal_audio_features"]
 
 
 @pytest.mark.parametrize("name", PANDAS_SLOT_QUERIES)
