@@ -571,3 +571,43 @@ def synthetic_audio_features(
     return df.select(id_col, len_col).mapInPandas(
         run, f"{id_col} long, n_samples long, duration_us long, "
              f"peak_abs int, sum_sq long, zero_crossings long")
+
+
+def synthetic_image_meta(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Driver-verifiable exercise of the REAL PNG codec (the image twin
+    of the audio/video synthesis queries): one pandas stage encodes a
+    flat grayscale PNG per row (w = 8 + doc_id % 16, h = 8 + n_chars %
+    16, level = doc_id % 256) with ``codecs.png_encode``, decodes it
+    back with ``codecs.png_decode``, and emits dimensions plus the
+    decoded pixel sum — all closed forms of the inputs (pixel_sum =
+    w * h * level), so the driver hash gates the zlib/filter round trip
+    end-to-end. Output: ``doc id, width, height, n_pixels, pixel_sum,
+    png_bytes`` (the encoded size is NOT oracle-pinned — it may vary
+    with zlib — so it is excluded; see query projection)."""
+    from .codecs import png_decode, png_encode
+
+    def one(doc_id: int, n_chars: int):
+        w = 8 + doc_id % 16
+        h = 8 + n_chars % 16
+        level = doc_id % 256
+        png = png_encode(w, h, 1, bytes([level]) * (w * h))
+        dw, dh, ch, pix = png_decode(png)
+        return (dw, dh, dw * dh, sum(pix))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(int(i), int(n))
+                    for i, n in zip(pdf[id_col], pdf[len_col])]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                "n_pixels": pd.array([r[2] for r in rows], dtype="Int64"),
+                "pixel_sum": pd.array([r[3] for r in rows], dtype="Int64"),
+            })
+
+    return df.select(id_col, len_col).mapInPandas(
+        run, f"{id_col} long, width int, height int, n_pixels long, "
+             f"pixel_sum long")

@@ -519,6 +519,17 @@ FROM t
 """
 
 
+# Closed form of synthetic_image_meta's PNG encode->decode round trip.
+ORACLES["multimodal_image_meta"] = """
+SELECT doc_id,
+  CAST(8 + doc_id % 16 AS INTEGER) AS width,
+  CAST(8 + n_chars % 16 AS INTEGER) AS height,
+  CAST((8 + doc_id % 16) * (8 + n_chars % 16) AS BIGINT) AS n_pixels,
+  CAST((8 + doc_id % 16) * (8 + n_chars % 16) * (doc_id % 256) AS BIGINT)
+    AS pixel_sum
+FROM documents
+"""
+
 # Closed form of synthetic_audio_features' synthesis (see the video
 # twin below): amp = 100 + doc_id % 900, alternating-sign mono 8 kHz.
 ORACLES["multimodal_audio_features"] = """

@@ -1004,6 +1004,17 @@ def join_anti_customers(spark, sf_dir):
     )
 
 
+@query("multimodal_image_meta")
+def multimodal_image_meta(spark, sf_dir):
+    """The real PNG codec gated through the driver: one pandas stage
+    encodes a flat grayscale PNG per document and decodes it back —
+    dimensions and decoded pixel sum are closed forms of
+    (doc_id, n_chars), so the hash covers the zlib/filter round trip."""
+    from .operators.multimodal import synthetic_image_meta
+
+    return synthetic_image_meta(_t(spark, sf_dir, "documents"))
+
+
 @query("multimodal_audio_features")
 def multimodal_audio_features(spark, sf_dir):
     """PCM feature extraction through the REAL WAV decoder, driver-
