@@ -161,3 +161,35 @@ def fk_audit(tables: dict[str, DataFrame], foreign_keys) -> DataFrame:
         )
         out = orphans if out is None else out.unionByName(orphans)
     return out
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive table checksum for migration validation: one
+    row with ``n_rows`` and ``checksum`` — the sum of the engine's
+    stable hash over a canonical per-row serialization
+    (``coalesce(cast(col, string), NUL-sentinel)`` joined with ``|``),
+    accumulated in DECIMAL(38) and reduced mod 2^61 so the value is
+    identical at any row count without overflow. Combinable aggregation:
+    a 100 TB table checksums in one map-side-combined pass with no
+    shuffle beyond the single-row merge.
+
+    Use it to certify copies and rewrites — ``compact_parquet``,
+    Parquet<->ORC conversion, MERGE swaps: equal (n_rows, checksum)
+    before and after means equal content with probability 1 - ~2^-61
+    per differing table. Float columns are the caller's risk: double ->
+    string rendering can differ across engines, so cross-ENGINE
+    comparisons should pass integer/string/date ``cols`` explicitly
+    (same-engine before/after comparisons can hash everything)."""
+    from ..functions.hashing import stable_hash
+
+    cols = cols or df.columns
+    canon = F.concat_ws("|", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+    ])
+    h = stable_hash(canon).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.pmod(F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")),
+               F.lit(2 ** 61).cast("decimal(38,0)"))
+        .cast("long").alias("checksum"),
+    )

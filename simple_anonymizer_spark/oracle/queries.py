@@ -519,6 +519,20 @@ FROM t
 """
 
 
+_CHK_CANON = ("concat_ws('|', "
+              "coalesce(CAST(o_orderkey AS VARCHAR), chr(0)), "
+              "coalesce(CAST(o_custkey AS VARCHAR), chr(0)), "
+              "coalesce(o_orderstatus, chr(0)), "
+              "coalesce(o_orderpriority, chr(0)))")
+ORACLES["dq_table_checksum"] = f"""
+WITH h AS (
+  SELECT CAST({O.stable_hash(_CHK_CANON)} AS HUGEINT) AS hv FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(hv) % 2305843009213693952 AS BIGINT) AS checksum
+FROM h
+"""
+
 # Closed form of synthetic_image_meta's PNG encode->decode round trip.
 ORACLES["multimodal_image_meta"] = """
 SELECT doc_id,

@@ -881,6 +881,20 @@ def pipeline_web_corpus(spark, sf_dir):
     )
 
 
+@query("dq_table_checksum")
+def dq_table_checksum(spark, sf_dir):
+    """Order-insensitive migration checksum
+    (quality_audit.table_checksum) over orders' engine-stable columns —
+    the certify-the-copy primitive for compaction / format conversion /
+    MERGE swaps."""
+    from .operators.quality_audit import table_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    return table_checksum(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 @query("corpus_report")
 def corpus_report(spark, sf_dir):
     """One-row corpus dataset card: doc/language/distinct-text counts,

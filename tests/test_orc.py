@@ -105,3 +105,32 @@ def test_compact_parquet_merges_fragments_atomically(spark, sf_dir, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     assert len(spans) >= 2
     assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_checksum_invariant_under_compaction_and_format(spark, sf_dir, tmp_path):
+    """The migration-certification loop: (n_rows, checksum) must be
+    identical across a fragmented write, compaction, and a Parquet->ORC
+    conversion — and must CHANGE when a row actually changes."""
+    from simple_anonymizer_spark.operators.quality_audit import table_checksum
+    from simple_anonymizer_spark.sources.parquet import compact_parquet
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    src = read_sf_table(spark, sf_dir, "orders").select(*cols)
+    base = table_checksum(src, cols).collect()[0]
+
+    frag = str(tmp_path / "ck")
+    src.repartition(32).write.parquet(frag)
+    assert table_checksum(spark.read.parquet(frag), cols).collect()[0] == base
+    compact_parquet(spark, frag, target_file_bytes=1 << 40)
+    assert table_checksum(spark.read.parquet(frag), cols).collect()[0] == base
+
+    orc_path = str(tmp_path / "ck_orc")
+    spark.read.parquet(frag).write.orc(orc_path)
+    assert table_checksum(spark.read.orc(orc_path), cols).collect()[0] == base
+
+    mutated = src.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 1, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    assert table_checksum(mutated, cols).collect()[0] != base

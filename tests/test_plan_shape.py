@@ -22,6 +22,7 @@ NATIVE_QUERIES = [
     "dedup_simhash_pairs", "text_stats",
     "lang_id", "quality_gopher_flags", "text_normalize", "text_cdc_chunks",
     "dedup_chunk_overlap", "corpus_report", "pipeline_web_corpus",
+    "dq_table_checksum",
     "doc_fingerprint",
     "embedding_topk",
     "events_tumbling",
