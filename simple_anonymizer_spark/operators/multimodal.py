@@ -611,3 +611,42 @@ def synthetic_image_meta(
     return df.select(id_col, len_col).mapInPandas(
         run, f"{id_col} long, width int, height int, n_pixels long, "
              f"pixel_sum long")
+
+
+def synthetic_jpeg_roundtrip(
+    df: DataFrame, id_col: str = "doc_id", sample_mod: int = 10
+) -> DataFrame:
+    """Driver-verifiable exercise of the REAL baseline JPEG codec: per
+    sampled row (``doc_id % sample_mod == 0`` — JPEG decode is pure
+    Python, so the registry query bounds its own row count), encode one
+    flat 8x8 grayscale block (level = doc_id % 256) at quality 100 and
+    decode it back. Flat content at quality 100 is EXACT (all-ones
+    quant tables, DC-only — the pinned ``test_flat_color_q100``
+    property), so width, height, and the decoded pixel sum are closed
+    forms: ``8, 8, 64 * level``. A regression anywhere in marker
+    parsing, Huffman, dequant, or IDCT breaks the driver's value hash.
+    Output: ``doc id, width, height, pixel_sum``."""
+    from .jpeg import jpeg_decode, jpeg_encode
+
+    def one(doc_id: int):
+        level = doc_id % 256
+        enc = jpeg_encode(8, 8, 1, bytes([level]) * 64, quality=100)
+        w, h, ch, pix = jpeg_decode(enc)
+        return (w, h, sum(pix))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array([r[0] for r in rows], dtype="Int32"),
+                "height": pd.array([r[1] for r in rows], dtype="Int32"),
+                "pixel_sum": pd.array([r[2] for r in rows], dtype="Int64"),
+            })
+
+    return (
+        df.select(id_col)
+        .where(F.col(id_col) % sample_mod == 0)
+        .mapInPandas(run, f"{id_col} long, width int, height int, "
+                          f"pixel_sum long")
+    )

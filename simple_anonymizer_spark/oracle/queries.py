@@ -533,6 +533,15 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM h
 """
 
+# Closed form of the flat-block Q100 JPEG round trip (exactness is the
+# pinned test_flat_color_q100 property of the codec).
+ORACLES["multimodal_jpeg_roundtrip"] = """
+SELECT doc_id,
+  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+  CAST(64 * (doc_id % 256) AS BIGINT) AS pixel_sum
+FROM documents WHERE doc_id % 10 = 0
+"""
+
 # Closed form of synthetic_image_meta's PNG encode->decode round trip.
 ORACLES["multimodal_image_meta"] = """
 SELECT doc_id,

@@ -1018,6 +1018,17 @@ def join_anti_customers(spark, sf_dir):
     )
 
 
+@query("multimodal_jpeg_roundtrip")
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """The real baseline JPEG codec gated through the driver: flat 8x8
+    blocks at quality 100 are exactly lossless, so the decoded pixel
+    sums are closed forms of doc_id. Sampled to every 10th document —
+    pure-Python decode, the query bounds its own row count."""
+    from .operators.multimodal import synthetic_jpeg_roundtrip
+
+    return synthetic_jpeg_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 @query("multimodal_image_meta")
 def multimodal_image_meta(spark, sf_dir):
     """The real PNG codec gated through the driver: one pandas stage

@@ -103,7 +103,8 @@ NATIVE_QUERIES = [
 # a second Python stage or a row-wise UDF sneaking in is a regression.
 PANDAS_SLOT_QUERIES = ["multimodal_meta", "multimodal_resize",
                        "multimodal_frames", "multimodal_video_meta",
-                       "multimodal_audio_features", "multimodal_image_meta"]
+                       "multimodal_audio_features", "multimodal_image_meta",
+                       "multimodal_jpeg_roundtrip"]
 
 
 @pytest.mark.parametrize("name", PANDAS_SLOT_QUERIES)
