@@ -350,3 +350,45 @@ def grouped_split(
     return df.withColumn(
         "split", split_column(F.col(group_col), fractions, salt)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 4,
+    epoch: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + equal sharding: every row
+    gets a reproducible global position under the ``(hash(id || epoch
+    salt), id)`` total order and a contiguous shard assignment
+    ``shard = epoch_pos * n_shards div n`` (shard sizes differ by at
+    most one). A new ``epoch`` value re-keys the hash, giving an
+    independent full permutation per epoch — the standard way a data
+    loader gets per-epoch ordering that is identical on every re-run
+    and every cluster layout, unlike ``rand()`` seeds (partition-layout
+    dependent) or ``ORDER BY rand()`` (a single-reducer global sort).
+
+    Positions come from ``stats.global_ranks`` — the two-pass
+    distributed prefix-sum rank (range partition on the uniform hash
+    key, per-partition windows, one count-per-partition collect) — so
+    no reducer ever sees a corpus-sized window partition.
+
+    Output: ``<id_col>, epoch_pos (int64, 0-based), shard (int64)``.
+    """
+    from .stats import global_ranks
+
+    keyed = df.select(
+        F.col(id_col),
+        stable_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"__epoch{epoch}|"))
+        ).alias("__key"),
+    )
+    ranked, n = global_ranks(keyed, "__key", id_col, partitions=partitions)
+    return ranked.select(
+        F.col(id_col),
+        F.col("__rank").cast("long").alias("epoch_pos"),
+        # integer `div`, never `/` (the events-timestamp lesson)
+        F.expr(f"__rank * {n_shards} div {max(n, 1)}")
+        .cast("long").alias("shard"),
+    )

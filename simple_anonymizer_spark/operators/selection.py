@@ -1,0 +1,268 @@
+"""Training-data SELECTION operators: DSIR importance resampling and a
+Naive Bayes quality/language classifier.
+
+Both are standard corpus-curation tools a 100 TB pretraining pipeline
+runs between dedup and tokenization:
+
+* ``dsir_scores`` / ``dsir_select`` — Data Selection via Importance
+  Resampling (Xie et al. 2023): score every raw document by how much
+  more likely its hashed n-gram features are under a small TARGET
+  corpus than under the raw pool, then keep the top-k. The published
+  method is exactly this shape — hashed n-gram bucket counts on both
+  corpora, per-bucket log-likelihood ratios, per-document sums.
+* ``nb_classify`` — multinomial Naive Bayes with add-one smoothing,
+  trained on a labeled seed split and applied to the rest: the
+  fastText-style quality/language classifier stand-in (same count
+  tables, same argmax-of-log-posteriors decision rule).
+
+Float determinism: both operators need ``log``, whose last-bit rounding
+differs across engines, so — like ``text_analysis.doc_surprisal`` —
+every log2 is the EXACT integer ``bits(n) = length(bin(n)) =
+floor(log2 n) + 1``, within one bit of the real value and computed
+identically in Spark and DuckDB. Scores are therefore exact int64
+"whole bits" and rankings are reproducible bit-for-bit anywhere.
+
+Scale (100 TB): feature extraction is in-row (zip_with bigrams, no
+positional join); DSIR's count tables are bounded by ``num_buckets``
+(a parameter, not the corpus) and carry their scalar totals folded in,
+so the scoring join is a broadcast of B rows against a map-only feature
+explode; NB's count tables are vocabulary-bounded, not corpus-bounded,
+and the per-document argmin window partitions by document with exactly
+``n_classes`` rows per partition. Selection top-k plans as
+TakeOrderedAndProject. No Python runs on any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+
+def _bits(c) -> F.Column:
+    """Exact ``floor(log2 n) + 1`` for positive int64 — the binary-string
+    length, identical in Spark and DuckDB (``length(bin(n))``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.length(F.call_function("bin", col)).cast("long")
+
+
+def _doc_features(text_col) -> F.Column:
+    """Unigram + adjacent-bigram feature stream (occurrences, not
+    distinct) — the DSIR paper's hashed n-gram feature space. Bigrams via
+    sliced ``zip_with`` (in-row; never ``sequence(1, n)`` which DESCENDS
+    for n < 1)."""
+    tok = T.tokens(text_col)
+    head = F.slice(tok, 1, F.size(tok) - 1)
+    tail = F.slice(tok, 2, F.size(tok) - 1)
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(tok, bigrams)
+
+
+DSIR_SALT = "__dsir|"
+
+
+def _bucket(feature: F.Column, num_buckets: int) -> F.Column:
+    return F.pmod(T.salted_hash(feature, DSIR_SALT), F.lit(num_buckets))
+
+
+def dsir_bucket_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Per-bucket importance weight in whole bits:
+    ``w_b = bits(t_b + 1) - bits(r_b + 1) + bits(R + B) - bits(T + B)``
+    — the integer-bits form of ``log2 p_target(b) - log2 p_raw(b)`` with
+    add-one smoothing over the ``B = num_buckets`` feature buckets.
+
+    Output: ``bucket, weight_bits`` — at most B rows with the scalar
+    totals already folded in, so callers can broadcast-join it against
+    an arbitrarily large corpus.
+    """
+
+    def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        feats = df.select(F.explode(_doc_features(F.col(text_col))).alias("__f"))
+        return (
+            feats.select(_bucket(F.col("__f"), num_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    t = bucket_counts(target, "__t")
+    r = bucket_counts(raw, "__r")
+    joined = t.join(r, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("__t", F.lit(0)).cast("long").alias("__t"),
+        F.coalesce("__r", F.lit(0)).cast("long").alias("__r"),
+    )
+    totals = joined.agg(
+        (F.sum("__t") + F.lit(num_buckets)).cast("long").alias("__tb"),
+        (F.sum("__r") + F.lit(num_buckets)).cast("long").alias("__rb"),
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            _bits(F.col("__t") + 1) - _bits(F.col("__r") + 1)
+            + _bits("__rb") - _bits("__tb")
+        ).cast("long").alias("weight_bits"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance score: the sum of bucket weights over
+    the document's feature OCCURRENCES (unigrams + bigrams). Featureless
+    documents score 0 with ``n_features = 0``.
+
+    Output: ``<id_col>, n_features (int64), score_bits (int64)``.
+    """
+    feats = df.select(
+        F.col(id_col),
+        F.explode(_doc_features(F.col(text_col))).alias("__f"),
+    ).select(id_col, _bucket(F.col("__f"), num_buckets).alias("bucket"))
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("weight_bits").cast("long").alias("score_bits"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left_outer").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+        F.coalesce("score_bits", F.lit(0)).cast("long").alias("score_bits"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Top-k raw documents by target-likeness (DSIR selection): bucket
+    weights from ``dsir_bucket_weights``, per-document sums from
+    ``dsir_scores``, then the global top-k under the deterministic
+    ``(score_bits DESC, id ASC)`` total order — a TakeOrderedAndProject,
+    never a global sort."""
+    weights = dsir_bucket_weights(raw, target, text_col, num_buckets)
+    scores = dsir_scores(raw, weights, text_col, id_col, num_buckets)
+    return scores.orderBy(F.col("score_bits").desc(), F.col(id_col)).limit(k)
+
+
+def nb_classify(
+    train: DataFrame,
+    score: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes with add-one smoothing, integer-bits
+    scoring. Cost of class c for a document =
+    ``bits(N) - bits(n_docs_c)`` (prior) plus, per token occurrence,
+    ``bits(T_c + V) - bits(n(w,c) + 1)`` — out-of-vocabulary tokens cost
+    ``bits(T_c + V)`` (the smoothed-zero penalty). Prediction is the
+    bit-cost argmin with the class name as tie-break.
+
+    Output: ``<id_col>, <label_col>, pred_<label_col>, total_bits
+    (int64), is_correct`` — one row per scored document.
+
+    Scale: the dense (token x class) cost table is vocabulary-bounded;
+    the argmin window partitions by document with exactly ``n_classes``
+    rows, never an unbounded membership.
+    """
+    train_tok = train.select(
+        F.col(label_col).alias("__cls"),
+        F.explode(T.tokens(F.col(text_col))).alias("__w"),
+    )
+    counts = train_tok.groupBy("__cls", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_wc")
+    )
+    vocab = counts.select("__w").distinct()
+    scalars = train_tok.agg(
+        F.countDistinct("__w").cast("long").alias("__v")
+    ).crossJoin(
+        F.broadcast(train.agg(F.count(F.lit(1)).cast("long").alias("__n")))
+    )
+    class_stats = (
+        train_tok.groupBy("__cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
+        .join(
+            train.groupBy(F.col(label_col).alias("__cls"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__ndc")),
+            "__cls",
+        )
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "__cls",
+            (_bits("__n") - _bits("__ndc")).cast("long").alias("__prior_bits"),
+            (F.col("__tc") + F.col("__v")).cast("long").alias("__tcv"),
+        )
+    )
+    # Dense vocabulary x class cost table (zero counts included) so the
+    # scoring join fans each in-vocabulary token to every class.
+    dense = (
+        vocab.crossJoin(F.broadcast(class_stats))
+        .join(counts, ["__cls", "__w"], "left_outer")
+        .select(
+            "__w",
+            "__cls",
+            (_bits("__tcv") - _bits(F.coalesce("__n_wc", F.lit(0)) + 1))
+            .cast("long").alias("__cost_bits"),
+        )
+    )
+    score_tok = score.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("__w")
+    )
+    matched = (
+        score_tok.join(dense, "__w")
+        .groupBy(id_col, "__cls")
+        .agg(F.sum("__cost_bits").cast("long").alias("__m_bits"))
+    )
+    oov = (
+        score_tok.join(vocab, "__w", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_oov"))
+    )
+    base = score.select(id_col, label_col).crossJoin(
+        F.broadcast(class_stats)
+    )
+    totals = (
+        base.join(matched, [id_col, "__cls"], "left_outer")
+        .join(oov, id_col, "left_outer")
+        .select(
+            id_col,
+            label_col,
+            F.col("__cls"),
+            (
+                F.col("__prior_bits")
+                + F.coalesce("__m_bits", F.lit(0))
+                + F.coalesce("__n_oov", F.lit(0)) * _bits("__tcv")
+            ).cast("long").alias("total_bits"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("total_bits"), F.col("__cls"))
+    return (
+        totals.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            label_col,
+            F.col("__cls").alias(f"pred_{label_col}"),
+            "total_bits",
+            (F.col("__cls") == F.col(label_col)).alias("is_correct"),
+        )
+    )

@@ -587,3 +587,63 @@ def quantize_int8(
         codes.alias("codes"),
         err.alias("max_abs_err"),
     )
+
+
+def rp_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic +-1 Johnson-Lindenstrauss sign matrix derived from
+    the engine's own hash kernel (``stable_hash(f"rp_{j}_{i}") & 1``) —
+    data-independent, so both engines embed the identical literal matrix
+    and no training pass ever touches the corpus."""
+    from ..functions import pyimpl
+
+    return [
+        [1 if pyimpl.stable_hash(f"rp_{j}_{i}") % 2 == 0 else -1
+         for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-matrix Johnson-Lindenstrauss random projection — the
+    data-INDEPENDENT dimensionality reduction for an embedding corpus
+    (Achlioptas 2003 database-friendly variant): ``y_j = sum_i s_ji x_i``
+    with ``s in {-1, +1}`` drawn from the frozen hash kernel. Unlike
+    PCA there is no covariance pass and no model state, which is what
+    makes it the 100 TB default: one map-only projection fused into the
+    corpus scan, reproducible on any cluster layout. Pairwise dot
+    products are preserved in expectation within the JL epsilon for the
+    chosen ``out_dim`` (property-tested).
+
+    Cross-engine determinism (the kmeans 2^-24 lesson): float32 inputs
+    quantize to exact int64 fixed point ``q_i = floor(x_i * 2^24)``
+    first, so each output coordinate is an exact integer sum — emitted
+    as ``array<bigint>`` of fixed-point units, which downstream cosine /
+    Hamming consumers use directly (cosine is scale-invariant).
+
+    Output: ``<id_col>, projected (array<bigint> of length out_dim)``.
+    """
+    signs = rp_signs(in_dim, out_dim)
+
+    def q(i: int) -> Column:
+        # Plain scalar ops on the raw column — no lambda higher-order
+        # function, so nothing for codegen CSE to lose (the lang_id
+        # 30x lesson).
+        return F.floor(
+            F.element_at(F.col(vec_col), i + 1).cast("double")
+            * F.lit(16777216.0)
+        ).cast("long")
+
+    outs = []
+    for j in range(out_dim):
+        term = None
+        for i, s in enumerate(signs[j]):
+            t = q(i) if s > 0 else -q(i)
+            term = t if term is None else term + t
+        outs.append(term.cast("long"))
+    return df.select(F.col(id_col), F.array(*outs).alias("projected"))

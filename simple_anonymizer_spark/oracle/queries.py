@@ -3747,3 +3747,168 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(len({_tokens('text')})) AS BIGINT) AS total_tokens
 FROM labeled GROUP BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# Selection operators (operators/selection.py): DSIR importance
+# resampling and the Naive Bayes seed classifier. All log2 terms are the
+# exact integer length(bin(n)) on both sides (the doc_surprisal rule).
+# Comprehension variables are j/k — never i, which the inlined md5 hash
+# expression binds internally.
+# ---------------------------------------------------------------------------
+
+_DSIR_FEATS = (
+    "list_concat(toks, [toks[j] || ' ' || toks[j+1] "
+    "for j in range(1, len(toks))])"
+)
+_DSIR_B = 8192  # must match queries.dsir_select_docs num_buckets
+_DSIR_SALTED = "(f || '__dsir|')"
+_DSIR_BUCKET = f"({_h(_DSIR_SALTED)} % {_DSIR_B})"
+
+ORACLES["dsir_select_docs"] = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, lang, {_tokens('text')} AS toks FROM documents
+),
+rfeats AS MATERIALIZED (
+  SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM (
+    SELECT doc_id, unnest({_DSIR_FEATS}) AS f FROM d)
+),
+tfeats AS (
+  SELECT {_DSIR_BUCKET} AS bucket FROM (
+    SELECT unnest({_DSIR_FEATS}) AS f FROM d WHERE lang = 'en')
+),
+t AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tb FROM tfeats GROUP BY bucket),
+r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rb FROM rfeats GROUP BY bucket),
+jn AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         COALESCE(t.tb, 0) AS tb, COALESCE(r.rb, 0) AS rb
+  FROM t FULL JOIN r ON t.bucket = r.bucket
+),
+tot AS (
+  SELECT CAST(sum(tb) + {_DSIR_B} AS BIGINT) AS tbtot,
+         CAST(sum(rb) + {_DSIR_B} AS BIGINT) AS rbtot
+  FROM jn
+),
+w AS (
+  SELECT bucket,
+         CAST(length(bin(tb + 1)) - length(bin(rb + 1))
+              + length(bin(rbtot)) - length(bin(tbtot)) AS BIGINT)
+           AS weight_bits
+  FROM jn, tot
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(weight_bits) AS BIGINT) AS score_bits
+  FROM rfeats JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(sc.score_bits, 0) AS BIGINT) AS score_bits
+FROM d LEFT JOIN sc USING (doc_id)
+ORDER BY score_bits DESC, d.doc_id
+LIMIT 60
+"""
+
+_NB_SALTED = "(CAST(doc_id AS VARCHAR) || '__nbsplit|')"
+_NB_BUCKET = f"({O.stable_hash(_NB_SALTED)} % 4)"
+
+ORACLES["quality_nb_classifier"] = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'target' ELSE 'other' END AS cls_label,
+         {_tokens('text')} AS toks, {_NB_BUCKET} AS bkt
+  FROM documents
+),
+trn AS (SELECT * FROM d WHERE bkt <> 0),
+tst AS (SELECT * FROM d WHERE bkt = 0),
+ttok AS MATERIALIZED (SELECT cls_label AS cls, unnest(toks) AS w FROM trn),
+counts AS (
+  SELECT cls, w, CAST(count(*) AS BIGINT) AS n_wc FROM ttok GROUP BY 1, 2
+),
+vocab AS MATERIALIZED (SELECT DISTINCT w FROM ttok),
+scal AS (
+  SELECT (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM ttok) AS v,
+         (SELECT CAST(count(*) AS BIGINT) FROM trn) AS n
+),
+cstat AS MATERIALIZED (
+  SELECT tc.cls,
+         CAST(length(bin(s.n)) - length(bin(dc.ndc)) AS BIGINT)
+           AS prior_bits,
+         CAST(tc.tc + s.v AS BIGINT) AS tcv
+  FROM (SELECT cls, CAST(count(*) AS BIGINT) AS tc FROM ttok GROUP BY cls) tc
+  JOIN (SELECT cls_label AS cls, CAST(count(*) AS BIGINT) AS ndc
+        FROM trn GROUP BY 1) dc USING (cls),
+       scal s
+),
+dense AS (
+  SELECT v.w, c.cls,
+         CAST(length(bin(c.tcv))
+              - length(bin(COALESCE(k.n_wc, 0) + 1)) AS BIGINT) AS cost_bits
+  FROM vocab v CROSS JOIN cstat c
+  LEFT JOIN counts k ON k.cls = c.cls AND k.w = v.w
+),
+stok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS w FROM tst),
+matched AS (
+  SELECT s.doc_id, de.cls, CAST(sum(de.cost_bits) AS BIGINT) AS m_bits
+  FROM stok s JOIN dense de USING (w) GROUP BY 1, 2
+),
+oov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
+  FROM stok WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id
+),
+tot AS (
+  SELECT b.doc_id, b.cls_label, c.cls,
+         CAST(c.prior_bits + COALESCE(m.m_bits, 0)
+              + COALESCE(o.n_oov, 0) * length(bin(c.tcv)) AS BIGINT)
+           AS total_bits
+  FROM (SELECT doc_id, cls_label FROM tst) b
+  CROSS JOIN cstat c
+  LEFT JOIN matched m ON m.doc_id = b.doc_id AND m.cls = c.cls
+  LEFT JOIN oov o ON o.doc_id = b.doc_id
+)
+SELECT doc_id, cls_label, cls AS pred_cls_label, total_bits,
+       (cls = cls_label) AS is_correct
+FROM tot
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY total_bits, cls) = 1
+"""
+
+
+def _rp_oracle(in_dim: int, out_dim: int) -> str:
+    from ..operators.similarity import rp_signs
+
+    signs = rp_signs(in_dim, out_dim)
+
+    def term(idx: int) -> str:
+        return (f"CAST(floor(CAST(embedding[{idx + 1}] AS DOUBLE)"
+                f" * 16777216.0) AS BIGINT)")
+
+    cols = []
+    for j in range(out_dim):
+        expr = "0 " + " ".join(
+            ("+ " if s > 0 else "- ") + term(k)
+            for k, s in enumerate(signs[j])
+        )
+        cols.append(f"CAST({expr} AS BIGINT) AS p{j:02d}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+ORACLES["embedding_random_projection"] = _rp_oracle(EMBEDDING_DIM, 16)
+
+ORACLES["corpus_epoch_shuffle"] = f"""
+WITH k AS (
+  SELECT doc_id,
+         {O.stable_hash("(CAST(doc_id AS VARCHAR) || '__epoch1|')")} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+           AS epoch_pos
+  FROM k
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id, epoch_pos,
+       CAST((epoch_pos * 4) // n.n AS BIGINT) AS shard
+FROM r, n
+"""

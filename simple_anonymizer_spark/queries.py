@@ -3022,3 +3022,79 @@ def privacy_l_diversity(spark, sf_dir):
         joined, ["c_nationkey", "c_mktsegment"], "o_orderpriority",
         l_threshold=3,
     )
+
+
+@query("dsir_select_docs")
+def dsir_select_docs(spark, sf_dir):
+    """DSIR data selection (operators/selection.py, Xie et al. 2023):
+    hashed unigram+bigram bucket counts on the English subcorpus (the
+    target) vs the whole pool, per-bucket log-likelihood ratios in exact
+    integer bits, per-document sums, top-60 keep set. The classic
+    'select web text that looks like the curated corpus' pass."""
+    from .operators.selection import dsir_select
+
+    d = _tp(spark, sf_dir, "documents")
+    return dsir_select(
+        d, d.where(F.col("lang") == "en"), k=60, num_buckets=8192
+    )
+
+
+@query("quality_nb_classifier")
+def quality_nb_classifier(spark, sf_dir):
+    """Binary Naive Bayes curated-vs-rest screen (selection.nb_classify):
+    trained on the ~3/4 hash-split seed with the fastText-quality-
+    classifier label shape (target = the curated subcorpus, other =
+    everything else), scoring the held-out quarter with exact
+    integer-bit posteriors and a deterministic argmin. NOTE: the
+    fixture's lang column is nearly independent of its shared 31-token
+    vocabulary (only the/a skew en-ward), so held-out accuracy sits
+    near chance BY CONSTRUCTION — this gate pins the distributed
+    mechanics bit-for-bit; the learning behavior is proven on crafted
+    separable corpora in tests/test_selection.py."""
+    from .functions.hashing import stable_hash
+    from .operators.selection import nb_classify
+
+    d = _tp(spark, sf_dir, "documents").withColumn(
+        "cls_label",
+        F.when(F.col("lang") == "en", F.lit("target")).otherwise(
+            F.lit("other")),
+    )
+    bucket = F.pmod(
+        stable_hash(F.concat(F.col("doc_id").cast("string"),
+                             F.lit("__nbsplit|"))),
+        F.lit(4),
+    )
+    return nb_classify(
+        d.where(bucket != 0), d.where(bucket == 0), label_col="cls_label"
+    )
+
+
+@query("embedding_random_projection")
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims
+    (similarity.random_projection): data-independent hash-derived sign
+    matrix, exact 2^-24 fixed-point integer outputs, one map-only pass.
+    The array output is scalarized to 16 named columns for the compare
+    (house rule: no list columns in oracle-gated results); Catalyst's
+    SimplifyExtractValueOps folds element_at(array(...), lit) back to
+    the j-th sum, so nothing is computed twice."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = similarity.random_projection(e, in_dim=64, out_dim=16)
+    return p.select(
+        "vec_id",
+        *[F.element_at(F.col("projected"), j + 1).alias(f"p{j:02d}")
+          for j in range(16)],
+    )
+
+
+@query("corpus_epoch_shuffle")
+def corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 training shuffle of the corpus into 4 equal
+    contiguous shards (sampling.epoch_shuffle): reproducible global
+    positions from the distributed prefix-sum rank over the per-epoch
+    hash order — no single-reducer sort, no RNG."""
+    from .operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _tp(spark, sf_dir, "documents"), n_shards=4, epoch=1
+    )

@@ -91,6 +91,9 @@ NATIVE_QUERIES = [
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
     "anon_generalize_k",
+    # round-6 selection/projection/shuffle additions: pure column algebra.
+    "dsir_select_docs", "quality_nb_classifier", "embedding_random_projection",
+    "corpus_epoch_shuffle",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

@@ -1,0 +1,164 @@
+"""Property tests for operators/selection.py (DSIR + Naive Bayes),
+similarity.random_projection, and sampling.epoch_shuffle — semantics the
+DuckDB oracle gate can't express (target affinity, JL distortion bounds,
+partition invariance)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.operators import sampling, similarity
+from simple_anonymizer_spark.operators.selection import (
+    dsir_select, nb_classify,
+)
+from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+
+def test_dsir_selects_target_like_docs(spark, sf_dir):
+    """The whole point of DSIR: the keep set must be enriched in
+    target-corpus (English) documents relative to the raw pool.
+    Measured margins at k=20/B=8192: +0.36 (sf0.001), +0.51 (sf0.01),
+    +0.29 (sf0.1)."""
+    d = read_sf_table(spark, sf_dir, "documents")
+    pool_share = (
+        d.agg(F.avg((F.col("lang") == "en").cast("double"))).first()[0]
+    )
+    picked = dsir_select(d, d.where(F.col("lang") == "en"), k=20,
+                         num_buckets=8192)
+    sel_share = (
+        picked.join(d.select("doc_id", "lang"), "doc_id")
+        .agg(F.avg((F.col("lang") == "en").cast("double"))).first()[0]
+    )
+    assert sel_share > pool_share + 0.25, (sel_share, pool_share)
+
+
+def test_dsir_featureless_doc_scores_zero(spark):
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha beta")],
+                                   "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            dsir_select(raw, target, k=10, num_buckets=64).collect()}
+    assert rows[2]["n_features"] == 0 and rows[2]["score_bits"] == 0
+    assert rows[1]["n_features"] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_nb_perfect_on_disjoint_vocab(spark):
+    """Separable corpus (disjoint vocabularies) => NB must classify the
+    held-out docs perfectly. (The parquet fixture's lang label is near-
+    independent of its shared 31-token vocabulary, so learning behavior
+    is pinned here on crafted data, not there.)"""
+    train = spark.createDataFrame(
+        [(1, "aa bb aa cc", "x"), (2, "bb cc aa", "x"),
+         (3, "dd ee ff", "y"), (4, "ee dd ff ff", "y")],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(10, "aa cc bb", "x"), (11, "ff dd ee", "y"), (12, "bb aa", "x")],
+        "doc_id long, text string, lang string",
+    )
+    rows = nb_classify(train, score).collect()
+    assert all(r["is_correct"] for r in rows), rows
+
+
+def test_nb_learns_frequency_skew(spark):
+    """Shared vocabulary, skewed frequencies: the class whose training
+    docs over-represent a token must win documents dominated by it —
+    the multinomial (count-weighted) part of the model."""
+    train = spark.createDataFrame(
+        [(1, "hot hot hot cold", "x"), (2, "hot hot cold hot", "x"),
+         (3, "cold cold cold hot", "y"), (4, "cold hot cold cold", "y")],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(10, "hot hot hot hot cold", "x"),
+         (11, "cold cold cold cold hot", "y")],
+        "doc_id long, text string, lang string",
+    )
+    rows = nb_classify(train, score).collect()
+    assert all(r["is_correct"] for r in rows), rows
+
+
+def test_nb_empty_doc_gets_prior_argmin(spark):
+    """A tokenless document must fall back to the pure class prior —
+    the most frequent training class wins (tie-break by class name)."""
+    train = spark.createDataFrame(
+        [(1, "aa bb", "x"), (2, "cc dd", "x"), (3, "ee ff", "y")],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame([(10, "", "x")],
+                                  "doc_id long, text string, lang string")
+    row = nb_classify(train, score).first()
+    assert row["pred_lang"] == "x" and row["is_correct"]
+
+
+def test_random_projection_preserves_cosine(spark, sf_dir):
+    """JL distortion shrinks like 1/sqrt(out_dim): mean |cos error| over
+    sampled pairs must be modest at 16 dims and halve again at 32
+    (measured sf0.001: 0.22 -> 0.11)."""
+    e = read_sf_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ids = sorted(vecs)
+
+    def mean_err(out_dim):
+        proj = {r["vec_id"]: r["projected"]
+                for r in similarity.random_projection(e, 64, out_dim)
+                .collect()}
+        errs = [abs(cos(vecs[a], vecs[b]) - cos(proj[a], proj[b]))
+                for a, b in zip(ids, ids[1:])]
+        return sum(errs) / len(errs)
+
+    e16, e32 = mean_err(16), mean_err(32)
+    assert e16 < 0.3, e16
+    assert e32 < 0.75 * e16, (e16, e32)
+
+
+def test_random_projection_sign_matrix_is_frozen():
+    signs = similarity.rp_signs(4, 2)
+    assert signs == similarity.rp_signs(4, 2)
+    assert all(s in (-1, 1) for row in signs for s in row)
+
+
+@pytest.mark.parametrize("partitions", [1, 7])
+def test_epoch_shuffle_partition_invariant(spark, sf_dir, partitions):
+    """Positions and shards must not depend on the physical layout — the
+    prefix-sum rank contract."""
+    d = read_sf_table(spark, sf_dir, "documents")
+    base = sorted(
+        (r["doc_id"], r["epoch_pos"], r["shard"])
+        for r in sampling.epoch_shuffle(d, n_shards=4, epoch=1).collect()
+    )
+    alt = sorted(
+        (r["doc_id"], r["epoch_pos"], r["shard"])
+        for r in sampling.epoch_shuffle(
+            d.repartition(partitions), n_shards=4, epoch=1,
+            partitions=3).collect()
+    )
+    assert base == alt
+
+
+def test_epoch_shuffle_is_balanced_permutation(spark, sf_dir):
+    d = read_sf_table(spark, sf_dir, "documents")
+    n = d.count()
+    out = sampling.epoch_shuffle(d, n_shards=4, epoch=0)
+    rows = out.collect()
+    assert sorted(r["epoch_pos"] for r in rows) == list(range(n))
+    sizes = sorted(
+        r["c"] for r in out.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert len(sizes) == 4 and sizes[-1] - sizes[0] <= 1, sizes
+    # a different epoch is a genuinely different permutation
+    other = {r["doc_id"]: r["epoch_pos"]
+             for r in sampling.epoch_shuffle(d, n_shards=4, epoch=1).collect()}
+    same = sum(1 for r in rows if other[r["doc_id"]] == r["epoch_pos"])
+    assert same < n // 10, same
