@@ -109,3 +109,92 @@ def bm25_scores(
         "n_terms_hit",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id: int,
+    n_candidates: int = 20,
+    select_k: int = 8,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) of a query's top-n retrieval: greedily pick the candidate
+    maximizing ``lambda*rel - (1-lambda)*max_sim_to_selected`` — the
+    standard rerank that stops a RAG context window filling with
+    near-duplicate passages.
+
+    Arithmetic is exact int64 fixed point end to end: vectors quantize
+    to ``floor(x * 2^24)`` (the kmeans rule), relevance and pairwise
+    similarity are integer inner products (<= 2^54 for 64 dims), and
+    the MMR score is ``lam_tenths*rel - (10-lam_tenths)*maxsim`` with
+    ``maxsim = 0`` for the empty selection — so the greedy order is
+    bit-reproducible in any engine. Ties break on the candidate id.
+
+    Scale shape: the corpus scan computes relevance map-only against
+    the broadcast query vector and top-n's as TakeOrderedAndProject;
+    the n x n similarity matrix lives UNDER that Limit (bounded by
+    construction, n_candidates^2 rows), and only it is collected for
+    the inherently sequential greedy loop (the BPE/kmeans bounded-
+    collect pattern: select_k steps of integer arithmetic on the
+    driver). Output: ``rank (1-based), <id_col>, rel_fp, mmr_fp``.
+    """
+    spark = corpus.sparkSession
+    q = F.broadcast(
+        corpus.where(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("__qvec"))
+    )
+
+    def qdot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: F.floor(x.cast("double") * F.lit(16777216.0))
+                * F.floor(y.cast("double") * F.lit(16777216.0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long"),
+        )
+
+    cand = (
+        corpus.where(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            qdot(F.col(vec_col), F.col("__qvec")).alias("__rel"),
+        )
+        .orderBy(F.col("__rel").desc(), F.col("__id"))
+        .limit(n_candidates)
+    )
+    pairs = (
+        cand.select(F.col("__id").alias("__ida"), F.col("__vec").alias("__va"))
+        .crossJoin(cand.select(F.col("__id").alias("__idb"),
+                               F.col("__vec").alias("__vb")))
+        .where(F.col("__ida") != F.col("__idb"))
+        .select("__ida", "__idb", qdot(F.col("__va"), F.col("__vb"))
+                .alias("__dot"))
+    )
+    rel = {r["__id"]: r["__rel"] for r in cand.select("__id", "__rel").collect()}
+    dot = {(r["__ida"], r["__idb"]): r["__dot"] for r in pairs.collect()}
+
+    lam, inv = lam_tenths, 10 - lam_tenths
+    selected: list[tuple[int, int, int]] = []  # (id, rel, mmr)
+    chosen: set[int] = set()
+    for _ in range(min(select_k, len(rel))):
+        best = None
+        for cid, r in rel.items():
+            if cid in chosen:
+                continue
+            maxsim = max((dot[(cid, s)] for s, _, _ in selected), default=0)
+            score = lam * r - inv * maxsim
+            if best is None or (-score, cid) < (-best[2], best[0]):
+                best = (cid, r, score)
+        selected.append(best)
+        chosen.add(best[0])
+    rows = [(i + 1, cid, r, m) for i, (cid, r, m) in enumerate(selected)]
+    return spark.createDataFrame(
+        rows, f"rank long, {id_col} long, rel_fp long, mmr_fp long"
+    )

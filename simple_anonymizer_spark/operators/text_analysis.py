@@ -516,3 +516,130 @@ def doc_surprisal(
         (F.col("total_bits").cast("double")
          / F.col("n_bigrams").cast("double")).alias("mean_bits"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-linguistics pass for fixed phrases (Church & Hanks 1990),
+    used in training pipelines to mine multi-word vocabulary units and
+    to audit which bigrams an n-gram screen should treat as one token.
+
+    ``PMI = log2( P(ab) / (P(a) P(b)) )`` needs ``log``; per the
+    doc_surprisal rule every log2 is the exact integer binary length, so
+    ``pmi_bits = bits(n_ab) + 2*bits(N_uni) - bits(N_bi) - bits(n_a)
+    - bits(n_b)`` — within a few bits of true PMI, every operand an
+    individually int64-safe count (no ``n * N`` products, which overflow
+    at corpus scale). ``min_count`` prunes hapax pairs — the standard
+    PMI-vs-rare-pair correction.
+
+    Output: top-k ``w1, w2, n_pair, pmi_bits`` under the deterministic
+    ``(pmi_bits DESC, n_pair DESC, w1, w2)`` order — plans as
+    TakeOrderedAndProject. Count tables are vocabulary-bounded.
+    """
+
+    def bits(c) -> Column:
+        col = F.col(c) if isinstance(c, str) else c
+        return F.length(F.call_function("bin", col)).cast("long")
+
+    tok = T.tokens(F.col(text_col))
+    head = F.slice(tok, 1, F.size(tok) - 1)
+    tail = F.slice(tok, 2, F.size(tok) - 1)
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.zip_with(head, tail,
+                   lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        df.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tok).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("long").alias("__nu")
+    ).crossJoin(
+        F.broadcast(
+            df.select(F.explode(pairs).alias("__p"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+        )
+    )
+    return (
+        bi.join(uni.withColumnRenamed("w", "w1")
+                .withColumnRenamed("n_w", "__na"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n_w", "__nbw"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_pair",
+            (bits("n_pair") + F.lit(2) * bits("__nu")
+             - bits("__nb") - bits("__na") - bits("__nbw"))
+            .cast("long").alias("pmi_bits"),
+        )
+        .orderBy(F.col("pmi_bits").desc(), F.col("n_pair").desc(),
+                 "w1", "w2")
+        .limit(k)
+    )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease features per document — a standard cheap
+    quality-filter signal (alongside the Gopher rules): word, sentence,
+    and syllable counts plus the Flesch score.
+
+    Counts are exact integers computed in-row: sentences = non-empty
+    ``[.!?]+`` splits (floored at 1 for unpunctuated text), syllables =
+    vowel-group runs per token summed in ONE array fold. The Flesch
+    formula is literal-double multiply/subtract on two divisions of
+    already-identical integers — IEEE-identical cross-engine (no
+    pow/ln). Empty documents emit NULL score.
+
+    Output: ``<id_col>, n_words, n_sentences, n_syllables (int64),
+    flesch (double)``.
+    """
+    tok = T.tokens(F.col(text_col))
+    sentences = F.greatest(
+        F.size(F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s) != F.lit(""),
+        )),
+        F.lit(1),
+    ).cast("long")
+    syllables = F.aggregate(
+        tok,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.size(
+            F.call_function("regexp_extract_all", t, F.lit("[aeiouy]+"),
+                            F.lit(0))
+        ).cast("long"),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(tok).cast("long").alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double")
+                              / F.col("n_sentences").cast("double"))
+            - F.lit(84.6) * (F.col("n_syllables").cast("double")
+                             / F.col("n_words").cast("double")),
+        ).alias("flesch"),
+    )

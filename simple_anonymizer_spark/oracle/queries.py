@@ -3912,3 +3912,118 @@ SELECT doc_id, epoch_pos,
        CAST((epoch_pos * 4) // n.n AS BIGINT) AS shard
 FROM r, n
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations, Flesch readability, MMR rerank (round 6 batch 2).
+# ---------------------------------------------------------------------------
+
+ORACLES["pmi_collocations"] = f"""
+WITH d AS MATERIALIZED (SELECT {_tokens('text')} AS toks FROM documents),
+prs AS MATERIALIZED (
+  SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+    SELECT unnest([{{'w1': toks[j], 'w2': toks[j+1]}}
+                   for j in range(1, len(toks))]) AS p
+    FROM d WHERE len(toks) >= 2
+  )
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM prs GROUP BY 1, 2 HAVING count(*) >= 5
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+    SELECT unnest(toks) AS w FROM d) GROUP BY w
+),
+tot AS (
+  SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS nu,
+         (SELECT CAST(count(*) AS BIGINT) FROM prs) AS nb
+)
+SELECT b.w1, b.w2, b.n_pair,
+       CAST(length(bin(b.n_pair)) + 2 * length(bin(t.nu))
+            - length(bin(t.nb)) - length(bin(ua.n_w))
+            - length(bin(ub.n_w)) AS BIGINT) AS pmi_bits
+FROM bi b
+JOIN uni ua ON ua.w = b.w1
+JOIN uni ub ON ub.w = b.w2,
+     tot t
+ORDER BY pmi_bits DESC, b.n_pair DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+ORACLES["readability_docs"] = f"""
+WITH d AS (
+  SELECT doc_id, text, {_tokens('text')} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(greatest(len(list_filter(
+             regexp_split_to_array(text, '[.!?]+'),
+             s -> trim(s) <> '')), 1) AS BIGINT) AS n_sentences,
+         CAST(COALESCE(list_sum(
+             [len(regexp_extract_all(w, '[aeiouy]+')) for w in toks]),
+             0) AS BIGINT) AS n_syllables
+  FROM d
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - CAST(84.6 AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM c
+"""
+
+
+def _mmr_oracle(n_candidates: int, select_k: int, lam: int) -> str:
+    inv = 10 - lam
+    quant = ("[CAST(floor(CAST(embedding[j] AS DOUBLE) * 16777216.0)"
+             f" AS BIGINT) for j in range(1, {EMBEDDING_DIM + 1})]")
+    dot_ab = (f"CAST(list_sum([a.v[j] * b.v[j] "
+              f"for j in range(1, {EMBEDDING_DIM + 1})]) AS BIGINT)")
+    rel = (f"CAST(list_sum([v[j] * q.qv[j] "
+           f"for j in range(1, {EMBEDDING_DIM + 1})]) AS BIGINT)")
+    parts = [
+        f"q AS (SELECT {quant} AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+  SELECT vec_id, v, {rel} AS rel FROM (
+    SELECT vec_id, {quant} AS v FROM embeddings WHERE vec_id <> 0), q
+  ORDER BY rel DESC, vec_id LIMIT {n_candidates}
+)""",
+        f"""pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, {dot_ab} AS dot
+  FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+)""",
+        f"""s1 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST({lam} * rel AS BIGINT) AS mmr
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)""",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for step in range(2, select_k + 1):
+        parts.append(f"""s{step} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, CAST({lam} * c.rel - {inv} * m.mx AS BIGINT) AS mmr
+  FROM cand c JOIN (
+    SELECT p.ida AS vec_id, max(p.dot) AS mx
+    FROM pairs p JOIN sel{step - 1} s ON p.idb = s.vec_id GROUP BY 1) m
+    USING (vec_id)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{step - 1})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+)""")
+        parts.append(
+            f"sel{step} AS (SELECT vec_id FROM sel{step - 1} "
+            f"UNION ALL SELECT vec_id FROM s{step})"
+        )
+    selects = [
+        f"SELECT CAST({step} AS BIGINT) AS rank, vec_id, rel AS rel_fp, "
+        f"mmr AS mmr_fp FROM s{step}"
+        for step in range(1, select_k + 1)
+    ]
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+ORACLES["retrieval_mmr"] = _mmr_oracle(20, 8, 7)

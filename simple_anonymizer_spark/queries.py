@@ -3098,3 +3098,36 @@ def corpus_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(
         _tp(spark, sf_dir, "documents"), n_shards=4, epoch=1
     )
+
+
+@query("pmi_collocations")
+def pmi_collocations(spark, sf_dir):
+    """Top-50 PMI collocations over the corpus
+    (text_analysis.pmi_collocations): integer-bit pointwise mutual
+    information with min-count pruning — vocabulary-bounded count
+    tables, TakeOrderedAndProject top-k."""
+    return text_analysis.pmi_collocations(
+        _tp(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
+@query("readability_docs")
+def readability_docs(spark, sf_dir):
+    """Flesch reading-ease features per document
+    (text_analysis.readability): exact in-row word/sentence/syllable
+    counts, one literal-double formula — a map-only quality signal."""
+    return text_analysis.readability(_t(spark, sf_dir, "documents"))
+
+
+@query("retrieval_mmr")
+def retrieval_mmr(spark, sf_dir):
+    """MMR-diversified top-8 for query vector 0 over a 20-candidate
+    pool (retrieval.mmr_rerank): exact int64 fixed-point relevance and
+    pairwise similarity, greedy diversification on the bounded
+    candidate matrix (the BPE-style driver loop), lambda = 0.7."""
+    from .operators.retrieval import mmr_rerank
+
+    return mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), query_id=0,
+        n_candidates=20, select_k=8, lam_tenths=7,
+    )

@@ -93,7 +93,8 @@ NATIVE_QUERIES = [
     "anon_generalize_k",
     # round-6 selection/projection/shuffle additions: pure column algebra.
     "dsir_select_docs", "quality_nb_classifier", "embedding_random_projection",
-    "corpus_epoch_shuffle",
+    "corpus_epoch_shuffle", "pmi_collocations", "readability_docs",
+    "retrieval_mmr",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
