@@ -193,3 +193,43 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                F.lit(2 ** 61).cast("decimal(38,0)"))
         .cast("long").alias("checksum"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version delta between two corpus snapshots — the audit a dataset
+    release pipeline runs before publishing v(N+1): which documents were
+    added, removed, or content-changed since vN. Content identity is the
+    engine's stable hash of the text, so renames of physical files /
+    re-partitioning never show up as changes.
+
+    Output: one row per NON-identical document — ``<id_col>, status
+    ('added' | 'removed' | 'changed'), old_hash, new_hash`` (hashes
+    NULL on the side the document is missing from). Unchanged documents
+    produce no row, so the output is delta-sized, not corpus-sized.
+
+    Scale (100 TB): two map-only hash projections and ONE full outer
+    join on the id — no text ever shuffles (only id + 8-byte hash), and
+    the join key is the natural primary key, so bucketed snapshots
+    co-locate it shuffle-free.
+    """
+    from ..functions.hashing import stable_hash
+
+    o = old.select(F.col(id_col), stable_hash(F.col(text_col)).alias("__oh"))
+    n = new.select(F.col(id_col), stable_hash(F.col(text_col)).alias("__nh"))
+    joined = o.join(n, id_col, "full_outer").where(
+        F.col("__oh").isNull() | F.col("__nh").isNull()
+        | (F.col("__oh") != F.col("__nh"))
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed")).alias("status"),
+        F.col("__oh").alias("old_hash"),
+        F.col("__nh").alias("new_hash"),
+    )

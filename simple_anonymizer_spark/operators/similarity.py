@@ -647,3 +647,48 @@ def random_projection(
             term = t if term is None else term + t
         outs.append(term.cast("long"))
     return df.select(F.col(id_col), F.array(*outs).alias("projected"))
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index health report: occupancy of every coarse-quantizer
+    cell, INCLUDING empty ones. ``load_factor = n_vecs * n_cells /
+    n_total`` is the balance diagnostic — 1.0 everywhere is a perfectly
+    balanced index; a cell at 10x means its probes scan 10x the
+    expected candidates (the p99-latency killer at 100 TB), and empty
+    cells are trained capacity wasted. Run it after every
+    ``stream_embedding_ingest`` compaction cycle to decide when to
+    re-train the quantizer.
+
+    One map-only assignment pass (broadcast-literal centroids, no
+    shuffle) + a groupBy bounded by ``n_cells`` rows, densified against
+    ``spark.range(n_cells)``. Output: ``cell (int64), n_vecs (int64),
+    load_factor (double)``.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = corpus.select(
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell")
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    total = corpus.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    cells = corpus.sparkSession.range(n_cells).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    return (
+        cells.join(per_cell, "cell", "left_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_vecs"),
+            ((F.coalesce("__n", F.lit(0)) * F.lit(n_cells)).cast("double")
+             / F.col("__total").cast("double")).alias("load_factor"),
+        )
+    )

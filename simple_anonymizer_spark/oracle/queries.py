@@ -4027,3 +4027,119 @@ def _mmr_oracle(n_candidates: int, select_k: int, lam: int) -> str:
 
 
 ORACLES["retrieval_mmr"] = _mmr_oracle(20, 8, 7)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: corpus version diff, indexed BM25, IVF cell stats.
+# ---------------------------------------------------------------------------
+
+ORACLES["corpus_diff_versions"] = f"""
+WITH oldv AS (
+  SELECT doc_id, {O.stable_hash('text')} AS h FROM documents
+),
+newsrc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 2
+),
+newv AS (SELECT doc_id, {O.stable_hash('text')} AS h FROM newsrc),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.h AS old_hash, n.h AS new_hash
+  FROM oldv o FULL JOIN newv n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(old_hash AS BIGINT) AS old_hash,
+       CAST(new_hash AS BIGINT) AS new_hash
+FROM j
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+"""
+
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    term_list = ", ".join("'" + t + "'" for t in terms)
+    toks = _tokens('text')
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+corpus AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM toks) AS total_len
+),
+hits AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (CAST(22 * tf.tf * c.total_len AS DOUBLE)
+            / CAST(10 * tf.tf * c.total_len + 3 * c.total_len
+                   + 9 * dl.dl * c.n_docs AS DOUBLE))
+           * (CAST(2 * c.n_docs - 2 * df.df + 1 AS DOUBLE)
+              / CAST(2 * df.df + 1 AS DOUBLE))
+           * 1048576.0
+         ) AS BIGINT) AS fp
+  FROM tf
+  JOIN dfreq df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN ({term_list})
+),
+scored AS (
+  SELECT doc_id, CAST(sum(fp) AS BIGINT) AS score_fp,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, score_fp,
+       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+       n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY score_fp DESC, doc_id
+LIMIT {k}
+"""
+
+
+ORACLES["bm25_indexed"] = _bm25_oracle(["merge", "stream", "vector"], 40)
+
+ORACLES["ivf_cell_stats"] = f"""
+WITH cent AS (
+  SELECT embedding AS cv,
+         row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_idx
+  FROM embeddings ORDER BY vec_id ASC LIMIT 8
+),
+corpus_scored AS (
+  SELECT e.vec_id, c.cell_idx,
+         {_XC_DOT.replace('xv', 'e.embedding').replace('cv', 'c.cv')}
+           / ({_XNORM.replace('xv', 'e.embedding')} * {_CNORM.replace('cv', 'c.cv')}) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell_idx,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cc DESC, cell_idx ASC) AS rn
+  FROM corpus_scored
+),
+occ AS (
+  SELECT cell_idx, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM assigned WHERE rn = 1 GROUP BY cell_idx
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cells AS (SELECT unnest(range(0, 8)) AS cell_idx)
+SELECT CAST(c.cell_idx AS BIGINT) AS cell,
+       CAST(COALESCE(o.n_vecs, 0) AS BIGINT) AS n_vecs,
+       CAST(COALESCE(o.n_vecs, 0) * 8 AS DOUBLE) / CAST(t.n AS DOUBLE)
+         AS load_factor
+FROM cells c LEFT JOIN occ o USING (cell_idx), tot t
+"""

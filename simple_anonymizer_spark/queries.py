@@ -3131,3 +3131,51 @@ def retrieval_mmr(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), query_id=0,
         n_candidates=20, select_k=8, lam_tenths=7,
     )
+
+
+@query("corpus_diff_versions")
+def corpus_diff_versions(spark, sf_dir):
+    """Snapshot version delta (quality_audit.corpus_diff): old = the
+    corpus, new = a deterministic release mutation (doc_id%10==0
+    dropped, %10==1 text-bumped, %10==2 re-keyed as fresh ids) — the
+    added/removed/changed audit a dataset release runs before
+    publishing. Hash-only full outer join; delta-sized output."""
+    from .operators.quality_audit import corpus_diff
+
+    old = _tp(spark, sf_dir, "documents")
+    kept = old.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 1,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return corpus_diff(old, kept.unionByName(added))
+
+
+@query("bm25_indexed")
+def bm25_indexed(spark, sf_dir):
+    """BM25 served from the prebuilt inverted index
+    (retrieval.build_term_index -> bm25_from_index): the index-once /
+    query-many production split; query cost is the postings of the
+    query's terms, pushed down as a term filter. Output-identical to
+    the direct bm25_scores path (tested), same integer rationals."""
+    from .operators.retrieval import bm25_from_index, build_term_index
+
+    idx = build_term_index(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    )
+    return bm25_from_index(idx, ["merge", "stream", "vector"], top_k=40)
+
+
+@query("ivf_cell_stats")
+def ivf_cell_stats(spark, sf_dir):
+    """IVF index health report (similarity.ivf_cell_stats): per-cell
+    occupancy + load factor over the 8-cell coarse quantizer, empty
+    cells included — the balance diagnostic that schedules quantizer
+    re-training."""
+    return similarity.ivf_cell_stats(
+        _t(spark, sf_dir, "embeddings"), n_cells=8
+    )

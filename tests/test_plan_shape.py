@@ -94,7 +94,8 @@ NATIVE_QUERIES = [
     # round-6 selection/projection/shuffle additions: pure column algebra.
     "dsir_select_docs", "quality_nb_classifier", "embedding_random_projection",
     "corpus_epoch_shuffle", "pmi_collocations", "readability_docs",
-    "retrieval_mmr",
+    "retrieval_mmr", "corpus_diff_versions", "bm25_indexed",
+    "ivf_cell_stats",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
