@@ -127,3 +127,38 @@ def compact_parquet(
         f for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     ])
     return len(files), after, rows
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_files_per_partition: int = 1,
+) -> None:
+    """Hive-layout partitioned write (``path/col=value/part-*.parquet``)
+    — the physical design that turns partition-key predicates into
+    directory pruning: a reader filtering on ``partition_by`` columns
+    never lists, opens, or scans the other partitions' files (verified
+    by a PartitionFilters plan test). At 100 TB this is the first-order
+    scan optimization — date/source/language are the standard keys.
+
+    Rows are repartitioned on the partition columns first so each
+    physical partition writes ``max_files_per_partition`` files instead
+    of one-per-task (the small-files problem ``compact_parquet``
+    otherwise repairs after the fact). Keys with heavy skew should add
+    a salt column to ``repartition`` — the directory layout is
+    unaffected.
+    """
+    parts: list = [F.col(c) for c in partition_by]
+    if max_files_per_partition > 1:
+        # extra shuffle-key term only — never materialized as a column
+        parts.append(F.spark_partition_id() % max_files_per_partition)
+    df.repartition(*parts).write.mode("overwrite") \
+        .partitionBy(*partition_by).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``write_partitioned`` table; partition columns come back
+    from the directory layout (typed by partition discovery) and
+    predicates on them prune at planning time."""
+    return spark.read.parquet(str(path))
