@@ -233,3 +233,48 @@ def corpus_diff(
         F.col("__oh").alias("old_hash"),
         F.col("__nh").alias("new_hash"),
     )
+
+
+def release_manifest(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row release certificate for a corpus version bump: row counts
+    of both snapshots, the added/removed/changed/unchanged breakdown
+    from ``corpus_diff``, and the order-insensitive ``table_checksum``
+    of each side over ``(id, text)`` — everything an audit trail needs
+    to sign off v(N+1) against vN, in one combinable pass per input
+    plus the delta-sized diff aggregation.
+
+    Output columns: ``n_old, n_new, n_added, n_removed, n_changed,
+    n_unchanged, old_checksum, new_checksum`` (all int64).
+    """
+    diff = corpus_diff(old, new, id_col, text_col)
+    breakdown = diff.agg(
+        F.coalesce(F.sum((F.col("status") == "added").cast("long")),
+                   F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce(F.sum((F.col("status") == "removed").cast("long")),
+                   F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.sum((F.col("status") == "changed").cast("long")),
+                   F.lit(0)).cast("long").alias("n_changed"),
+    )
+    oc = table_checksum(old.select(id_col, text_col)).select(
+        F.col("n_rows").alias("n_old"),
+        F.col("checksum").alias("old_checksum"),
+    )
+    nc = table_checksum(new.select(id_col, text_col)).select(
+        F.col("n_rows").alias("n_new"),
+        F.col("checksum").alias("new_checksum"),
+    )
+    return (
+        oc.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(breakdown))
+        .select(
+            "n_old", "n_new", "n_added", "n_removed", "n_changed",
+            (F.col("n_old") - F.col("n_removed") - F.col("n_changed"))
+            .cast("long").alias("n_unchanged"),
+            "old_checksum", "new_checksum",
+        )
+    )

@@ -4143,3 +4143,50 @@ SELECT CAST(c.cell_idx AS BIGINT) AS cell,
          AS load_factor
 FROM cells c LEFT JOIN occ o USING (cell_idx), tot t
 """
+
+_RM_CANON = ("concat_ws('|', coalesce(CAST(doc_id AS VARCHAR), chr(0)), "
+             "coalesce(text, chr(0)))")
+
+ORACLES["release_manifest_versions"] = f"""
+WITH newsrc AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 2
+),
+oldv AS (SELECT doc_id, {O.stable_hash('text')} AS h FROM documents),
+newv AS (SELECT doc_id, {O.stable_hash('text')} AS h FROM newsrc),
+j AS (
+  SELECT o.h AS oh, n.h AS nh
+  FROM oldv o FULL JOIN newv n ON o.doc_id = n.doc_id
+  WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h
+),
+brk AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN oh IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_added,
+         CAST(COALESCE(sum(CASE WHEN nh IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_removed,
+         CAST(COALESCE(sum(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL
+                                THEN 1 END), 0) AS BIGINT) AS n_changed
+  FROM j
+),
+oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_old,
+         CAST(COALESCE(sum(CAST({O.stable_hash(_RM_CANON)} AS HUGEINT)), 0)
+              % 2305843009213693952 AS BIGINT) AS old_checksum
+  FROM documents
+),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_new,
+         CAST(COALESCE(sum(CAST({O.stable_hash(_RM_CANON)} AS HUGEINT)), 0)
+              % 2305843009213693952 AS BIGINT) AS new_checksum
+  FROM newsrc
+)
+SELECT oc.n_old, nc.n_new, brk.n_added, brk.n_removed, brk.n_changed,
+       CAST(oc.n_old - brk.n_removed - brk.n_changed AS BIGINT)
+         AS n_unchanged,
+       oc.old_checksum, nc.new_checksum
+FROM oc, nc, brk
+"""

@@ -3179,3 +3179,26 @@ def ivf_cell_stats(spark, sf_dir):
     return similarity.ivf_cell_stats(
         _t(spark, sf_dir, "embeddings"), n_cells=8
     )
+
+
+@query("release_manifest_versions")
+def release_manifest_versions(spark, sf_dir):
+    """One-row release certificate (quality_audit.release_manifest) for
+    the same deterministic v2 mutation as corpus_diff_versions: both
+    snapshots' counts + checksums and the added/removed/changed/
+    unchanged breakdown — the sign-off record a dataset release keeps."""
+    from .operators.quality_audit import release_manifest
+
+    old = _tp(spark, sf_dir, "documents")
+    kept = old.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 1,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return release_manifest(
+        old.select("doc_id", "text"), kept.unionByName(added)
+    )

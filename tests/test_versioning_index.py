@@ -66,3 +66,23 @@ def test_ivf_cell_stats_fixture_total(spark, sf_dir):
     out = ivf_cell_stats(e, n_cells=8)
     assert out.count() == 8
     assert out.agg(F.sum("n_vecs")).first()[0] == e.count()
+
+
+def test_release_manifest_reconciles(spark):
+    from simple_anonymizer_spark.operators.quality_audit import (
+        release_manifest,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string")
+    m = release_manifest(old, new).first()
+    assert (m["n_old"], m["n_new"]) == (3, 3)
+    assert (m["n_added"], m["n_removed"], m["n_changed"]) == (1, 1, 1)
+    assert m["n_unchanged"] == 1
+    assert m["n_new"] == m["n_old"] + m["n_added"] - m["n_removed"]
+    assert m["old_checksum"] != m["new_checksum"]
+    same = release_manifest(old, old).first()
+    assert same["old_checksum"] == same["new_checksum"]
+    assert (same["n_added"], same["n_removed"], same["n_changed"]) == (0, 0, 0)
