@@ -4190,3 +4190,48 @@ SELECT oc.n_old, nc.n_new, brk.n_added, brk.n_removed, brk.n_changed,
        oc.old_checksum, nc.new_checksum
 FROM oc, nc, brk
 """
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(f"""tok AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+  FROM (SELECT doc_id, {_tokens('text')} AS toks FROM documents)
+)""")
+    parts.append(
+        "s0 AS MATERIALIZED (SELECT doc_id, pos, array_to_string("
+        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
+        "FROM tok)"
+    )
+    for i in range(n_merges):
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, pos, {_bpe_seq_rewrite(f'b{i}')} AS seq
+  FROM s{i}
+)""")
+    parts.append(f"""perdoc AS (
+  SELECT doc_id,
+         CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_pieces,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM s{n_merges} GROUP BY doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+, agg AS (
+  SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(p.n_words), 0) AS BIGINT) AS total_words,
+         CAST(COALESCE(sum(p.n_pieces), 0) AS BIGINT) AS total_pieces,
+         CAST(sum(length(d.text)) AS BIGINT) AS total_chars
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, total_words, total_pieces, total_chars,
+       CASE WHEN total_words > 0 THEN
+         CAST(total_pieces AS DOUBLE) / CAST(total_words AS DOUBLE)
+       END AS pieces_per_word,
+       CASE WHEN total_pieces > 0 THEN
+         CAST(total_chars AS DOUBLE) / CAST(total_pieces AS DOUBLE)
+       END AS chars_per_piece
+FROM agg""")
+
+
+ORACLES["bpe_fertility_langs"] = _bpe_fertility_oracle(8)

@@ -3202,3 +3202,43 @@ def release_manifest_versions(spark, sf_dir):
     return release_manifest(
         old.select("doc_id", "text"), kept.unionByName(added)
     )
+
+
+@query("bpe_fertility_langs")
+def bpe_fertility_langs(spark, sf_dir):
+    """Tokenizer QA scorecard: fertility (pieces per word) and
+    compression (chars per piece) of the corpus-trained 8-merge BPE,
+    per language — the standard multilingual-tokenizer audit (a lang
+    whose fertility is 2x pays 2x the sequence length for the same
+    text). Composes bpe_train -> bpe_segment -> one aggregation."""
+    from .operators.textprep import bpe_segment, bpe_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = [tuple(r) for r in bpe_train(docs, n_merges=8).collect()]
+    seg = bpe_segment(docs, merges).select("doc_id", "n_pieces")
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("__w"),
+        F.length("text").cast("long").alias("__c"),
+    )
+    agg = (
+        base.join(seg, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("total_words"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.sum("__c").cast("long").alias("total_chars"),
+        )
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("total_words") > 0,
+               F.col("total_pieces").cast("double")
+               / F.col("total_words").cast("double"))
+        .alias("pieces_per_word"),
+        F.when(F.col("total_pieces") > 0,
+               F.col("total_chars").cast("double")
+               / F.col("total_pieces").cast("double"))
+        .alias("chars_per_piece"),
+    )
