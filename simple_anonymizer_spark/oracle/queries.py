@@ -4235,3 +4235,34 @@ FROM agg""")
 
 
 ORACLES["bpe_fertility_langs"] = _bpe_fertility_oracle(8)
+
+# Composition oracle: the per-language scorecard embeds the gopher,
+# readability, and surprisal oracles whole as CTE bodies (DuckDB accepts
+# WITH inside a CTE) and rolls them up — integer sums, single divisions.
+ORACLES["corpus_scorecard_langs"] = f"""
+WITH gf AS ({ORACLES['quality_gopher_flags']}),
+rd AS ({ORACLES['readability_docs']}),
+sp AS ({ORACLES['doc_surprisal_corpus']}),
+agg AS (
+  SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN gf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(sum(gf.n_words) AS BIGINT) AS total_words,
+         CAST(sum(rd.n_syllables) AS BIGINT) AS total_syllables,
+         CAST(sum(sp.n_bigrams) AS BIGINT) AS total_bigrams,
+         CAST(sum(sp.total_bits) AS BIGINT) AS total_bits
+  FROM documents d
+  JOIN gf USING (doc_id) JOIN rd USING (doc_id) JOIN sp USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, n_keep, total_words, total_syllables, total_bigrams,
+       total_bits,
+       CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+       CASE WHEN total_words > 0 THEN
+         CAST(total_syllables AS DOUBLE) / CAST(total_words AS DOUBLE)
+       END AS syllables_per_word,
+       CASE WHEN total_bigrams > 0 THEN
+         CAST(total_bits AS DOUBLE) / CAST(total_bigrams AS DOUBLE)
+       END AS bits_per_bigram
+FROM agg
+"""

@@ -3242,3 +3242,45 @@ def bpe_fertility_langs(spark, sf_dir):
                / F.col("total_pieces").cast("double"))
         .alias("chars_per_piece"),
     )
+
+
+@query("corpus_scorecard_langs")
+def corpus_scorecard_langs(spark, sf_dir):
+    """Per-language curation dashboard: Gopher keep rate, token volume,
+    syllable density, and LM surprisal — the one-glance scorecard that
+    decides which language slices need re-filtering before a training
+    run. Every ratio is a single IEEE division of exact integer sums
+    (never an average of per-doc doubles — float order rule)."""
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    gf = text_analysis.gopher_quality_flags(docs).select(
+        "doc_id", "n_words", "keep"
+    )
+    rd = text_analysis.readability(docs).select("doc_id", "n_syllables")
+    sp = text_analysis.doc_surprisal(docs).select(
+        "doc_id", "n_bigrams", "total_bits"
+    )
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(gf, "doc_id").join(rd, "doc_id").join(sp, "doc_id")
+    )
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_syllables").cast("long").alias("total_syllables"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        F.sum("total_bits").cast("long").alias("total_bits"),
+    )
+    return agg.select(
+        "*",
+        (F.col("n_keep").cast("double") / F.col("n_docs").cast("double"))
+        .alias("keep_rate"),
+        F.when(F.col("total_words") > 0,
+               F.col("total_syllables").cast("double")
+               / F.col("total_words").cast("double"))
+        .alias("syllables_per_word"),
+        F.when(F.col("total_bigrams") > 0,
+               F.col("total_bits").cast("double")
+               / F.col("total_bigrams").cast("double"))
+        .alias("bits_per_bigram"),
+    )
