@@ -4266,3 +4266,68 @@ SELECT lang, n_docs, n_keep, total_words, total_syllables, total_bigrams,
        END AS bits_per_bigram
 FROM agg
 """
+
+
+def _minhash_recall_oracle(mod: int, thresholds: tuple) -> str:
+    """Sampled-slice mirror of the dedup_minhash_lsh pipeline plus the
+    exact all-pairs truth set, rolled up per threshold (the empirical
+    S-curve rows)."""
+    lo = min(thresholds)
+    jacc_ab = ("CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)"
+               " / CAST(len(sa.sh) + len(sb.sh)"
+               " - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)")
+    jacc_tt = ("CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)"
+               " / CAST(len(a.sh) + len(b.sh)"
+               " - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)")
+    f_cols = ", ".join(
+        f"CAST(COALESCE(sum(CASE WHEN j >= {t} THEN 1 END), 0) AS BIGINT) AS f{k}"
+        for k, t in enumerate(thresholds))
+    t_cols = ", ".join(
+        f"CAST(COALESCE(sum(CASE WHEN j >= {t} THEN 1 END), 0) AS BIGINT) AS t{k}"
+        for k, t in enumerate(thresholds))
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, t.t{k} AS n_truth, "
+        f"f.f{k} AS n_found, CAST(t.t{k} - f.f{k} AS BIGINT) AS n_missed, "
+        f"CASE WHEN t.t{k} > 0 THEN CAST(f.f{k} AS DOUBLE) / CAST(t.t{k} AS DOUBLE) END AS recall "
+        f"FROM truth t, found f"
+        for k, t in enumerate(thresholds))
+    return f"""
+WITH subs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_shingles('text')} AS sh FROM subs
+),
+hs AS (
+  SELECT doc_id, sh, [{_h('s')} for s in sh] AS hashes FROM sh
+),
+sig AS (
+  SELECT doc_id, sh, {_minhash_sig('hashes', 16)} AS sig FROM hs
+),
+bands AS ({_band_selects(4, 4)}),
+sizes AS (
+  SELECT band, key, count(DISTINCT doc_id) AS n FROM bands GROUP BY band, key
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  JOIN sizes s ON s.band = a.band AND s.key = a.key AND s.n <= 500
+),
+found AS (
+  SELECT {f_cols} FROM (
+    SELECT {jacc_ab} AS j FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+  ) WHERE j >= {lo}
+),
+truth AS (
+  SELECT {t_cols} FROM (
+    SELECT {jacc_tt} AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE j >= {lo}
+)
+{rows}
+"""
+
+
+ORACLES["dedup_minhash_recall"] = _minhash_recall_oracle(4, (0.3, 0.7, 0.9))

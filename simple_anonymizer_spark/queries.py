@@ -3284,3 +3284,15 @@ def corpus_scorecard_langs(spark, sf_dir):
                / F.col("total_bigrams").cast("double"))
         .alias("bits_per_bigram"),
     )
+
+
+@query("dedup_minhash_recall")
+def dedup_minhash_recall(spark, sf_dir):
+    """Measured MinHash-LSH recall vs exact all-pairs shingle Jaccard
+    at thresholds 0.3/0.7/0.9 on a hash-sampled corpus slice
+    (dedup.minhash_recall_report) — the text-dedup twin of
+    ann_recall_lsh AND an empirical S-curve of the 4x4 banding (near-
+    total recall above 0.9, ~0.2 at 0.3: the midpoint is 0.707). The
+    quadratic truth side runs on the doc_id%4 sample only."""
+    d = _tp(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return dedup.minhash_recall_report(d, thresholds=(0.3, 0.7, 0.9))

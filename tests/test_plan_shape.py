@@ -96,7 +96,7 @@ NATIVE_QUERIES = [
     "corpus_epoch_shuffle", "pmi_collocations", "readability_docs",
     "retrieval_mmr", "corpus_diff_versions", "bm25_indexed",
     "ivf_cell_stats", "release_manifest_versions", "bpe_fertility_langs",
-    "corpus_scorecard_langs",
+    "corpus_scorecard_langs", "dedup_minhash_recall",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
