@@ -16,9 +16,12 @@ common case); BMP 24-bit uncompressed; WAV PCM; baseline sequential
 JPEG (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers — see
 jpeg.py, pure Python + numpy per the public ITU T.81 spec). Anything
 else raises ``ValueError`` — callers fall back to injection, same
-contract as before. Video FRAME decode stays injection-only (no stdlib
-video codec exists), but container METADATA is real: ``mp4_meta`` walks
-ISO BMFF boxes (ISO/IEC 14496-12) for duration/dimensions/track count.
+contract as before. Video container METADATA is real for both families:
+``mp4_meta`` walks ISO BMFF boxes (ISO/IEC 14496-12) and ``avi_meta``
+walks RIFF. Video FRAME decode is real for Motion-JPEG-in-AVI
+(``avi_mjpeg_frames`` demuxes the RIFF chunks, ``jpeg.jpeg_decode``
+decodes each frame — MJPEG is intra-only, so the still codec IS the
+video codec); inter-frame codecs (H.264 etc.) stay injection-only.
 
 These are per-record kernels meant to run INSIDE the Arrow-batched
 ``mapInPandas`` stages (``multimodal.decode_image(df,
@@ -326,6 +329,143 @@ def video_meta(data: bytes) -> tuple[int, int | None, int | None, int]:
         return mp4_meta(data)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return avi_meta(data)
+    raise ValueError("unrecognized video container")
+
+
+# -- Motion-JPEG AVI: real frame-level video decode --------------------------
+
+
+def avi_mjpeg_encode(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Minimal RIFF AVI muxer for Motion-JPEG (public VfW/OpenDML
+    layout): ``hdrl(avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)) + movi('00dc' chunks, word-aligned) + idx1``.
+    Each element of ``frames`` must be a complete baseline JPEG byte
+    stream (``jpeg.jpeg_encode`` output). The product round-trips
+    through ``avi_meta`` (duration/dims/stream count) and
+    ``avi_mjpeg_frames`` (frame extraction)."""
+    if not frames:
+        raise ValueError("MJPEG AVI needs at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("frame is not a JPEG byte stream (no SOI)")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + ltype + payload
+
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<10I", us_per_frame, max_bytes * fps, 0, 0x10,  # HASINDEX
+        len(frames), 0, 1, max_bytes, width, height
+    ) + bytes(16)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    # idx1 offsets are relative to the 'movi' fourcc (the common
+    # convention); each frame is a keyframe (AVIIF_KEYFRAME = 0x10).
+    idx, off = [], 4
+    for f in frames:
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    body = hdrl + lst(b"movi", movi_body) + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def avi_mjpeg_frames(data: bytes) -> list[bytes]:
+    """Demux the Motion-JPEG frame byte streams out of a RIFF AVI:
+    recursive chunk walk, collecting ``##dc``/``##db`` stream-data
+    payloads (each a standalone JPEG — MJPEG has no inter-frame state).
+    Raises ``ValueError`` when the container is malformed, the video
+    stream's declared handler is not MJPG, a frame chunk lacks a JPEG
+    SOI, or no frame chunks exist — the untrusted-bytes contract shared
+    with ``jpeg_decode``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    handler: bytes | None = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal handler
+        while pos + 8 <= end:
+            ctype = data[pos:pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = pos + 8
+            if body + length > end:
+                raise ValueError("chunk overruns its container")
+            if ctype == b"LIST":
+                walk(body + 4, body + length)
+            elif ctype == b"strh":
+                if data[body:body + 4] == b"vids" and handler is None:
+                    handler = data[body + 4:body + 8]
+            elif ctype[2:4] in (b"dc", b"db"):
+                frames.append(bytes(data[body:body + length]))
+            pos = body + length + (length & 1)
+
+    try:
+        walk(12, len(data))
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed AVI: {type(exc).__name__}") from exc
+    if handler is None:
+        raise ValueError("AVI has no video stream header")
+    if handler.upper() not in (b"MJPG", b"MJPA", b"JPEG"):
+        raise ValueError(
+            f"AVI video codec {handler!r} is not Motion-JPEG "
+            "(inter-frame codecs need an injected decoder)"
+        )
+    if not frames:
+        raise ValueError("AVI has no video frame chunks")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame chunk lacks a JPEG SOI marker")
+    return frames
+
+
+def video_decode_frames(
+    data: bytes, every_n: int = 1, max_frames: int | None = None
+) -> list[tuple[int, int, int, int, bytes]]:
+    """REAL sampled-frame pixel decode for Motion-JPEG-in-AVI: RIFF
+    demux (``avi_mjpeg_frames``) + the from-scratch baseline JPEG codec
+    per sampled frame. Returns ``[(frame_index, width, height,
+    channels, pixels)]`` for frames ``0, every_n, 2*every_n, ...``
+    capped at ``max_frames``. ISO BMFF (MP4) payloads carry inter-frame
+    codecs with no stdlib implementation, so they raise ``ValueError``
+    (injection-only) — the narrowed remainder of the video-decode gap."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .jpeg import jpeg_decode
+
+        frames = avi_mjpeg_frames(data)
+        out = []
+        for idx in range(0, len(frames), every_n):
+            if max_frames is not None and len(out) >= max_frames:
+                break
+            w, h, ch, pix = jpeg_decode(frames[idx])
+            out.append((idx, w, h, ch, pix))
+        return out
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        raise ValueError(
+            "MP4 frame decode needs an injected codec "
+            "(MJPEG-in-AVI decodes natively)"
+        )
     raise ValueError("unrecognized video container")
 
 

@@ -4331,3 +4331,22 @@ truth AS (
 
 
 ORACLES["dedup_minhash_recall"] = _minhash_recall_oracle(4, (0.3, 0.7, 0.9))
+
+
+# Closed form of synthetic_mjpeg_frames' synthesis: the Spark side muxes
+# real JPEG frames into a Motion-JPEG AVI and decodes them back through
+# the RIFF demuxer + baseline JPEG codec, so value equality here is
+# muxer+demuxer+codec conformance in one hash. Flat 8x8 blocks at
+# quality 100 decode exactly (the pinned flat-block property):
+# pixel_sum = 64 * level, level = (doc_id + 37 * frame_idx) % 256.
+ORACLES["multimodal_video_frames"] = """
+SELECT doc_id,
+  CAST(f AS BIGINT) AS frame_idx,
+  CAST(8 AS INTEGER) AS width,
+  CAST(8 AS INTEGER) AS height,
+  CAST(64 * ((doc_id + 37 * f) % 256) AS BIGINT) AS pixel_sum
+FROM (
+  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""

@@ -1064,6 +1064,19 @@ def multimodal_video_meta(spark, sf_dir):
     return synthetic_video_meta(_t(spark, sf_dir, "documents"))
 
 
+@query("multimodal_video_frames")
+def multimodal_video_frames(spark, sf_dir):
+    """Video FRAME decode through the REAL read path, driver-verifiable
+    (the moving-picture completion of the synthesis family): per
+    sampled document, flat JPEG frames are muxed into a Motion-JPEG AVI
+    and the whole demux + per-frame JPEG decode runs for real inside
+    one pandas stage — pixel sums are closed forms of (doc_id,
+    frame_idx), so the hash gates muxer, demuxer, and codec at once."""
+    from .operators.multimodal import synthetic_mjpeg_frames
+
+    return synthetic_mjpeg_frames(_t(spark, sf_dir, "documents"))
+
+
 @query("multimodal_meta")
 def multimodal_meta(spark, sf_dir):
     from .operators import multimodal

@@ -461,3 +461,92 @@ def test_extract_video_meta_sniffs_avi(spark):
     got = {r.media_id: r for r in multimodal.extract_video_meta(df).collect()}
     assert (got[1].duration_ms, got[1].width, got[1].n_tracks) == (10000, 320, 2)
     assert got[2].duration_ms == 5000
+
+
+# -- Motion-JPEG AVI: real frame-level video decode --------------------------
+
+
+def _mjpeg_avi(levels=(0, 37, 254), w=8, h=8, fps=25):
+    from simple_anonymizer_spark.operators.jpeg import jpeg_encode
+
+    frames = [jpeg_encode(w, h, 1, bytes([lv]) * (w * h), quality=100)
+              for lv in levels]
+    return codecs.avi_mjpeg_encode(frames, w, h, fps=fps), frames
+
+
+def test_mjpeg_avi_mux_demux_roundtrip():
+    avi, frames = _mjpeg_avi()
+    # demux returns the exact JPEG byte streams (word-alignment padding
+    # is stripped — jpeg_encode output is frequently odd-length, which
+    # exercises it)
+    assert any(len(f) % 2 for f in frames)
+    assert codecs.avi_mjpeg_frames(avi) == frames
+    # the mux is a real AVI: the metadata walker reads it
+    assert codecs.avi_meta(avi) == (120, 8, 8, 1)  # 3 frames at 40 ms
+    assert codecs.video_meta(avi)[0] == 120
+
+
+def test_mjpeg_video_decode_frames_exact_pixels():
+    avi, _ = _mjpeg_avi(levels=(0, 37, 254))
+    # flat 8x8 at quality 100 decodes exactly (pinned flat-block prop)
+    got = [(i, w, h, ch, sum(p))
+           for i, w, h, ch, p in codecs.video_decode_frames(avi)]
+    assert got == [(0, 8, 8, 1, 0), (1, 8, 8, 1, 64 * 37),
+                   (2, 8, 8, 1, 64 * 254)]
+    # frame sampling: stride + cap
+    assert [i for i, *_ in codecs.video_decode_frames(avi, every_n=2)] == [0, 2]
+    assert len(codecs.video_decode_frames(avi, max_frames=1)) == 1
+    with pytest.raises(ValueError):
+        codecs.video_decode_frames(avi, every_n=0)
+
+
+def test_mjpeg_decode_rejects_non_mjpeg_and_malformed():
+    avi, frames = _mjpeg_avi()
+    # MP4 payloads stay injection-only
+    with pytest.raises(ValueError):
+        codecs.video_decode_frames(_mp4_bytes())
+    # a declared non-MJPG handler refuses frame decode
+    with pytest.raises(ValueError):
+        codecs.avi_mjpeg_frames(avi.replace(b"vidsMJPG", b"vidsH264"))
+    # a metadata-only AVI (no stream header, no frames) refuses too
+    with pytest.raises(ValueError):
+        codecs.avi_mjpeg_frames(_avi_bytes())
+    # frame chunk without a JPEG SOI
+    soi_at = avi.index(frames[0][:4])
+    broken = avi[:soi_at] + b"\x00\x00" + avi[soi_at + 2:]
+    with pytest.raises(ValueError):
+        codecs.avi_mjpeg_frames(broken)
+    # fuzz: truncations and byte flips either parse or raise ValueError
+    import numpy as _np
+    rng = _np.random.RandomState(7)
+    for trial in range(200):
+        buf = bytearray(avi)
+        if trial % 3 == 0:
+            buf = buf[: rng.randint(2, len(buf))]
+        else:
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            codecs.video_decode_frames(bytes(buf))
+        except ValueError:
+            pass  # the one allowed failure mode
+
+
+def test_decode_video_frames_operator(spark):
+    avi, _ = _mjpeg_avi(levels=(10, 20))
+    rows = [Row(media_id=1, content=avi, mime_type="video/avi"),
+            Row(media_id=2, content=b"not a video", mime_type=None),
+            Row(media_id=3, content=None, mime_type=None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_video_frames(df)
+    got = sorted((r.media_id, r.frame_index, r.width, r.height,
+                  r.channels, r.pixel_sum) for r in out.collect())
+    # media 1 decodes 2 real frames; media 2 quarantines to one NULL
+    # row; media 3 (NULL content) is dropped
+    assert got == [
+        (1, 0, 8, 8, 1, 64 * 10),
+        (1, 1, 8, 8, 1, 64 * 20),
+        (2, None, None, None, None, None),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
