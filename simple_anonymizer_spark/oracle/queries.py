@@ -4350,3 +4350,12 @@ FROM (
   FROM documents WHERE doc_id % 10 = 0
 )
 """
+
+
+# avro_roundtrip_docs: the Spark side writes documents to real Avro
+# container files and reads them back through the from-scratch decoder,
+# so the oracle is the SOURCE TABLE itself — any drift anywhere in the
+# varint/deflate/sync pipeline breaks the value hash.
+ORACLES["avro_roundtrip_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -1077,6 +1077,24 @@ def multimodal_video_frames(spark, sf_dir):
     return synthetic_mjpeg_frames(_t(spark, sf_dir, "documents"))
 
 
+@query("avro_roundtrip_docs")
+def avro_roundtrip_docs(spark, sf_dir):
+    """Avro interchange, driver-verifiable end-to-end: the documents
+    table is written to real Avro Object Container Files (the
+    from-scratch stdlib writer in ``sources/avro.py`` — zigzag varints,
+    deflate blocks, sync markers) and read back through the matching
+    from-scratch reader; the oracle is simply the source table, so the
+    driver's value hash gates BOTH sides of the codec. One container
+    file per partition (executor-side IO), one decode task per file."""
+    import tempfile
+
+    from .sources.avro import read_avro, write_avro
+
+    out = tempfile.mkdtemp(prefix="avro_rt_")
+    write_avro(_t(spark, sf_dir, "documents"), out)
+    return read_avro(spark, out)
+
+
 @query("multimodal_meta")
 def multimodal_meta(spark, sf_dir):
     from .operators import multimodal

@@ -1,0 +1,399 @@
+"""Avro Object Container File source/sink, from scratch on the stdlib
+(public Apache Avro 1.11 spec): the row-oriented interchange format next
+to Parquet/ORC, for pipelines whose landing zone is Avro (Kafka-lineage
+shops). Spark's own Avro support is an EXTERNAL jar this environment
+cannot fetch (no network, pip forbidden) — the same constraint that
+produced the pure-Python Delta log (``sources/deltalog.py``) — so the
+container format is implemented directly: zigzag-varint primitives,
+deflate (raw RFC 1951 via zlib) and null codecs, sync-marker-delimited
+blocks, and the JSON schema header.
+
+Scope (documented subset, ValueError otherwise): one top-level record of
+primitive fields — ``boolean, int, long, float, double, bytes, string``
+— each optionally nullable via the idiomatic ``["null", T]`` union.
+That covers every fixture table and everything the copier writes; maps/
+arrays/nested records belong to the JSON-lens column family, not the
+container.
+
+Distribution (100 TB): the sink writes ONE container file per Spark
+partition from inside a ``mapInPandas`` stage (executor-side IO, the
+``foreachPartition`` sink shape — no driver collect), so a big table
+becomes many part files exactly like the Parquet sink. The source
+parallelizes per part file (one task per file), which is how Spark's
+own Avro reader schedules small-file layouts; sync markers would allow
+intra-file splits for jumbo files, not needed for copier-written parts.
+Per-value decode is pure Python — the honest cost of a from-scratch
+codec (the jpeg.py tradeoff): conformance and driver-verifiability
+first, with the native Parquet path remaining the performance format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {"boolean", "int", "long", "float", "double", "bytes", "string"}
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean", "integer": "int", "long": "long",
+    "float": "float", "double": "double", "binary": "bytes",
+    "string": "string",
+}
+
+_AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
+
+
+# -- primitive codec ---------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _encode_value(atype: str, v) -> bytes:
+    if atype == "boolean":
+        return b"\x01" if v else b"\x00"
+    if atype in ("int", "long"):
+        return _zigzag_encode(int(v))
+    if atype == "float":
+        return struct.pack("<f", float(v))
+    if atype == "double":
+        return struct.pack("<d", float(v))
+    if atype == "bytes":
+        b = bytes(v)
+        return _zigzag_encode(len(b)) + b
+    if atype == "string":
+        b = str(v).encode("utf-8")
+        return _zigzag_encode(len(b)) + b
+    raise ValueError(f"unsupported avro type {atype!r}")
+
+
+def _decode_value(atype: str, buf: bytes, pos: int):
+    if atype == "boolean":
+        if pos >= len(buf):
+            raise ValueError("truncated boolean")
+        return buf[pos] != 0, pos + 1
+    if atype in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if atype == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if atype == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if atype in ("bytes", "string"):
+        n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("bad length prefix")
+        raw = buf[pos:pos + n]
+        return (raw.decode("utf-8") if atype == "string" else raw), pos + n
+    raise ValueError(f"unsupported avro type {atype!r}")
+
+
+# -- schema ------------------------------------------------------------------
+
+
+def _parse_fields(schema: dict) -> list[tuple[str, str, bool]]:
+    """-> [(name, primitive_type, nullable)] from a record schema,
+    ValueError on anything outside the documented subset."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    raw = schema.get("fields", [])
+    if not isinstance(raw, list):
+        raise ValueError("record fields must be a list")
+    fields = []
+    for f in raw:
+        if not isinstance(f, dict) or "name" not in f or "type" not in f:
+            raise ValueError("malformed record field")
+        name, t = f["name"], f["type"]
+        nullable = False
+        if isinstance(t, list):
+            if len(t) != 2 or "null" not in t:
+                raise ValueError(f"unsupported union for field {name!r}")
+            t = t[0] if t[1] == "null" else t[1]
+            nullable = True
+        if not isinstance(t, str) or t not in _PRIMITIVES:
+            raise ValueError(f"unsupported avro type {t!r} for {name!r}")
+        fields.append((name, t, nullable))
+    if not fields:
+        raise ValueError("record schema has no fields")
+    return fields
+
+
+def avro_schema_for(df: DataFrame, name: str = "row") -> dict:
+    """Derive the container schema from a Spark DataFrame (primitive
+    columns only — the documented subset)."""
+    fields = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t not in _SPARK_TO_AVRO:
+            raise ValueError(f"column {f.name!r}: no avro mapping for {t}")
+        a = _SPARK_TO_AVRO[t]
+        fields.append({"name": f.name,
+                       "type": ["null", a] if f.nullable else a})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def spark_ddl_for(schema: dict) -> str:
+    return ", ".join(
+        f"{name} {_AVRO_TO_SPARK[t]}" for name, t, _ in _parse_fields(schema)
+    )
+
+
+# -- container write ---------------------------------------------------------
+
+
+def write_container(
+    out: io.BufferedIOBase, schema: dict, rows: Iterator[tuple],
+    codec: str = "deflate", rows_per_block: int = 4096,
+) -> int:
+    """Stream ``rows`` (tuples in field order) into one OCF; returns the
+    row count. The sync marker is content-derived (md5 of the schema
+    JSON) so identical writes are byte-identical — the repo's
+    determinism house rule."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    fields = _parse_fields(schema)
+    schema_json = json.dumps(schema, sort_keys=True)
+    sync = hashlib.md5(schema_json.encode()).digest()
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    out.write(MAGIC)
+    out.write(_zigzag_encode(len(meta)))
+    for k, v in sorted(meta.items()):
+        out.write(_encode_value("string", k))
+        out.write(_encode_value("bytes", v))
+    out.write(_zigzag_encode(0))
+    out.write(sync)
+
+    total = 0
+
+    def flush(block: list[bytes]) -> None:
+        raw = b"".join(block)
+        if codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            raw = c.compress(raw) + c.flush()
+        out.write(_zigzag_encode(len(block)))
+        out.write(_zigzag_encode(len(raw)))
+        out.write(raw)
+        out.write(sync)
+
+    block: list[bytes] = []
+    for row in rows:
+        parts = []
+        for (name, t, nullable), v in zip(fields, row):
+            is_null = v is None or (isinstance(v, float) and v != v
+                                    and t not in ("float", "double"))
+            if nullable:
+                if is_null:
+                    parts.append(_zigzag_encode(0))
+                    continue
+                parts.append(_zigzag_encode(1))
+            elif is_null:
+                raise ValueError(f"null in non-nullable field {name!r}")
+            parts.append(_encode_value(t, v))
+        block.append(b"".join(parts))
+        total += 1
+        if len(block) >= rows_per_block:
+            flush(block)
+            block = []
+    if block:
+        flush(block)
+    return total
+
+
+# -- container read ----------------------------------------------------------
+
+
+def read_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Decode one OCF -> (schema, rows). ValueError on malformed input,
+    wrong magic, bad sync markers, or schemas outside the subset — the
+    untrusted-bytes contract shared with the media codecs."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(data, pos)
+        if n == 0:
+            break
+        if n < 0:  # size-prefixed block form
+            n = -n
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(n):
+            k, pos = _decode_value("string", data, pos)
+            v, pos = _decode_value("bytes", data, pos)
+            meta[k] = v
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except (KeyError, ValueError) as exc:
+        raise ValueError("missing or invalid avro.schema") from exc
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    fields = _parse_fields(schema)
+    sync = data[pos:pos + 16]
+    if len(sync) != 16:
+        raise ValueError("truncated header sync marker")
+    pos += 16
+
+    rows: list[tuple] = []
+    while pos < len(data):
+        count, pos = _zigzag_decode(data, pos)
+        size, pos = _zigzag_decode(data, pos)
+        if count < 0 or size < 0 or pos + size > len(data):
+            raise ValueError("bad block header")
+        raw = data[pos:pos + size]
+        pos += size
+        if data[pos:pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            try:
+                raw = zlib.decompressobj(-15).decompress(raw)
+            except zlib.error as exc:
+                raise ValueError("bad deflate block") from exc
+        bpos = 0
+        for _ in range(count):
+            vals = []
+            for name, t, nullable in fields:
+                if nullable:
+                    idx, bpos = _zigzag_decode(raw, bpos)
+                    if idx == 0:
+                        vals.append(None)
+                        continue
+                    if idx != 1:
+                        raise ValueError(f"bad union index in {name!r}")
+                v, bpos = _decode_value(t, raw, bpos)
+                vals.append(v)
+            rows.append(tuple(vals))
+        if bpos != len(raw):
+            raise ValueError("trailing bytes in block")
+    return schema, rows
+
+
+# -- Spark integration -------------------------------------------------------
+
+
+def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
+    """Distributed Avro sink: one container file per partition, written
+    executor-side inside a single mapInPandas stage (no driver
+    collect); returns the total row count from the per-file manifest
+    (bounded: one row per partition)."""
+    os.makedirs(out_dir, exist_ok=True)
+    schema = avro_schema_for(df)
+    fields = [f.name for f in df.schema.fields]
+    ftypes = [t for _, t, _n in _parse_fields(schema)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
+                for row in pdf[fields].itertuples(index=False, name=None):
+                    yield tuple(
+                        None if v is None or (isinstance(v, float) and v != v
+                                              and t not in ("float", "double"))
+                        else v
+                        for v, t in zip(row, ftypes)
+                    )
+
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+        with open(path, "wb") as fh:
+            n = write_container(fh, schema, rows(), codec=codec)
+        if n == 0:
+            os.unlink(path)  # empty partition: no file
+            yield pd.DataFrame({"path": pd.array([], dtype="object"),
+                                "n_rows": pd.array([], dtype="Int64")})
+        else:
+            yield pd.DataFrame({"path": [path], "n_rows": [n]})
+
+    manifest = df.mapInPandas(run, "path string, n_rows long")
+    return int(manifest.agg(F.sum("n_rows")).collect()[0][0] or 0)
+
+
+def read_avro(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Distributed Avro source: the driver reads ONE file header for the
+    schema, then each part file decodes in its own task (mapInPandas
+    over the file list)."""
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".avro")
+    )
+    if not files:
+        raise ValueError(f"no .avro files under {in_dir}")
+    with open(files[0], "rb") as fh:
+        head = fh.read()
+    schema, _ = read_container(head[:_header_end(head)])
+    fields = _parse_fields(schema)
+    ddl = spark_ddl_for(schema)
+    _PD_INT = {"boolean": "boolean", "int": "Int32", "long": "Int64",
+               "float": "float32", "double": "float64"}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    fschema, rows = read_container(fh.read())
+                if fschema != schema:
+                    raise ValueError(f"schema drift in {path}")
+                cols = {}
+                for i, (name, t, _n) in enumerate(fields):
+                    vals = [r[i] for r in rows]
+                    cols[name] = pd.array(vals, dtype=_PD_INT[t]) \
+                        if t in _PD_INT else pd.Series(vals, dtype="object")
+                yield pd.DataFrame(cols)
+
+    paths = spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(len(files), "path")
+    return paths.mapInPandas(run, ddl)
+
+
+def _header_end(data: bytes) -> int:
+    """Offset just past the header sync marker (so a schema peek does
+    not decode every block)."""
+    pos = 4
+    while True:
+        n, pos = _zigzag_decode(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(n):
+            _, pos = _decode_value("string", data, pos)
+            _, pos = _decode_value("bytes", data, pos)
+    return pos + 16

@@ -1,0 +1,125 @@
+"""Avro Object Container File conformance (sources/avro.py): typed
+round trips through the from-scratch stdlib codec, fixture-table parity
+against Parquet in both directions, the untrusted-bytes ValueError
+contract, and the one-pandas-stage plan shape for source and sink."""
+
+import io
+import os
+
+import pytest
+
+from simple_anonymizer_spark.sources import avro as A
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TYPED_SCHEMA = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "b", "type": ["null", "boolean"]},
+        {"name": "i", "type": ["null", "int"]},
+        {"name": "l", "type": "long"},
+        {"name": "f", "type": ["null", "float"]},
+        {"name": "d", "type": "double"},
+        {"name": "by", "type": ["null", "bytes"]},
+        {"name": "s", "type": ["null", "string"]},
+    ],
+}
+
+TYPED_ROWS = [
+    (True, -5, 2 ** 40, 1.5, -0.25, b"\x00\xff", "héllo 世界"),
+    (None, None, -1, None, 3.140625, None, None),
+    (False, 0, 0, -2.0, 0.0, b"", ""),
+    (True, 2 ** 31 - 1, -2 ** 62, 0.5, 1e300, bytes(range(256)), "x" * 999),
+]
+
+
+def _container(codec="deflate", rows_per_block=2):
+    buf = io.BytesIO()
+    A.write_container(buf, TYPED_SCHEMA, iter(TYPED_ROWS), codec=codec,
+                      rows_per_block=rows_per_block)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_typed_roundtrip_all_primitives(codec):
+    data = _container(codec=codec)
+    schema, rows = A.read_container(data)
+    assert schema == TYPED_SCHEMA
+    assert rows == TYPED_ROWS
+
+
+def test_write_is_deterministic_and_blocked():
+    # content-derived sync marker -> byte-identical rewrites
+    assert _container() == _container()
+    # rows_per_block=2 over 4 rows -> 2 blocks, both decoded
+    assert len(A.read_container(_container(rows_per_block=2))[1]) == 4
+
+
+def test_null_in_non_nullable_field_raises():
+    bad = [(None, None, None, None, 0.0, None, None)]  # l is non-null
+    with pytest.raises(ValueError):
+        A.write_container(io.BytesIO(), TYPED_SCHEMA, iter(bad))
+
+
+def test_malformed_container_raises_valueerror():
+    good = _container()
+    for bad in (b"", b"Obj\x02" + good[4:], good[:10], good[:40],
+                good[:-5], good[:-20] + b"\x00" * 20):
+        with pytest.raises(ValueError):
+            A.read_container(bad)
+    # unsupported schema shapes
+    for sch in ({"type": "array"}, {"type": "record", "fields": []},
+                {"type": "record", "fields": [
+                    {"name": "m", "type": {"type": "map"}}]}):
+        with pytest.raises(ValueError):
+            A._parse_fields(sch)
+    # fuzz: truncations and byte flips either parse or raise ValueError
+    import numpy as np
+    rng = np.random.RandomState(11)
+    for trial in range(200):
+        buf = bytearray(good)
+        if trial % 3 == 0:
+            buf = buf[: rng.randint(2, len(buf))]
+        else:
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            A.read_container(bytes(buf))
+        except ValueError:
+            pass  # the one allowed failure mode
+
+
+@pytest.mark.parametrize("name", ["region", "nation", "customer",
+                                  "documents"])
+def test_fixture_roundtrip_matches_parquet(spark, tmp_path, name):
+    src = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    out = str(tmp_path / name)
+    assert A.write_avro(src.repartition(3), out) == src.count()
+    back = A.read_avro(spark, out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple,
+                                                            src.collect()))
+
+
+def test_empty_partitions_write_no_files(spark, tmp_path):
+    df = spark.range(2).repartition(8)
+    out = str(tmp_path / "sparse")
+    assert A.write_avro(df, out) == 2
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert 1 <= len(files) <= 2  # 6+ empty partitions skipped
+    assert A.read_avro(spark, out).count() == 2
+
+
+def test_read_avro_rejects_schema_drift(spark, tmp_path):
+    out = str(tmp_path / "drift")
+    A.write_avro(spark.range(3).selectExpr("id AS a"), out)
+    A.write_avro(spark.range(3).selectExpr("id AS b"), out)
+    with pytest.raises(Exception, match="schema drift"):
+        A.read_avro(spark, out).collect()
+
+
+def test_avro_plan_shape_one_pandas_stage(spark, tmp_path):
+    out = str(tmp_path / "plan")
+    A.write_avro(spark.range(10).selectExpr("id", "id * 2 AS v"), out)
+    df = A.read_avro(spark, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
