@@ -397,3 +397,132 @@ def _header_end(data: bytes) -> int:
             _, pos = _decode_value("string", data, pos)
             _, pos = _decode_value("bytes", data, pos)
     return pos + 16
+
+
+# -- Spark Python Data Source: format("pyavro") ------------------------------
+#
+# The idiomatic front door — spark.read.format("pyavro").load(dir) /
+# df.write.format("pyavro").mode(...).save(dir) — on Spark 4's Python
+# Data Source API (the sources/pyds.py pattern): schema inference from
+# one file header driver-side, then one input partition per container
+# file and one written container per task, all executor-side.
+
+try:  # pragma: no cover - import surface depends on pyspark build
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+        WriterCommitMessage,
+    )
+    from pyspark.sql import types as _T
+
+    class _AvroFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class AvroDataSource(DataSource):
+        """``format("pyavro")`` — see module docstring. Read options:
+        ``path`` (directory of ``.avro`` part files). Write options:
+        ``path``, ``codec`` (``deflate`` default | ``null``)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pyavro"
+
+        def _dir(self) -> str:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("pyavro requires a path (use .load(dir))")
+            return path
+
+        def schema(self):
+            files = sorted(
+                os.path.join(self._dir(), f)
+                for f in os.listdir(self._dir()) if f.endswith(".avro")
+            )
+            if not files:
+                raise ValueError(f"no .avro files under {self._dir()}")
+            with open(files[0], "rb") as fh:
+                head = fh.read()
+            schema, _ = read_container(head[:_header_end(head)])
+            spark_t = {
+                "boolean": _T.BooleanType(), "int": _T.IntegerType(),
+                "long": _T.LongType(), "float": _T.FloatType(),
+                "double": _T.DoubleType(), "bytes": _T.BinaryType(),
+                "string": _T.StringType(),
+            }
+            return _T.StructType([
+                _T.StructField(name, spark_t[t], nullable)
+                for name, t, nullable in _parse_fields(schema)
+            ])
+
+        def reader(self, schema) -> "AvroFileReader":
+            return AvroFileReader(self._dir())
+
+        def writer(self, schema, overwrite: bool) -> "AvroFileWriter":
+            out = self._dir()
+            if overwrite and os.path.isdir(out):
+                for f in os.listdir(out):
+                    if f.endswith(".avro"):
+                        os.unlink(os.path.join(out, f))
+            os.makedirs(out, exist_ok=True)
+            avro_fields = []
+            for f in schema.fields:
+                t = f.dataType.typeName()
+                if t not in _SPARK_TO_AVRO:
+                    raise ValueError(
+                        f"column {f.name!r}: no avro mapping for {t}")
+                a = _SPARK_TO_AVRO[t]
+                avro_fields.append(
+                    {"name": f.name, "type": ["null", a] if f.nullable else a}
+                )
+            return AvroFileWriter(
+                out,
+                {"type": "record", "name": "row", "fields": avro_fields},
+                self.options.get("codec", "deflate"),
+            )
+
+    class AvroFileReader(DataSourceReader):
+        def __init__(self, in_dir: str):
+            self.in_dir = in_dir
+
+        def partitions(self):
+            return [
+                _AvroFilePartition(os.path.join(self.in_dir, f))
+                for f in sorted(os.listdir(self.in_dir))
+                if f.endswith(".avro")
+            ]
+
+        def read(self, partition: "_AvroFilePartition") -> Iterator[tuple]:
+            with open(partition.path, "rb") as fh:
+                _, rows = read_container(fh.read())
+            return iter(rows)
+
+    class _AvroWriteResult(WriterCommitMessage):
+        def __init__(self, n_rows: int):
+            self.n_rows = n_rows
+
+    class AvroFileWriter(DataSourceWriter):
+        def __init__(self, out_dir: str, schema: dict, codec: str):
+            self.out_dir = out_dir
+            self.avro_schema = schema
+            self.codec = codec
+
+        def write(self, iterator: Iterator) -> "_AvroWriteResult":
+            path = os.path.join(self.out_dir,
+                                f"part-{uuid.uuid4().hex}.avro")
+            with open(path, "wb") as fh:
+                n = write_container(
+                    fh, self.avro_schema,
+                    (tuple(row) for row in iterator), codec=self.codec,
+                )
+            if n == 0:
+                os.unlink(path)
+            return _AvroWriteResult(n)
+
+        def commit(self, messages) -> None:
+            pass  # files are in place; partition-atomic like the DB sink
+
+        def abort(self, messages) -> None:
+            pass
+
+except ImportError:  # pragma: no cover
+    AvroDataSource = None  # type: ignore[assignment]

@@ -123,3 +123,24 @@ def test_avro_plan_shape_one_pandas_stage(spark, tmp_path):
     df = A.read_avro(spark, out)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1 and "BatchEvalPython" not in plan
+
+
+def test_pyavro_datasource_roundtrip(spark, tmp_path):
+    from simple_anonymizer_spark.sources.avro import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    out = str(tmp_path / "ds")
+    src.write.format("pyavro").mode("append").save(out)
+    back = spark.read.format("pyavro").load(out)
+    assert [f.name for f in back.schema.fields] == src.columns
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple,
+                                                            src.collect()))
+    # overwrite replaces prior part files instead of accumulating
+    src.limit(5).write.format("pyavro").mode("overwrite").save(out)
+    assert spark.read.format("pyavro").load(out).count() == 5
+    # cross-path interop: files written by write_avro read via the
+    # data source, and vice versa
+    assert sorted(
+        map(tuple, A.read_avro(spark, out).collect())
+    ) == sorted(map(tuple, spark.read.format("pyavro").load(out).collect()))
