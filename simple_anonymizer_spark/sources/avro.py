@@ -8,12 +8,15 @@ container format is implemented directly: zigzag-varint primitives,
 deflate (raw RFC 1951 via zlib) and null codecs, sync-marker-delimited
 blocks, and the JSON schema header.
 
-Scope (documented subset, ValueError otherwise): one top-level record of
-primitive fields — ``boolean, int, long, float, double, bytes, string``
-— each optionally nullable via the idiomatic ``["null", T]`` union.
-That covers every fixture table and everything the copier writes; maps/
-arrays/nested records belong to the JSON-lens column family, not the
-container.
+Scope (documented subset, ValueError otherwise): records over the full
+recursive composite algebra — primitives ``boolean, int, long, float,
+double, bytes, string``, plus ``array``, ``map`` (string keys, per the
+spec), nested ``record``, and nullability anywhere via the idiomatic
+``["null", T]`` union. That covers every fixture table including
+``embeddings`` (``array<float>``) and arbitrary struct/map payload
+columns. Not implemented (nothing here produces them): ``enum``,
+``fixed``, non-null multi-branch unions, logical-type annotations
+(read as their underlying primitive).
 
 Distribution (100 TB): the sink writes ONE container file per Spark
 partition from inside a ``mapInPandas`` stage (executor-side IO, the
@@ -52,9 +55,6 @@ _SPARK_TO_AVRO = {
     "float": "float", "double": "double", "binary": "bytes",
     "string": "string",
 }
-
-_AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
-
 
 # -- primitive codec ---------------------------------------------------------
 
@@ -127,11 +127,40 @@ def _decode_value(atype: str, buf: bytes, pos: int):
 
 
 # -- schema ------------------------------------------------------------------
+#
+# Normalized type nodes (the recursive algebra the codec walks):
+#   ("prim", name) | ("opt", inner) | ("array", item) | ("map", value)
+#   | ("record", [(field_name, node), ...])
 
 
-def _parse_fields(schema: dict) -> list[tuple[str, str, bool]]:
-    """-> [(name, primitive_type, nullable)] from a record schema,
-    ValueError on anything outside the documented subset."""
+def _norm_type(t):
+    if isinstance(t, list):
+        if len(t) == 2 and "null" in t:
+            inner = t[0] if t[1] == "null" else t[1]
+            if inner == "null":
+                raise ValueError("union of null with null")
+            return ("opt", _norm_type(inner))
+        raise ValueError(f"unsupported union {t!r}")
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return ("prim", t)
+        raise ValueError(f"unsupported avro type {t!r}")
+    if isinstance(t, dict):
+        tt = t.get("type")
+        if tt == "array" and "items" in t:
+            return ("array", _norm_type(t["items"]))
+        if tt == "map" and "values" in t:
+            return ("map", _norm_type(t["values"]))
+        if tt == "record":
+            return ("record", _parse_fields(t))
+        if isinstance(tt, str) and tt in _PRIMITIVES:
+            return ("prim", tt)  # {"type": "string", ...logicalType} form
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _parse_fields(schema: dict) -> list[tuple[str, tuple]]:
+    """-> [(name, normalized_node)] from a record schema, ValueError on
+    anything outside the documented subset."""
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
     raw = schema.get("fields", [])
@@ -141,39 +170,177 @@ def _parse_fields(schema: dict) -> list[tuple[str, str, bool]]:
     for f in raw:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
             raise ValueError("malformed record field")
-        name, t = f["name"], f["type"]
-        nullable = False
-        if isinstance(t, list):
-            if len(t) != 2 or "null" not in t:
-                raise ValueError(f"unsupported union for field {name!r}")
-            t = t[0] if t[1] == "null" else t[1]
-            nullable = True
-        if not isinstance(t, str) or t not in _PRIMITIVES:
-            raise ValueError(f"unsupported avro type {t!r} for {name!r}")
-        fields.append((name, t, nullable))
+        fields.append((f["name"], _norm_type(f["type"])))
     if not fields:
         raise ValueError("record schema has no fields")
     return fields
 
 
+def _avro_type_of(dt) -> object:
+    """Spark DataType -> avro schema fragment (recursive)."""
+    from pyspark.sql import types as T
+
+    name = dt.typeName()
+    if name in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[name]
+    if isinstance(dt, T.ArrayType):
+        item = _avro_type_of(dt.elementType)
+        if dt.containsNull:
+            item = ["null", item]
+        return {"type": "array", "items": item}
+    if isinstance(dt, T.MapType):
+        if dt.keyType.typeName() != "string":
+            raise ValueError("avro maps require string keys")
+        val = _avro_type_of(dt.valueType)
+        if dt.valueContainsNull:
+            val = ["null", val]
+        return {"type": "map", "values": val}
+    if isinstance(dt, T.StructType):
+        return {"type": "record", "name": f"rec{abs(hash(dt)) % 10**6}",
+                "fields": [
+                    {"name": f.name,
+                     "type": (["null", _avro_type_of(f.dataType)]
+                              if f.nullable else _avro_type_of(f.dataType))}
+                    for f in dt.fields
+                ]}
+    raise ValueError(f"no avro mapping for spark type {name}")
+
+
 def avro_schema_for(df: DataFrame, name: str = "row") -> dict:
-    """Derive the container schema from a Spark DataFrame (primitive
-    columns only — the documented subset)."""
+    """Derive the container schema from a Spark DataFrame (recursive
+    over arrays/maps/structs — the documented subset)."""
     fields = []
     for f in df.schema.fields:
-        t = f.dataType.typeName()
-        if t not in _SPARK_TO_AVRO:
-            raise ValueError(f"column {f.name!r}: no avro mapping for {t}")
-        a = _SPARK_TO_AVRO[t]
+        a = _avro_type_of(f.dataType)
         fields.append({"name": f.name,
                        "type": ["null", a] if f.nullable else a})
     return {"type": "record", "name": name, "fields": fields}
 
 
-def spark_ddl_for(schema: dict) -> str:
-    return ", ".join(
-        f"{name} {_AVRO_TO_SPARK[t]}" for name, t, _ in _parse_fields(schema)
-    )
+def _spark_type_of(node):
+    """Normalized node -> (Spark DataType, nullable)."""
+    from pyspark.sql import types as T
+
+    _SPARK_T = {
+        "boolean": T.BooleanType, "int": T.IntegerType, "long": T.LongType,
+        "float": T.FloatType, "double": T.DoubleType,
+        "bytes": T.BinaryType, "string": T.StringType,
+    }
+    if node[0] == "opt":
+        inner, _ = _spark_type_of(node[1])
+        return inner, True
+    if node[0] == "prim":
+        return _SPARK_T[node[1]](), False
+    if node[0] == "array":
+        item, item_null = _spark_type_of(node[1])
+        return T.ArrayType(item, item_null), False
+    if node[0] == "map":
+        val, val_null = _spark_type_of(node[1])
+        return T.MapType(T.StringType(), val, val_null), False
+    if node[0] == "record":
+        return T.StructType([
+            T.StructField(n, *_spark_type_of(sub)) for n, sub in node[1]
+        ]), False
+    raise ValueError(f"bad node {node!r}")
+
+
+def spark_struct_for(schema: dict):
+    """Avro record schema -> Spark StructType (recursive)."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(name, *_spark_type_of(node))
+        for name, node in _parse_fields(schema)
+    ])
+
+
+# -- recursive value codec ---------------------------------------------------
+
+
+def _enc(node, v, out: list, where: str) -> None:
+    kind = node[0]
+    if kind == "opt":
+        if v is None or (isinstance(v, float) and v != v
+                         and node[1] != ("prim", "float")
+                         and node[1] != ("prim", "double")):
+            out.append(b"\x00")  # zigzag(0): the null branch
+            return
+        out.append(b"\x02")  # zigzag(1)
+        _enc(node[1], v, out, where)
+        return
+    if v is None:
+        raise ValueError(f"null in non-nullable field {where!r}")
+    if kind == "prim":
+        if (isinstance(v, float) and v != v
+                and node[1] not in ("float", "double")):
+            raise ValueError(f"null (NaN) in non-nullable field {where!r}")
+        out.append(_encode_value(node[1], v))
+        return
+    if kind == "array":
+        items = list(v)
+        if items:
+            out.append(_zigzag_encode(len(items)))
+            for i, x in enumerate(items):
+                _enc(node[1], x, out, f"{where}[{i}]")
+        out.append(b"\x00")
+        return
+    if kind == "map":
+        entries = sorted(v.items())  # deterministic writes (house rule)
+        if entries:
+            out.append(_zigzag_encode(len(entries)))
+            for k, x in entries:
+                out.append(_encode_value("string", k))
+                _enc(node[1], x, out, f"{where}.{k}")
+        out.append(b"\x00")
+        return
+    if kind == "record":
+        for name, sub in node[1]:
+            if isinstance(v, dict):
+                x = v.get(name)
+            elif hasattr(v, "__fields__"):  # pyspark Row
+                x = v[name]
+            else:
+                raise ValueError(f"record value for {where!r} must be a "
+                                 "dict or Row")
+            _enc(sub, x, out, f"{where}.{name}")
+        return
+    raise ValueError(f"bad node {node!r}")
+
+
+def _dec(node, buf: bytes, pos: int):
+    kind = node[0]
+    if kind == "opt":
+        idx, pos = _zigzag_decode(buf, pos)
+        if idx == 0:
+            return None, pos
+        if idx != 1:
+            raise ValueError("bad union index")
+        return _dec(node[1], buf, pos)
+    if kind == "prim":
+        return _decode_value(node[1], buf, pos)
+    if kind in ("array", "map"):
+        out = [] if kind == "array" else {}
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:  # size-prefixed block form (spec)
+                count = -count
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(count):
+                if kind == "map":
+                    k, pos = _decode_value("string", buf, pos)
+                    v, pos = _dec(node[1], buf, pos)
+                    out[k] = v
+                else:
+                    v, pos = _dec(node[1], buf, pos)
+                    out.append(v)
+    if kind == "record":
+        rec = {}
+        for name, sub in node[1]:
+            rec[name], pos = _dec(sub, buf, pos)
+        return rec, pos
+    raise ValueError(f"bad node {node!r}")
 
 
 # -- container write ---------------------------------------------------------
@@ -215,18 +382,9 @@ def write_container(
 
     block: list[bytes] = []
     for row in rows:
-        parts = []
-        for (name, t, nullable), v in zip(fields, row):
-            is_null = v is None or (isinstance(v, float) and v != v
-                                    and t not in ("float", "double"))
-            if nullable:
-                if is_null:
-                    parts.append(_zigzag_encode(0))
-                    continue
-                parts.append(_zigzag_encode(1))
-            elif is_null:
-                raise ValueError(f"null in non-nullable field {name!r}")
-            parts.append(_encode_value(t, v))
+        parts: list[bytes] = []
+        for (name, node), v in zip(fields, row):
+            _enc(node, v, parts, name)
         block.append(b"".join(parts))
         total += 1
         if len(block) >= rows_per_block:
@@ -291,15 +449,8 @@ def read_container(data: bytes) -> tuple[dict, list[tuple]]:
         bpos = 0
         for _ in range(count):
             vals = []
-            for name, t, nullable in fields:
-                if nullable:
-                    idx, bpos = _zigzag_decode(raw, bpos)
-                    if idx == 0:
-                        vals.append(None)
-                        continue
-                    if idx != 1:
-                        raise ValueError(f"bad union index in {name!r}")
-                v, bpos = _decode_value(t, raw, bpos)
+            for _name, node in fields:
+                v, bpos = _dec(node, raw, bpos)
                 vals.append(v)
             rows.append(tuple(vals))
         if bpos != len(raw):
@@ -318,18 +469,12 @@ def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
     os.makedirs(out_dir, exist_ok=True)
     schema = avro_schema_for(df)
     fields = [f.name for f in df.schema.fields]
-    ftypes = [t for _, t, _n in _parse_fields(schema)]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def rows() -> Iterator[tuple]:
             for pdf in batches:
                 for row in pdf[fields].itertuples(index=False, name=None):
-                    yield tuple(
-                        None if v is None or (isinstance(v, float) and v != v
-                                              and t not in ("float", "double"))
-                        else v
-                        for v, t in zip(row, ftypes)
-                    )
+                    yield row  # NaN-as-null is handled inside _enc
 
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
         with open(path, "wb") as fh:
@@ -359,9 +504,14 @@ def read_avro(spark: SparkSession, in_dir: str) -> DataFrame:
         head = fh.read()
     schema, _ = read_container(head[:_header_end(head)])
     fields = _parse_fields(schema)
-    ddl = spark_ddl_for(schema)
-    _PD_INT = {"boolean": "boolean", "int": "Int32", "long": "Int64",
-               "float": "float32", "double": "float64"}
+    struct = spark_struct_for(schema)
+    _PD_DT = {"boolean": "boolean", "int": "Int32", "long": "Int64",
+              "float": "float32", "double": "float64"}
+
+    def _dtype(node):
+        prim = node[1][1] if node[0] == "opt" and node[1][0] == "prim" \
+            else (node[1] if node[0] == "prim" else None)
+        return _PD_DT.get(prim, "object") if prim else "object"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -371,15 +521,16 @@ def read_avro(spark: SparkSession, in_dir: str) -> DataFrame:
                 if fschema != schema:
                     raise ValueError(f"schema drift in {path}")
                 cols = {}
-                for i, (name, t, _n) in enumerate(fields):
+                for i, (name, node) in enumerate(fields):
                     vals = [r[i] for r in rows]
-                    cols[name] = pd.array(vals, dtype=_PD_INT[t]) \
-                        if t in _PD_INT else pd.Series(vals, dtype="object")
+                    dt = _dtype(node)
+                    cols[name] = pd.array(vals, dtype=dt) \
+                        if dt != "object" else pd.Series(vals, dtype="object")
                 yield pd.DataFrame(cols)
 
     paths = spark.createDataFrame([(p,) for p in files], "path string") \
         .repartition(len(files), "path")
-    return paths.mapInPandas(run, ddl)
+    return paths.mapInPandas(run, struct)
 
 
 def _header_end(data: bytes) -> int:
@@ -443,16 +594,7 @@ try:  # pragma: no cover - import surface depends on pyspark build
             with open(files[0], "rb") as fh:
                 head = fh.read()
             schema, _ = read_container(head[:_header_end(head)])
-            spark_t = {
-                "boolean": _T.BooleanType(), "int": _T.IntegerType(),
-                "long": _T.LongType(), "float": _T.FloatType(),
-                "double": _T.DoubleType(), "bytes": _T.BinaryType(),
-                "string": _T.StringType(),
-            }
-            return _T.StructType([
-                _T.StructField(name, spark_t[t], nullable)
-                for name, t, nullable in _parse_fields(schema)
-            ])
+            return spark_struct_for(schema)
 
         def reader(self, schema) -> "AvroFileReader":
             return AvroFileReader(self._dir())
@@ -464,16 +606,12 @@ try:  # pragma: no cover - import surface depends on pyspark build
                     if f.endswith(".avro"):
                         os.unlink(os.path.join(out, f))
             os.makedirs(out, exist_ok=True)
-            avro_fields = []
-            for f in schema.fields:
-                t = f.dataType.typeName()
-                if t not in _SPARK_TO_AVRO:
-                    raise ValueError(
-                        f"column {f.name!r}: no avro mapping for {t}")
-                a = _SPARK_TO_AVRO[t]
-                avro_fields.append(
-                    {"name": f.name, "type": ["null", a] if f.nullable else a}
-                )
+            avro_fields = [
+                {"name": f.name,
+                 "type": (["null", _avro_type_of(f.dataType)]
+                          if f.nullable else _avro_type_of(f.dataType))}
+                for f in schema.fields
+            ]
             return AvroFileWriter(
                 out,
                 {"type": "record", "name": "row", "fields": avro_fields},

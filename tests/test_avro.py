@@ -144,3 +144,101 @@ def test_pyavro_datasource_roundtrip(spark, tmp_path):
     assert sorted(
         map(tuple, A.read_avro(spark, out).collect())
     ) == sorted(map(tuple, spark.read.format("pyavro").load(out).collect()))
+
+
+# -- property: arbitrary typed rows round-trip exactly -----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_noneable = lambda s: st.one_of(st.none(), s)  # noqa: E731
+
+_ROW = st.tuples(
+    _noneable(st.booleans()),
+    _noneable(st.integers(min_value=-2 ** 31, max_value=2 ** 31 - 1)),
+    st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1),
+    _noneable(st.floats(width=32, allow_nan=False)),
+    st.floats(allow_nan=False),
+    _noneable(st.binary(max_size=200)),
+    _noneable(st.text(max_size=200)),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=st.lists(_ROW, max_size=40),
+       codec=st.sampled_from(["null", "deflate"]),
+       block=st.integers(min_value=1, max_value=7))
+def test_property_container_roundtrip(rows, codec, block):
+    buf = io.BytesIO()
+    try:
+        n = A.write_container(buf, TYPED_SCHEMA, iter(rows), codec=codec,
+                              rows_per_block=block)
+    except ValueError:
+        # only the documented refusal: null in the non-nullable field
+        assert any(r[2] is None for r in rows)
+        return
+    assert n == len(rows)
+    schema, got = A.read_container(buf.getvalue())
+    assert schema == TYPED_SCHEMA
+    assert got == rows
+
+
+# -- recursive composite types -----------------------------------------------
+
+NESTED_SCHEMA = {
+    "type": "record", "name": "n", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "vec", "type": {"type": "array", "items": "float"}},
+        {"name": "tags", "type": ["null", {"type": "array",
+                                           "items": ["null", "string"]}]},
+        {"name": "props", "type": {"type": "map",
+                                   "values": ["null", "double"]}},
+        {"name": "inner", "type": ["null", {
+            "type": "record", "name": "pt", "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "y", "type": ["null", "string"]},
+            ]}]},
+        {"name": "grid", "type": {"type": "array", "items": {
+            "type": "array", "items": "long"}}},
+    ],
+}
+
+NESTED_ROWS = [
+    (1, [0.5, -1.25], ["a", None, "b"], {"p": 1.5, "q": None},
+     {"x": 7, "y": "hi"}, [[1, 2], [], [3]]),
+    (2, [], None, {}, None, []),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_nested_types_roundtrip(codec):
+    buf = io.BytesIO()
+    A.write_container(buf, NESTED_SCHEMA, iter(NESTED_ROWS), codec=codec)
+    schema, rows = A.read_container(buf.getvalue())
+    assert schema == NESTED_SCHEMA
+    assert rows == NESTED_ROWS
+
+
+def test_nested_null_in_non_nullable_raises():
+    bad = [(1, None, None, {}, None, [])]  # vec is non-nullable
+    with pytest.raises(ValueError, match="vec"):
+        A.write_container(io.BytesIO(), NESTED_SCHEMA, iter(bad))
+    bad2 = [(1, [0.5], None, {}, {"x": None, "y": None}, [])]  # inner.x
+    with pytest.raises(ValueError, match="inner.x"):
+        A.write_container(io.BytesIO(), NESTED_SCHEMA, iter(bad2))
+
+
+def test_size_prefixed_array_blocks_decode():
+    # spec: a NEGATIVE item count means |count| items preceded by a
+    # byte-size long — writers here never emit it, readers must accept
+    items = A._zigzag_encode(5) + A._zigzag_encode(6)
+    buf = (A._zigzag_encode(-2) + A._zigzag_encode(len(items)) + items
+           + A._zigzag_encode(0))
+    got, pos = A._dec(("array", ("prim", "long")), buf, 0)
+    assert got == [5, 6] and pos == len(buf)
+
+
+def test_spark_schema_mapping_roundtrip(spark):
+    src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sch = A.avro_schema_for(src)
+    assert A.spark_struct_for(sch) == src.schema
