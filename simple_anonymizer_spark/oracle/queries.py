@@ -4359,3 +4359,13 @@ FROM (
 ORACLES["avro_roundtrip_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+
+# warc_roundtrip_docs: same gate shape as avro_roundtrip_docs — the
+# Spark side writes documents as per-record-gzipped WARC resource
+# records and reconstructs the columns from payload + extension header
+# fields on read, so the SOURCE TABLE is the oracle and any drift in
+# the record framing / gzip member layout breaks the value hash.
+ORACLES["warc_roundtrip_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -1095,6 +1095,39 @@ def avro_roundtrip_docs(spark, sf_dir):
     return read_avro(spark, out)
 
 
+@query("warc_roundtrip_docs")
+def warc_roundtrip_docs(spark, sf_dir):
+    """WARC interchange, driver-verifiable end-to-end: the documents
+    table is written as real per-record-gzipped WARC resource records
+    (the from-scratch ISO 28500 codec in ``sources/warc.py`` — the
+    Common Crawl container, i.e. the raw landing format of web-scale
+    training corpora) and read back through the matching reader; the
+    original columns are reconstructed from payload + extension header
+    fields, so the oracle is simply the source table and the driver's
+    value hash gates BOTH codec directions. One archive per partition
+    (executor-side IO), one decode task per file."""
+    import tempfile
+
+    from .sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "uri", F.concat(F.lit("corpus://"), F.col("source"), F.lit("/"),
+                        F.col("doc_id")))
+    out = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(docs, out, uri_col="uri", payload_col="text",
+               meta_cols=("doc_id", "lang", "source", "n_chars"))
+    back = read_warc(spark, out)
+    return back.select(
+        F.element_at("headers", "warc-x-meta-doc_id").cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+        F.element_at("headers", "warc-x-meta-lang").alias("lang"),
+        F.element_at("headers", "warc-x-meta-source").alias("source"),
+        F.element_at("headers", "warc-x-meta-n_chars").cast("long")
+        .alias("n_chars"),
+    )
+
+
 @query("multimodal_meta")
 def multimodal_meta(spark, sf_dir):
     from .operators import multimodal

@@ -110,7 +110,12 @@ NATIVE_QUERIES = [
 PANDAS_SLOT_QUERIES = ["multimodal_meta", "multimodal_resize",
                        "multimodal_frames", "multimodal_video_meta",
                        "multimodal_audio_features", "multimodal_image_meta",
-                       "multimodal_jpeg_roundtrip"]
+                       "multimodal_jpeg_roundtrip", "multimodal_video_frames",
+                       # container-codec round trips: the returned plan is
+                       # the READ side — one decode task per file through
+                       # one mapInPandas stage (the write side runs eagerly
+                       # in its own single-stage job at build time)
+                       "avro_roundtrip_docs", "warc_roundtrip_docs"]
 
 
 @pytest.mark.parametrize("name", PANDAS_SLOT_QUERIES)
