@@ -659,6 +659,97 @@ def normalize_text_sql(expr: str) -> str:
     return f"trim({out}, ' ' || chr(10))"
 
 
+# HTML -> text extraction chain (the trafilatura/boilerplate-strip
+# stage every web-crawl corpus runs between WARC ingest and
+# normalization), shared verbatim with the oracle like NORMALIZE_STEPS.
+# Order is load-bearing: script/style/comment BLOCKS drop with their
+# content first (a tag-stripper alone would leak javascript into the
+# corpus), block-level closers become newlines so paragraph structure
+# survives, THEN remaining tags strip; entities decode after tags are
+# gone (so '&lt;p&gt;' in prose cannot resurrect as a tag), with
+# '&amp;' decoded LAST — single-pass decode semantics, '&amp;lt;'
+# yields the literal '&lt;' not '<'.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?i)</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote|section|article"
+     r"|header|footer|pre|title)\s*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#0*39;", "'"),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),
+]
+
+
+def extract_html_text(html: Column | str) -> Column:
+    """Visible text of an HTML document as one native regexp_replace
+    chain (map-only, whole-stage codegen, fuses into the WARC/scan
+    stage) — see ``HTML_STRIP_STEPS`` for the order rationale. The
+    output runs through ``normalize_text`` so downstream operators see
+    the same canonical whitespace the rest of the corpus has."""
+    c = F.col(html) if isinstance(html, str) else html
+    for pattern, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pattern, repl)
+    return normalize_text(c)
+
+
+def extract_html_text_sql(expr: str) -> str:
+    """The identical extraction chain as DuckDB SQL (the oracle side)."""
+    out = expr
+    for pattern, repl in HTML_STRIP_STEPS:
+        p = pattern.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return normalize_text_sql(out)
+
+
+#: shared by both engines: <title> body (group 1) and anchor-with-href
+#: detection for the link census.
+HTML_TITLE_PATTERN = r"(?is)<title[^>]*>(.*?)</title"
+HTML_LINK_PATTERN = r"(?i)<a\s[^>]*href"
+
+
+#: Synthesized-page template for the driver gate (`html_extract_docs`):
+#: both engines wrap the documents fixture in the SAME page skeleton —
+#: literal segments interleaved with (doc_id, lang, text, source,
+#: doc_id) — then run the SAME extraction chain, so the oracle verifies
+#: script/style/comment dropping, block structure, entity decode
+#: (incl. the single-pass '&amp;copy;' -> '&copy;' case), and the link
+#: census on every fixture row. One source of truth, per house rule.
+HTML_DEMO_SEGMENTS: tuple[str, ...] = (
+    "<html><head><title>Doc ",
+    "</title><style>p {color: red}</style></head><body>"
+    "<!-- generated --><h1>",
+    "</h1>\n<p>",
+    "</p><script>var x = 1 < 2;</script><p>&amp;copy; &lt;",
+    "&gt;&nbsp;</p><a href=\"http://x/",
+    "\">link</a><a name=nolink></a></body></html>",
+)
+
+
+def html_extract_documents(
+    df: "DataFrame", html_col: str = "html", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Per-document web extraction report: title, visible text, and an
+    exact link census — the ingest projection a crawl pipeline runs
+    straight off ``sources/warc.read_warc`` payloads. Map-only native
+    expressions; no Python anywhere."""
+    html = F.col(html_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_extract(html, HTML_TITLE_PATTERN, 1).alias("title"),
+        extract_html_text(html).alias("text"),
+        F.size(F.regexp_extract_all(html, F.lit(HTML_LINK_PATTERN), 0))
+        .cast("long").alias("n_links"),
+    )
+
+
 def normalize_documents(
     df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
 ) -> "DataFrame":

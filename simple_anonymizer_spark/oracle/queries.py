@@ -4369,3 +4369,41 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 ORACLES["warc_roundtrip_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+
+# html_extract_docs: both engines wrap the fixture rows in the SAME
+# page skeleton (textprep.HTML_DEMO_SEGMENTS, one source of truth) and
+# run the SAME strip chain (textprep.HTML_STRIP_STEPS via
+# extract_html_text_sql) — script/style/comment dropping, block-closer
+# newlines, single-pass entity decode, title capture, link census.
+from ..operators.textprep import (  # noqa: E402
+    HTML_DEMO_SEGMENTS as _HTML_SEG,
+    HTML_LINK_PATTERN as _HTML_LINK_PAT,
+    HTML_TITLE_PATTERN as _HTML_TITLE_PAT,
+    extract_html_text_sql as _html_sql,
+)
+
+
+def _sq(s: str) -> str:
+    """Escape a literal for a DuckDB single-quoted string."""
+    return s.replace("'", "''")
+
+
+_HTML_EXPR = (
+    f"'{_sq(_HTML_SEG[0])}' || CAST(doc_id AS VARCHAR) || "
+    f"'{_sq(_HTML_SEG[1])}' || lang || "
+    f"'{_sq(_HTML_SEG[2])}' || text || "
+    f"'{_sq(_HTML_SEG[3])}' || source || "
+    f"'{_sq(_HTML_SEG[4])}' || CAST(doc_id AS VARCHAR) || "
+    f"'{_sq(_HTML_SEG[5])}'"
+)
+
+ORACLES["html_extract_docs"] = f"""
+WITH h AS (SELECT doc_id, {_HTML_EXPR} AS html FROM documents)
+SELECT doc_id,
+  regexp_extract(html, '{_HTML_TITLE_PAT}', 1) AS title,
+  {_html_sql('html')} AS text,
+  CAST(len(regexp_extract_all(html, '{_HTML_LINK_PAT}')) AS BIGINT)
+    AS n_links
+FROM h
+"""

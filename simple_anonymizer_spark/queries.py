@@ -850,6 +850,32 @@ def text_normalize(spark, sf_dir):
     return normalize_documents(_t(spark, sf_dir, "documents"))
 
 
+@query("html_extract_docs")
+def html_extract_docs(spark, sf_dir):
+    """HTML -> text extraction (textprep.html_extract_documents): the
+    boilerplate-strip stage between WARC ingest and normalization. The
+    fixture rows are wrapped in the shared page skeleton
+    (``HTML_DEMO_SEGMENTS``) so the oracle gates script/style/comment
+    removal, block-structure newlines, single-pass entity decode, title
+    capture, and the link census — all as one map-only native regexp
+    chain (no Python)."""
+    from .operators import textprep
+
+    seg = textprep.HTML_DEMO_SEGMENTS
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(seg[0]), F.col("doc_id").cast("string"),
+        F.lit(seg[1]), F.col("lang"),
+        F.lit(seg[2]), F.col("text"),
+        F.lit(seg[3]), F.col("source"),
+        F.lit(seg[4]), F.col("doc_id").cast("string"),
+        F.lit(seg[5]),
+    )
+    return textprep.html_extract_documents(
+        docs.select("doc_id", html.alias("html"))
+    )
+
+
 @query("pipeline_web_corpus")
 def pipeline_web_corpus(spark, sf_dir):
     """Round-6 operators composed end-to-end, the web-corpus intake

@@ -20,7 +20,8 @@ NATIVE_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "text_stats",
-    "lang_id", "quality_gopher_flags", "text_normalize", "text_cdc_chunks",
+    "lang_id", "quality_gopher_flags", "text_normalize", "html_extract_docs",
+    "text_cdc_chunks",
     "dedup_chunk_overlap", "corpus_report", "pipeline_web_corpus",
     "dq_table_checksum",
     "doc_fingerprint",
