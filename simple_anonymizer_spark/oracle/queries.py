@@ -4407,3 +4407,87 @@ SELECT doc_id,
     AS n_links
 FROM h
 """
+
+
+# url_parse_docs / url_domain_stats: both engines synthesize the SAME
+# three URL shapes from URL_DEMO_SEGMENTS (one source of truth) and
+# mirror the urls.py parse/canonicalize semantics — RFC 3986 Appendix B
+# groups, lowercased scheme/host, default-port + fragment drop,
+# tracking-param removal, sorted query keys, PSL-head registered
+# domain. Patterns bind to variables first (f-string backslash rule).
+from ..operators.urls import (  # noqa: E402
+    SECOND_LEVEL_SUFFIXES as _PSL2,
+    TRACKING_PARAM_PATTERN as _TRACK_PAT,
+    URI_PATTERN as _URI_PAT,
+    URL_DEMO_SEGMENTS as _URL_SEG,
+)
+
+_URL_EXPR = "CASE CAST(doc_id % 3 AS INTEGER) " + " ".join(
+    f"WHEN {k} THEN '{a}' || source || '{b}' || "
+    f"CAST(doc_id AS VARCHAR) || '{c}'"
+    for k, (a, b, c) in _URL_SEG.items()
+) + " END"
+
+_U_AUTH = f"string_split(regexp_extract(url, '{_URI_PAT}', 4), '@')[-1]"
+_U_SCHEME = f"lower(regexp_extract(url, '{_URI_PAT}', 2))"
+_U_HOST = f"lower(string_split({_U_AUTH}, ':')[1])"
+_PORT_TAIL_PAT = r":(\d+)$"
+_U_PORT_S = f"regexp_extract({_U_AUTH}, '{_PORT_TAIL_PAT}', 1)"
+_U_PORT = f"(CASE WHEN {_U_PORT_S} = '' THEN NULL ELSE CAST({_U_PORT_S} AS BIGINT) END)"
+_U_PATH = f"regexp_extract(url, '{_URI_PAT}', 5)"
+_U_QUERY = f"regexp_extract(url, '{_URI_PAT}', 7)"
+
+_LAST2_PAT = r"([^.]+\.[^.]+)$"
+_LAST3_PAT = r"([^.]+\.[^.]+\.[^.]+)$"
+_PSL2_IN = ", ".join(f"'{s}'" for s in _PSL2)
+
+
+def _u_domain(host: str) -> str:
+    return (
+        f"(CASE WHEN len(string_split({host}, '.')) <= 2 THEN {host} "
+        f"WHEN len(string_split({host}, '.')) >= 3 AND "
+        f"regexp_extract({host}, '{_LAST2_PAT}', 1) IN ({_PSL2_IN}) "
+        f"THEN regexp_extract({host}, '{_LAST3_PAT}', 1) "
+        f"ELSE regexp_extract({host}, '{_LAST2_PAT}', 1) END)"
+    )
+
+
+_U_DEPTH = (f"CAST(len(list_filter(string_split({_U_PATH}, '/'), "
+            f"p -> p <> '')) AS BIGINT)")
+_U_PARAMS = (f"list_sort(list_filter(string_split({_U_QUERY}, '&'), "
+             f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_PAT}')))")
+_U_QSORT = f"array_to_string({_U_PARAMS}, '&')"
+_U_KEEP_PORT = (
+    f"({_U_PORT} IS NOT NULL AND NOT (({_U_SCHEME} = 'http' AND {_U_PORT} = 80) "
+    f"OR ({_U_SCHEME} = 'https' AND {_U_PORT} = 443)))"
+)
+_U_CANON = (
+    f"{_U_SCHEME} || '://' || {_U_HOST} || "
+    f"(CASE WHEN {_U_KEEP_PORT} THEN ':' || CAST({_U_PORT} AS VARCHAR) ELSE '' END) || "
+    f"(CASE WHEN {_U_PATH} = '' THEN '/' ELSE {_U_PATH} END) || "
+    f"(CASE WHEN {_U_QSORT} <> '' THEN '?' || {_U_QSORT} ELSE '' END)"
+)
+
+ORACLES["url_parse_docs"] = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents)
+SELECT doc_id, {_U_SCHEME} AS scheme, {_U_HOST} AS host,
+  {_u_domain(_U_HOST)} AS domain, {_U_PATH} AS path,
+  {_U_DEPTH} AS path_depth, {_U_CANON} AS url_canonical
+FROM u
+"""
+
+ORACLES["url_domain_stats"] = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+p AS (
+  SELECT {_u_domain(_U_HOST)} AS domain, {_U_HOST} AS host,
+    {_U_SCHEME} AS scheme, {_U_CANON} AS canon, {_U_DEPTH} AS depth
+  FROM u
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+  CAST(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_https,
+  CAST(sum(depth) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_path_depth
+FROM p GROUP BY domain
+"""

@@ -876,6 +876,46 @@ def html_extract_docs(spark, sf_dir):
     )
 
 
+def _demo_urls(spark, sf_dir):
+    """documents -> (doc_id, url) through the shared URL_DEMO_SEGMENTS
+    template (one source of truth with the oracle's SQL builder)."""
+    from .operators.urls import URL_DEMO_SEGMENTS
+
+    docs = _t(spark, sf_dir, "documents")
+    branches = F.when(F.lit(False), F.lit(""))
+    for k, (a, b, c) in URL_DEMO_SEGMENTS.items():
+        branches = branches.when(
+            F.col("doc_id") % 3 == k,
+            F.concat(F.lit(a), F.col("source"), F.lit(b),
+                     F.col("doc_id").cast("string"), F.lit(c)),
+        )
+    return docs.select("doc_id", branches.alias("url"))
+
+
+@query("url_parse_docs")
+def url_parse_docs(spark, sf_dir):
+    """URL parsing + crawler canonicalization (operators/urls.py): RFC
+    3986 Appendix B reference-regex parts, lowercased scheme/host,
+    default-port and fragment drop, tracking-parameter removal, sorted
+    query keys, PSL-head registered domain. Gated over the three
+    synthesized URL shapes (URL_DEMO_SEGMENTS) wrapped around every
+    fixture row — pure projection, no shuffle, no Python."""
+    from .operators.urls import parse_urls
+
+    return parse_urls(_demo_urls(spark, sf_dir))
+
+
+@query("url_domain_stats")
+def url_domain_stats(spark, sf_dir):
+    """Per-registered-domain crawl census (operators/urls.py): URL /
+    distinct-host / distinct-canonical counts, exact https numerator,
+    mean path depth as one division of exact integer sums. One hash
+    aggregation on the bounded domain key."""
+    from .operators import urls
+
+    return urls.url_domain_stats(_demo_urls(spark, sf_dir))
+
+
 @query("pipeline_web_corpus")
 def pipeline_web_corpus(spark, sf_dir):
     """Round-6 operators composed end-to-end, the web-corpus intake

@@ -21,7 +21,7 @@ NATIVE_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "text_stats",
     "lang_id", "quality_gopher_flags", "text_normalize", "html_extract_docs",
-    "text_cdc_chunks",
+    "url_parse_docs", "url_domain_stats", "text_cdc_chunks",
     "dedup_chunk_overlap", "corpus_report", "pipeline_web_corpus",
     "dq_table_checksum",
     "doc_fingerprint",
