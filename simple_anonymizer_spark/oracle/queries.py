@@ -4491,3 +4491,59 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
   CAST(sum(depth) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_path_depth
 FROM p GROUP BY domain
 """
+
+
+# anon_fpe_orders: the FF1-shaped Feistel unrolled round-by-round as
+# MATERIALIZED CTEs (the BPE-chain lesson: plain CTEs inline per
+# reference and an iteration chain explodes exponentially). The PRF is
+# the md5 12-hex-digit prefix decoded digit-by-digit (the raw_hash
+# pattern, distinct loop variable per the comprehension gotcha); u=v=6
+# for the synthesized 12-digit PANs, modulus 10^6 every round, and
+# DuckDB's signed % is normalized to pmod.
+def _fpe_prf_sql(half: str, rnd: int) -> str:
+    msg = f"('fpe-demo:12:{rnd}:' || {half})"
+    return (
+        "CAST(list_sum([(strpos('0123456789abcdef', substr(md5("
+        + msg
+        + "), j, 1)) - 1) * (16.0 ** (12 - j)) for j in range(1, 13)]) "
+        "AS BIGINT)"
+    )
+
+
+def _fpe_oracle_sql(rounds: int = 8) -> str:
+    mod = 10 ** 6
+    ctes = [
+        "src AS MATERIALIZED (SELECT o_orderkey, "
+        "lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS card FROM orders)",
+        "e AS MATERIALIZED (SELECT o_orderkey, card, "
+        "substr(card, 1, 6) AS a, substr(card, 7, 6) AS b FROM src)",
+    ]
+    prev = "e"
+    for i in range(rounds):
+        prf = _fpe_prf_sql("b", i)
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT o_orderkey, card, b AS a, "
+            f"lpad(CAST(((CAST(a AS BIGINT) + {prf}) % {mod} + {mod}) "
+            f"% {mod} AS VARCHAR), 6, '0') AS b FROM {prev})"
+        )
+        prev = f"e{i}"
+    ctes.append(
+        f"enc AS MATERIALIZED (SELECT o_orderkey, card, a || b AS enc, "
+        f"substr(a || b, 1, 6) AS a, substr(a || b, 7, 6) AS b FROM {prev})"
+    )
+    prev = "enc"
+    for i in range(rounds - 1, -1, -1):
+        prf = _fpe_prf_sql("a", i)
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT o_orderkey, card, enc, "
+            f"lpad(CAST(((CAST(b AS BIGINT) - {prf}) % {mod} + {mod}) "
+            f"% {mod} AS VARCHAR), 6, '0') AS a, a AS b FROM {prev})"
+        )
+        prev = f"d{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT o_orderkey, card, enc, a || b AS dec FROM {prev}"
+    )
+
+
+ORACLES["anon_fpe_orders"] = _fpe_oracle_sql()

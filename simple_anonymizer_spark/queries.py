@@ -916,6 +916,26 @@ def url_domain_stats(spark, sf_dir):
     return urls.url_domain_stats(_demo_urls(spark, sf_dir))
 
 
+@query("anon_fpe_orders")
+def anon_fpe_orders(spark, sf_dir):
+    """Format-preserving encryption (anonymizers.fpe_digits): every
+    order key becomes a 12-digit PAN, encrypts under the FF1-shaped
+    alternating Feistel (md5 round function, length-as-tweak), and
+    decrypts back in the same plan — the oracle unrolls all 16 Feistel
+    rounds as MATERIALIZED CTEs and must agree on ciphertext AND
+    recovered plaintext digit-for-digit. One narrow Project per round,
+    map-only."""
+    from .functions.anonymizers import fpe_digits
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("card"),
+    )
+    enc = fpe_digits(orders, "card", "enc", key="fpe-demo")
+    dec = fpe_digits(enc, "enc", "dec", key="fpe-demo", decrypt=True)
+    return dec.select("o_orderkey", "card", "enc", "dec")
+
+
 @query("pipeline_web_corpus")
 def pipeline_web_corpus(spark, sf_dir):
     """Round-6 operators composed end-to-end, the web-corpus intake

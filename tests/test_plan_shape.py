@@ -88,6 +88,7 @@ NATIVE_QUERIES = [
     "drift_ks_status", "doc_surprisal_corpus", "quantile_transform_prices",
     "bpe_train_corpus", "bpe_encode_docs",
     "anon_shift_dates", "anon_account_numbers", "anon_ip_prefix",
+    "anon_fpe_orders",
     "pipeline_release_orders",
     "gdpr_cascade_delete", "rfm_customer_segments",
     "privacy_k_anonymity", "privacy_l_diversity", "privacy_dp_counts",
