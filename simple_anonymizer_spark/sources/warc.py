@@ -262,3 +262,156 @@ def read_warc(spark: SparkSession, in_dir: str) -> DataFrame:
     paths = spark.createDataFrame([(p,) for p in files], "path string") \
         .repartition(len(files), "path")
     return paths.mapInPandas(run, READ_SCHEMA)
+
+
+# -- Spark Python Data Source: format("pywarc") ------------------------------
+#
+# The idiomatic front door — spark.read.format("pywarc").load(dir) /
+# df.write.format("pywarc").mode(...).save(dir) — on Spark 4's Python
+# Data Source API (the pyavro pattern): fixed READ_SCHEMA, one input
+# partition per archive file, one written archive per task. Write
+# options: uri_col/payload_col/date_col/content_type/compress plus
+# meta_cols (comma-separated column names to ride as WARC-X-Meta-*).
+
+try:  # pragma: no cover - import surface depends on pyspark build
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+        WriterCommitMessage,
+    )
+
+    class _WarcFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class WarcDataSource(DataSource):
+        """``format("pywarc")`` — see module docstring."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pywarc"
+
+        def _dir(self) -> str:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("pywarc requires a path (use .load(dir))")
+            return path
+
+        def schema(self):
+            from pyspark.sql import types as T
+
+            return T.StructType([
+                T.StructField("record_id", T.StringType()),
+                T.StructField("warc_type", T.StringType()),
+                T.StructField("target_uri", T.StringType()),
+                T.StructField("warc_date", T.StringType()),
+                T.StructField("content_type", T.StringType()),
+                T.StructField("content_length", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("headers",
+                              T.MapType(T.StringType(), T.StringType())),
+            ])
+
+        def reader(self, schema) -> "WarcFileReader":
+            return WarcFileReader(self._dir())
+
+        def writer(self, schema, overwrite: bool) -> "WarcFileWriter":
+            out = self._dir()
+            if overwrite and os.path.isdir(out):
+                for f in os.listdir(out):
+                    if f.endswith((".warc", ".warc.gz")):
+                        os.unlink(os.path.join(out, f))
+            os.makedirs(out, exist_ok=True)
+            names = [f.name for f in schema.fields]
+            o = self.options
+            meta_cols = [c for c in o.get("meta_cols", "").split(",") if c]
+            return WarcFileWriter(
+                out, names,
+                uri_col=o.get("uri_col", "target_uri"),
+                payload_col=o.get("payload_col", "payload"),
+                date_col=o.get("date_col") or None,
+                meta_cols=meta_cols,
+                content_type=o.get("content_type",
+                                   "text/plain; charset=utf-8"),
+                compress=o.get("compress", "true").lower() != "false",
+            )
+
+    class WarcFileReader(DataSourceReader):
+        def __init__(self, in_dir: str):
+            self.in_dir = in_dir
+
+        def partitions(self):
+            return [
+                _WarcFilePartition(os.path.join(self.in_dir, f))
+                for f in sorted(os.listdir(self.in_dir))
+                if f.endswith((".warc", ".warc.gz"))
+            ]
+
+        def read(self, partition: "_WarcFilePartition") -> Iterator[tuple]:
+            with open(partition.path, "rb") as fh:
+                records = parse_records(fh.read())
+            for h, payload in records:
+                yield (h["warc-record-id"], h["warc-type"],
+                       h.get("warc-target-uri"), h["warc-date"],
+                       h.get("content-type"), int(h["content-length"]),
+                       payload, h)
+
+    class _WarcWriteResult(WriterCommitMessage):
+        def __init__(self, n_rows: int):
+            self.n_rows = n_rows
+
+    class WarcFileWriter(DataSourceWriter):
+        def __init__(self, out_dir: str, names: list[str], *, uri_col: str,
+                     payload_col: str, date_col: str | None,
+                     meta_cols: list[str], content_type: str,
+                     compress: bool):
+            self.out_dir = out_dir
+            self.idx = {n: i for i, n in enumerate(names)}
+            for c in (uri_col, payload_col, *(([date_col] if date_col
+                                               else [])), *meta_cols):
+                if c not in self.idx:
+                    raise ValueError(f"column {c!r} not in written schema")
+            self.uri_col, self.payload_col = uri_col, payload_col
+            self.date_col, self.meta_cols = date_col, meta_cols
+            self.content_type, self.compress = content_type, compress
+
+        def write(self, iterator: Iterator) -> "_WarcWriteResult":
+            chunks: list[bytes] = []
+            n = 0
+            for row in iterator:
+                uri = str(row[self.idx[self.uri_col]])
+                raw = row[self.idx[self.payload_col]]
+                payload = (raw.encode("utf-8") if isinstance(raw, str)
+                           else bytes(raw))
+                date = (str(row[self.idx[self.date_col]]) if self.date_col
+                        else "1970-01-01T00:00:00Z")
+                headers = [
+                    ("WARC-Type", "resource"),
+                    ("WARC-Record-ID", _record_id(uri, payload)),
+                    ("WARC-Date", date),
+                    ("WARC-Target-URI", uri),
+                    ("Content-Type", self.content_type),
+                ]
+                for name in self.meta_cols:
+                    v = row[self.idx[name]]
+                    headers.append((f"WARC-X-Meta-{name}",
+                                    "" if v is None else str(v)))
+                rec = format_record(headers, payload)
+                chunks.append(gzip.compress(rec, 6, mtime=0)
+                              if self.compress else rec)
+                n += 1
+            if n:
+                ext = "warc.gz" if self.compress else "warc"
+                path = os.path.join(self.out_dir,
+                                    f"part-{uuid.uuid4().hex}.{ext}")
+                with open(path, "wb") as fh:
+                    fh.write(b"".join(chunks))
+            return _WarcWriteResult(n)
+
+        def commit(self, messages) -> None:
+            pass  # files are in place; partition-atomic like the DB sink
+
+        def abort(self, messages) -> None:
+            pass
+
+except ImportError:  # pragma: no cover
+    WarcDataSource = None  # type: ignore[assignment]

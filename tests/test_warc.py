@@ -176,3 +176,37 @@ def test_warc_plan_shape_one_pandas_stage(spark, tmp_path):
         .toString()
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_pywarc_datasource_roundtrip(spark, tmp_path):
+    import simple_anonymizer_spark.sources.warc as wmod
+    if wmod.WarcDataSource is None:
+        pytest.skip("Python Data Source API unavailable")
+    spark.dataSource.register(wmod.WarcDataSource)
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).selectExpr(
+        "id", "concat('http://e.com/', id) as target_uri",
+        "concat('payload ', id) as payload")
+    out = str(tmp_path / "pywarc")
+    (df.write.format("pywarc").option("path", out)
+       .option("meta_cols", "id").mode("overwrite").save())
+    back = spark.read.format("pywarc").option("path", out).load()
+    got = sorted(
+        (r["id"], r.target_uri, bytes(r.payload).decode())
+        for r in back.select(
+            F.element_at("headers", "warc-x-meta-id").cast("long")
+            .alias("id"), "target_uri", "payload").collect())
+    assert got == [(i, f"http://e.com/{i}", f"payload {i}")
+                   for i in range(5)]
+    # interop: mapInPandas reader parses data-source-written archives
+    from simple_anonymizer_spark.sources.warc import read_warc
+    assert read_warc(spark, out).count() == 5
+    # overwrite drops prior archives
+    (df.limit(2).write.format("pywarc").option("path", out)
+       .option("meta_cols", "id").mode("overwrite").save())
+    assert spark.read.format("pywarc").option("path", out).load().count() == 2
+    # unknown column in options fails fast
+    with pytest.raises(Exception):
+        (df.write.format("pywarc").option("path", str(tmp_path / "bad"))
+           .option("uri_col", "nope").mode("overwrite").save())
