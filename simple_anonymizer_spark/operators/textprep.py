@@ -837,3 +837,216 @@ def cdc_chunks(
             .alias("chunk_len"),
         )
     )
+
+
+# -- unigram-LM tokenizer (SentencePiece-style) ------------------------------
+
+#: Viterbi cost constants shared with the DuckDB oracle: an unknown
+#: single character costs ``bits(total) + _UNI_OOV_EXTRA`` (usable, so
+#: every word segments); an unknown multi-char piece is forbidden.
+_UNI_OOV_EXTRA = 8
+_UNI_FORBIDDEN = 1 << 40
+
+
+def _unigram_viterbi(w: Column, costs: dict[str, int], big: int,
+                     max_piece_len: int) -> Column:
+    """Best segmentation of ``w`` under the (piece -> integer-bit cost)
+    model as ONE native fold: ``aggregate`` over character positions
+    builds the DP table ``best[0..n]`` as a growing array of
+    ``struct(c, np, s)`` — total cost, piece count, the segmentation
+    itself — and ``array_min`` picks each position's winner under the
+    deterministic (cost, n_pieces, segmentation) total order. The cost
+    model embeds as one constant-folded map literal (vocabulary is
+    bounded); plan size is constant in word length and vocab size."""
+    cost_map = F.create_map(
+        *[x for k in sorted(costs)
+          for x in (F.lit(k), F.lit(int(costs[k])))]
+    )
+
+    def lookup(p: Column) -> Column:
+        fallback = F.when(F.length(p) == 1, F.lit(big)) \
+            .otherwise(F.lit(_UNI_FORBIDDEN))
+        return F.coalesce(F.element_at(cost_map, p), fallback).cast("long")
+
+    n = F.length(w)
+    init = F.array(F.struct(
+        F.lit(0).cast("long").alias("c"), F.lit(0).alias("np"),
+        F.lit("").alias("s"),
+    ))
+
+    def step(acc: Column, i: Column) -> Column:
+        def cand(j: Column) -> Column:
+            piece = F.substring(w, j, i - j + 1)
+            prev = F.element_at(acc, j)
+            return F.struct(
+                (prev["c"] + lookup(piece)).alias("c"),
+                (prev["np"] + F.lit(1)).alias("np"),
+                F.concat(prev["s"], F.lit(" "), piece).alias("s"),
+            )
+
+        cands = F.transform(
+            F.sequence(F.greatest(F.lit(1), i - max_piece_len + 1), i), cand)
+        return F.concat(acc, F.array(F.array_min(cands)))
+
+    best = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return F.ltrim(F.element_at(best, n + 1)["s"])
+
+
+def _bits_py(n: int) -> int:
+    return n.bit_length()
+
+
+def unigram_train(
+    df: "DataFrame",
+    n_multi: int = 120,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Unigram-LM tokenizer training (the SentencePiece unigram model,
+    Kudo 2018), distributed, with hard-EM (Viterbi) re-estimation and
+    the repo's exact integer-bit scoring instead of float logprobs:
+
+    1. one corpus scan builds the word-frequency table;
+    2. the SEED vocabulary is every single character plus the
+       ``n_multi`` most frequent substrings of length 2..``max_piece_len``
+       (count DESC, piece ASC — deterministic), counts weighted by word
+       frequency and occurrence multiplicity;
+    3. each EM iteration Viterbi-segments the WORD TABLE (model-sized,
+       never the corpus) under ``cost(piece) = bits(total) -
+       bits(count)`` (the doc_surprisal integer-log rule), re-counts
+       pieces from the segmentations, drops unused multi-char pieces,
+       and rescores — single characters never drop (coverage; a
+       zero-count char costs the full ``bits(total)``).
+
+    Output: ``piece, count (int64), cost_bits (int64), rank (int64)``
+    ordered by (count DESC, piece ASC). Exactly reproducible: every
+    quantity is an integer and every tie-break lexicographic.
+
+    Scale (100 TB): the corpus is touched once (combinable word
+    count); all EM work is per DISTINCT WORD with one bounded
+    vocabulary collect per iteration (the BPE/k-means driver-state
+    shape). The Viterbi fold is constant-size per plan — the cost
+    model rides one constant-folded map literal.
+    """
+    from ..functions import textops as T
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+        .localCheckpoint(eager=True)
+    )
+    w, n = F.col("__w"), F.length(F.col("__w"))
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(i, F.least(i + max_piece_len - 1, n)),
+            lambda j: F.substring(w, i, j - i + 1),
+        ),
+    ))
+    cand = (
+        words.select("__freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("__freq").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    singles = {r["piece"]: r["cnt"]
+               for r in cand.where(F.length("piece") == 1).collect()}
+    multis = {r["piece"]: r["cnt"] for r in (
+        cand.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(n_multi).collect()
+    )}
+    counts = {**singles, **multis}
+
+    def costs_of(counts: dict[str, int]) -> tuple[dict[str, int], int]:
+        total = sum(counts.values())
+        tb = _bits_py(total)
+        return (
+            {p: (tb - _bits_py(c)) if c >= 1 else tb
+             for p, c in counts.items()},
+            tb + _UNI_OOV_EXTRA,
+        )
+
+    for _ in range(n_iters):
+        costs, big = costs_of(counts)
+        seg = words.select(
+            "__freq",
+            _unigram_viterbi(w, costs, big, max_piece_len).alias("__seg"),
+        )
+        used = {r["piece"]: r["cnt"] for r in (
+            seg.select("__freq", F.explode(F.split("__seg", " "))
+                       .alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("__freq").cast("long").alias("cnt"))
+            .collect()
+        )}
+        counts = {**{p: used.get(p, 0) for p in singles},
+                  **{p: c for p, c in used.items() if len(p) > 1}}
+
+    costs, _ = costs_of(counts)
+    rows = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    return spark.createDataFrame(
+        [(p, c, costs[p], i + 1) for i, (p, c) in enumerate(rows)],
+        "piece string, count long, cost_bits long, rank long",
+    )
+
+
+def unigram_segment(
+    df: "DataFrame",
+    vocab: list[tuple],
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Segment documents with a trained unigram model (``unigram_train``
+    rows): Viterbi per DISTINCT token word under the model's
+    integer-bit costs, joined back onto the positional token explode
+    and reassembled in order — output ``<id_col>, n_pieces (int64),
+    pieces`` (space-joined), the ``bpe_segment`` contract.
+
+    Scale: the DP runs once per distinct word (vocabulary-bounded),
+    not per token occurrence; the join back is the only shuffle beyond
+    reassembly."""
+    from ..functions import textops as T
+
+    counts = {r[0]: int(r[1]) for r in vocab}
+    costs = {r[0]: int(r[2]) for r in vocab}
+    big = _bits_py(sum(counts.values())) + _UNI_OOV_EXTRA
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(F.col(text_col))).alias("__pos", "__w"),
+    )
+    segw = (
+        tok.select("__w").distinct()
+        .select(
+            "__w",
+            _unigram_viterbi(F.col("__w"), costs, big, max_piece_len)
+            .alias("__seg"),
+        )
+    )
+    pieces = tok.join(segw, "__w")
+    agg = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("pieces"),
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(agg, id_col, "left").select(
+        id_col, F.coalesce(F.col("pieces"), F.lit("")).alias("pieces")
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("pieces") == "", F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(F.col("pieces"), " ")).cast("long"))
+        .alias("n_pieces"),
+        "pieces",
+    )

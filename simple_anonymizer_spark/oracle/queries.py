@@ -4547,3 +4547,168 @@ def _fpe_oracle_sql(rounds: int = 8) -> str:
 
 
 ORACLES["anon_fpe_orders"] = _fpe_oracle_sql()
+
+
+# unigram_train_corpus / unigram_encode_docs: the SentencePiece-unigram
+# trainer mirrored end-to-end — seed substring counts, integer-bit
+# costs, and each hard-EM iteration's Viterbi pass as a RECURSIVE CTE
+# whose accumulator is the growing DP list of (cost, n_pieces, seg)
+# structs, with list_sort(...)[1] as the deterministic argmin (struct
+# comparison is lexicographic in both engines). Iteration CTEs are
+# MATERIALIZED (the BPE 3^N inlining lesson); the OOV constants are
+# shared with textprep (_UNI_OOV_EXTRA / _UNI_FORBIDDEN).
+from ..operators.textprep import (  # noqa: E402
+    _UNI_FORBIDDEN as _UNI_FORBID,
+    _UNI_OOV_EXTRA as _UNI_OOV,
+)
+
+
+def _uni_dp_ctes(tag: str, src: str, carry: list[str], cost_cte: str,
+                 big_cte: str, max_piece_len: int) -> list[str]:
+    """Recursive Viterbi DP over ``src`` (columns: *carry, word[, freq])
+    -> CTEs ``dp{tag}`` and ``seg{tag}`` (carry + word + seg).
+
+    The <= max_piece_len candidates unroll as plain CASE expressions
+    (DuckDB forbids subqueries inside lambdas), and the per-candidate
+    cost lookups are LEFT JOINs against the cost table — NOT correlated
+    scalar subqueries, which proved racy inside multithreaded recursive
+    CTE execution (one run in ~10 flipped a segmentation; joins are
+    stable). An out-of-range start yields a sentinel struct that always
+    loses."""
+    cols = ", ".join([*carry, "word"])
+    joins, cands = [], []
+    for d in range(max_piece_len):
+        st = f"(i + 1 - {d})"
+        plen = d + 1
+        joins.append(
+            f"LEFT JOIN {cost_cte} jc{plen} "
+            f"ON jc{plen}.piece = substr(word, {st}, {plen})"
+        )
+        fallback = (f"ob.big" if plen == 1
+                    else f"CAST({_UNI_FORBID} AS BIGINT)")
+        cands.append(
+            f"CASE WHEN {st} >= 1 THEN "
+            f"{{'c': best[{st}]['c'] + coalesce(jc{plen}.cost, {fallback}), "
+            f"'np': best[{st}]['np'] + 1, "
+            f"'s': best[{st}]['s'] || ' ' || substr(word, {st}, {plen})}} "
+            f"ELSE {{'c': CAST({1 << 55} AS BIGINT), 'np': 0, 's': ''}} END"
+        )
+    cand_list = "list_value(" + ", ".join(cands) + ")"
+    join_sql = "\n  ".join(joins)
+    return [
+        f"""dp{tag} AS (
+  SELECT {cols}, 0 AS i,
+         [{{'c': CAST(0 AS BIGINT), 'np': 0, 's': ''}}] AS best
+  FROM {src}
+  UNION ALL
+  SELECT {cols}, i + 1,
+    list_append(best, list_sort({cand_list})[1])
+  FROM dp{tag}
+  CROSS JOIN {big_cte} ob
+  {join_sql}
+  WHERE i < len(word)
+)""",
+        f"""seg{tag} AS MATERIALIZED (
+  SELECT {cols}, ltrim(best[len(word) + 1]['s']) AS seg
+  FROM dp{tag} WHERE i = len(word)
+)""",
+    ]
+
+
+def _unigram_ctes(n_multi: int, n_iters: int, max_piece_len: int) -> tuple[list[str], str, str]:
+    """-> (CTE list, final vocab cte, final cost cte)."""
+    L = max_piece_len
+    parts = [
+        f"""uw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest({_tokens('text')}) AS word FROM documents
+  ) GROUP BY word
+)""",
+        f"""ucand AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(flatten(
+      [[substr(word, st, c) for c in
+        generate_series(1, least({L}, len(word) - st + 1))]
+       for st in generate_series(1, len(word))])) AS piece
+    FROM uw
+  ) GROUP BY piece
+)""",
+        f"""uv0 AS MATERIALIZED (
+  SELECT piece, cnt FROM ucand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM ucand WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece ASC LIMIT {n_multi})
+)""",
+    ]
+
+    def score_ctes(k: int, vocab: str) -> None:
+        parts.append(f"utot{k} AS MATERIALIZED (SELECT CAST(sum(cnt) AS "
+                     f"BIGINT) AS t FROM {vocab})")
+        parts.append(
+            f"uc{k} AS MATERIALIZED (SELECT piece, CAST(CASE WHEN cnt >= 1 "
+            f"THEN length(bin(t)) - length(bin(cnt)) ELSE length(bin(t)) "
+            f"END AS BIGINT) AS cost FROM {vocab}, utot{k})"
+        )
+        parts.append(f"ub{k} AS MATERIALIZED (SELECT CAST(length(bin(t)) + "
+                     f"{_UNI_OOV} AS BIGINT) AS big FROM utot{k})")
+
+    score_ctes(0, "uv0")
+    for k in range(1, n_iters + 1):
+        parts.extend(_uni_dp_ctes(f"w{k}", "uw", ["freq"],
+                                  f"uc{k - 1}", f"ub{k - 1}", L))
+        parts.append(
+            f"""ucnt{k} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM segw{k}
+  ) GROUP BY piece
+)"""
+        )
+        parts.append(
+            f"""uv{k} AS MATERIALIZED (
+  SELECT s.piece, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+  FROM (SELECT piece FROM uv0 WHERE length(piece) = 1) s
+  LEFT JOIN ucnt{k} c ON s.piece = c.piece
+  UNION ALL
+  SELECT piece, cnt FROM ucnt{k} WHERE length(piece) > 1
+)"""
+        )
+        score_ctes(k, f"uv{k}")
+    return parts, f"uv{n_iters}", f"uc{n_iters}"
+
+
+def _unigram_train_oracle(n_multi=120, n_iters=2, max_piece_len=4) -> str:
+    parts, vocab, cost = _unigram_ctes(n_multi, n_iters, max_piece_len)
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + f"""
+SELECT v.piece, v.cnt AS count, c.cost AS cost_bits,
+  CAST(row_number() OVER (ORDER BY v.cnt DESC, v.piece ASC) AS BIGINT)
+    AS rank
+FROM {vocab} v JOIN {cost} c ON v.piece = c.piece"""
+    )
+
+
+def _unigram_encode_oracle(n_multi=120, n_iters=2, max_piece_len=4) -> str:
+    parts, vocab, cost = _unigram_ctes(n_multi, n_iters, max_piece_len)
+    n = n_iters
+    parts.append(f"""utok AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS word
+  FROM (SELECT doc_id, {_tokens('text')} AS toks FROM documents)
+)""")
+    parts.extend(_uni_dp_ctes("e", "utok", ["doc_id", "pos"],
+                              cost, f"ub{n}", max_piece_len))
+    parts.append("""uagg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS pieces
+  FROM sege GROUP BY doc_id
+)""")
+    return ("WITH RECURSIVE " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       CAST(CASE WHEN a.pieces IS NULL OR a.pieces = '' THEN 0
+                 ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
+         AS n_pieces,
+       COALESCE(a.pieces, '') AS pieces
+FROM documents d LEFT JOIN uagg a USING (doc_id)""")
+
+
+ORACLES["unigram_train_corpus"] = _unigram_train_oracle()
+ORACLES["unigram_encode_docs"] = _unigram_encode_oracle()

@@ -3079,6 +3079,36 @@ def bpe_encode_docs(spark, sf_dir):
     return bpe_segment(docs, merges)
 
 
+@query("unigram_train_corpus")
+def unigram_train_corpus(spark, sf_dir):
+    """Unigram-LM tokenizer training (textprep.unigram_train — the
+    SentencePiece unigram model, Kudo 2018): seed substring vocabulary,
+    integer-bit costs, two hard-EM Viterbi iterations over the
+    word-frequency table. The oracle replays every EM iteration as a
+    recursive-CTE Viterbi DP and must agree on the final vocabulary,
+    counts, costs, and ranks exactly."""
+    from .operators.textprep import unigram_train
+
+    return unigram_train(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents")),
+        n_multi=120, n_iters=2,
+    )
+
+
+@query("unigram_encode_docs")
+def unigram_encode_docs(spark, sf_dir):
+    """Train the unigram model on the corpus, then Viterbi-segment
+    every document with it (textprep.unigram_segment) — the
+    trained-tokenizer encode pass, one DP per distinct word joined
+    back onto the positional token explode."""
+    from .operators.textprep import unigram_segment, unigram_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    vocab = [tuple(r) for r in
+             unigram_train(docs, n_multi=120, n_iters=2).collect()]
+    return unigram_segment(docs, vocab)
+
+
 @query("scrub_dup_spans")
 def scrub_dup_spans(spark, sf_dir):
     """Exact-substring dedup scrub (textprep.scrub_duplicate_spans):

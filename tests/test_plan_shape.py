@@ -87,6 +87,7 @@ NATIVE_QUERIES = [
     "event_paths_top",
     "drift_ks_status", "doc_surprisal_corpus", "quantile_transform_prices",
     "bpe_train_corpus", "bpe_encode_docs",
+    "unigram_train_corpus", "unigram_encode_docs",
     "anon_shift_dates", "anon_account_numbers", "anon_ip_prefix",
     "anon_fpe_orders",
     "pipeline_release_orders",
