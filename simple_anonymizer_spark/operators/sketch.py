@@ -92,6 +92,97 @@ def cms_estimate(
     )
 
 
+HLL_SALT = "__hll|"
+HLL_HASH_BITS = 31  # stable_hash masks to INT_MAX — 31 usable bits
+
+
+def hll_alpha_const(p: int) -> float:
+    """The HLL raw-estimator constant ``alpha_m * m^2 * 2^(budget+1)`` for
+    ``m = 2^p`` registers (Flajolet et al. 2007 bias correction). Computed
+    once in Python and embedded as the SAME shortest-roundtrip double
+    literal in both engines, so the one double division that produces the
+    estimate runs on identical operands."""
+    m = 1 << p
+    budget = HLL_HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (budget + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = 10,
+    salt: str = HLL_SALT,
+) -> DataFrame:
+    """HyperLogLog register table over a key column — the bounded-memory
+    DISTINCT-count summary next to the frequency sketch above: at most
+    ``m = 2^p`` rows regardless of key cardinality, mergeable by
+    element-wise MAX (the union property a 100 TB rollup needs: per-day
+    register tables combine into any window without rescanning).
+
+    Register index is the hash's low ``p`` bits; ``rho`` is the 1-based
+    position of the leftmost set bit in the remaining ``budget = 31 - p``
+    bits (``budget + 1`` when they are all zero). Both engines compute
+    ``floor(log2)`` as binary-string length (the doc_surprisal rule), so
+    the register table is deterministic and fully oracle-gated. Output:
+    ``register int, max_rho int`` (non-empty registers only)."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    budget = HLL_HASH_BITS - p
+    key = F.col(key_col)
+    h = salted_hash(key, salt)
+    reg = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(budget + 1))
+        .otherwise(F.lit(budget + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.where(key.isNotNull() & (key != F.lit("")))
+        .select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """One-row distinct-count estimate from a register table. The harmonic
+    sum is EXACT: each register contributes the integer
+    ``2^(budget + 1 - max_rho)`` (empty registers ``2^(budget + 1)``), so
+    ``sum_pow`` is identical in both engines and the estimate is one
+    double division of the embedded alpha constant by that integer.
+
+    Output: ``m int, used_registers long, zero_registers long,
+    sum_pow long, hll_estimate double``. No small-range linear-counting
+    correction: it needs ``ln``, whose last-ulp behavior differs between
+    JVM and libm — callers with small cardinalities read
+    ``zero_registers`` and apply it themselves."""
+    m = 1 << p
+    budget = HLL_HASH_BITS - p
+    scale = 1 << (budget + 1)
+    const = hll_alpha_const(p)
+    pow_cell = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(budget + 1) - F.col("max_rho")).cast("int"),
+    )
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used_registers"),
+        F.coalesce(F.sum(pow_cell), F.lit(0)).cast("long").alias("__used_pow"),
+    )
+    zero = (F.lit(m).cast("long") - F.col("used_registers"))
+    sum_pow = (F.col("__used_pow") + zero * F.lit(scale).cast("long")).cast("long")
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        F.col("used_registers"),
+        zero.alias("zero_registers"),
+        sum_pow.alias("sum_pow"),
+        (F.lit(const) / sum_pow.cast("double")).alias("hll_estimate"),
+    )
+
+
 def cms_topk(
     df: DataFrame,
     probes: DataFrame,

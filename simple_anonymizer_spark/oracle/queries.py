@@ -4712,3 +4712,57 @@ FROM documents d LEFT JOIN uagg a USING (doc_id)""")
 
 ORACLES["unigram_train_corpus"] = _unigram_train_oracle()
 ORACLES["unigram_encode_docs"] = _unigram_encode_oracle()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct estimate (operators/sketch.py) — deterministic
+# register grid on the frozen hash kernel; rho via binary-string length
+# (the doc_surprisal rule); harmonic sum in exact integers; the alpha
+# constant round-trips through VARCHAR (decimal literals parse as DECIMAL
+# and double-round — the documented DuckDB DECIMAL->DOUBLE gotcha).
+# ---------------------------------------------------------------------------
+
+from ..operators.sketch import hll_alpha_const as _hll_const  # noqa: E402
+
+_HLL_CONST_SQL = f"CAST('{_hll_const(10)!r}' AS DOUBLE)"
+_HLL_H = _h("(k || '__hll|')")
+
+ORACLES["hll_distinct_orders"] = f"""
+WITH keys AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+),
+hv AS (
+  SELECT {_HLL_H} AS h FROM keys WHERE k IS NOT NULL AND k <> ''
+),
+regs AS (
+  SELECT CAST(h % 1024 AS INT) AS register,
+         max(CASE WHEN h // 1024 = 0 THEN 22
+             ELSE 22 - length(bin(h // 1024)) END) AS max_rho
+  FROM hv GROUP BY register
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS used_registers,
+         CAST(COALESCE(sum(CAST(1 AS BIGINT) << (22 - max_rho)), 0)
+              AS BIGINT) AS used_pow
+  FROM regs
+),
+s2 AS (
+  SELECT used_registers,
+         CAST(1024 - used_registers AS BIGINT) AS zero_registers,
+         CAST(used_pow + (1024 - used_registers) * CAST(4194304 AS BIGINT)
+              AS BIGINT) AS sum_pow
+  FROM s
+),
+s3 AS (
+  SELECT *, {_HLL_CONST_SQL} / CAST(sum_pow AS DOUBLE) AS hll_estimate
+  FROM s2
+),
+ex AS (
+  SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct FROM keys
+)
+SELECT CAST(1024 AS INT) AS m, used_registers, zero_registers, sum_pow,
+       hll_estimate, exact_distinct,
+       (hll_estimate - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_error
+FROM s3 CROSS JOIN ex
+"""

@@ -3476,3 +3476,33 @@ def dedup_minhash_recall(spark, sf_dir):
     quadratic truth side runs on the doc_id%4 sample only."""
     d = _tp(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     return dedup.minhash_recall_report(d, thresholds=(0.3, 0.7, 0.9))
+
+
+@query("hll_distinct_orders")
+def hll_distinct_orders(spark, sf_dir):
+    """HyperLogLog distinct-key estimate next to the exact count — the
+    bounded-memory DISTINCT sibling of the count-min sketch: the register
+    table is at most 2^p rows at ANY key cardinality and merges by
+    element-wise MAX (per-shard register tables roll up into any window
+    without rescanning — the 100 TB shape the exact countDistinct
+    shuffle lacks). Keyed on the SF-scaling order key (15k distinct at
+    sf0.01 — the estimator's working regime at m=1024, unlike the
+    31-token fixture vocabulary). The register grid is deterministic
+    (frozen hash kernel), the harmonic sum exact-integer, the estimate
+    one double division — fully oracle-gated, with the measured relative
+    error as an output column (operators/sketch.py)."""
+    from .operators import sketch
+
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    est = sketch.hll_estimate(sketch.hll_registers(keys, "k", p=10), p=10)
+    exact = keys.agg(
+        F.countDistinct("k").cast("long").alias("exact_distinct")
+    )
+    ex = F.col("exact_distinct").cast("double")
+    return est.crossJoin(exact).select(
+        "m", "used_registers", "zero_registers", "sum_pow", "hll_estimate",
+        "exact_distinct",
+        ((F.col("hll_estimate") - ex) / ex).alias("rel_error"),
+    )

@@ -80,3 +80,70 @@ def test_null_and_empty_keys_dropped(spark):
 def test_validation(spark, token_df):
     with pytest.raises(ValueError, match=">= 1"):
         sketch.cms_sketch(token_df, "token", depth=0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (hll_registers / hll_estimate)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_register_table_bounded_and_mergeable(spark):
+    """Register table never exceeds 2^p rows; the union property holds:
+    registers(A ∪ B) == element-wise max of registers(A), registers(B)."""
+    a = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(300, 900)], "k string")
+    p = 6
+    ra = sketch.hll_registers(a, "k", p=p)
+    rb = sketch.hll_registers(b, "k", p=p)
+    runion = sketch.hll_registers(a.union(b), "k", p=p)
+    assert runion.count() <= (1 << p)
+    merged = (
+        ra.union(rb).groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    )
+    got = {(r.register, r.max_rho) for r in merged.collect()}
+    want = {(r.register, r.max_rho) for r in runion.collect()}
+    assert got == want
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """Raw estimator's relative error vs 5000 distinct keys stays within
+    3x the theoretical 1.04/sqrt(m) standard error at p=10 (the kernel is
+    frozen, so this is a deterministic regression pin, not a flaky
+    sample)."""
+    n = 5000
+    df = spark.createDataFrame([(f"value-{i}",) for i in range(n)], "k string")
+    est = sketch.hll_estimate(sketch.hll_registers(df, "k", p=10), p=10).first()
+    assert est.m == 1024
+    assert est.used_registers + est.zero_registers == 1024
+    rel = abs(est.hll_estimate - n) / n
+    assert rel <= 3 * 1.04 / math.sqrt(1024), rel
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """Multiplicity is invisible to HLL: duplicating every key leaves the
+    register table (and thus the estimate) identical."""
+    base = spark.createDataFrame([(f"v{i}",) for i in range(200)], "k string")
+    dup = base.union(base).union(base)
+    r1 = {(r.register, r.max_rho)
+          for r in sketch.hll_registers(base, "k").collect()}
+    r2 = {(r.register, r.max_rho)
+          for r in sketch.hll_registers(dup, "k").collect()}
+    assert r1 == r2
+
+
+def test_hll_null_empty_dropped_and_validation(spark):
+    df = spark.createDataFrame([("a",), ("",), (None,)], "k string")
+    regs = sketch.hll_registers(df, "k")
+    assert regs.count() == 1
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        sketch.hll_registers(df, "k", p=2)
+
+
+def test_hll_empty_input_yields_zero_sum_estimate(spark):
+    df = spark.createDataFrame([], "k string")
+    row = sketch.hll_estimate(sketch.hll_registers(df, "k", p=10), p=10).first()
+    assert row.used_registers == 0 and row.zero_registers == 1024
+    assert row.sum_pow == 1024 * (1 << 22)
+    assert row.hll_estimate == pytest.approx(
+        sketch.hll_alpha_const(10) / row.sum_pow
+    )
