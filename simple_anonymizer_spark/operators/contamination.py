@@ -104,3 +104,73 @@ def contamination_report(
                >= flag_threshold_pct * F.col("n_grams"))
         ).alias("flagged"),
     )
+
+
+def semantic_contamination(
+    pool: DataFrame,
+    bench: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-space contamination screen — the SEMANTIC sibling of the
+    n-gram overlap report above: a pool document counts as contaminated
+    when some benchmark item sits within ``cosine >= threshold`` of it,
+    catching paraphrased or lightly-edited benchmark leakage the literal
+    13-gram screen cannot see.
+
+    Same per-cell confinement as ``kmeans.semantic_dedup`` (Abbas et al.
+    2023): a shared coarse quantizer is trained over pool + bench (pass
+    ``centroids=`` to reuse a trained model), both sides assign map-side
+    against broadcast-literal centroids, and cosine runs only WITHIN a
+    cell — cost is ``sum_c |pool_c| * |bench_c|`` instead of
+    ``|pool| * |bench|``, with the documented SemDeDup approximation
+    (cross-cell leaks are missed; ``n_clusters`` is the recall knob). The
+    pair join is a plain equi-join on the cell id, so AQE skew handling
+    applies; nothing is collected but the ``n_clusters``-row model.
+
+    Output: one row per pool vector — ``<id_col>, cell int,
+    n_bench_hits long, max_cosine double (NULL when no hit),
+    contaminated long 0/1``. Deterministic end-to-end (the trainer's
+    fixed-point rules), so fully oracle-gated.
+    """
+    from .kmeans import kmeans_fit
+    from .similarity import cosine, ivf_assign_cell
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            pool.unionByName(bench), n_clusters, iters, id_col, vec_col
+        )
+    p = pool.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vp"),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    b = bench.select(
+        F.col(vec_col).alias("__vb"),
+        ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    hits = (
+        p.join(b, "cell")
+        .where(cosine(F.col("__vp"), F.col("__vb")) >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.max(cosine(F.col("__vp"), F.col("__vb"))).alias("max_cosine"),
+        )
+    )
+    return (
+        p.join(hits, id_col, "left_outer")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("n_bench_hits"), F.lit(0)).cast("long")
+            .alias("n_bench_hits"),
+            F.col("max_cosine"),
+            F.when(F.col("n_bench_hits").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).cast("long").alias("contaminated"),
+        )
+    )

@@ -4766,3 +4766,39 @@ SELECT CAST(1024 AS INT) AS m, used_registers, zero_registers, sum_pow,
          / CAST(exact_distinct AS DOUBLE) AS rel_error
 FROM s3 CROSS JOIN ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic contamination screen (contamination.semantic_contamination) —
+# the SAME two mirrored Lloyd iterations as embedding_kmeans provide the
+# shared quantizer; pool (vec_id % 10 <> 0) x bench (= 0) cosine runs only
+# within a cell; max_cosine ranges over QUALIFYING pairs (NULL when none).
+# ---------------------------------------------------------------------------
+
+ORACLES["contamination_semantic"] = f"""
+WITH c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell,
+         embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+),{_kmeans_assign_cte('c0', 'a1')},{_kmeans_update_cte('a1', 'c0', 'c1')},{_kmeans_assign_cte('c1', 'a2')},{_kmeans_update_cte('a2', 'c1', 'c2')},{_kmeans_assign_cte('c2', 'a3')},
+pool AS (
+  SELECT vec_id, xv, cell FROM a3 WHERE vec_id % 10 <> 0
+),
+bench AS (
+  SELECT vec_id, xv, cell FROM a3 WHERE vec_id % 10 = 0
+),
+hits AS (
+  SELECT p.vec_id,
+         CAST(count(*) AS BIGINT) AS n_bench_hits,
+         max({_cosd('p.xv', 'b.xv')}) AS max_cosine
+  FROM pool p JOIN bench b USING (cell)
+  WHERE {_cosd('p.xv', 'b.xv')} >= 0.3
+  GROUP BY p.vec_id
+)
+SELECT p.vec_id, p.cell,
+       CAST(COALESCE(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+       h.max_cosine,
+       CAST(CASE WHEN h.n_bench_hits IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated
+FROM pool p LEFT JOIN hits h USING (vec_id)
+"""

@@ -3506,3 +3506,26 @@ def hll_distinct_orders(spark, sf_dir):
         "exact_distinct",
         ((F.col("hll_estimate") - ex) / ex).alias("rel_error"),
     )
+
+
+@query("contamination_semantic")
+def contamination_semantic(spark, sf_dir):
+    """Embedding-space benchmark-leakage screen
+    (contamination.semantic_contamination): every 10th vector stands in
+    for a held-out benchmark; pool vectors are flagged when a same-cell
+    benchmark item sits within cosine >= 0.3 (fixture-calibrated: the
+    synthetic embeddings are near-random, max cross-pair cosine 0.49 —
+    real corpora use 0.85+). The quantizer is the same
+    deterministic 8-cell/2-iteration trainer as embedding_kmeans, trained
+    over the full table and passed in — one training pass shared by both
+    sides, per-cell confinement bounds the pair join."""
+    from .operators.contamination import semantic_contamination
+    from .operators.kmeans import kmeans_fit
+
+    emb = dedup.ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    cents = kmeans_fit(emb, n_clusters=8, iters=2)
+    pool = emb.where(F.col("vec_id") % 10 != 0)
+    bench = emb.where(F.col("vec_id") % 10 == 0)
+    return semantic_contamination(
+        pool, bench, threshold=0.3, centroids=cents
+    )

@@ -140,3 +140,49 @@ def test_semantic_dedup_duplicate_chain_keeps_exactly_one(spark):
            kmeans.semantic_dedup(_vecs(spark, rows), n_clusters=2,
                                  iters=1, threshold=0.999).collect()}
     assert out == {7: 1, 8: 0, 9: 0, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# Semantic contamination (contamination.semantic_contamination)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination_planted_leak(spark):
+    """A pool vector colinear with a benchmark vector is flagged with
+    max_cosine ~1; orthogonal pool vectors are not."""
+    from simple_anonymizer_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    pool = _vecs(spark, [(1, [3.0, 4.0]), (2, [-4.0, 3.0]), (3, [6.0, 8.0])])
+    bench = _vecs(spark, [(100, [0.3, 0.4])])
+    out = {r.vec_id: r for r in semantic_contamination(
+        pool, bench, n_clusters=2, iters=1, threshold=0.99
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated == 1 and out[1].max_cosine > 0.999
+    assert out[3].contaminated == 1
+    assert out[2].contaminated == 0 and out[2].max_cosine is None
+    assert out[1].n_bench_hits == 1
+
+
+def test_semantic_contamination_same_quantizer_as_split_training(spark):
+    """Training on pool+bench inside the operator equals passing the
+    full-table model via centroids= (the registry-query shape)."""
+    from simple_anonymizer_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    # +0.25 keeps every norm nonzero (cosine shares semantic_dedup's
+    # nonzero-vector contract)
+    rows = [(i, [(i * 7) % 5 - 2 + 0.25, float((i * 3) % 4 - 1)])
+            for i in range(24)]
+    allv = _vecs(spark, rows)
+    pool = allv.where(F.col("vec_id") % 3 != 0)
+    bench = allv.where(F.col("vec_id") % 3 == 0)
+    cents = kmeans.kmeans_fit(allv, n_clusters=3, iters=2)
+    a = semantic_contamination(pool, bench, n_clusters=3, iters=2,
+                               threshold=0.9).collect()
+    b = semantic_contamination(pool, bench, threshold=0.9,
+                               centroids=cents).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
