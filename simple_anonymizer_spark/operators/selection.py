@@ -266,3 +266,165 @@ def nb_classify(
             (F.col("__cls") == F.col(label_col)).alias("is_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature logistic regression (the GPT-3 quality-classifier shape:
+# "logistic regression over hashed features of the tokenizer output")
+# ---------------------------------------------------------------------------
+
+LR_SALT = "__lr|"
+LR_ONE = 1 << 24          # fixed-point 1.0 (the engine's 2^-24 rule)
+LR_HALF = 1 << 23
+
+
+def _trunc_div(a: int, n: int) -> int:
+    """Python mirror of SQL integer division: truncation toward zero
+    (Python's ``//`` FLOORS — it would disagree with Spark ``div`` and
+    DuckDB ``//`` on negative gradients)."""
+    q = abs(a) // n
+    return -q if a < 0 else q
+
+
+def lr_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Per-document hashed feature counts, long format:
+    ``__id, __b int, __x long`` — the unigram+bigram occurrence stream of
+    ``_doc_features`` hashed into ``num_buckets`` buckets (HashingTF)."""
+    feats = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_doc_features(F.col(text_col))).alias("__f"),
+    )
+    return (
+        feats.select(
+            "__id",
+            F.pmod(T.salted_hash(F.col("__f"), LR_SALT), F.lit(num_buckets))
+            .cast("int").alias("__b"),
+        )
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
+
+
+def _lr_margin(fx: DataFrame, labels: DataFrame, weights: list[int],
+               bias: int) -> DataFrame:
+    """``__id, __y, __m`` — fixed-point margin ``b + w . x`` per labeled
+    row; featureless documents carry the bias alone. The weight vector
+    rides as a constant-size literal array (never a join): assignment is
+    map-side, exactly like the k-means centroid broadcast."""
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in weights])
+    dots = fx.groupBy("__id").agg(
+        F.sum(F.element_at(warr, F.col("__b") + 1) * F.col("__x"))
+        .cast("long").alias("__dot")
+    )
+    return labels.join(dots, "__id", "left_outer").select(
+        "__id", "__y",
+        (F.coalesce("__dot", F.lit(0)) + F.lit(int(bias)).cast("long"))
+        .cast("long").alias("__m"),
+    )
+
+
+def _hard_sigmoid(m) -> F.Column:
+    """Piecewise-linear sigmoid ``clamp(1/2 + m/4, 0, 1)`` in 2^-24 fixed
+    point. The true sigmoid needs ``exp``, whose last-ulp rounding
+    differs across engines; the hard variant is shift-and-clamp — exact
+    integers everywhere (both engines' ``>>`` is arithmetic on
+    negatives, verified)."""
+    col = F.col(m) if isinstance(m, str) else m
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(LR_ONE).cast("long"),
+                F.lit(LR_HALF) + F.shiftright(col, 2)),
+    ).cast("long")
+
+
+def lr_train(
+    train: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    iters: int = 3,
+    lr_shift: int = 3,
+) -> tuple[list[int], int]:
+    """Full-batch gradient descent for binary logistic regression over
+    hashed bag-of-features — the GPT-3/WebText data-quality classifier
+    shape (Brown et al. 2020 train an LR on hashed tokenizer features to
+    score CommonCrawl against a curated target), trained entirely as
+    DataFrame aggregations.
+
+    Deterministic end to end, so the whole trainer is DuckDB-mirrorable:
+    weights live in 2^-24 fixed point; the hard-sigmoid error is
+    shift-and-clamp; the update is ``w -= (sum_grad div n) >> lr_shift``
+    (truncating division — both engines truncate; Python's ``//`` floors
+    and is NOT used). Per iteration: one margin aggregation + one
+    gradient aggregation, and a bounded collect of at most
+    ``num_buckets + 1`` rows — the k-means/BPE driver-loop pattern; the
+    corpus itself never moves.
+
+    Returns ``(weights, bias)`` as fixed-point ints
+    (``len(weights) == num_buckets``).
+    """
+    if iters < 1 or num_buckets < 1:
+        raise ValueError("iters and num_buckets must be >= 1")
+    fx = lr_features(train, text_col, id_col, num_buckets)
+    labels = train.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    n = labels.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    w = [0] * num_buckets
+    b = 0
+    for _ in range(iters):
+        m = _lr_margin(fx, labels, w, b)
+        errs = m.select(
+            "__id",
+            (_hard_sigmoid("__m") - F.col("__y") * F.lit(LR_ONE))
+            .cast("long").alias("__e"),
+        )
+        grads = (
+            fx.join(errs, "__id")
+            .groupBy("__b")
+            .agg(F.sum(F.col("__e") * F.col("__x")).cast("long").alias("__g"))
+        ).collect()
+        bias_g = errs.agg(F.sum("__e").cast("long").alias("__g")).first()["__g"]
+        for r in grads:
+            w[r["__b"]] -= _trunc_div(int(r["__g"]), n) >> lr_shift
+        b -= _trunc_div(int(bias_g or 0), n) >> lr_shift
+    return w, b
+
+
+def lr_scores(
+    df: DataFrame,
+    weights: list[int],
+    bias: int,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Score documents under a trained model. Output: ``<id_col>,
+    <label_col> (long 0/1), margin_fp long, prob_fp long (hard-sigmoid,
+    2^-24 fixed point), pred long 0/1, is_correct boolean`` — one map-
+    side pass plus the per-doc feature aggregation; the model is a
+    constant-size literal, nothing broadcasts or collects."""
+    fx = lr_features(df, text_col, id_col, num_buckets)
+    labels = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    m = _lr_margin(fx, labels, weights, bias)
+    return m.select(
+        F.col("__id").alias(id_col),
+        F.col("__y").alias(label_col),
+        F.col("__m").alias("margin_fp"),
+        _hard_sigmoid("__m").alias("prob_fp"),
+        (F.col("__m") >= 0).cast("long").alias("pred"),
+        ((F.col("__m") >= 0).cast("long") == F.col("__y")).alias("is_correct"),
+    )

@@ -4802,3 +4802,90 @@ SELECT p.vec_id, p.cell,
          AS contaminated
 FROM pool p LEFT JOIN hits h USING (vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature logistic regression (selection.lr_train / lr_scores) —
+# three full-batch GD iterations unrolled, weight state as (b, w) rows
+# with the bias at b = -1. MATERIALIZED per the iterative-CTE rule (each
+# state is referenced several times by the next iteration). Integer
+# division // truncates toward zero in BOTH engines (Python // floors —
+# the operator uses a trunc helper); >> is arithmetic in both.
+# ---------------------------------------------------------------------------
+
+_LR_B = 64  # must match queries.quality_lr_classifier num_buckets
+_LR_SALTED = "(f || '__lr|')"
+_LR_BUCKET = f"({_h(_LR_SALTED)} % {_LR_B})"
+_LR_SIG = "greatest(CAST(0 AS BIGINT), least(CAST(16777216 AS BIGINT), 8388608 + ({m} >> 2)))"
+
+
+def _lr_iter_cte(prev_w: str, name: str) -> str:
+    sig = _LR_SIG.format(m="m")
+    return f""",
+{name}_m AS MATERIALIZED (
+  SELECT l.doc_id, l.y,
+         CAST(COALESCE(s.dot, 0)
+              + (SELECT w FROM {prev_w} WHERE b = -1) AS BIGINT) AS m
+  FROM lab_train l LEFT JOIN (
+    SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS dot
+    FROM fx f JOIN {prev_w} w ON f.b = w.b GROUP BY f.doc_id
+  ) s USING (doc_id)
+),
+{name}_e AS MATERIALIZED (
+  SELECT doc_id, CAST({sig} - y * 16777216 AS BIGINT) AS e FROM {name}_m
+),
+{name}_g AS (
+  SELECT f.b, CAST(sum(e.e * f.x) AS BIGINT) AS g
+  FROM fx f JOIN {name}_e e USING (doc_id) GROUP BY f.b
+  UNION ALL
+  SELECT -1, CAST(sum(e) AS BIGINT) FROM {name}_e
+),
+{name} AS MATERIALIZED (
+  SELECT w.b,
+         CAST(w.w - ((COALESCE(g.g, 0) // (SELECT n FROM ntr)) >> 3)
+              AS BIGINT) AS w
+  FROM {prev_w} w LEFT JOIN {name}_g g USING (b)
+)"""
+
+
+_LR_FINAL_SIG = _LR_SIG.format(m="m")
+
+ORACLES["quality_lr_classifier"] = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {_tokens('text')} AS toks,
+         CAST(lang = 'en' AS BIGINT) AS y
+  FROM documents
+),
+lab_train AS MATERIALIZED (
+  SELECT doc_id, y FROM d WHERE doc_id % 4 <> 3
+),
+fx AS MATERIALIZED (
+  SELECT doc_id, {_LR_BUCKET} AS b, CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest({_DSIR_FEATS}) AS f FROM d
+        WHERE doc_id % 4 <> 3)
+  GROUP BY doc_id, b
+),
+ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab_train),
+w0 AS (
+  SELECT CAST(t.b AS INT) AS b, CAST(0 AS BIGINT) AS w FROM range(-1, {_LR_B}) t(b)
+){_lr_iter_cte('w0', 'it1')}{_lr_iter_cte('it1', 'it2')}{_lr_iter_cte('it2', 'it3')},
+fxall AS MATERIALIZED (
+  SELECT doc_id, {_LR_BUCKET} AS b, CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest({_DSIR_FEATS}) AS f FROM d)
+  GROUP BY doc_id, b
+),
+sm AS (
+  SELECT d.doc_id, d.y,
+         CAST(COALESCE(s.dot, 0)
+              + (SELECT w FROM it3 WHERE b = -1) AS BIGINT) AS m
+  FROM d LEFT JOIN (
+    SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS dot
+    FROM fxall f JOIN it3 w ON f.b = w.b GROUP BY f.doc_id
+  ) s USING (doc_id)
+)
+SELECT doc_id, y AS curated, m AS margin_fp,
+       CAST({_LR_FINAL_SIG} AS BIGINT) AS prob_fp,
+       CAST(CASE WHEN m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       (CASE WHEN m >= 0 THEN 1 ELSE 0 END) = y AS is_correct
+FROM sm
+"""

@@ -3529,3 +3529,30 @@ def contamination_semantic(spark, sf_dir):
     return semantic_contamination(
         pool, bench, threshold=0.3, centroids=cents
     )
+
+
+@query("quality_lr_classifier")
+def quality_lr_classifier(spark, sf_dir):
+    """Hashed-feature logistic regression, the GPT-3 data-quality-
+    classifier shape (selection.lr_train): full-batch gradient descent in
+    2^-24 fixed point with a hard-sigmoid (shift-and-clamp — no exp, so
+    the whole 3-iteration trainer is deterministic and mirrored in the
+    oracle), trained curated-vs-rest on a 3/4 seed split and scored over
+    every document. Per iteration: two aggregations and a <= 65-row
+    collect — the k-means/BPE bounded driver-loop pattern. (Like
+    quality_nb_classifier, the fixture's lang label is near-independent
+    of its 31-token shared vocabulary, so accuracy here sits at the
+    majority share — learning behavior is pinned on crafted separable
+    corpora in tests/test_selection.py; this entry gates the trainer's
+    cross-engine determinism.)"""
+    from .operators.selection import lr_scores, lr_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("long").alias("curated"),
+    )
+    train = labeled.where(F.col("doc_id") % 4 != 3)
+    w, b = lr_train(train, label_col="curated", num_buckets=64,
+                    iters=3, lr_shift=3)
+    return lr_scores(labeled, w, b, label_col="curated", num_buckets=64)

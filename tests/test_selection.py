@@ -162,3 +162,80 @@ def test_epoch_shuffle_is_balanced_permutation(spark, sf_dir):
              for r in sampling.epoch_shuffle(d, n_shards=4, epoch=1).collect()}
     same = sum(1 for r in rows if other[r["doc_id"]] == r["epoch_pos"])
     assert same < n // 10, same
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point logistic regression (lr_train / lr_scores)
+# ---------------------------------------------------------------------------
+
+
+def _lr_corpus(spark, n=40):
+    """Separable two-class corpus: even ids draw from a 'clean' word
+    pool, odd ids from a 'spam' pool (varied lengths so counts differ)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            words = ["clean", "prose", "article", "clean"][: 2 + i % 3]
+            y = 1
+        else:
+            words = ["spam", "junk", "casino", "spam"][: 2 + i % 3]
+            y = 0
+        rows.append((i, " ".join(words), y))
+    return spark.createDataFrame(rows, "doc_id long, text string, label long")
+
+
+def test_lr_learns_separable_corpus(spark):
+    from simple_anonymizer_spark.operators.selection import lr_scores, lr_train
+
+    df = _lr_corpus(spark)
+    train = df.where(F.col("doc_id") % 4 != 3)
+    w, b = lr_train(train, num_buckets=64, iters=3)
+    assert len(w) == 64 and any(v != 0 for v in w)
+    out = lr_scores(df, w, b, num_buckets=64).collect()
+    acc = sum(r.is_correct for r in out) / len(out)
+    assert acc == 1.0, acc
+    # margins separate by sign, prob_fp saturates consistently
+    for r in out:
+        assert (r.margin_fp >= 0) == (r.pred == 1)
+        assert 0 <= r.prob_fp <= (1 << 24)
+
+
+def test_lr_deterministic_and_partition_invariant(spark):
+    from simple_anonymizer_spark.operators.selection import lr_train
+
+    df = _lr_corpus(spark, 30)
+    a = lr_train(df, num_buckets=32, iters=2)
+    b = lr_train(df.repartition(7), num_buckets=32, iters=2)
+    assert a == b
+
+
+def test_lr_featureless_doc_uses_bias_only(spark):
+    from simple_anonymizer_spark.operators.selection import lr_scores, lr_train
+
+    df = _lr_corpus(spark, 20)
+    w, b = lr_train(df, num_buckets=16, iters=2)
+    empty = spark.createDataFrame(
+        [(99, "", 1)], "doc_id long, text string, label long"
+    )
+    row = lr_scores(empty, w, b, num_buckets=16).first()
+    assert row.margin_fp == b
+
+
+def test_lr_trunc_div_matches_sql_semantics():
+    from simple_anonymizer_spark.operators.selection import _trunc_div
+
+    # SQL div truncates toward zero; Python // floors — the helper must
+    # match SQL on negatives.
+    assert _trunc_div(-7, 3) == -2
+    assert _trunc_div(7, 3) == 2
+    assert _trunc_div(-6, 3) == -2
+
+
+def test_lr_validation(spark):
+    from simple_anonymizer_spark.operators.selection import lr_train
+
+    df = _lr_corpus(spark, 4)
+    with pytest.raises(ValueError, match=">= 1"):
+        lr_train(df, iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        lr_train(df.where(F.lit(False)))
