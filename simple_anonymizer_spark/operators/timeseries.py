@@ -96,3 +96,52 @@ def resample_interpolate_daily(
         .cast("long")
         .alias("interpolated"),
     )
+
+
+def ewma_halflife(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    horizon: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average with half-life decay
+    (alpha = 1/2) over EXACT integer values — the smoothing/forecast
+    primitive the resampler above feeds.
+
+    Float-safe by construction: the general EWMA recurrence accumulates
+    ``(1-alpha)^t`` floats whose rounding drifts across engines, but with
+    alpha = 1/2 every weight is dyadic, so the windowed form is exact
+    integer arithmetic — ``N = sum_j x_{t-j} << (horizon-1-j)`` and
+    ``D = sum_j 1 << (horizon-1-j)`` over the ``horizon`` most recent
+    rows (pandas ``adjust=True`` renormalization: partial windows divide
+    by the weight mass actually present), then ONE double division
+    ``N / D``. Truncating the tail beyond ``horizon`` drops at most
+    ``2^-horizon`` of the weight mass — deterministically, identically
+    in both engines.
+
+    ``value_col`` must be int64 (convert currency to exact cents
+    upstream). All ``horizon`` lags share one ``(key, order)`` sort;
+    the plan is a single window pass, no shuffle beyond it. Output: the
+    key, the order columns, ``<value_col>``, ``weight_mass long``,
+    ``ewma double``.
+    """
+    if not 1 <= horizon <= 62:
+        raise ValueError("horizon must be in [1, 62]")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    num = []
+    den = []
+    for j in range(horizon):
+        shift = 1 << (horizon - 1 - j)
+        lagged = F.lag(F.col(value_col), j).over(w)
+        num.append(F.coalesce(lagged * F.lit(shift), F.lit(0)))
+        den.append(
+            F.when(lagged.isNotNull(), F.lit(shift)).otherwise(F.lit(0))
+        )
+    n_expr = sum(num[1:], num[0]).cast("long")
+    d_expr = sum(den[1:], den[0]).cast("long")
+    return df.select(
+        key_col, *order_cols, value_col,
+        d_expr.alias("weight_mass"),
+        (n_expr.cast("double") / d_expr.cast("double")).alias("ewma"),
+    )

@@ -4889,3 +4889,76 @@ SELECT doc_id, y AS curated, m AS margin_fp,
        (CASE WHEN m >= 0 THEN 1 ELSE 0 END) = y AS is_correct
 FROM sm
 """
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA (timeseries.ewma_halflife) — alpha = 1/2 half-life decay as
+# exact integer lag arithmetic (weights are powers of two), pandas
+# adjust=True renormalization over partial windows, one double division.
+# All 16 lags share the single named window.
+# ---------------------------------------------------------------------------
+
+ORACLES["ts_ewma_orders"] = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) AS ts_us,
+         o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS price_cents
+  FROM orders
+)
+SELECT o_custkey, ts_us, o_orderkey, price_cents,
+       CAST(CASE WHEN lag(price_cents, 0) OVER w IS NOT NULL THEN 32768 ELSE 0 END
+           + CASE WHEN lag(price_cents, 1) OVER w IS NOT NULL THEN 16384 ELSE 0 END
+           + CASE WHEN lag(price_cents, 2) OVER w IS NOT NULL THEN 8192 ELSE 0 END
+           + CASE WHEN lag(price_cents, 3) OVER w IS NOT NULL THEN 4096 ELSE 0 END
+           + CASE WHEN lag(price_cents, 4) OVER w IS NOT NULL THEN 2048 ELSE 0 END
+           + CASE WHEN lag(price_cents, 5) OVER w IS NOT NULL THEN 1024 ELSE 0 END
+           + CASE WHEN lag(price_cents, 6) OVER w IS NOT NULL THEN 512 ELSE 0 END
+           + CASE WHEN lag(price_cents, 7) OVER w IS NOT NULL THEN 256 ELSE 0 END
+           + CASE WHEN lag(price_cents, 8) OVER w IS NOT NULL THEN 128 ELSE 0 END
+           + CASE WHEN lag(price_cents, 9) OVER w IS NOT NULL THEN 64 ELSE 0 END
+           + CASE WHEN lag(price_cents, 10) OVER w IS NOT NULL THEN 32 ELSE 0 END
+           + CASE WHEN lag(price_cents, 11) OVER w IS NOT NULL THEN 16 ELSE 0 END
+           + CASE WHEN lag(price_cents, 12) OVER w IS NOT NULL THEN 8 ELSE 0 END
+           + CASE WHEN lag(price_cents, 13) OVER w IS NOT NULL THEN 4 ELSE 0 END
+           + CASE WHEN lag(price_cents, 14) OVER w IS NOT NULL THEN 2 ELSE 0 END
+           + CASE WHEN lag(price_cents, 15) OVER w IS NOT NULL THEN 1 ELSE 0 END
+         AS BIGINT) AS weight_mass,
+       CAST(COALESCE(lag(price_cents, 0) OVER w * 32768, 0)
+           + COALESCE(lag(price_cents, 1) OVER w * 16384, 0)
+           + COALESCE(lag(price_cents, 2) OVER w * 8192, 0)
+           + COALESCE(lag(price_cents, 3) OVER w * 4096, 0)
+           + COALESCE(lag(price_cents, 4) OVER w * 2048, 0)
+           + COALESCE(lag(price_cents, 5) OVER w * 1024, 0)
+           + COALESCE(lag(price_cents, 6) OVER w * 512, 0)
+           + COALESCE(lag(price_cents, 7) OVER w * 256, 0)
+           + COALESCE(lag(price_cents, 8) OVER w * 128, 0)
+           + COALESCE(lag(price_cents, 9) OVER w * 64, 0)
+           + COALESCE(lag(price_cents, 10) OVER w * 32, 0)
+           + COALESCE(lag(price_cents, 11) OVER w * 16, 0)
+           + COALESCE(lag(price_cents, 12) OVER w * 8, 0)
+           + COALESCE(lag(price_cents, 13) OVER w * 4, 0)
+           + COALESCE(lag(price_cents, 14) OVER w * 2, 0)
+           + COALESCE(lag(price_cents, 15) OVER w * 1, 0)
+         AS DOUBLE)
+       / CAST(CASE WHEN lag(price_cents, 0) OVER w IS NOT NULL THEN 32768 ELSE 0 END
+           + CASE WHEN lag(price_cents, 1) OVER w IS NOT NULL THEN 16384 ELSE 0 END
+           + CASE WHEN lag(price_cents, 2) OVER w IS NOT NULL THEN 8192 ELSE 0 END
+           + CASE WHEN lag(price_cents, 3) OVER w IS NOT NULL THEN 4096 ELSE 0 END
+           + CASE WHEN lag(price_cents, 4) OVER w IS NOT NULL THEN 2048 ELSE 0 END
+           + CASE WHEN lag(price_cents, 5) OVER w IS NOT NULL THEN 1024 ELSE 0 END
+           + CASE WHEN lag(price_cents, 6) OVER w IS NOT NULL THEN 512 ELSE 0 END
+           + CASE WHEN lag(price_cents, 7) OVER w IS NOT NULL THEN 256 ELSE 0 END
+           + CASE WHEN lag(price_cents, 8) OVER w IS NOT NULL THEN 128 ELSE 0 END
+           + CASE WHEN lag(price_cents, 9) OVER w IS NOT NULL THEN 64 ELSE 0 END
+           + CASE WHEN lag(price_cents, 10) OVER w IS NOT NULL THEN 32 ELSE 0 END
+           + CASE WHEN lag(price_cents, 11) OVER w IS NOT NULL THEN 16 ELSE 0 END
+           + CASE WHEN lag(price_cents, 12) OVER w IS NOT NULL THEN 8 ELSE 0 END
+           + CASE WHEN lag(price_cents, 13) OVER w IS NOT NULL THEN 4 ELSE 0 END
+           + CASE WHEN lag(price_cents, 14) OVER w IS NOT NULL THEN 2 ELSE 0 END
+           + CASE WHEN lag(price_cents, 15) OVER w IS NOT NULL THEN 1 ELSE 0 END
+         AS DOUBLE) AS ewma
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
+"""

@@ -3556,3 +3556,26 @@ def quality_lr_classifier(spark, sf_dir):
     w, b = lr_train(train, label_col="curated", num_buckets=64,
                     iters=3, lr_shift=3)
     return lr_scores(labeled, w, b, label_col="curated", num_buckets=64)
+
+
+@query("ts_ewma_orders")
+def ts_ewma_orders(spark, sf_dir):
+    """Per-customer exponentially-weighted moving average of order value
+    (timeseries.ewma_halflife): alpha = 1/2 makes every decay weight
+    dyadic, so the 16-lag window is exact integer arithmetic with ONE
+    double division — the cross-engine-safe form of a smoothing
+    recurrence that would otherwise accumulate float drift. One (key,
+    time) sort carries all 16 lags; prices as exact DECIMAL cents;
+    unique (ts, orderkey) tie-break."""
+    from .operators import timeseries
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .alias("price_cents"),
+    )
+    return timeseries.ewma_halflife(
+        o, "o_custkey", ["ts_us", "o_orderkey"], "price_cents", horizon=16
+    )

@@ -150,3 +150,49 @@ def test_ts_partition_invariance(spark):
     b = sorted(map(tuple,
         resample_interpolate_daily(df.repartition(7), "user_id", "ts", "value").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA (timeseries.ewma_halflife)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_closed_form(spark):
+    from simple_anonymizer_spark.operators.timeseries import ewma_halflife
+
+    rows = [("k", i, v) for i, v in enumerate([100, 200, 400, 0])]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {r.t: r for r in
+           ewma_halflife(df, "k", ["t"], "x", horizon=4).collect()}
+    # adjust=True EWMA with alpha=1/2: weights 1, 1/2, 1/4, ... newest first
+    assert out[0].ewma == 100.0                       # single term
+    assert out[1].ewma == (2 * 200 + 100) / 3         # weights 2,1 / 3
+    assert out[2].ewma == (4 * 400 + 2 * 200 + 100) / 7
+    assert out[3].ewma == (8 * 0 + 4 * 400 + 2 * 200 + 100) / 15
+    assert out[3].weight_mass == 15
+
+
+def test_ewma_partial_window_renormalizes_per_key(spark):
+    from simple_anonymizer_spark.operators.timeseries import ewma_halflife
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 30)], "k string, t long, x long"
+    )
+    out = {r.k: r.ewma for r in
+           ewma_halflife(df, "k", ["t"], "x", horizon=16).collect()}
+    assert out == {"a": 10.0, "b": 30.0}   # keys never mix
+
+
+def test_ewma_horizon_truncation_is_deterministic(spark):
+    from simple_anonymizer_spark.operators.timeseries import ewma_halflife
+
+    rows = [("k", i, 1000) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = ewma_halflife(df, "k", ["t"], "x", horizon=8).collect()
+    # constant series -> EWMA equals the constant at every t
+    assert all(r.ewma == 1000.0 for r in out)
+    last = [r for r in out if r.t == 39][0]
+    assert last.weight_mass == (1 << 8) - 1   # full window mass
+
+    with pytest.raises(ValueError, match=r"\[1, 62\]"):
+        ewma_halflife(df, "k", ["t"], "x", horizon=0)
