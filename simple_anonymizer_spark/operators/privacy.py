@@ -250,3 +250,103 @@ def l_diversity(
         F.sum(F.when(F.col("__l") < l_threshold, 1).otherwise(0)).cast("long")
         .alias("groups_below_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Memorization canaries (Carlini et al. 2019, "The Secret Sharer",
+# arXiv:1802.08232): plant deterministic unique sequences in a corpus,
+# then audit that a pipeline stage preserved (or removed) every one.
+# ---------------------------------------------------------------------------
+
+CANARY_SALT = "__canary|"
+_CANARY_RE = "CANARY([0-9a-f]{16})"
+
+
+def _canary_secret(id_col: str, salt: str):
+    """16-hex-char per-document secret — the md5 kernel keyed on the doc
+    id, distinct from the selection hash (different suffix)."""
+    return F.lower(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(salt), F.lit("secret"))),
+            1, 16,
+        )
+    )
+
+
+def inject_canaries(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_mod: int = 16,
+    salt: str = CANARY_SALT,
+) -> DataFrame:
+    """Append a unique ``CANARY<secret>`` marker to every document whose
+    salted id-hash lands on ``% rate_mod == 0`` — a deterministic 1-in-
+    rate_mod planting, reproducible at any scale without a side table
+    (the expected set derives from the same expressions). Map-only."""
+    from ..functions.textops import salted_hash
+
+    sel = (
+        salted_hash(F.col(id_col).cast("string"), salt) % rate_mod == 0
+    )
+    return df.withColumn(
+        text_col,
+        F.when(
+            sel,
+            F.concat(F.col(text_col), F.lit(" CANARY"),
+                     _canary_secret(id_col, salt)),
+        ).otherwise(F.col(text_col)),
+    )
+
+
+def expected_canaries(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate_mod: int = 16,
+    salt: str = CANARY_SALT,
+) -> DataFrame:
+    """The planted set ``<id_col>, secret`` — recomputed from the same
+    hash expressions, never stored."""
+    from ..functions.textops import salted_hash
+
+    return df.where(
+        salted_hash(F.col(id_col).cast("string"), salt) % rate_mod == 0
+    ).select(F.col(id_col), _canary_secret(id_col, salt).alias("secret"))
+
+
+def detect_canaries(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extract surviving canary secrets: ``<id_col>, secret`` for every
+    document whose text still carries the marker (RE2-safe pattern, no
+    backslashes). Map-only scan."""
+    secret = F.regexp_extract(F.col(text_col), _CANARY_RE, 1)
+    return (
+        df.select(F.col(id_col), secret.alias("secret"))
+        .where(F.col("secret") != "")
+    )
+
+
+def canary_report(found: DataFrame, expected: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """One-row audit: ``n_expected, n_found, n_missing, n_spurious`` from
+    a full outer join on ``(id, secret)`` — missing canaries mean the
+    audited stage DROPPED planted content; spurious ones mean it
+    fabricated or duplicated it. Both sides are 1/rate_mod of the corpus;
+    the join is delta-sized."""
+    f = found.select(F.col(id_col).alias("__id"),
+                     F.col("secret").alias("__fs")).withColumn("__f", F.lit(1))
+    e = expected.select(F.col(id_col).alias("__id"),
+                        F.col("secret").alias("__fs")).withColumn("__e", F.lit(1))
+    j = f.join(e, ["__id", "__fs"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("long").alias("n_expected"),
+        F.coalesce(F.sum("__f"), F.lit(0)).cast("long").alias("n_found"),
+        F.coalesce(F.sum(F.when(F.col("__f").isNull(), 1)), F.lit(0))
+        .cast("long").alias("n_missing"),
+        F.coalesce(F.sum(F.when(F.col("__e").isNull(), 1)), F.lit(0))
+        .cast("long").alias("n_spurious"),
+    )

@@ -4962,3 +4962,54 @@ SELECT o_custkey, ts_us, o_orderkey, price_cents,
 FROM o
 WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# Canary audit (privacy.inject_canaries / detect / report) — plant,
+# scrub, re-extract, reconcile. The selection hash and the 16-hex secret
+# both derive from the frozen md5 kernel; the detection pattern is
+# backslash-free (RE2-safe verbatim in both engines).
+# ---------------------------------------------------------------------------
+
+_CANARY_SEL = "(CAST(doc_id AS VARCHAR) || '__canary|')"
+
+ORACLES["canary_audit_docs"] = f"""
+WITH sel AS (
+  SELECT doc_id, text,
+         ({_h(_CANARY_SEL)} % 16 = 0) AS s,
+         lower(substr(md5(CAST(doc_id AS VARCHAR) || '__canary|secret'),
+                      1, 16)) AS sec
+  FROM documents
+),
+inj AS (
+  SELECT doc_id,
+         CASE WHEN s THEN text || ' CANARY' || sec ELSE text END AS text
+  FROM sel
+),
+scrub AS (
+  SELECT doc_id, {_scrub_sql('text')} AS text FROM inj
+),
+f AS (
+  SELECT doc_id, secret FROM (
+    SELECT doc_id,
+           regexp_extract(text, 'CANARY([0-9a-f]{{16}})', 1) AS secret
+    FROM scrub
+  ) WHERE secret <> ''
+),
+e AS (
+  SELECT doc_id, sec AS secret FROM sel WHERE s
+),
+j AS (
+  SELECT f.doc_id AS fid, e.doc_id AS eid
+  FROM f FULL JOIN e ON f.doc_id = e.doc_id AND f.secret = e.secret
+)
+SELECT CAST(sum(CASE WHEN eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_expected,
+       CAST(sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       CAST(sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(sum(CASE WHEN eid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spurious
+FROM j
+"""

@@ -3579,3 +3579,21 @@ def ts_ewma_orders(spark, sf_dir):
     return timeseries.ewma_halflife(
         o, "o_custkey", ["ts_us", "o_orderkey"], "price_cents", horizon=16
     )
+
+
+@query("canary_audit_docs")
+def canary_audit_docs(spark, sf_dir):
+    """Secret-sharer canary round trip (privacy.inject_canaries): plant a
+    deterministic unique marker in 1/16 of the corpus, run the PII
+    scrubber over it, and audit that every canary survived and none were
+    fabricated — the memorization-audit primitive (Carlini et al. 2019)
+    doubling as a pipeline-integrity gate (n_missing > 0 means a stage
+    DROPS planted content). The expected set recomputes from the same
+    hash expressions — no side table at any scale."""
+    from .operators import privacy, textprep
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    planted = privacy.inject_canaries(docs)
+    scrubbed = planted.withColumn("text", textprep.scrub_pii("text"))
+    found = privacy.detect_canaries(scrubbed)
+    return privacy.canary_report(found, privacy.expected_canaries(docs))

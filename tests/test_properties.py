@@ -345,3 +345,60 @@ def test_spec_config_fails_closed(cfg):
         return  # fail-closed: the allowed plan-time rejection
     assert isinstance(spec, TableSpec)
     assert len(spec.columns) == len(cfg["columns"])
+
+
+# ---------------------------------------------------------------------------
+# Canary audit (operators/privacy.py)
+# ---------------------------------------------------------------------------
+
+
+def test_canary_inject_detect_inverse(spark):
+    from simple_anonymizer_spark.operators import privacy
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    planted = privacy.inject_canaries(docs, rate_mod=4)
+    exp = privacy.expected_canaries(docs, rate_mod=4)
+    found = privacy.detect_canaries(planted)
+    r = privacy.canary_report(found, exp).first()
+    assert r.n_expected > 0
+    assert r.n_found == r.n_expected
+    assert r.n_missing == 0 and r.n_spurious == 0
+
+
+def test_canary_destructive_stage_reports_missing(spark):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators import privacy
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    planted = privacy.inject_canaries(docs, rate_mod=4)
+    # a stage that truncates every document destroys the appended canaries
+    truncated = planted.withColumn("text", F.substring("text", 1, 10))
+    r = privacy.canary_report(
+        privacy.detect_canaries(truncated),
+        privacy.expected_canaries(docs, rate_mod=4),
+    ).first()
+    assert r.n_expected > 0
+    assert r.n_found == 0
+    assert r.n_missing == r.n_expected
+
+
+def test_canary_spurious_content_flagged(spark):
+    from simple_anonymizer_spark.operators import privacy
+
+    docs = spark.createDataFrame(
+        [(1, "clean"), (2, "already has CANARY0123456789abcdef inside")],
+        "doc_id long, text string",
+    )
+    r = privacy.canary_report(
+        privacy.detect_canaries(docs),
+        privacy.expected_canaries(docs, rate_mod=1_000_000_000),
+    ).first()
+    assert r.n_expected == 0
+    assert r.n_spurious == 1
