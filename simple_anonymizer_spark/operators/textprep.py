@@ -1050,3 +1050,119 @@ def unigram_segment(
         .alias("n_pieces"),
         "pieces",
     )
+
+
+def wordpiece_train(
+    df: "DataFrame",
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    tokenizer) — the third classical subword algorithm next to
+    ``bpe_train`` and ``unigram_train``: the same merge loop as BPE, but
+    each iteration merges the pair maximizing the LIKELIHOOD score
+    ``count(pair) / (count(left) * count(right))`` instead of the raw
+    pair count.
+
+    The score is compared in exact integer bits —
+    ``score_bits = bits(pair) - bits(left) - bits(right)`` (the
+    doc_surprisal rule: each term within one bit of log2, identical in
+    both engines) — with the pair text as tie-break, so training is
+    deterministic and fully oracle-mirrorable. The merge REWRITE is
+    byte-identical to BPE's double-spaced literal replace, which means a
+    trained WordPiece merge table segments text through the existing
+    ``bpe_segment`` unchanged.
+
+    Output: ``iteration (int64), left, right, merged, pair_count
+    (int64), score_bits (int64)`` — rows in merge order.
+
+    Scale: identical to ``bpe_train`` — one corpus scan into the
+    word-frequency table, then model-sized iterations over the
+    vocabulary with a single-row collect each; the extra symbol-count
+    table is vocabulary-bounded.
+    """
+    from ..functions import textops as T
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(T.tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+    )
+    vocab = words.select(
+        "__freq",
+        F.concat(
+            F.array_join(F.split(F.col("__w"), ""), " "),
+            F.lit(" </w>"),
+        ).alias("__seq"),
+    ).localCheckpoint(eager=True)
+
+    def bits(c):
+        return F.length(F.call_function("bin", c)).cast("long")
+
+    merges: list[tuple] = []
+    for i in range(n_merges):
+        sym = F.split(F.col("__seq"), " ")
+        head = F.slice(sym, 1, F.size(sym) - 1)
+        tail = F.slice(sym, 2, F.size(sym) - 1)
+        pair_arr = F.when(
+            F.size(sym) >= 2,
+            F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
+        ).otherwise(F.array().cast("array<string>"))
+        sym_counts = (
+            vocab.select("__freq", F.explode(sym).alias("__s"))
+            .groupBy("__s")
+            .agg(F.sum("__freq").cast("long").alias("__scnt"))
+        )
+        pair_counts = (
+            vocab.select("__freq", F.explode(pair_arr).alias("__pair"))
+            .groupBy("__pair")
+            .agg(F.sum("__freq").cast("long").alias("__cnt"))
+        )
+        scored = (
+            pair_counts
+            .join(
+                sym_counts.select(F.col("__s").alias("__l"),
+                                  F.col("__scnt").alias("__lcnt")),
+                F.split(F.col("__pair"), " ")[0] == F.col("__l"),
+            )
+            .join(
+                sym_counts.select(F.col("__s").alias("__r"),
+                                  F.col("__scnt").alias("__rcnt")),
+                F.split(F.col("__pair"), " ")[1] == F.col("__r"),
+            )
+            .select(
+                "__pair", "__cnt",
+                (bits(F.col("__cnt")) - bits(F.col("__lcnt"))
+                 - bits(F.col("__rcnt"))).cast("long").alias("__score"),
+            )
+        )
+        best = (
+            scored.orderBy(F.col("__score").desc(), F.col("__pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt, score = (best[0]["__pair"], best[0]["__cnt"],
+                            best[0]["__score"])
+        left, right = pair.split(" ")
+        merges.append((i, left, right, left + right, cnt, score))
+        padded = F.concat(
+            F.lit(" "),
+            F.expr("replace(__seq, ' ', '  ')"),
+            F.lit(" "),
+        )
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + left + right + " "
+        replaced = F.call_function("replace", padded, F.lit(pat), F.lit(rep))
+        new_seq = F.trim(F.regexp_replace(replaced, " +", " "))
+        vocab = vocab.select(
+            "__freq", new_seq.alias("__seq")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "iteration long, left string, right string, merged string,"
+        " pair_count long, score_bits long",
+    )

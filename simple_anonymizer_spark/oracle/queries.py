@@ -5013,3 +5013,98 @@ SELECT CAST(sum(CASE WHEN eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_spurious
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training (textprep.wordpiece_train) — the BPE CTE chain with
+# a likelihood-scored best-pair step: score_bits = bits(pair) -
+# bits(left) - bits(right), ties by pair text. The rewrite step is
+# byte-identical to BPE's (_bpe_seq_rewrite), so the encode oracle is
+# the BPE encode chain over WordPiece b{i} states.
+# ---------------------------------------------------------------------------
+
+
+def _wp_cte_parts(n_merges: int) -> list[str]:
+    parts = [
+        "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq "
+        "FROM ("
+        f"SELECT unnest({_tokens('text')}) AS w FROM documents) GROUP BY w)",
+        "v0 AS MATERIALIZED (SELECT freq, array_to_string("
+        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
+        "FROM words)",
+    ]
+    for i in range(n_merges):
+        parts.append(f"""y{i} AS MATERIALIZED (
+  SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS scnt FROM (
+    SELECT freq, unnest(string_split(seq, ' ')) AS s FROM v{i}
+  ) GROUP BY s
+)""")
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest([sym[j] || ' ' || sym[j + 1]
+                   for j in range(1, len(sym))]) AS pr
+    FROM (SELECT freq, string_split(seq, ' ') AS sym FROM v{i})
+  ) GROUP BY pr
+)""")
+        parts.append(f"""b{i} AS MATERIALIZED (
+  SELECT pair, cnt, score_bits FROM (
+    SELECT p.pair, p.cnt,
+           CAST(length(bin(p.cnt)) - length(bin(l.scnt))
+                - length(bin(r.scnt)) AS BIGINT) AS score_bits
+    FROM p{i} p
+    JOIN y{i} l ON split_part(p.pair, ' ', 1) = l.sym
+    JOIN y{i} r ON split_part(p.pair, ' ', 2) = r.sym
+  ) ORDER BY score_bits DESC, pair ASC LIMIT 1
+)""")
+        parts.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT freq, {_bpe_seq_rewrite(f'b{i}')} AS seq
+  FROM v{i}
+)""")
+    return parts
+
+
+def _wp_oracle(n_merges: int) -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS iteration, "
+        f"split_part(pair, ' ', 1) AS \"left\", "
+        f"split_part(pair, ' ', 2) AS \"right\", "
+        f"replace(pair, ' ', '') AS merged, cnt AS pair_count, "
+        f"score_bits FROM b{i}"
+        for i in range(n_merges)
+    ]
+    return ("WITH " + ",\n".join(_wp_cte_parts(n_merges)) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+def _wp_encode_oracle(n_merges: int) -> str:
+    parts = _wp_cte_parts(n_merges)
+    parts.append(f"""tok AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+  FROM (SELECT doc_id, {_tokens('text')} AS toks FROM documents)
+)""")
+    parts.append(
+        "s0 AS MATERIALIZED (SELECT doc_id, pos, array_to_string("
+        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
+        "FROM tok)"
+    )
+    for i in range(n_merges):
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, pos, {_bpe_seq_rewrite(f'b{i}')} AS seq
+  FROM s{i}
+)""")
+    parts.append(f"""agg AS (
+  SELECT doc_id, string_agg(seq, ' ' ORDER BY pos) AS pieces
+  FROM s{n_merges} GROUP BY doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       CAST(CASE WHEN a.pieces IS NULL OR a.pieces = '' THEN 0
+                 ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
+         AS n_pieces,
+       COALESCE(a.pieces, '') AS pieces
+FROM documents d LEFT JOIN agg a USING (doc_id)""")
+
+
+ORACLES["wordpiece_train_corpus"] = _wp_oracle(6)
+ORACLES["wordpiece_encode_docs"] = _wp_encode_oracle(6)

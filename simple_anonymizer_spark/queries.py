@@ -3597,3 +3597,28 @@ def canary_audit_docs(spark, sf_dir):
     scrubbed = planted.withColumn("text", textprep.scrub_pii("text"))
     found = privacy.detect_canaries(scrubbed)
     return privacy.canary_report(found, privacy.expected_canaries(docs))
+
+
+@query("wordpiece_train_corpus")
+def wordpiece_train_corpus(spark, sf_dir):
+    """WordPiece merge training (textprep.wordpiece_train) — the BERT
+    tokenizer's likelihood-scored merge loop, 6 iterations, scored in
+    exact integer bits with pair-text tie-breaks; the DuckDB oracle
+    unrolls every iteration (MATERIALIZED state CTEs). Completes the
+    classical subword-tokenizer family: BPE, unigram-LM, WordPiece."""
+    from .operators.textprep import wordpiece_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return wordpiece_train(docs, n_merges=6)
+
+
+@query("wordpiece_encode_docs")
+def wordpiece_encode_docs(spark, sf_dir):
+    """Segment every document with the corpus-trained WordPiece merges —
+    the merge REWRITE is byte-identical to BPE's, so the trained table
+    drives the existing bpe_segment codegen replace chain unchanged."""
+    from .operators.textprep import bpe_segment, wordpiece_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
+    return bpe_segment(docs, merges)

@@ -444,3 +444,59 @@ def test_cdc_chunks_max_len_forces_splits(spark):
                   cdc_chunks(df, max_len=100).collect())
     assert "".join(c for _, c in rows) == txt
     assert all(len(c) <= 100 for _, c in rows)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training (textprep.wordpiece_train)
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_prefers_likelihood_over_raw_count(spark):
+    """The defining WordPiece property: a pair whose symbols ONLY occur
+    together outranks a more frequent pair of independently-common
+    symbols. Corpus: 'ab' appears 6x but a/b are everywhere separately;
+    'xy' appears 3x and x/y never occur apart."""
+    from simple_anonymizer_spark.operators.textprep import (
+        bpe_train, wordpiece_train,
+    )
+
+    text = " ".join(["ab"] * 6 + ["a"] * 20 + ["b"] * 20 + ["xy"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wp = wordpiece_train(df, n_merges=1).collect()
+    bpe = bpe_train(df, n_merges=1).collect()
+    assert wp[0]["left"] == "x" and wp[0]["right"] == "y"
+    # BPE by raw count picks a different (more frequent) pair
+    assert (bpe[0]["left"], bpe[0]["right"]) != ("x", "y")
+
+
+def test_wordpiece_merges_drive_bpe_segment_losslessly(spark):
+    from simple_anonymizer_spark.operators.textprep import (
+        bpe_segment, wordpiece_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hugging hugs huge bug"), (2, "gumbo humbug"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = [tuple(r) for r in wordpiece_train(docs, n_merges=5).collect()]
+    out = {r.doc_id: r for r in bpe_segment(docs, merges).collect()}
+    # losslessness: removing spaces and </w> markers restores the words
+    for doc_id, text in [(1, "hugging hugs huge bug"), (2, "gumbo humbug")]:
+        restored = (
+            out[doc_id].pieces.replace(" ", "").replace("</w>", " ").strip()
+        )
+        assert restored == text.replace(" ", " "), (doc_id, restored)
+    assert out[3].n_pieces == 0 and out[3].pieces == ""
+
+
+def test_wordpiece_deterministic_across_partitioning(spark):
+    from simple_anonymizer_spark.operators.textprep import wordpiece_train
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana ban") for i in range(8)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in wordpiece_train(docs, n_merges=4).collect()]
+    b = [tuple(r) for r in
+         wordpiece_train(docs.repartition(5), n_merges=4).collect()]
+    assert a == b and len(a) == 4
