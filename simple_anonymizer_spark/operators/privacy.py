@@ -350,3 +350,141 @@ def canary_report(found: DataFrame, expected: DataFrame,
         F.coalesce(F.sum(F.when(F.col("__e").isNull(), 1)), F.lit(0))
         .cast("long").alias("n_spurious"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mondrian multidimensional k-anonymity (LeFevre et al. 2006) — the
+# standard partition-based algorithm next to the Samarati uniform ladder
+# above: recursive median cuts on the widest quasi-identifier range,
+# each cut allowed only when both halves keep >= k records.
+# ---------------------------------------------------------------------------
+
+
+def mondrian_anonymize(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 10,
+    max_depth: int = 4,
+    id_col: str = "id",
+) -> DataFrame:
+    """Mondrian k-anonymization over INTEGER quasi-identifiers (convert
+    currency to exact cents upstream — the engine's integer-cents rule).
+
+    Each level splits every current partition at the median of its
+    widest-range QI (strict median-element cut: value at row
+    ``(n + 1) div 2`` under the deterministic ``(value, id)`` order),
+    skipping partitions where no dimension can be cut without dropping a
+    side below ``k``. Dimension choice is ``allowable first, widest
+    integer range, lowest dimension index`` — every decision derives
+    deterministically from the data, so the whole recursion (driver-side
+    here) is mirrored level-for-level in the DuckDB oracle.
+
+    Output: one row per input record — ``<id_col>``, then per QI
+    ``<qi>_lo / <qi>_hi`` (the record's equivalence-class bounds — the
+    generalized release), and ``class_size long``. Every class has
+    ``class_size >= k`` whenever the input itself has >= k rows.
+
+    Scale (100 TB): the corpus never collects — each level is two
+    aggregation passes (order statistics via one ``(partition, dim)``
+    window, then side counts) plus a driver collect bounded by
+    ``n_dims * 2^level`` rows; the relabeling is a literal CASE chain
+    (model-sized state, the k-means/BPE pattern). Window partitions are
+    equivalence classes, which median cuts keep balanced — no skewed
+    reducer.
+    """
+    if k < 1 or max_depth < 0 or not qi_cols:
+        raise ValueError("need k >= 1, max_depth >= 0, and QI columns")
+    from pyspark.sql import Window
+
+    work = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).cast("long").alias(f"__q{d}")
+          for d, c in enumerate(qi_cols)],
+    ).withColumn("__label", F.lit(0).cast("long"))
+
+    n_dims = len(qi_cols)
+    for _level in range(max_depth):
+        # Long format: one row per (record, dim).
+        unpiv = work.select(
+            "__id", "__label",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(d).alias("dim"),
+                             F.col(f"__q{d}").alias("val"))
+                    for d in range(n_dims)
+                ])
+            ).alias("__dv"),
+        ).select("__id", "__label", F.col("__dv.dim").alias("__dim"),
+                 F.col("__dv.val").alias("__val"))
+        w = Window.partitionBy("__label", "__dim").orderBy("__val", "__id")
+        ranked = unpiv.select(
+            "__label", "__dim", "__val",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("__label", "__dim")
+            ).alias("__n"),
+            F.min("__val").over(
+                Window.partitionBy("__label", "__dim")
+            ).alias("__lo"),
+            F.max("__val").over(
+                Window.partitionBy("__label", "__dim")
+            ).alias("__hi"),
+        )
+        meds = ranked.where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        med_stats = meds.select(
+            "__label", "__dim", F.col("__val").alias("__med"),
+            "__n", "__lo", "__hi",
+        )
+        side = (
+            unpiv.join(
+                med_stats.select("__label", "__dim", "__med"),
+                ["__label", "__dim"],
+            )
+            .groupBy("__label", "__dim")
+            .agg(F.sum((F.col("__val") <= F.col("__med")).cast("long"))
+                 .cast("long").alias("__cle"))
+        )
+        info = {
+            (r["__label"], r["__dim"]): r
+            for r in med_stats.join(side, ["__label", "__dim"]).collect()
+        }
+        # Driver decision per partition: allowable, widest range, lowest
+        # dim index.
+        labels = sorted({lab for lab, _ in info})
+        cuts = {}
+        for lab in labels:
+            best = None
+            for d in range(n_dims):
+                r = info[(lab, d)]
+                lo_n, hi_n = r["__cle"], r["__n"] - r["__cle"]
+                if min(lo_n, hi_n) < k:
+                    continue
+                rng = r["__hi"] - r["__lo"]
+                if best is None or rng > best[0]:
+                    best = (rng, d, r["__med"])
+            if best is not None:
+                cuts[lab] = (best[1], best[2])
+        if not cuts:
+            break
+        expr = F.col("__label") * 2
+        for lab, (d, med) in cuts.items():
+            expr = F.when(
+                (F.col("__label") == lab) & (F.col(f"__q{d}") > med),
+                F.col("__label") * 2 + 1,
+            ).otherwise(expr)
+        work = work.withColumn(
+            "__label", expr.cast("long")
+        ).localCheckpoint(eager=True)
+
+    bounds = work.groupBy("__label").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        *[f(F.col(f"__q{d}")).alias(f"__{side}{d}")
+          for d in range(n_dims)
+          for side, f in (("lo", F.min), ("hi", F.max))],
+    )
+    out_cols = [F.col("__id").alias(id_col)]
+    for d, c in enumerate(qi_cols):
+        out_cols.append(F.col(f"__lo{d}").alias(f"{c}_lo"))
+        out_cols.append(F.col(f"__hi{d}").alias(f"{c}_hi"))
+    out_cols.append(F.col("class_size"))
+    return work.join(bounds, "__label").select(*out_cols)

@@ -5108,3 +5108,153 @@ FROM documents d LEFT JOIN agg a USING (doc_id)""")
 
 ORACLES["wordpiece_train_corpus"] = _wp_oracle(6)
 ORACLES["wordpiece_encode_docs"] = _wp_encode_oracle(6)
+
+
+# ---------------------------------------------------------------------------
+# Mondrian k-anonymity (privacy.mondrian_anonymize) — the 3-level median-
+# cut recursion replayed exactly: per level, order statistics under the
+# (value, id) total order, side counts vs the median element, and the
+# (allowable, widest range, lowest dim) pick; unsplit partitions double
+# their label so labels never collide. Generated by the same parameters
+# as queries.privacy_mondrian_customer (k=20, depth=3).
+# ---------------------------------------------------------------------------
+
+ORACLES["privacy_mondrian_customer"] = """
+WITH s0 AS MATERIALIZED (
+  SELECT c_custkey AS cid, CAST(c_nationkey AS BIGINT) AS q0,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS q1,
+         CAST(0 AS BIGINT) AS label
+  FROM customer
+),
+u0 AS MATERIALIZED (
+  SELECT cid, label, 0 AS dim, q0 AS val FROM s0
+  UNION ALL
+  SELECT cid, label, 1 AS dim, q1 AS val FROM s0
+),
+m0 AS MATERIALIZED (
+  SELECT label, dim, val AS med, n, lo, hi FROM (
+    SELECT label, dim, val,
+           row_number() OVER (PARTITION BY label, dim ORDER BY val, cid)
+             AS rn,
+           count(*) OVER (PARTITION BY label, dim) AS n,
+           min(val) OVER (PARTITION BY label, dim) AS lo,
+           max(val) OVER (PARTITION BY label, dim) AS hi
+    FROM u0
+  ) WHERE rn = (n + 1) // 2
+),
+c0 AS MATERIALIZED (
+  SELECT u.label, u.dim,
+         CAST(sum(CASE WHEN u.val <= m.med THEN 1 ELSE 0 END) AS BIGINT)
+           AS cle
+  FROM u0 u JOIN m0 m USING (label, dim)
+  GROUP BY u.label, u.dim
+),
+p0 AS MATERIALIZED (
+  SELECT label, dim, med FROM (
+    SELECT m.label, m.dim, m.med,
+           row_number() OVER (PARTITION BY m.label
+                              ORDER BY (m.hi - m.lo) DESC, m.dim ASC) AS rk
+    FROM m0 m JOIN c0 c USING (label, dim)
+    WHERE least(c.cle, m.n - c.cle) >= 20
+  ) WHERE rk = 1
+),
+s1 AS MATERIALIZED (
+  SELECT s.cid, s.q0, s.q1,
+         CAST(CASE WHEN p.label IS NULL THEN s.label * 2
+              WHEN (CASE p.dim WHEN 0 THEN s.q0 ELSE s.q1 END) > p.med
+                THEN s.label * 2 + 1
+              ELSE s.label * 2 END AS BIGINT) AS label
+  FROM s0 s LEFT JOIN p0 p USING (label)
+),
+u1 AS MATERIALIZED (
+  SELECT cid, label, 0 AS dim, q0 AS val FROM s1
+  UNION ALL
+  SELECT cid, label, 1 AS dim, q1 AS val FROM s1
+),
+m1 AS MATERIALIZED (
+  SELECT label, dim, val AS med, n, lo, hi FROM (
+    SELECT label, dim, val,
+           row_number() OVER (PARTITION BY label, dim ORDER BY val, cid)
+             AS rn,
+           count(*) OVER (PARTITION BY label, dim) AS n,
+           min(val) OVER (PARTITION BY label, dim) AS lo,
+           max(val) OVER (PARTITION BY label, dim) AS hi
+    FROM u1
+  ) WHERE rn = (n + 1) // 2
+),
+c1 AS MATERIALIZED (
+  SELECT u.label, u.dim,
+         CAST(sum(CASE WHEN u.val <= m.med THEN 1 ELSE 0 END) AS BIGINT)
+           AS cle
+  FROM u1 u JOIN m1 m USING (label, dim)
+  GROUP BY u.label, u.dim
+),
+p1 AS MATERIALIZED (
+  SELECT label, dim, med FROM (
+    SELECT m.label, m.dim, m.med,
+           row_number() OVER (PARTITION BY m.label
+                              ORDER BY (m.hi - m.lo) DESC, m.dim ASC) AS rk
+    FROM m1 m JOIN c1 c USING (label, dim)
+    WHERE least(c.cle, m.n - c.cle) >= 20
+  ) WHERE rk = 1
+),
+s2 AS MATERIALIZED (
+  SELECT s.cid, s.q0, s.q1,
+         CAST(CASE WHEN p.label IS NULL THEN s.label * 2
+              WHEN (CASE p.dim WHEN 0 THEN s.q0 ELSE s.q1 END) > p.med
+                THEN s.label * 2 + 1
+              ELSE s.label * 2 END AS BIGINT) AS label
+  FROM s1 s LEFT JOIN p1 p USING (label)
+),
+u2 AS MATERIALIZED (
+  SELECT cid, label, 0 AS dim, q0 AS val FROM s2
+  UNION ALL
+  SELECT cid, label, 1 AS dim, q1 AS val FROM s2
+),
+m2 AS MATERIALIZED (
+  SELECT label, dim, val AS med, n, lo, hi FROM (
+    SELECT label, dim, val,
+           row_number() OVER (PARTITION BY label, dim ORDER BY val, cid)
+             AS rn,
+           count(*) OVER (PARTITION BY label, dim) AS n,
+           min(val) OVER (PARTITION BY label, dim) AS lo,
+           max(val) OVER (PARTITION BY label, dim) AS hi
+    FROM u2
+  ) WHERE rn = (n + 1) // 2
+),
+c2 AS MATERIALIZED (
+  SELECT u.label, u.dim,
+         CAST(sum(CASE WHEN u.val <= m.med THEN 1 ELSE 0 END) AS BIGINT)
+           AS cle
+  FROM u2 u JOIN m2 m USING (label, dim)
+  GROUP BY u.label, u.dim
+),
+p2 AS MATERIALIZED (
+  SELECT label, dim, med FROM (
+    SELECT m.label, m.dim, m.med,
+           row_number() OVER (PARTITION BY m.label
+                              ORDER BY (m.hi - m.lo) DESC, m.dim ASC) AS rk
+    FROM m2 m JOIN c2 c USING (label, dim)
+    WHERE least(c.cle, m.n - c.cle) >= 20
+  ) WHERE rk = 1
+),
+s3 AS MATERIALIZED (
+  SELECT s.cid, s.q0, s.q1,
+         CAST(CASE WHEN p.label IS NULL THEN s.label * 2
+              WHEN (CASE p.dim WHEN 0 THEN s.q0 ELSE s.q1 END) > p.med
+                THEN s.label * 2 + 1
+              ELSE s.label * 2 END AS BIGINT) AS label
+  FROM s2 s LEFT JOIN p2 p USING (label)
+),
+b AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS class_size,
+         min(q0) AS lo0, max(q0) AS hi0,
+         min(q1) AS lo1, max(q1) AS hi1
+  FROM s3 GROUP BY label
+)
+SELECT s.cid AS c_custkey,
+       b.lo0 AS nat_lo, b.hi0 AS nat_hi,
+       b.lo1 AS bal_cents_lo, b.hi1 AS bal_cents_hi,
+       b.class_size
+FROM s3 s JOIN b USING (label)
+"""

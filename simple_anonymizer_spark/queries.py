@@ -3622,3 +3622,25 @@ def wordpiece_encode_docs(spark, sf_dir):
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
     merges = [tuple(r) for r in wordpiece_train(docs, n_merges=6).collect()]
     return bpe_segment(docs, merges)
+
+
+@query("privacy_mondrian_customer")
+def privacy_mondrian_customer(spark, sf_dir):
+    """Mondrian multidimensional k-anonymization of customer
+    quasi-identifiers (privacy.mondrian_anonymize): 3 levels of median
+    cuts on the widest of (nationkey, account-balance cents), every cut
+    gated on both halves keeping >= 20 records. All decisions derive
+    deterministically from the data, so the oracle replays the full
+    recursion level-for-level. The partition-based complement of the
+    Samarati uniform ladder (anon_generalize_k)."""
+    from .operators.privacy import mondrian_anonymize
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nat"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+        .alias("bal_cents"),
+    )
+    return mondrian_anonymize(
+        c, ["nat", "bal_cents"], k=20, max_depth=3, id_col="c_custkey"
+    )

@@ -461,3 +461,66 @@ def test_gopher_quality_flags_each_rule(spark):
     assert not rows[8].stopwords_ok and rows[8].alpha_words_ok
     for d in (2, 3, 4, 5, 6, 7, 8):
         assert not rows[d].keep, d
+
+
+# ---------------------------------------------------------------------------
+# Mondrian k-anonymity (privacy.mondrian_anonymize)
+# ---------------------------------------------------------------------------
+
+
+def _mondrian_rows(n=120):
+    # deterministic pseudo-random integers without random state
+    return [(i, (i * 37) % 23, (i * 101) % 997) for i in range(n)]
+
+
+def test_mondrian_k_guarantee_and_containment(spark):
+    from simple_anonymizer_spark.operators.privacy import mondrian_anonymize
+
+    rows = _mondrian_rows()
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = mondrian_anonymize(df, ["a", "b"], k=15, max_depth=4).collect()
+    assert len(out) == len(rows)
+    orig = {r[0]: (r[1], r[2]) for r in rows}
+    for r in out:
+        assert r.class_size >= 15
+        a, b = orig[r.id]
+        assert r.a_lo <= a <= r.a_hi
+        assert r.b_lo <= b <= r.b_hi
+    # depth 4 with n=120, k=15 must actually split (not one giant class)
+    n_classes = len({(r.a_lo, r.a_hi, r.b_lo, r.b_hi) for r in out})
+    assert n_classes > 1
+
+
+def test_mondrian_partition_invariant(spark):
+    from simple_anonymizer_spark.operators.privacy import mondrian_anonymize
+
+    df = spark.createDataFrame(_mondrian_rows(80), "id long, a long, b long")
+    a = sorted(map(tuple, mondrian_anonymize(
+        df, ["a", "b"], k=10, max_depth=3).collect()))
+    b = sorted(map(tuple, mondrian_anonymize(
+        df.repartition(7), ["a", "b"], k=10, max_depth=3).collect()))
+    assert a == b
+
+
+def test_mondrian_k_exceeding_n_yields_single_class(spark):
+    from simple_anonymizer_spark.operators.privacy import mondrian_anonymize
+
+    df = spark.createDataFrame(_mondrian_rows(12), "id long, a long, b long")
+    out = mondrian_anonymize(df, ["a", "b"], k=50, max_depth=3).collect()
+    assert {(r.a_lo, r.a_hi, r.b_lo, r.b_hi) for r in out} == {
+        (min(r[1] for r in _mondrian_rows(12)),
+         max(r[1] for r in _mondrian_rows(12)),
+         min(r[2] for r in _mondrian_rows(12)),
+         max(r[2] for r in _mondrian_rows(12)))
+    }
+    assert all(r.class_size == 12 for r in out)
+
+
+def test_mondrian_validation(spark):
+    import pytest
+
+    from simple_anonymizer_spark.operators.privacy import mondrian_anonymize
+
+    df = spark.createDataFrame(_mondrian_rows(10), "id long, a long, b long")
+    with pytest.raises(ValueError, match="QI"):
+        mondrian_anonymize(df, [], k=2)
