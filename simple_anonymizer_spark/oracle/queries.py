@@ -5258,3 +5258,38 @@ SELECT s.cid AS c_custkey,
        b.class_size
 FROM s3 s JOIN b USING (label)
 """
+
+
+# ---------------------------------------------------------------------------
+# eps-DP histogram release (privacy.dp_noisy_counts over integer-cents
+# bins) — same literal discrete-Laplace threshold table as
+# privacy_dp_counts (eps = 0.5), keyed on the seeded bin bounds.
+# ---------------------------------------------------------------------------
+
+_DPH_KEY = (
+    "('hist-release-1' || '|'"
+    " || coalesce(CAST(bin_lo_cents AS VARCHAR), '<null>') || '|'"
+    " || coalesce(CAST(bin_hi_cents AS VARCHAR), '<null>'))"
+)
+
+ORACLES["privacy_dp_histogram"] = f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT cents - cents % 5000000 AS bin_lo_cents,
+         cents - cents % 5000000 + 5000000 AS bin_hi_cents
+  FROM c
+),
+g AS (
+  SELECT bin_lo_cents, bin_hi_cents, CAST(count(*) AS BIGINT) AS n,
+         {O.raw_hash(_DPH_KEY)} AS uh
+  FROM b GROUP BY bin_lo_cents, bin_hi_cents
+)
+SELECT bin_lo_cents, bin_hi_cents,
+       greatest(CAST(0 AS BIGINT),
+                n + CAST(len([t for t in {_DP_T} if t <= uh]) AS BIGINT)
+                  - CAST({_DP_K} AS BIGINT)) AS noisy_count
+FROM g
+"""

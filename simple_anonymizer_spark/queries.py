@@ -3644,3 +3644,27 @@ def privacy_mondrian_customer(spark, sf_dir):
     return mondrian_anonymize(
         c, ["nat", "bal_cents"], k=20, max_depth=3, id_col="c_custkey"
     )
+
+
+@query("privacy_dp_histogram")
+def privacy_dp_histogram(spark, sf_dir):
+    """eps-DP histogram release: the integer-cents order-price binning of
+    histogram_order_prices pushed through the discrete-Laplace release
+    mechanism (privacy.dp_noisy_counts) — the canonical DP release shape
+    for distribution publishing. Noise lands on OBSERVED bins (an empty
+    bin releases nothing — acceptable for bounded-domain histograms
+    where the bin grid is public; enumerate the full grid upstream when
+    absence itself is sensitive). Same seed contract as
+    privacy_dp_counts."""
+    from .operators.privacy import dp_noisy_counts
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    binned = o.select(
+        (cents - cents % F.lit(5_000_000)).alias("bin_lo_cents"),
+        (cents - cents % F.lit(5_000_000) + 5_000_000).alias("bin_hi_cents"),
+    )
+    return dp_noisy_counts(
+        binned, ["bin_lo_cents", "bin_hi_cents"],
+        eps=0.5, seed="hist-release-1",
+    )
