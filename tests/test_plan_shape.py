@@ -100,6 +100,13 @@ NATIVE_QUERIES = [
     "retrieval_mmr", "corpus_diff_versions", "bm25_indexed",
     "ivf_cell_stats", "release_manifest_versions", "bpe_fertility_langs",
     "corpus_scorecard_langs", "dedup_minhash_recall",
+    # continuation-batch additions: sketch/classifier/privacy/tokenizer
+    # operators — all pure column algebra (the LR/WordPiece/Mondrian
+    # driver loops collect bounded model state, never corpus rows).
+    "hll_distinct_orders", "contamination_semantic", "quality_lr_classifier",
+    "ts_ewma_orders", "canary_audit_docs", "wordpiece_train_corpus",
+    "wordpiece_encode_docs", "privacy_mondrian_customer",
+    "privacy_dp_histogram",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
