@@ -199,3 +199,77 @@ def cms_topk(
     sketch = cms_sketch(df, key_col, depth, width, salt, weight_col)
     est = cms_estimate(sketch, probes, key_col, depth, width, salt)
     return est.orderBy(F.col("est").desc(), F.col(key_col)).limit(k)
+
+
+QSK_SALT = "__qsk|"
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    level: int = 4,
+    salt: str = QSK_SALT,
+) -> DataFrame:
+    """Hash-sampling quantile sketch — the QUANTILE member of the sketch
+    family (CMS frequency, Bloom membership, HLL cardinality): keep the
+    rows whose salted id-hash has its low ``level`` bits zero (an exact
+    1-in-2^level deterministic sample), each kept row standing for
+    ``2^level`` input rows (Horvitz-Thompson). The kept set is
+    ``n / 2^level`` rows, mergeable by plain UNION (same level + salt:
+    per-shard sketches of disjoint row sets union into the sketch of the
+    union — coordinated sampling), and partition-invariant (membership
+    depends only on the row id). Output: ``<id_col>, <value_col>`` —
+    values must be exact integers (the cents rule).
+
+    Unlike KLL/GK (whose compaction is order- and partition-dependent),
+    this sketch is bit-deterministic, so estimates are fully
+    oracle-gated; the trade is a larger kept set for the same rank
+    error (O(sqrt(rank) * 2^(level/2)) standard rank deviation)."""
+    if not 0 <= level <= 30:
+        raise ValueError("level must be in [0, 30]")
+    from ..functions.textops import salted_hash
+
+    h = salted_hash(F.col(id_col).cast("string"), salt)
+    return df.where(h % (1 << level) == 0).select(
+        F.col(id_col), F.col(value_col)
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    value_col: str,
+    id_col: str,
+    level: int,
+    percents: tuple[int, ...] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Quantile estimates from a sketch: rank every kept row under the
+    ``(value, id)`` total order via the distributed two-pass prefix sum
+    (never one global window task), scale ranks by ``2^level``, and
+    report per requested percent the smallest kept value whose estimated
+    rank reaches ``ceil(pct/100 * N_est)`` where ``N_est = 2^level *
+    |sketch|``. All arithmetic exact integers. Output:
+    ``pct int, est_value long, est_rank long, n_est long``."""
+    from .stats import global_ranks
+
+    ranked, n_kept = global_ranks(sketch, value_col, id_col)
+    scale = 1 << level
+    n_est = n_kept * scale
+    est_rank = (F.col("__rank") + 1) * scale
+    targets = [(p, max(1, -(-p * n_est // 100))) for p in percents]
+    picks = []
+    for p, target in targets:
+        picks.append(
+            ranked.where(est_rank >= target)
+            .select(
+                F.lit(p).cast("int").alias("pct"),
+                F.col(value_col).cast("long").alias("est_value"),
+                est_rank.cast("long").alias("est_rank"),
+            )
+            .orderBy("est_value", id_col)
+            .limit(1)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("n_est", F.lit(n_est).cast("long"))

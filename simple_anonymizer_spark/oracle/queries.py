@@ -5293,3 +5293,65 @@ SELECT bin_lo_cents, bin_hi_cents,
                   - CAST({_DP_K} AS BIGINT)) AS noisy_count
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampling quantile sketch (sketch.quantile_sketch) — deterministic
+# 1-in-16 coordinated sample by the salted id hash, Horvitz-Thompson
+# ranks, ceil targets in pure integer arithmetic ((a + b - 1) // b on
+# positives == Spark's Python -(-a // b)); the exact side is the same
+# estimator at level 0, its row_number window mirroring the distributed
+# prefix-sum rank exactly.
+# ---------------------------------------------------------------------------
+
+_QSK_SALTED = "(CAST(id AS VARCHAR) || '__qsk|')"
+_QSK_PCTS = (25, 50, 75, 95)
+
+_qsk_est = "\nUNION ALL ".join(
+    f"""(
+  SELECT {p} AS pct, v AS est_value,
+         CAST(rn * 16 AS BIGINT) AS est_rank,
+         CAST(nk * 16 AS BIGINT) AS n_est
+  FROM rk WHERE rn * 16 >= ({p} * nk * 16 + 99) // 100
+  ORDER BY v, id LIMIT 1
+)""" for p in _QSK_PCTS
+)
+_qsk_ex = "\nUNION ALL ".join(
+    f"""(
+  SELECT {p} AS pct, v AS exact_value
+  FROM rkf WHERE rn >= ({p} * nf + 99) // 100
+  ORDER BY v, id LIMIT 1
+)""" for p in _QSK_PCTS
+)
+
+ORACLES["quantile_sketch_prices"] = f"""
+WITH src AS (
+  SELECT o_orderkey AS id,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+kept AS (
+  SELECT id, v FROM src
+  WHERE {_h(_QSK_SALTED)} % 16 = 0
+),
+rk AS (
+  SELECT id, v, row_number() OVER (ORDER BY v, id) AS rn,
+         count(*) OVER () AS nk
+  FROM kept
+),
+rkf AS (
+  SELECT id, v, row_number() OVER (ORDER BY v, id) AS rn,
+         count(*) OVER () AS nf
+  FROM src
+),
+est AS (
+{_qsk_est}
+),
+ex AS (
+{_qsk_ex}
+)
+SELECT CAST(est.pct AS INT) AS pct, est.est_value, est.est_rank, est.n_est,
+       ex.exact_value,
+       CAST(est.est_value - ex.exact_value AS BIGINT) AS err_cents
+FROM est JOIN ex ON est.pct = ex.pct
+"""

@@ -3668,3 +3668,31 @@ def privacy_dp_histogram(spark, sf_dir):
         binned, ["bin_lo_cents", "bin_hi_cents"],
         eps=0.5, seed="hist-release-1",
     )
+
+
+@query("quantile_sketch_prices")
+def quantile_sketch_prices(spark, sf_dir):
+    """Mergeable hash-sampling quantile sketch over order-price cents
+    (sketch.quantile_sketch): a deterministic 1-in-16 coordinated sample
+    whose kept rows each stand for 16 (Horvitz-Thompson), ranked by the
+    distributed two-pass prefix sum — the QUANTILE member of the sketch
+    family, union-mergeable across shards unlike KLL's order-dependent
+    compaction. Reports est vs exact per percentile (the exact side is
+    the same estimator at level 0), with the signed cents error as an
+    output column — the HLL-style measured-error report."""
+    from .operators import sketch
+
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    kept = sketch.quantile_sketch(src, "cents", "id", level=4)
+    est = sketch.quantile_sketch_estimate(kept, "cents", "id", 4)
+    exact = sketch.quantile_sketch_estimate(src, "cents", "id", 0)
+    return est.join(
+        exact.select("pct", F.col("est_value").alias("exact_value")), "pct"
+    ).select(
+        "pct", "est_value", "est_rank", "n_est", "exact_value",
+        (F.col("est_value") - F.col("exact_value")).alias("err_cents"),
+    )

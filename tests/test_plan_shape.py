@@ -106,7 +106,7 @@ NATIVE_QUERIES = [
     "hll_distinct_orders", "contamination_semantic", "quality_lr_classifier",
     "ts_ewma_orders", "canary_audit_docs", "wordpiece_train_corpus",
     "wordpiece_encode_docs", "privacy_mondrian_customer",
-    "privacy_dp_histogram",
+    "privacy_dp_histogram", "quantile_sketch_prices",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

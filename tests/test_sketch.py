@@ -147,3 +147,62 @@ def test_hll_empty_input_yields_zero_sum_estimate(spark):
     assert row.hll_estimate == pytest.approx(
         sketch.hll_alpha_const(10) / row.sum_pow
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampling quantile sketch (quantile_sketch / quantile_sketch_estimate)
+# ---------------------------------------------------------------------------
+
+
+def test_qsketch_union_merge_property(spark):
+    """Sketches of disjoint shards union into the sketch of the union —
+    coordinated sampling's defining property."""
+    a = spark.createDataFrame([(i, i * 7 % 1000) for i in range(0, 400)],
+                              "id long, v long")
+    b = spark.createDataFrame([(i, i * 7 % 1000) for i in range(400, 900)],
+                              "id long, v long")
+    sa = sketch.quantile_sketch(a, "v", "id", level=3)
+    sb = sketch.quantile_sketch(b, "v", "id", level=3)
+    su = sketch.quantile_sketch(a.union(b), "v", "id", level=3)
+    got = {(r.id, r.v) for r in sa.union(sb).collect()}
+    want = {(r.id, r.v) for r in su.collect()}
+    assert got == want
+
+
+def test_qsketch_level_zero_is_exact_empirical_quantile(spark):
+    vals = [(i, v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80,
+                                          90, 100])]
+    df = spark.createDataFrame(vals, "id long, v long")
+    kept = sketch.quantile_sketch(df, "v", "id", level=0)
+    out = {r.pct: r for r in sketch.quantile_sketch_estimate(
+        kept, "v", "id", 0, percents=(10, 50, 100)).collect()}
+    # ceil targets over n=10: pct 10 -> rank 1 -> 10; 50 -> rank 5 -> 50
+    assert out[10].est_value == 10
+    assert out[50].est_value == 50
+    assert out[100].est_value == 100
+    assert out[50].n_est == 10
+
+
+def test_qsketch_estimate_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 131) % 10_000) for i in range(3000)], "id long, v long"
+    )
+    kept = sketch.quantile_sketch(df, "v", "id", level=4)
+    a = sorted(map(tuple, sketch.quantile_sketch_estimate(
+        kept, "v", "id", 4).collect()))
+    b = sorted(map(tuple, sketch.quantile_sketch_estimate(
+        kept.repartition(11), "v", "id", 4).collect()))
+    assert a == b
+    # sanity: estimates land within 10% rank error of the true quantile
+    import bisect
+    values = sorted(v for _, v in [(i, (i * 131) % 10_000)
+                                   for i in range(3000)])
+    for r in sketch.quantile_sketch_estimate(kept, "v", "id", 4).collect():
+        true_rank = bisect.bisect_right(values, r.est_value)
+        assert abs(true_rank - r.pct * 30) <= 300, (r.pct, true_rank)
+
+
+def test_qsketch_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match=r"\[0, 30\]"):
+        sketch.quantile_sketch(df, "v", "id", level=31)
