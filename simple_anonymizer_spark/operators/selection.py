@@ -371,16 +371,31 @@ def lr_train(
     """
     if iters < 1 or num_buckets < 1:
         raise ValueError("iters and num_buckets must be >= 1")
-    fx = lr_features(train, text_col, id_col, num_buckets)
+    # Pin the feature and label tables once: every iteration runs TWO jobs
+    # over fx (margins, gradients) — without the pin each job re-explodes
+    # and re-hashes the corpus, and the 2*iters re-executions dominated
+    # the sweep (11 s -> ~3 s at sf0.1). Bounded: |docs| x num_buckets.
+    fx = lr_features(train, text_col, id_col, num_buckets).localCheckpoint(
+        eager=True
+    )
     labels = train.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("long").alias("__y"),
-    )
+    ).localCheckpoint(eager=True)
     n = labels.count()
     if n == 0:
         raise ValueError("empty training set")
     w = [0] * num_buckets
     b = 0
+    # Bias rides as pseudo-bucket -1 with x = 1 (exactly the oracle's
+    # UNION ALL -1 row), so each iteration is ONE gradient job + collect.
+    fxb = fx.unionByName(
+        labels.select(
+            "__id",
+            F.lit(-1).cast("int").alias("__b"),
+            F.lit(1).cast("long").alias("__x"),
+        )
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         m = _lr_margin(fx, labels, w, b)
         errs = m.select(
@@ -389,14 +404,16 @@ def lr_train(
             .cast("long").alias("__e"),
         )
         grads = (
-            fx.join(errs, "__id")
+            fxb.join(errs, "__id")
             .groupBy("__b")
             .agg(F.sum(F.col("__e") * F.col("__x")).cast("long").alias("__g"))
         ).collect()
-        bias_g = errs.agg(F.sum("__e").cast("long").alias("__g")).first()["__g"]
         for r in grads:
-            w[r["__b"]] -= _trunc_div(int(r["__g"]), n) >> lr_shift
-        b -= _trunc_div(int(bias_g or 0), n) >> lr_shift
+            upd = _trunc_div(int(r["__g"]), n) >> lr_shift
+            if r["__b"] < 0:
+                b -= upd
+            else:
+                w[r["__b"]] -= upd
     return w, b
 
 
