@@ -145,3 +145,48 @@ def ewma_halflife(
         d_expr.alias("weight_mass"),
         (n_expr.cast("double") / d_expr.cast("double")).alias("ewma"),
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection (Page 1954) over exact
+    integer values — the sequential mean-shift detector next to the
+    batch screens (3-sigma, MAD): ``s_t = max(0, s_{t-1} + drift_t)``
+    accumulates evidence of a sustained shift and resets on its own.
+
+    The recurrence LOOKS un-windowable, but has the prefix-extremum
+    closed form ``s_t = P_t - min(0, min_{j<=t} P_j)`` with ``P`` the
+    running drift sum — so both sides (upward drift ``x - target -
+    slack``, downward ``target - slack - x``) are two window aggregates
+    over ONE ``(key, order)`` sort, exact int64 end to end, no recursion
+    and no driver state. Alarms fire while ``s > threshold``.
+
+    Output: the key, order columns, ``<value_col>``, ``cusum_up long,
+    cusum_dn long, alarm_up long 0/1, alarm_dn long 0/1``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col)
+    d_up = (x - F.lit(target + slack)).cast("long")
+    d_dn = (F.lit(target - slack) - x).cast("long")
+    p_up = F.sum(d_up).over(w)
+    p_dn = F.sum(d_dn).over(w)
+    s_up = (p_up - F.least(F.min(p_up).over(w), F.lit(0))).cast("long")
+    s_dn = (p_dn - F.least(F.min(p_dn).over(w), F.lit(0))).cast("long")
+    return df.select(
+        key_col, *order_cols, value_col,
+        s_up.alias("cusum_up"),
+        s_dn.alias("cusum_dn"),
+        (s_up > threshold).cast("long").alias("alarm_up"),
+        (s_dn > threshold).cast("long").alias("alarm_dn"),
+    )

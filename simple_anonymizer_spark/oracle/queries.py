@@ -5355,3 +5355,42 @@ SELECT CAST(est.pct AS INT) AS pct, est.est_value, est.est_rank, est.n_est,
        CAST(est.est_value - ex.exact_value AS BIGINT) AS err_cents
 FROM est JOIN ex ON est.pct = ex.pct
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point flags (timeseries.cusum_flags) — the prefix-extremum
+# closed form: s_t = P_t - least(0, running_min(P)); both drift sides
+# share one (user, ts, event_id) window sort. Exact int64 cents.
+# ---------------------------------------------------------------------------
+
+ORACLES["anomaly_cusum_events"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_cents
+  FROM events
+),
+p0 AS (
+  SELECT user_id, ts_us, event_id, value_cents,
+         sum(value_cents - 7000) OVER w AS p_up,
+         sum(3000 - value_cents) OVER w AS p_dn
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT user_id, ts_us, event_id, value_cents, p_up, p_dn,
+         min(p_up) OVER w AS m_up,
+         min(p_dn) OVER w AS m_dn
+  FROM p0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts_us, event_id, value_cents,
+       CAST(p_up - least(m_up, 0) AS BIGINT) AS cusum_up,
+       CAST(p_dn - least(m_dn, 0) AS BIGINT) AS cusum_dn,
+       CAST(CASE WHEN p_up - least(m_up, 0) > 50000 THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm_up,
+       CAST(CASE WHEN p_dn - least(m_dn, 0) > 50000 THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm_dn
+FROM p
+"""

@@ -3696,3 +3696,25 @@ def quantile_sketch_prices(spark, sf_dir):
         "pct", "est_value", "est_rank", "n_est", "exact_value",
         (F.col("est_value") - F.col("exact_value")).alias("err_cents"),
     )
+
+
+@query("anomaly_cusum_events")
+def anomaly_cusum_events(spark, sf_dir):
+    """Per-user two-sided CUSUM over event values in exact cents
+    (timeseries.cusum_flags): the sequential mean-shift detector as two
+    window aggregates over one (user, time) sort — the recurrence's
+    prefix-extremum closed form, no recursion. Calibration literals:
+    target 50.00, slack 20.00, alarm at 500.00 cumulative drift."""
+    from .operators.timeseries import cusum_flags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+        .alias("value_cents"),
+    )
+    return cusum_flags(
+        ev, "user_id", ["ts_us", "event_id"], "value_cents",
+        target=5000, slack=2000, threshold=50000,
+    )

@@ -196,3 +196,59 @@ def test_ewma_horizon_truncation_is_deterministic(spark):
 
     with pytest.raises(ValueError, match=r"\[1, 62\]"):
         ewma_halflife(df, "k", ["t"], "x", horizon=0)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (timeseries.cusum_flags)
+# ---------------------------------------------------------------------------
+
+
+def _cusum_naive(xs, target, slack, threshold):
+    up = dn = 0
+    out = []
+    for x in xs:
+        up = max(0, up + (x - target - slack))
+        dn = max(0, dn + (target - slack - x))
+        out.append((up, dn, int(up > threshold), int(dn > threshold)))
+    return out
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    from simple_anonymizer_spark.operators.timeseries import cusum_flags
+
+    xs = [10, 12, 9, 11, 50, 55, 60, 10, 9, 2, 1, 0, 0, 30]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(xs)], "k string, t long, x long"
+    )
+    got = [
+        (r.cusum_up, r.cusum_dn, r.alarm_up, r.alarm_dn)
+        for r in cusum_flags(df, "k", ["t"], "x", target=10, slack=5,
+                             threshold=40)
+        .orderBy("t").collect()
+    ]
+    assert got == _cusum_naive(xs, 10, 5, 40)
+
+
+def test_cusum_sustained_shift_alarms_and_resets(spark):
+    from simple_anonymizer_spark.operators.timeseries import cusum_flags
+
+    xs = [10] * 5 + [100] * 4 + [10] * 5
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(xs)], "k string, t long, x long"
+    )
+    rows = cusum_flags(df, "k", ["t"], "x", target=10, slack=10,
+                       threshold=100).orderBy("t").collect()
+    assert all(r.alarm_up == 0 for r in rows[:5])      # quiet before shift
+    assert any(r.alarm_up == 1 for r in rows[5:9])     # fires during shift
+    assert rows[-1].cusum_up < rows[8].cusum_up        # decays after
+
+
+def test_cusum_keys_independent(spark):
+    from simple_anonymizer_spark.operators.timeseries import cusum_flags
+
+    df = spark.createDataFrame(
+        [("a", 0, 100), ("b", 0, 10)], "k string, t long, x long"
+    )
+    out = {r.k: r.cusum_up for r in
+           cusum_flags(df, "k", ["t"], "x", 10, 0, 5).collect()}
+    assert out == {"a": 90, "b": 0}

@@ -107,6 +107,7 @@ NATIVE_QUERIES = [
     "ts_ewma_orders", "canary_audit_docs", "wordpiece_train_corpus",
     "wordpiece_encode_docs", "privacy_mondrian_customer",
     "privacy_dp_histogram", "quantile_sketch_prices",
+    "anomaly_cusum_events",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
