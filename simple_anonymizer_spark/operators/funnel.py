@@ -17,7 +17,7 @@ the parquet scan. All timestamps are exact epoch-microsecond integers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,4 +118,63 @@ def funnel_steps(
         F.col("__e").alias(entity_col),
         *step_cols,
         n_steps.cast("long").alias("n_steps"),
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_us: Column,
+    id_col: str,
+    touch_types: list[str],
+    convert_type: str,
+    window_us: int,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion event splits one
+    unit of credit equally across the entity's touch events in the
+    preceding ``window_us`` microseconds (touch strictly before the
+    conversion; conversions with zero in-window touches earn no row).
+
+    Shape: one equi-join on the entity key with a bounded time-range
+    residual (the interval-join pattern — never a cross join), then a
+    count window per conversion id. The float hazard of summing
+    ``1/k`` credits in shuffle order is avoided by aggregating the EXACT
+    integer pair counts per ``(touch_type, k)`` first: the credit column
+    is one division of those integers, so any downstream rollup is a
+    deterministic sum over this small grid (|touch_types| x max k rows),
+    not a row-order-dependent float reduction — the same
+    grid-not-stream trick as the count-min sketch.
+
+    Output: ``touch_type, touches_per_conversion long, n_pairs long,
+    credit double`` where ``credit = n_pairs / touches_per_conversion``
+    is the total credit the grid cell contributes.
+    """
+    ent, typ = F.col(entity_col), F.col(type_col)
+    conv = events.where(typ == convert_type).select(
+        ent.alias("__ent"),
+        ts_us.alias("__conv_us"),
+        F.col(id_col).alias("__conv_id"),
+    )
+    touch = events.where(typ.isin(touch_types)).select(
+        ent.alias("__ent"),
+        ts_us.alias("__touch_us"),
+        typ.alias("touch_type"),
+    )
+    pairs = conv.join(touch, "__ent").where(
+        (F.col("__touch_us") < F.col("__conv_us"))
+        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(window_us))
+    )
+    k = F.count(F.lit(1)).over(
+        Window.partitionBy("__ent", "__conv_id")
+    ).cast("long")
+    credited = pairs.select("touch_type", k.alias("touches_per_conversion"))
+    return (
+        credited.groupBy("touch_type", "touches_per_conversion")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "touch_type", "touches_per_conversion", "n_pairs",
+            (F.col("n_pairs").cast("double")
+             / F.col("touches_per_conversion").cast("double")).alias("credit"),
+        )
     )

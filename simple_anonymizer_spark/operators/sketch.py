@@ -273,3 +273,27 @@ def quantile_sketch_estimate(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.withColumn("n_est", F.lit(n_est).cast("long"))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two HLL register tables (element-wise MAX) — the
+    property that makes the sketch a 100 TB tool: per-shard/per-day
+    register tables combine into any window or set-algebra estimate
+    without rescanning keys. Full-outer on the register index (at most
+    ``m`` rows a side), so the merge itself is a bounded join.
+
+    With :func:`hll_estimate` this yields inclusion-exclusion overlap
+    estimates: ``|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)`` — corpus
+    overlap without ever joining the corpora."""
+    return (
+        a.select("register", F.col("max_rho").alias("__ra"))
+        .join(b.select("register", F.col("max_rho").alias("__rb")),
+              "register", "full_outer")
+        .select(
+            "register",
+            F.greatest(
+                F.coalesce(F.col("__ra"), F.lit(0)),
+                F.coalesce(F.col("__rb"), F.lit(0)),
+            ).cast("int").alias("max_rho"),
+        )
+    )

@@ -882,3 +882,100 @@ def rfm_segments(
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
         .cast("long").alias("rfm"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (closed form) over
+    INTEGER x/y columns — the per-entity "is this metric drifting"
+    primitive (per-customer spend trend, per-source quality trend).
+
+    One hash aggregation computes the five sufficient statistics
+    ``n, sum(x), sum(y), sum(x*y), sum(x^2)`` — partial map-side combine,
+    one shuffle on the group key, no window, no sort: the shape that
+    holds at any group cardinality. Sums accumulate in DECIMAL(38,0)
+    (exact at any realistic scale; int64 products would overflow first at
+    ~1e18), and the closed form
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+
+    computes numerator and denominator EXACTLY in decimal before the one
+    double division — both engines divide identical operands, so the
+    doubles match bit-for-bit (the engine-wide DECIMAL accumulation
+    rule). Degenerate groups (all x equal, denominator 0) emit NULL
+    slope/intercept rather than Inf.
+
+    Output: ``*group_cols, n_points long, slope double, intercept
+    double``.
+    """
+    d0 = "decimal(38,0)"
+    x = F.col(x_col).cast(d0)
+    y = F.col(y_col).cast(d0)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(x).cast(d0).alias("__sx"),
+        F.sum(y).cast(d0).alias("__sy"),
+        F.sum(x * y).cast(d0).alias("__sxy"),
+        F.sum(x * x).cast(d0).alias("__sxx"),
+    )
+    n = F.col("n_points").cast(d0)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(d0)
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(d0)
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
+    intercept = F.when(
+        den != 0,
+        (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+        / F.col("n_points").cast("double"),
+    )
+    return agg.select(
+        *group_cols, "n_points",
+        slope.alias("slope"), intercept.alias("intercept"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test over one boolean variant split — the A/B
+    readout. ``variant_col`` is 0/1, ``success_col`` is 0/1 per unit.
+
+    One aggregation produces the four exact integers (units and successes
+    per arm); the z statistic is pure IEEE arithmetic on doubles derived
+    from those integers (divisions of exact ints, one correctly-rounded
+    sqrt) — deterministic across engines, no distributional tables
+    needed. Callers compare ``abs(z)`` against their own critical value.
+
+    Output (one row): ``n_a, conv_a, n_b, conv_b long; rate_a, rate_b,
+    z_stat double`` (z NULL when either arm is empty or pooled rate is
+    degenerate 0/1).
+    """
+    v = F.col(variant_col)
+    s = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(v == 0, s).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(v == 1, s).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (pool > 0) & (pool < 1),
+        (pb - pa) / se,
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.when(F.col("n_a") > 0, pa).alias("rate_a"),
+        F.when(F.col("n_b") > 0, pb).alias("rate_b"),
+        z.alias("z_stat"),
+    )

@@ -5394,3 +5394,197 @@ SELECT user_id, ts_us, event_id, value_cents,
             AS BIGINT) AS alarm_dn
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL union/overlap set algebra (sketch.hll_merge) — three register tables
+# (shard A, shard B, union) share one key projection; the merged-register
+# estimate equals the union's direct estimate (max of maxes), so the
+# oracle computes the union directly. Same exact-integer harmonic sum and
+# VARCHAR-round-tripped alpha constant as hll_distinct_orders.
+# ---------------------------------------------------------------------------
+
+def _hll_est_cte(tag: str, where: str) -> str:
+    """One shard's register table + estimate as chained CTE clauses; the
+    final clause ``e_{tag}`` has a single double column ``est_{tag}``."""
+    hk = _h("(k || '__hll|')")
+    return f"""
+h_{tag} AS (
+  SELECT {hk} AS h FROM keys
+  WHERE k IS NOT NULL AND k <> '' AND ({where})
+),
+r_{tag} AS (
+  SELECT CAST(h % 1024 AS INT) AS register,
+         max(CASE WHEN h // 1024 = 0 THEN 22
+             ELSE 22 - length(bin(h // 1024)) END) AS max_rho
+  FROM h_{tag} GROUP BY register
+),
+s_{tag} AS (
+  SELECT CAST(count(*) AS BIGINT) AS used,
+         CAST(COALESCE(sum(CAST(1 AS BIGINT) << (22 - max_rho)), 0)
+              AS BIGINT) AS used_pow
+  FROM r_{tag}
+),
+e_{tag} AS (
+  SELECT {_HLL_CONST_SQL}
+         / CAST(used_pow + (1024 - used) * CAST(4194304 AS BIGINT)
+                AS DOUBLE) AS est_{tag}
+  FROM s_{tag}
+)"""
+
+
+_HLL_OVERLAP_CTES = ",".join([
+    _hll_est_cte("a", "d < TIMESTAMP '1995-01-01'"),
+    _hll_est_cte("b", "d >= TIMESTAMP '1995-01-01'"),
+    _hll_est_cte("u", "TRUE"),
+])
+
+ORACLES["hll_overlap_halves"] = f"""
+WITH keys AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k,
+         CAST(o_orderdate AS TIMESTAMP) AS d
+  FROM orders
+),{_HLL_OVERLAP_CTES},
+ex AS (
+  SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_union FROM keys
+)
+SELECT est_a, est_b, est_u AS est_union,
+       est_a + est_b - est_u AS est_overlap, exact_union
+FROM e_a CROSS JOIN e_b CROSS JOIN e_u CROSS JOIN ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (funnel.linear_attribution) — bounded
+# interval join, then EXACT integer pair counts per (touch_type, k): the
+# credit column is one double division per grid cell, never a
+# row-order-dependent float sum.
+# ---------------------------------------------------------------------------
+
+ORACLES["attribution_linear_events"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_id, event_type
+  FROM events
+),
+conv AS (
+  SELECT user_id AS ent, ts_us AS conv_us, event_id AS conv_id
+  FROM e WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS ent, ts_us AS touch_us, event_type AS touch_type
+  FROM e WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT t.touch_type, c.ent, c.conv_id
+  FROM conv c JOIN touch t ON t.ent = c.ent
+   AND t.touch_us < c.conv_us
+   AND t.touch_us >= c.conv_us - 604800000000
+),
+kk AS (
+  SELECT touch_type,
+         count(*) OVER (PARTITION BY ent, conv_id) AS k
+  FROM pairs
+)
+SELECT touch_type, CAST(k AS BIGINT) AS touches_per_conversion,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS DOUBLE) / CAST(k AS DOUBLE) AS credit
+FROM kk GROUP BY touch_type, k
+ORDER BY touch_type, touches_per_conversion
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (stats.grouped_ols) — five sufficient statistics in
+# exact int128 (Spark DECIMAL(38,0) / DuckDB HUGEINT); numerator and
+# denominator stay exact, the one double division runs on identical
+# operands. Big exact ints cross to DOUBLE via VARCHAR (the DECIMAL
+# double-rounding gotcha applies to any >2^53 unscaled value).
+# ---------------------------------------------------------------------------
+
+ORACLES["ols_trend_priority"] = """
+WITH src AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              AS HUGEINT) AS y
+  FROM orders
+),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM src GROUP BY o_orderpriority
+),
+nd AS (
+  SELECT o_orderpriority, n_points,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         sx, sy
+  FROM agg
+),
+sl AS (
+  SELECT *,
+         CASE WHEN den <> 0 THEN
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+         END AS slope
+  FROM nd
+)
+SELECT o_orderpriority, n_points, slope,
+       CASE WHEN den <> 0 THEN
+         (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+          - slope * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+         / CAST(n_points AS DOUBLE)
+       END AS intercept
+FROM sl
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (stats.two_proportion_ztest) — four exact arm
+# integers, then pure IEEE arithmetic: divisions of exact ints, one
+# correctly-rounded sqrt; both engines evaluate the identical expression
+# tree left-associatively.
+# ---------------------------------------------------------------------------
+
+ORACLES["ab_ztest_events"] = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+v AS (SELECT CAST(user_id % 2 AS INT) AS variant, converted FROM u),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_a,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_b
+  FROM v
+),
+b AS (
+  SELECT *,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+         (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+  FROM a
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN n_a > 0 THEN ra END AS rate_a,
+       CASE WHEN n_b > 0 THEN rb END AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1 THEN
+         (rb - ra) / sqrt(pool * (1.0 - pool)
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE)))
+       END AS z_stat
+FROM b
+"""

@@ -3718,3 +3718,109 @@ def anomaly_cusum_events(spark, sf_dir):
         ev, "user_id", ["ts_us", "event_id"], "value_cents",
         target=5000, slack=2000, threshold=50000,
     )
+
+
+@query("hll_overlap_halves")
+def hll_overlap_halves(spark, sf_dir):
+    """Sketch-union set algebra (sketch.hll_merge): per-shard HLL register
+    tables over the customer keys of the two order-date halves merge by
+    element-wise MAX into the union estimate, and inclusion-exclusion
+    yields the overlap estimate |A∩B| ≈ est(A)+est(B)−est(A∪B) — corpus
+    overlap WITHOUT joining the corpora, the property that lets per-day
+    register tables answer any window at 100 TB. The merged register
+    table is provably identical to the union's direct table (max of
+    maxes), so the oracle computes the union directly; every estimate is
+    one double division of exact integers and the overlap is IEEE
+    arithmetic on those identical doubles."""
+    from .operators import sketch
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("d"),
+    )
+    cut = F.lit("1995-01-01").cast("timestamp")
+    ra = sketch.hll_registers(o.where(F.col("d") < cut).select("k"), "k")
+    rb = sketch.hll_registers(o.where(F.col("d") >= cut).select("k"), "k")
+    est_a = sketch.hll_estimate(ra).select(
+        F.col("hll_estimate").alias("est_a"))
+    est_b = sketch.hll_estimate(rb).select(
+        F.col("hll_estimate").alias("est_b"))
+    est_u = sketch.hll_estimate(sketch.hll_merge(ra, rb)).select(
+        F.col("hll_estimate").alias("est_union"))
+    exact = o.agg(
+        F.countDistinct("k").cast("long").alias("exact_union"),
+    )
+    return (
+        est_a.crossJoin(est_b).crossJoin(est_u).crossJoin(exact)
+        .select(
+            "est_a", "est_b", "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .alias("est_overlap"),
+            "exact_union",
+        )
+    )
+
+
+@query("attribution_linear_events")
+def attribution_linear_events(spark, sf_dir):
+    """Linear multi-touch attribution (funnel.linear_attribution): every
+    purchase splits one unit of credit across the user's click/view
+    touches in the preceding 7 days. One bounded interval join (the
+    events_interval_join pattern), then exact integer pair counts per
+    (touch_type, k) so the float credit is one division per grid cell —
+    never a row-order-dependent float sum."""
+    from .operators.funnel import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "user_id", "event_type", F.unix_micros(F.col("ts")),
+        "event_id", touch_types=["click", "view"], convert_type="purchase",
+        window_us=7 * 86400 * 1_000_000,
+    ).orderBy("touch_type", "touches_per_conversion")
+
+
+@query("ols_trend_priority")
+def ols_trend_priority(spark, sf_dir):
+    """Per-priority OLS price trend (stats.grouped_ols): one hash
+    aggregation computes the five sufficient statistics in exact
+    DECIMAL(38,0) — map-side combine, one shuffle, no window — and the
+    closed-form slope/intercept divide identical exact operands in both
+    engines. x = days since 1992-01-01, y = order price cents."""
+    from .operators.stats import grouped_ols
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("timestamp").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).cast("long").alias("x_days"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .alias("y_cents"),
+    )
+    return grouped_ols(o, ["o_orderpriority"], "x_days", "y_cents").orderBy(
+        "o_orderpriority"
+    )
+
+
+@query("ab_ztest_events")
+def ab_ztest_events(spark, sf_dir):
+    """A/B readout (stats.two_proportion_ztest): users split by
+    user_id % 2, success = the user ever purchased. One per-user
+    aggregation, then the four exact arm integers; z is pure IEEE
+    arithmetic (divisions of exact ints, one correctly-rounded sqrt) —
+    no distributional tables, deterministic across engines."""
+    from .operators.stats import two_proportion_ztest
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            F.col("converted"),
+        )
+    )
+    return two_proportion_ztest(users, "variant", "converted")

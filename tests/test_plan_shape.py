@@ -108,6 +108,10 @@ NATIVE_QUERIES = [
     "wordpiece_encode_docs", "privacy_mondrian_customer",
     "privacy_dp_histogram", "quantile_sketch_prices",
     "anomaly_cusum_events",
+    # round-6 batch: sketch set algebra, attribution grid, OLS sufficient
+    # statistics, z-test — all pure column algebra.
+    "hll_overlap_halves", "attribution_linear_events", "ols_trend_priority",
+    "ab_ztest_events",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

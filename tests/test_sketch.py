@@ -206,3 +206,37 @@ def test_qsketch_validation(spark):
     df = spark.createDataFrame([(1, 1)], "id long, v long")
     with pytest.raises(ValueError, match=r"\[0, 30\]"):
         sketch.quantile_sketch(df, "v", "id", level=31)
+
+
+def test_hll_merge_equals_direct_union(spark):
+    a = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400)], "k string")
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200, 700)], "k string")
+    ra = sketch.hll_registers(a, "k")
+    rb = sketch.hll_registers(b, "k")
+    merged = sorted(map(tuple, sketch.hll_merge(ra, rb).collect()))
+    direct = sorted(map(tuple, sketch.hll_registers(
+        a.unionByName(b), "k").collect()))
+    assert merged == direct  # max of maxes == union's register table
+
+
+def test_hll_merge_empty_side_identity(spark):
+    a = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    empty = spark.createDataFrame([], "k string")
+    ra = sketch.hll_registers(a, "k")
+    re_ = sketch.hll_registers(empty, "k")
+    merged = sorted(map(tuple, sketch.hll_merge(ra, re_).collect()))
+    assert merged == sorted(map(tuple, ra.collect()))
+
+
+def test_hll_inclusion_exclusion_overlap(spark):
+    a = spark.createDataFrame([(f"x{i}",) for i in range(3000)], "k string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1500, 4500)], "k string")
+    ra, rb = sketch.hll_registers(a, "k"), sketch.hll_registers(b, "k")
+    ea = sketch.hll_estimate(ra).collect()[0].hll_estimate
+    eb = sketch.hll_estimate(rb).collect()[0].hll_estimate
+    eu = sketch.hll_estimate(sketch.hll_merge(ra, rb)).collect()[0].hll_estimate
+    overlap = ea + eb - eu
+    assert abs(overlap - 1500) / 1500 < 0.25  # sketch-grade accuracy

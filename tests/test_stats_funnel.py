@@ -658,3 +658,115 @@ def test_quantile_transform_single_row(spark):
 
     df = spark.createDataFrame([(7, 3.5)], "k long, v double")
     assert quantile_transform(df, "v", "k").collect()[0].q == 0.0
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols
+# ---------------------------------------------------------------------------
+
+
+def test_ols_recovers_exact_line(spark):
+    from simple_anonymizer_spark.operators.stats import grouped_ols
+
+    rows = [("g", x, 3 * x + 7) for x in range(50)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = grouped_ols(df, ["g"], "x", "y").collect()[0]
+    assert r.n_points == 50
+    assert r.slope == 3.0 and r.intercept == 7.0
+
+
+def test_ols_degenerate_x_null(spark):
+    from simple_anonymizer_spark.operators.stats import grouped_ols
+
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 9)], "g string, x long, y long")
+    r = grouped_ols(df, ["g"], "x", "y").collect()[0]
+    assert r.slope is None and r.intercept is None
+
+
+def test_ols_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.stats import grouped_ols
+
+    rows = [(f"g{i % 3}", i, (i * 17) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    a = sorted(map(tuple, grouped_ols(df, ["g"], "x", "y").collect()))
+    b = sorted(map(tuple, grouped_ols(
+        df.repartition(13), ["g"], "x", "y").collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_ztest
+# ---------------------------------------------------------------------------
+
+
+def test_ztest_hand_computed(spark):
+    import math
+
+    from simple_anonymizer_spark.operators.stats import two_proportion_ztest
+
+    # arm A: 100 units, 20 conv; arm B: 100 units, 30 conv
+    rows = [(0, 1 if i < 20 else 0) for i in range(100)]
+    rows += [(1, 1 if i < 30 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "variant int, success int")
+    r = two_proportion_ztest(df, "variant", "success").collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (100, 20, 100, 30)
+    pool = 50 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r.z_stat == (0.3 - 0.2) / se
+
+
+def test_ztest_degenerate_pool_null(spark):
+    from simple_anonymizer_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0)], "variant int, success int")
+    r = two_proportion_ztest(df, "variant", "success").collect()[0]
+    assert r.z_stat is None  # pooled rate 0
+
+
+# ---------------------------------------------------------------------------
+# linear_attribution
+# ---------------------------------------------------------------------------
+
+
+def _attr(spark, events, **kw):
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.funnel import linear_attribution
+
+    df = spark.createDataFrame(
+        events, "ent string, typ string, ts long, id long")
+    return linear_attribution(
+        df, "ent", "typ", F.col("ts"), "id",
+        touch_types=["click", "view"], convert_type="buy", **kw)
+
+
+def test_attribution_splits_credit(spark):
+    # one conversion at t=100 with 2 in-window touches -> 0.5 each
+    ev = [("u", "click", 90, 1), ("u", "view", 95, 2), ("u", "buy", 100, 3)]
+    out = {(r.touch_type, r.touches_per_conversion): r
+           for r in _attr(spark, ev, window_us=50).collect()}
+    assert out[("click", 2)].credit == 0.5
+    assert out[("view", 2)].credit == 0.5
+
+
+def test_attribution_window_and_strict_before(spark):
+    # touch AT the conversion instant and outside the window both excluded
+    ev = [("u", "click", 100, 1), ("u", "view", 40, 2), ("u", "buy", 100, 3)]
+    assert _attr(spark, ev, window_us=50).count() == 0
+
+
+def test_attribution_total_credit_equals_attributed_conversions(spark):
+    ev = []
+    eid = 0
+    for u in range(20):
+        for t in range(u % 4):
+            eid += 1
+            ev.append((f"u{u}", "click" if t % 2 else "view", 50 + t, eid))
+        eid += 1
+        ev.append((f"u{u}", "buy", 100, eid))
+    out = _attr(spark, ev, window_us=1000).collect()
+    attributed = sum(1 for u in range(20) if u % 4 > 0)
+    total_credit = sum(r.credit for r in out)
+    assert abs(total_credit - attributed) < 1e-9
