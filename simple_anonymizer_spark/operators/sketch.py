@@ -297,3 +297,189 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             ).cast("int").alias("max_rho"),
         )
     )
+
+
+KMV_SALT = "__kmv|"
+KMV_SPACE = 2_147_483_648  # hash values are uniform on [0, 2^31)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    salt: str = KMV_SALT,
+    expected_n: int | None = None,
+) -> DataFrame:
+    """K-minimum-values sketch: the ``k`` SMALLEST distinct salted hash
+    values of a key column — the set-algebra sibling of the HLL register
+    table. Where HLL only unions (intersections fall out of lossy
+    inclusion-exclusion), KMV sketches intersect DIRECTLY: the union of
+    two sketches' k smallest values is the union's sketch, and the
+    fraction of those present in both sides estimates Jaccard
+    (:func:`kmv_overlap`).
+
+    Plan shape: one hash-aggregate distinct on the 31-bit hash column
+    (map-side combine shrinks duplicates before the exchange) feeding
+    ``TakeOrderedAndProject`` — the reduce side keeps ``k`` rows per
+    partition, never a global sort. At 100 TB the distinct exchange still
+    carries one row per distinct key; pass ``expected_n`` (any upstream
+    row-count hint) to pre-filter ``h < 8k/n * 2^31`` BEFORE the
+    aggregation — lossless whenever the true kth minimum is below 8x its
+    expectation (P[miss] < 1e-9 by Chernoff at k >= 64), shrinking the
+    exchange to ~8k rows regardless of cardinality.
+
+    Output: ``h long`` (the kept hash values, ascending by take-order).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    key = F.col(key_col)
+    hashed = df.where(key.isNotNull() & (key != F.lit(""))).select(
+        salted_hash(key, salt).alias("h")
+    )
+    if expected_n is not None and expected_n > 0:
+        cut = min(KMV_SPACE, (8 * k * KMV_SPACE) // max(expected_n, 1))
+        hashed = hashed.where(F.col("h") < F.lit(cut))
+    return hashed.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row distinct-count estimate from a KMV sketch: when the sketch
+    is FULL (``n_kept = k``) the classic unbiased ``(k-1) * 2^31 /
+    h_(k)``; when not, ``n_kept`` IS the exact distinct count (every
+    hash was kept). Both operands of the one double division are exact
+    integers, so the estimate is cross-engine deterministic.
+
+    Output: ``n_kept long, kth_h long, kmv_estimate double``."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_h"),
+    )
+    full = F.col("n_kept") >= k
+    est = F.when(
+        full,
+        F.lit(float((k - 1) * KMV_SPACE)) / F.col("kth_h").cast("double"),
+    ).otherwise(F.col("n_kept").cast("double"))
+    return agg.select(
+        "n_kept", F.coalesce(F.col("kth_h"), F.lit(0)).alias("kth_h"),
+        est.alias("kmv_estimate"),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union-merge two KMV sketches: the ``k`` smallest of the combined
+    value sets — EXACTLY the sketch of the underlying union (a value in
+    the union's k minima is in at least one side's k minima), so merges
+    chain losslessly across shards/days like HLL's register MAX."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Set-overlap report from two KMV sketches (Beyer et al. 2007): over
+    the union sketch's values, the fraction present in BOTH input
+    sketches estimates Jaccard, and ``jaccard * union_estimate``
+    estimates the intersection size — no inclusion-exclusion, so the
+    error does not blow up when the overlap is small relative to the
+    union. Every join here touches at most ``k`` rows a side.
+
+    Output (one row): ``k_union long, n_both long, union_est double,
+    jaccard_est double, inter_est double``."""
+    u = kmv_merge(a, b, k)
+    both = (
+        u.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    est = kmv_estimate(u, k).select(
+        F.col("n_kept").alias("k_union"),
+        F.col("kmv_estimate").alias("union_est"),
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_union").cast("double")
+    return est.crossJoin(both).select(
+        "k_union", "n_both", "union_est",
+        jac.alias("jaccard_est"),
+        (jac * F.col("union_est")).alias("inter_est"),
+    )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimate from two CMS grids (AMS/CM inner product):
+    ``|A JOIN B on key| = sum_key cntA(key) * cntB(key)``, estimated per
+    sketch row as the bucket-wise product sum and read as the MINIMUM
+    across rows — always an over-estimate (collisions only add), with the
+    classic ``eps * Na * Nb`` bound. The join planner's cardinality
+    probe at 100 TB: both grids are ``depth x width`` cells no matter the
+    key cardinality, so estimating a petabyte join costs a
+    ``depth x width``-row equi-join. Output: one row ``est_join_size
+    long``."""
+    prod = (
+        a.join(b.withColumnRenamed("cnt", "__cnt_b"),
+               ["sketch_row", "bucket"])
+        .groupBy("sketch_row")
+        .agg(F.sum(F.col("cnt") * F.col("__cnt_b")).cast("long")
+             .alias("__row_est"))
+    )
+    return prod.agg(
+        F.min("__row_est").cast("long").alias("est_join_size")
+    )
+
+
+AMS_SALT = "__ams"
+
+
+def ams_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    salt: str = AMS_SALT,
+) -> DataFrame:
+    """AMS (tug-of-war) sketch: per sketch row, each key adds a ±1 sign
+    into one of ``width`` buckets — the UNBIASED join-size/F2 summary
+    (Alon-Matias-Szegedy) next to CMS's always-over additive bound.
+    Sign and bucket come from independently salted frozen hashes, so the
+    grid is deterministic and fully oracle-gatable. Output:
+    ``sketch_row int, bucket int, s long`` (signed sums, non-empty cells).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    key = F.col(key_col)
+    cells = []
+    for r in range(depth):
+        bucket = (salted_hash(key, f"{salt}{r}|") % width).cast("int")
+        sign = (
+            F.lit(1) - F.lit(2) * (salted_hash(key, f"{salt}s{r}|") % 2)
+        ).cast("long")
+        cells.append(F.struct(
+            F.lit(r).cast("int").alias("sketch_row"),
+            bucket.alias("bucket"), sign.alias("sign"),
+        ))
+    return (
+        df.where(key.isNotNull() & (key != F.lit("")))
+        .select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.sketch_row", "c.bucket", "c.sign")
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("sign").cast("long").alias("s"))
+    )
+
+
+def ams_join_size(a: DataFrame, b: DataFrame, depth: int = 5) -> DataFrame:
+    """Unbiased join-size estimate from two AMS grids: per sketch row,
+    the bucket-wise product of signed sums (an unbiased estimator of
+    ``sum_key cntA * cntB`` with variance ~ Na*Nb/width — RELATIVE error
+    ``1/sqrt(width)`` for near-unique keys, scale-invariant); the
+    reported estimate is the MEDIAN across rows (lower median, exact
+    integer — deterministic in both engines). The planner-grade
+    cardinality probe: ~1.6% at width 1024 where the same-size CMS inner
+    product over-estimates by the bucket collision mass. Output: one row
+    ``est_join_size long``."""
+    prod = (
+        a.join(b.withColumnRenamed("s", "__s_b"), ["sketch_row", "bucket"])
+        .groupBy("sketch_row")
+        .agg(F.sum(F.col("s") * F.col("__s_b")).cast("long")
+             .alias("__row_est"))
+    )
+    mid = (depth + 1) // 2
+    return prod.agg(
+        F.element_at(F.sort_array(F.collect_list("__row_est")), mid)
+        .cast("long").alias("est_join_size")
+    )

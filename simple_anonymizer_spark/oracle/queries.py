@@ -5588,3 +5588,138 @@ SELECT n_a, conv_a, n_b, conv_b,
        END AS z_stat
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV overlap (sketch.kmv_overlap) — k smallest DISTINCT salted hashes per
+# side; union sketch = k smallest of the union; Jaccard = fraction of the
+# union sketch present in both sides. The one estimator division uses the
+# exact integer kth minimum; 547608330240 = (k-1) * 2^31 at k = 256.
+# ---------------------------------------------------------------------------
+
+_KMV_H = _h("(k || '__kmv|')")
+
+ORACLES["kmv_overlap_halves"] = f"""
+WITH keys AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k,
+         CAST(o_orderdate AS TIMESTAMP) AS d
+  FROM orders
+),
+ha AS (
+  SELECT DISTINCT {_KMV_H} AS h FROM keys
+  WHERE k IS NOT NULL AND k <> '' AND d < TIMESTAMP '1995-01-01'
+  ORDER BY h LIMIT 256
+),
+hb AS (
+  SELECT DISTINCT {_KMV_H} AS h FROM keys
+  WHERE k IS NOT NULL AND k <> '' AND d >= TIMESTAMP '1995-01-01'
+  ORDER BY h LIMIT 256
+),
+hu AS (
+  SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+  ORDER BY h LIMIT 256
+),
+ue AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_union,
+         CASE WHEN count(*) >= 256 THEN
+           CAST(547608330240 AS DOUBLE) / CAST(max(h) AS DOUBLE)
+         ELSE CAST(count(*) AS DOUBLE) END AS union_est
+  FROM hu
+),
+ub AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both FROM hu
+  WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+    SELECT DISTINCT k FROM keys WHERE d < TIMESTAMP '1995-01-01'
+    INTERSECT
+    SELECT DISTINCT k FROM keys WHERE d >= TIMESTAMP '1995-01-01'
+  )
+)
+SELECT k_union, n_both, union_est,
+       CAST(n_both AS DOUBLE) / CAST(k_union AS DOUBLE) AS jaccard_est,
+       (CAST(n_both AS DOUBLE) / CAST(k_union AS DOUBLE)) * union_est
+         AS inter_est,
+       exact_inter
+FROM ue CROSS JOIN ub CROSS JOIN ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-size sketch probe (sketch.cms_inner_product + sketch.ams_join_size)
+# — CMS: per sketch row the bucket-wise product sum, estimate = MIN across
+# rows (collisions only over-estimate). AMS: signed tug-of-war sums, per-
+# row product total, estimate = lower MEDIAN across 5 rows (unbiased).
+# Both grids replay the frozen salted hashes exactly.
+# ---------------------------------------------------------------------------
+
+
+def _ams_cells(key: str, depth: int, width: int, src: str) -> str:
+    selects = []
+    for r in range(depth):
+        hb = _h(f"({key} || '__ams{r}|')")
+        hs = _h(f"({key} || '__amss{r}|')")
+        selects.append(
+            f"SELECT {r} AS sketch_row, "
+            f"CAST({hb} % {width} AS INT) AS bucket, "
+            f"CAST(1 - 2 * ({hs} % 2) AS BIGINT) AS sign FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLES["join_size_sketch_orders"] = f"""
+WITH ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS key FROM orders),
+lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS key FROM lineitem),
+ca AS ({_cms_cells('key', 4, 256, 'ok')}),
+cb AS ({_cms_cells('key', 4, 256, 'lk')}),
+ga AS (
+  SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM ca GROUP BY sketch_row, bucket
+),
+gb AS (
+  SELECT sketch_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cb GROUP BY sketch_row, bucket
+),
+rowest AS (
+  SELECT ga.sketch_row,
+         CAST(sum(ga.cnt * gb.cnt) AS BIGINT) AS row_est
+  FROM ga JOIN gb ON ga.sketch_row = gb.sketch_row
+                 AND ga.bucket = gb.bucket
+  GROUP BY ga.sketch_row
+),
+cms AS (SELECT CAST(min(row_est) AS BIGINT) AS cms_est FROM rowest),
+aa AS ({_ams_cells('key', 5, 1024, 'ok')}),
+ab AS ({_ams_cells('key', 5, 1024, 'lk')}),
+sa AS (
+  SELECT sketch_row, bucket, CAST(sum(sign) AS BIGINT) AS s
+  FROM aa GROUP BY sketch_row, bucket
+),
+sb AS (
+  SELECT sketch_row, bucket, CAST(sum(sign) AS BIGINT) AS s
+  FROM ab GROUP BY sketch_row, bucket
+),
+arow AS (
+  SELECT sa.sketch_row, CAST(sum(sa.s * sb.s) AS BIGINT) AS row_est
+  FROM sa JOIN sb ON sa.sketch_row = sb.sketch_row
+                 AND sa.bucket = sb.bucket
+  GROUP BY sa.sketch_row
+),
+amed AS (
+  SELECT row_est, row_number() OVER (ORDER BY row_est) AS rn,
+         count(*) OVER () AS n
+  FROM arow
+),
+ams AS (SELECT CAST(row_est AS BIGINT) AS ams_est FROM amed
+        WHERE rn = (n + 1) // 2),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT cms_est, ams_est, exact_join_size,
+       (CAST(cms_est AS DOUBLE) - CAST(exact_join_size AS DOUBLE))
+         / CAST(exact_join_size AS DOUBLE) AS cms_rel_error,
+       (CAST(ams_est AS DOUBLE) - CAST(exact_join_size AS DOUBLE))
+         / CAST(exact_join_size AS DOUBLE) AS ams_rel_error
+FROM cms CROSS JOIN ams CROSS JOIN ex
+"""

@@ -3824,3 +3824,66 @@ def ab_ztest_events(spark, sf_dir):
         )
     )
     return two_proportion_ztest(users, "variant", "converted")
+
+
+@query("kmv_overlap_halves")
+def kmv_overlap_halves(spark, sf_dir):
+    """KMV set-overlap report (sketch.kmv_overlap) over the same customer
+    halves as hll_overlap_halves — the DIRECT intersection estimator
+    (union-sketch Jaccard x union estimate, Beyer et al. 2007) next to
+    HLL's lossy inclusion-exclusion: at 100 TB the two sketch families
+    answer union vs intersection questions from per-shard state of k
+    rows / 2^p registers. Exact intersection alongside for the measured
+    error, house style."""
+    from .operators import sketch
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("d"),
+    )
+    cut = F.lit("1995-01-01").cast("timestamp")
+    a, b = o.where(F.col("d") < cut), o.where(F.col("d") >= cut)
+    rep = sketch.kmv_overlap(
+        sketch.kmv_sketch(a, "k", k=256), sketch.kmv_sketch(b, "k", k=256),
+        k=256,
+    )
+    exact = (
+        a.select("k").distinct()
+        .join(b.select("k").distinct(), "k", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return rep.crossJoin(exact)
+
+
+@query("join_size_sketch_orders")
+def join_size_sketch_orders(spark, sf_dir):
+    """Join-cardinality probe: estimate |orders JOIN lineitem ON
+    orderkey| from bounded sketch grids BOTH ways — the CMS inner
+    product (always-over additive bound, sketch.cms_inner_product) next
+    to the unbiased AMS tug-of-war median (relative error 1/sqrt(width),
+    scale-invariant; sketch.ams_join_size). The planner-grade
+    cardinality estimate whose cost is a grid-sized equi-join no matter
+    the key cardinality; exact join size and both measured errors ride
+    along (cms_rel_error always >= 0)."""
+    from .operators import sketch
+
+    ok = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key"))
+    lk = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("key"))
+    cms = sketch.cms_inner_product(
+        sketch.cms_sketch(ok, "key"), sketch.cms_sketch(lk, "key")
+    ).select(F.col("est_join_size").alias("cms_est"))
+    ams = sketch.ams_join_size(
+        sketch.ams_sketch(ok, "key"), sketch.ams_sketch(lk, "key")
+    ).select(F.col("est_join_size").alias("ams_est"))
+    exact = ok.join(lk, "key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    ex = F.col("exact_join_size").cast("double")
+    return cms.crossJoin(ams).crossJoin(exact).select(
+        "cms_est", "ams_est", "exact_join_size",
+        ((F.col("cms_est").cast("double") - ex) / ex)
+        .alias("cms_rel_error"),
+        ((F.col("ams_est").cast("double") - ex) / ex)
+        .alias("ams_rel_error"),
+    )

@@ -240,3 +240,80 @@ def test_hll_inclusion_exclusion_overlap(spark):
     eu = sketch.hll_estimate(sketch.hll_merge(ra, rb)).collect()[0].hll_estimate
     overlap = ea + eb - eu
     assert abs(overlap - 1500) / 1500 < 0.25  # sketch-grade accuracy
+
+
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "k string")
+    b = spark.createDataFrame([(f"a{i}",) for i in range(300, 900)], "k string")
+    sa, sb = sketch.kmv_sketch(a, "k", k=64), sketch.kmv_sketch(b, "k", k=64)
+    merged = sorted(r.h for r in sketch.kmv_merge(sa, sb, 64).collect())
+    direct = sorted(r.h for r in sketch.kmv_sketch(
+        a.unionByName(b), "k", k=64).collect())
+    assert merged == direct
+
+
+def test_kmv_estimate_accuracy_and_small_exact(spark):
+    big = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "k string")
+    est = sketch.kmv_estimate(
+        sketch.kmv_sketch(big, "k", k=256), 256).collect()[0]
+    assert est.n_kept == 256
+    assert abs(est.kmv_estimate - 5000) / 5000 < 0.25
+    small = spark.createDataFrame([(f"v{i}",) for i in range(40)], "k string")
+    est_s = sketch.kmv_estimate(
+        sketch.kmv_sketch(small, "k", k=256), 256).collect()[0]
+    assert est_s.n_kept == 40 and est_s.kmv_estimate == 40.0
+
+
+def test_kmv_expected_n_prefilter_lossless(spark):
+    df = spark.createDataFrame([(f"v{i}",) for i in range(4000)], "k string")
+    plain = sorted(r.h for r in sketch.kmv_sketch(df, "k", k=128).collect())
+    filtered = sorted(r.h for r in sketch.kmv_sketch(
+        df, "k", k=128, expected_n=4000).collect())
+    assert plain == filtered
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    a = spark.createDataFrame([(f"x{i}",) for i in range(4000)], "k string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(2000, 6000)], "k string")
+    rep = sketch.kmv_overlap(
+        sketch.kmv_sketch(a, "k", k=256),
+        sketch.kmv_sketch(b, "k", k=256), k=256).collect()[0]
+    # true: union 6000, inter 2000, jaccard 1/3
+    assert abs(rep.jaccard_est - 1 / 3) < 0.12
+    assert abs(rep.inter_est - 2000) / 2000 < 0.4
+
+
+def test_cms_inner_product_overestimates_join_size(spark):
+    a = spark.createDataFrame(
+        [(f"k{i % 40}",) for i in range(400)], "key string")
+    b = spark.createDataFrame(
+        [(f"k{i % 25}",) for i in range(100)], "key string")
+    exact = a.join(b, "key").count()
+    est = sketch.cms_inner_product(
+        sketch.cms_sketch(a, "key"), sketch.cms_sketch(b, "key")
+    ).collect()[0].est_join_size
+    assert est >= exact            # collisions only add
+    assert est <= exact * 2        # 4x256 grid over 40 keys: near-exact
+
+
+def test_ams_join_size_unbiased_accuracy(spark):
+    a = spark.createDataFrame(
+        [(f"k{i}",) for i in range(3000)], "key string")
+    b = spark.createDataFrame(
+        [(f"k{i % 3000}",) for i in range(9000)], "key string")
+    exact = 9000  # every b row matches exactly one a key
+    est = sketch.ams_join_size(
+        sketch.ams_sketch(a, "key"), sketch.ams_sketch(b, "key")
+    ).collect()[0].est_join_size
+    assert abs(est - exact) / exact < 0.15  # ~3% expected at width 1024
+
+
+def test_ams_sketch_bounded_and_deterministic(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    g = sketch.ams_sketch(df, "key", depth=3, width=64)
+    rows = g.collect()
+    assert len(rows) <= 3 * 64
+    again = sorted(map(tuple, sketch.ams_sketch(
+        df.repartition(7), "key", depth=3, width=64).collect()))
+    assert sorted(map(tuple, rows)) == again
