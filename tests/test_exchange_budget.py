@@ -1,0 +1,58 @@
+"""Shuffle-exchange budgets for the most expensive registry queries.
+
+Every ``Exchange hash/range/single/round`` node in the pre-execution
+physical plan is a cluster-wide shuffle at 100 TB; these budgets pin the
+measured counts (plus one node of slack) so a refactor that silently adds
+a shuffle — a lost exchange reuse, a de-broadcast join, an extra
+repartition — fails here instead of surfacing as a bench regression two
+rounds later. Budgets are UPPER bounds: beating them is fine; plan-text
+counts include subtrees later deduplicated by runtime exchange reuse, so
+they overstate executed shuffles (simjoin's 29-node plan executes far
+fewer) — the budget tracks the declared plan, the stable artifact."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from simple_anonymizer_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> (max shuffle exchanges, max broadcast exchanges)
+BUDGETS = {
+    "q1_pricing_summary": (2, 1),
+    "q9_product_profit": (2, 5),
+    "dedup_minhash_lsh": (3, 3),
+    "dedup_lsh_ingest": (4, 5),
+    "dedup_golden_records": (3, 3),
+    "embedding_topk_pq": (3, 2),
+    "embedding_kmeans": (2, 2),
+    "semantic_dedup_embeddings": (3, 2),
+    "pipeline_corpus": (1, 3),
+    "bm25_docs": (6, 5),
+    "simjoin_exact_jaccard": (30, 9),
+    "hll_overlap_halves": (6, 4),
+    "kmv_overlap_halves": (9, 6),
+    "join_size_sketch_orders": (7, 6),
+    "attribution_linear_events": (4, 2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    max_shuffle, max_broadcast = BUDGETS[name]
+    plan = (
+        QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    shuffles = len(re.findall(r"Exchange (hash|range|single|round)", plan))
+    broadcasts = plan.count("BroadcastExchange")
+    assert shuffles <= max_shuffle, (
+        f"{name}: {shuffles} shuffle exchanges (budget {max_shuffle}) — "
+        f"a new shuffle crept into the plan"
+    )
+    assert broadcasts <= max_broadcast, (
+        f"{name}: {broadcasts} broadcast exchanges (budget {max_broadcast})"
+    )
