@@ -568,3 +568,64 @@ def minhash_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def content_hash_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The standing EXACT-dedup index: one ``(doc_id, content_hash)`` row
+    per document — the exact sibling of ``minhash_band_index``. Persist
+    it bucketed on ``content_hash`` so every future ingest join is
+    co-located; the index carries hashes, never text, so it is a few
+    bytes per document at any corpus size."""
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        stable_hash(F.col(text_col)).alias("content_hash"),
+    )
+
+
+def exact_ingest(
+    corpus_index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate screen for an INCOMING batch against a standing
+    corpus — the O(batch) ingest shape for byte-identical dedup: the
+    batch is hashed (one map pass), the corpus index is semi-joined
+    against the batch's distinct hashes BEFORE any aggregation (AQE
+    broadcasts the batch side, so the index never shuffles), and
+    batch-internal duplicates resolve to the first id within the batch.
+
+    Output: ``new_id, status, match_id`` where status is
+    ``dup_of_corpus`` (match_id = smallest standing doc with the same
+    content), ``dup_in_batch`` (match_id = smallest earlier batch id), or
+    ``unique`` (match_id NULL). Deterministic: ties break on min id."""
+    batch = ensure_parallelism(new_docs).select(
+        F.col(id_col).alias("new_id"),
+        stable_hash(F.col(text_col)).alias("content_hash"),
+    )
+    corpus_match = (
+        corpus_index
+        .join(batch.select("content_hash").distinct(),
+              "content_hash", "left_semi")
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("__corpus_match"))
+    )
+    batch_first = batch.groupBy("content_hash").agg(
+        F.min("new_id").alias("__batch_first")
+    )
+    hit = F.col("__corpus_match").isNotNull()
+    in_batch = F.col("__batch_first") < F.col("new_id")
+    return (
+        batch.join(corpus_match, "content_hash", "left")
+        .join(batch_first, "content_hash")
+        .select(
+            "new_id",
+            F.when(hit, F.lit("dup_of_corpus"))
+            .when(in_batch, F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique")).alias("status"),
+            F.when(hit, F.col("__corpus_match"))
+            .when(in_batch, F.col("__batch_first")).alias("match_id"),
+        )
+    )

@@ -5723,3 +5723,39 @@ SELECT cms_est, ams_est, exact_join_size,
          / CAST(exact_join_size AS DOUBLE) AS ams_rel_error
 FROM cms CROSS JOIN ams CROSS JOIN ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedup ingest (dedup.exact_ingest) — batch hashed once, corpus index
+# filtered to the batch's hashes, min-id tie-breaks on both sides.
+# ---------------------------------------------------------------------------
+
+_CHASH = O.stable_hash("text")
+
+ORACLES["dedup_exact_ingest"] = f"""
+WITH corpus AS (
+  SELECT doc_id, {_CHASH} AS h FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id AS new_id, {_CHASH} AS h FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS new_id, {_CHASH} AS h FROM documents
+  WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS new_id, {_CHASH} AS h FROM documents
+  WHERE doc_id % 25 = 1
+),
+cm AS (
+  SELECT h, min(doc_id) AS cmatch FROM corpus
+  WHERE h IN (SELECT h FROM batch) GROUP BY h
+),
+bf AS (SELECT h, min(new_id) AS bfirst FROM batch GROUP BY h)
+SELECT b.new_id,
+       CASE WHEN cm.cmatch IS NOT NULL THEN 'dup_of_corpus'
+            WHEN bf.bfirst < b.new_id THEN 'dup_in_batch'
+            ELSE 'unique' END AS status,
+       CASE WHEN cm.cmatch IS NOT NULL THEN cm.cmatch
+            WHEN bf.bfirst < b.new_id THEN bf.bfirst END AS match_id
+FROM batch b LEFT JOIN cm ON b.h = cm.h JOIN bf ON b.h = bf.h
+"""

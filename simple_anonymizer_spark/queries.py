@@ -3887,3 +3887,29 @@ def join_size_sketch_orders(spark, sf_dir):
         ((F.col("ams_est").cast("double") - ex) / ex)
         .alias("ams_rel_error"),
     )
+
+
+@query("dedup_exact_ingest")
+def dedup_exact_ingest(spark, sf_dir):
+    """Incremental EXACT-dedup ingest (dedup.exact_ingest): the corpus is
+    every doc_id % 10 != 0 document; the incoming batch is the held-out
+    tenth PLUS a re-crawl — fixture rows re-presented under shifted ids
+    with identical bytes (the production scenario: re-fetched URLs arrive
+    with fresh ids) — so all three statuses fire: held-out originals are
+    unique, re-crawled corpus members are dup_of_corpus, and re-crawled
+    batch members are dup_in_batch of their in-batch original. O(batch)
+    cost; the index side never shuffles (semi-join on the batch's
+    distinct hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    held_out = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    recrawl_batch = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    recrawl_corpus = (
+        docs.where(F.col("doc_id") % 25 == 1)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    new = held_out.unionByName(recrawl_batch).unionByName(recrawl_corpus)
+    return dedup.exact_ingest(dedup.content_hash_index(corpus), new)

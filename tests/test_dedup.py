@@ -94,3 +94,38 @@ def test_simhash_neardup_parameter_guards(spark):
         dedup.simhash_neardup_pairs(df, max_hamming=4, blocks=4)
     with _pytest.raises(ValueError, match="divisible"):
         dedup.simhash_neardup_pairs(df, bits=32, blocks=5)
+
+
+def test_exact_ingest_statuses(spark):
+    from simple_anonymizer_spark.operators.dedup import (
+        content_hash_index, exact_ingest)
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha"),   # dup of corpus (min corpus id 1)
+         (11, "gamma"),   # unique
+         (12, "gamma"),   # dup in batch (first = 11)
+         (13, "beta")],   # dup of corpus (2)
+        "doc_id long, text string")
+    out = {r.new_id: (r.status, r.match_id) for r in exact_ingest(
+        content_hash_index(corpus), batch).collect()}
+    assert out == {
+        10: ("dup_of_corpus", 1),
+        11: ("unique", None),
+        12: ("dup_in_batch", 11),
+        13: ("dup_of_corpus", 2),
+    }
+
+
+def test_exact_ingest_corpus_precedence_over_batch(spark):
+    # content in BOTH corpus and earlier batch rows: corpus wins
+    from simple_anonymizer_spark.operators.dedup import (
+        content_hash_index, exact_ingest)
+
+    corpus = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "doc_id long, text string")
+    out = {r.new_id: (r.status, r.match_id) for r in exact_ingest(
+        content_hash_index(corpus), batch).collect()}
+    assert out == {1: ("dup_of_corpus", 5), 2: ("dup_of_corpus", 5)}

@@ -111,7 +111,7 @@ NATIVE_QUERIES = [
     # round-6 batch: sketch set algebra, attribution grid, OLS sufficient
     # statistics, z-test — all pure column algebra.
     "hll_overlap_halves", "attribution_linear_events", "ols_trend_priority",
-    "ab_ztest_events", "kmv_overlap_halves", "join_size_sketch_orders",
+    "ab_ztest_events", "kmv_overlap_halves", "join_size_sketch_orders", "dedup_exact_ingest",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
