@@ -907,11 +907,13 @@ def grouped_ols(
     computes numerator and denominator EXACTLY in decimal before the one
     double division — both engines divide identical operands, so the
     doubles match bit-for-bit (the engine-wide DECIMAL accumulation
-    rule). Degenerate groups (all x equal, denominator 0) emit NULL
-    slope/intercept rather than Inf.
+    rule). R² follows as ``(num/den) * (num/syy_den)`` — two divisions
+    of the same exact operands, never ``num²`` (which would overflow 38
+    digits). Degenerate groups (all x equal, or all y equal) emit NULL
+    slope/intercept/r_squared rather than Inf.
 
     Output: ``*group_cols, n_points long, slope double, intercept
-    double``.
+    double, r_squared double``.
     """
     d0 = "decimal(38,0)"
     x = F.col(x_col).cast(d0)
@@ -922,19 +924,27 @@ def grouped_ols(
         F.sum(y).cast(d0).alias("__sy"),
         F.sum(x * y).cast(d0).alias("__sxy"),
         F.sum(x * x).cast(d0).alias("__sxx"),
+        F.sum(y * y).cast(d0).alias("__syy"),
     )
     n = F.col("n_points").cast(d0)
     num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(d0)
     den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(d0)
+    yden = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(d0)
     slope = F.when(den != 0, num.cast("double") / den.cast("double"))
     intercept = F.when(
         den != 0,
         (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
         / F.col("n_points").cast("double"),
     )
+    r2 = F.when(
+        (den != 0) & (yden != 0),
+        (num.cast("double") / den.cast("double"))
+        * (num.cast("double") / yden.cast("double")),
+    )
     return agg.select(
         *group_cols, "n_points",
         slope.alias("slope"), intercept.alias("intercept"),
+        r2.alias("r_squared"),
     )
 
 

@@ -5516,13 +5516,15 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_points,
          CAST(count(*) AS HUGEINT) AS n,
          sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx
+         sum(x * y) AS sxy, sum(x * x) AS sxx,
+         sum(y * y) AS syy
   FROM src GROUP BY o_orderpriority
 ),
 nd AS (
   SELECT o_orderpriority, n_points,
          n * sxy - sx * sy AS num,
          n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS yden,
          sx, sy
   FROM agg
 ),
@@ -5539,7 +5541,13 @@ SELECT o_orderpriority, n_points, slope,
          (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
           - slope * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
          / CAST(n_points AS DOUBLE)
-       END AS intercept
+       END AS intercept,
+       CASE WHEN den <> 0 AND yden <> 0 THEN
+         (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(den AS VARCHAR) AS DOUBLE))
+         * (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(yden AS VARCHAR) AS DOUBLE))
+       END AS r_squared
 FROM sl
 ORDER BY o_orderpriority
 """

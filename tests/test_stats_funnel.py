@@ -673,6 +673,7 @@ def test_ols_recovers_exact_line(spark):
     r = grouped_ols(df, ["g"], "x", "y").collect()[0]
     assert r.n_points == 50
     assert r.slope == 3.0 and r.intercept == 7.0
+    assert r.r_squared == 1.0  # exact line
 
 
 def test_ols_degenerate_x_null(spark):
@@ -682,6 +683,7 @@ def test_ols_degenerate_x_null(spark):
         [("g", 5, 1), ("g", 5, 9)], "g string, x long, y long")
     r = grouped_ols(df, ["g"], "x", "y").collect()[0]
     assert r.slope is None and r.intercept is None
+    assert r.r_squared is None
 
 
 def test_ols_partition_invariance(spark):
