@@ -184,6 +184,82 @@ def stream_sketch_rollup(
     )
 
 
+def merge_max(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    keys: list[str],
+    max_cols: list[str],
+) -> int:
+    """MAX-merge a delta into the rollup at ``path``: matched keys take
+    ``GREATEST(target, delta)``, unmatched insert. Unlike the additive
+    merge this is IDEMPOTENT — replaying a batch cannot corrupt the
+    table — which is exactly the property HLL register state has."""
+    delta = delta.cache()
+    try:
+        if os.path.exists(path):
+            target = spark.read.parquet(path).select(delta.columns)
+            t_marked = target.select(
+                *keys, *[F.col(c).alias(f"__t_{c}") for c in max_cols]
+            )
+            combined = delta.join(t_marked, keys, "left").select(
+                *keys,
+                *[
+                    F.greatest(F.col(c), F.coalesce(F.col(f"__t_{c}"), F.col(c)))
+                    .alias(c)
+                    for c in max_cols
+                ],
+            )
+        else:
+            combined = delta.select(*keys, *max_cols)
+        return merge_parquet(
+            spark, combined, path, keys,
+            OnConflict.do_update(*keys),
+        )
+    finally:
+        delta.unpersist()
+
+
+def stream_hll_rollup(
+    spark: SparkSession,
+    source_path: str,
+    registers_path: str,
+    checkpoint: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    p: int = 10,
+    schema=None,
+):
+    """Continuously-maintained HLL register table over a stream — the
+    DISTINCT-count sibling of ``stream_sketch_rollup``: per-batch
+    registers MAX-merge into at most ``2^p`` rows of table state, so a
+    full-history distinct-key estimate (``sketch.hll_estimate`` over the
+    table) stays valid mid-stream at any stream length. No watermark, no
+    state store, late data folds in whenever it arrives; because MAX is
+    idempotent the replay guard is belt-and-braces here, not
+    correctness-critical. Returns the DataStreamWriter (call
+    ``.start()``)."""
+    from ..operators.sketch import hll_registers
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = normalize_events_ts(reader.parquet(source_path))
+
+    def merge_batch(batch_df: DataFrame, _bid: int) -> None:
+        delta = hll_registers(
+            batch_df.selectExpr(f"{key_expr} AS __key"), "__key", p
+        )
+        merge_max(
+            batch_df.sparkSession, delta, registers_path,
+            keys=["register"], max_cols=["max_rho"],
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_replay_guarded(registers_path, merge_batch))
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def stream_neardup_ingest(
     spark: SparkSession,
     source_path: str,

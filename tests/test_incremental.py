@@ -260,3 +260,73 @@ def test_stream_embedding_ingest_index_queryable_and_pruned(spark, sf_dir, tmp_p
 
     run_once()  # no new data: index unchanged
     assert spark.read.parquet(index).count() == vecs.count()
+
+
+def test_incremental_hll_across_arrivals(spark, sf_dir, tmp_path):
+    """The streamed HLL register table after N arrivals must equal the
+    batch register table over all data seen so far (MAX merge ==
+    registers of the union); the estimate read mid-stream is the batch
+    estimate; and because MAX is idempotent a replayed merge is
+    harmless even WITHOUT the guard."""
+    import glob
+    import shutil
+
+    from simple_anonymizer_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    halves = [raw.where(F.col("event_id") % 2 == i) for i in (0, 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    reg_path = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (
+            INC.stream_hll_rollup(
+                spark, str(src), reg_path, ckpt, schema=raw.schema
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    def regs(path_or_df):
+        df = (spark.read.parquet(path_or_df)
+              if isinstance(path_or_df, str) else path_or_df)
+        return {(r.register, r.max_rho) for r in df.collect()}
+
+    def batch_regs(df):
+        return regs(hll_registers(
+            df.selectExpr("CAST(user_id AS STRING) AS __key"), "__key"))
+
+    all_events = read_sf_table(spark, sf_dir, "events")
+    deliver(halves[0], "part1.parquet")
+    run_once()
+    assert regs(reg_path) == batch_regs(
+        all_events.where(F.col("event_id") % 2 == 0))
+
+    deliver(halves[1], "part2.parquet")
+    run_once()
+    full = batch_regs(all_events)
+    assert regs(reg_path) == full
+    # mid-stream estimate == batch estimate over everything seen
+    streamed_est = hll_estimate(spark.read.parquet(reg_path)).collect()[0]
+    batch_est = hll_estimate(hll_registers(
+        all_events.selectExpr("CAST(user_id AS STRING) AS __key"), "__key"
+    )).collect()[0]
+    assert streamed_est.hll_estimate == batch_est.hll_estimate
+
+    # idempotence: re-merging the full delta directly (no guard) is a no-op
+    delta = hll_registers(
+        all_events.selectExpr("CAST(user_id AS STRING) AS __key"), "__key")
+    INC.merge_max(spark, delta, reg_path, keys=["register"],
+                  max_cols=["max_rho"])
+    assert regs(reg_path) == full
