@@ -483,3 +483,72 @@ def ams_join_size(a: DataFrame, b: DataFrame, depth: int = 5) -> DataFrame:
         F.element_at(F.sort_array(F.collect_list("__row_est")), mid)
         .cast("long").alias("est_join_size")
     )
+
+
+def hll_grouped_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 10,
+    salt: str = HLL_SALT,
+) -> DataFrame:
+    """Per-group HLL register tables in ONE aggregation: at most ``2^p``
+    rows per group no matter the per-group key cardinality — the
+    bounded-state grouped COUNT(DISTINCT) whose exact form shuffles one
+    row per (group, key). Same frozen-hash register/rho construction as
+    :func:`hll_registers`, so grouped estimates are fully oracle-gated
+    (unlike ``approx_count_distinct``, whose sketch internals are
+    engine-private and only error-bound-checkable). Output:
+    ``*group_cols, register int, max_rho int``."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    budget = HLL_HASH_BITS - p
+    key = F.col(key_col)
+    h = salted_hash(key, salt)
+    reg = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(budget + 1))
+        .otherwise(F.lit(budget + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.where(key.isNotNull() & (key != F.lit("")))
+        .select(*group_cols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_grouped_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group distinct-count estimates from a grouped register table:
+    one more hash aggregation on the group key (the register table is
+    already tiny), exact-integer harmonic sums, one double division per
+    group. Output: ``*group_cols, used_registers long, zero_registers
+    long, sum_pow long, hll_estimate double``."""
+    m = 1 << p
+    budget = HLL_HASH_BITS - p
+    scale = 1 << (budget + 1)
+    const = hll_alpha_const(p)
+    pow_cell = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(budget + 1) - F.col("max_rho")).cast("int"),
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("used_registers"),
+        F.sum(pow_cell).cast("long").alias("__used_pow"),
+    )
+    zero = (F.lit(m).cast("long") - F.col("used_registers"))
+    sum_pow = (
+        F.col("__used_pow") + zero * F.lit(scale).cast("long")
+    ).cast("long")
+    return agg.select(
+        *group_cols, "used_registers",
+        zero.alias("zero_registers"),
+        sum_pow.alias("sum_pow"),
+        (F.lit(const) / sum_pow.cast("double")).alias("hll_estimate"),
+    )

@@ -989,3 +989,243 @@ def two_proportion_ztest(
         F.when(F.col("n_b") > 0, pb).alias("rate_b"),
         z.alias("z_stat"),
     )
+
+
+def poisson1_thresholds(max_k: int = 8) -> list[int]:
+    """Integer inverse-CDF thresholds for Poisson(1) on the 31-bit hash
+    space: multiplicity k iff ``t_{k-1} <= h < t_k`` (h uniform on
+    [0, 2^31)). Computed once in Python and embedded as the SAME integer
+    literals in both engines, so the bootstrap kernel is pure integer
+    compares — no float in either engine's hot path. The tail above
+    ``t_{max_k}`` (cumulative mass ~1e-6 at max_k=8) maps to
+    ``max_k + 1``."""
+    import math
+
+    acc, fact, out = 0.0, 1.0, []
+    for k in range(max_k + 1):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(min(int(acc * 2_147_483_648.0), 2_147_483_648))
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 32,
+    salt: str = "__boot",
+) -> DataFrame:
+    """Poissonized bootstrap of the mean in ONE pass — error bars for
+    pipeline metrics without B full resamples: each row's multiplicity in
+    resample ``b`` is Poisson(1), drawn deterministically by integer
+    inverse-CDF on the b-salted frozen hash (``poisson1_thresholds``), so
+    the whole bootstrap is 2B exact sums in a single map-side-combined
+    aggregation (no explode — the shuffle carries one 2B-column row).
+    ``value_col`` must be exact integers (the cents rule); every
+    resample mean is one double division of exact DECIMAL/long
+    operands, so all B means — and the CI edges picked from their
+    sorted order — are cross-engine deterministic.
+
+    Output: one row per resample: ``resample int, n_drawn long,
+    mean double`` (NULL mean for an empty resample — probability
+    ~e^-n). Callers read CI edges by ranking the B means; at 100 TB
+    the aggregation state is 2B numbers per partition regardless of
+    row count."""
+    from ..functions.textops import salted_hash
+
+    thresholds = poisson1_thresholds()
+    key = F.col(id_col).cast("string")
+    v = F.col(value_col).cast("decimal(38,0)")
+    sums, counts = [], []
+    for b in range(n_resamples):
+        h = salted_hash(key, f"{salt}{b}|")
+        mult = F.lit(len(thresholds) + 1)
+        for k in range(len(thresholds) - 1, -1, -1):
+            mult = F.when(h < F.lit(thresholds[k]), F.lit(k)).otherwise(mult)
+        mult = mult.cast("long")
+        sums.append(
+            F.sum(v * mult.cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias(f"__s{b}")
+        )
+        counts.append(F.sum(mult).cast("long").alias(f"__n{b}"))
+    wide = df.agg(*sums, *counts)
+    rows = [
+        F.struct(
+            F.lit(b).cast("int").alias("resample"),
+            F.coalesce(F.col(f"__n{b}"), F.lit(0)).alias("n_drawn"),
+            F.when(
+                F.coalesce(F.col(f"__n{b}"), F.lit(0)) > 0,
+                F.col(f"__s{b}").cast("double")
+                / F.col(f"__n{b}").cast("double"),
+            ).alias("mean"),
+        )
+        for b in range(n_resamples)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.resample", "r.n_drawn", "r.mean"
+    )
+
+
+def chisq_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence over two categorical
+    columns — the contingency-table readout next to the two-proportion
+    z-test. One counting aggregation; the full R x C grid (INCLUDING
+    zero-observed cells — standard chi-squared expects every cell) is a
+    cross join of the two margin tables, each at most the category
+    cardinality.
+
+    Determinism: each cell's term is ``(o*n - rt*ct)^2 / (n*rt*ct)`` —
+    numerator and denominator EXACT in DECIMAL(38,0), one double
+    division per cell — and the statistic folds the terms in sorted
+    (row, col) order via ``F.aggregate`` with a 0.0 init (``0.0 + t1 ==
+    t1`` exactly, so the left fold matches DuckDB's init-free
+    list_reduce bracketing). Never a shuffle-order float sum; the fold
+    runs over at most R*C values in one row.
+
+    Output (one row): ``n long, n_rows int, n_cols int, dof long,
+    chi2 double``."""
+    d0 = "decimal(38,0)"
+    r, c = F.col(row_col), F.col(col_col)
+    cells = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__o"))
+    rt = cells.groupBy(row_col).agg(F.sum("__o").cast("long").alias("__rt"))
+    ct = cells.groupBy(col_col).agg(F.sum("__o").cast("long").alias("__ct"))
+    tot = cells.agg(
+        F.sum("__o").cast("long").alias("__n"),
+        F.countDistinct(row_col).cast("int").alias("n_rows"),
+        F.countDistinct(col_col).cast("int").alias("n_cols"),
+    )
+    grid = rt.crossJoin(ct).join(cells, [row_col, col_col], "left")
+    full = grid.crossJoin(F.broadcast(tot)).select(
+        row_col, col_col, "__rt", "__ct", "__n", "n_rows", "n_cols",
+        F.coalesce(F.col("__o"), F.lit(0)).cast("long").alias("__o"),
+    )
+    num = (
+        F.col("__o").cast(d0) * F.col("__n").cast(d0)
+        - F.col("__rt").cast(d0) * F.col("__ct").cast(d0)
+    ).cast(d0)
+    den = (
+        F.col("__n").cast(d0) * F.col("__rt").cast(d0)
+        * F.col("__ct").cast(d0)
+    ).cast(d0)
+    term = (num * num).cast(d0).cast("double") / den.cast("double")
+    with_terms = full.select(
+        "__n", "n_rows", "n_cols", row_col, col_col, term.alias("__term"))
+    folded = with_terms.groupBy("__n", "n_rows", "n_cols").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct(r.alias("r"), c.alias("c"),
+                         F.col("__term").alias("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2")
+    )
+    return folded.select(
+        F.col("__n").alias("n"), "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long")
+        .alias("dof"),
+        "chi2",
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) over a 0/1 variant split — the
+    NONPARAMETRIC A/B readout for skewed metrics (revenue, latency)
+    where the two-proportion z-test needs a boolean and the t-test
+    trusts means. Everything up to the final z is EXACT integer
+    arithmetic on doubled midranks: per distinct value, ``2*midrank =
+    2*s + t + 1`` (s = exclusive prefix count, t = tie size), so the
+    doubled rank-sum ``R2_A = sum_v a(v) * (2 s(v) + t(v) + 1)`` and
+    ``2*U_A = R2_A - n_a*(n_a+1)`` carry no floats; the tie-corrected
+    normal approximation then divides doubles derived from those exact
+    DECIMAL(38,0) sums in one fixed expression tree.
+
+    The exclusive prefix over the per-value count table is the engine's
+    distributed two-pass prefix sum (``global_ranks`` shape):
+    range-repartition on value, windowed sum within partitions, ONE
+    per-partition total collected, exclusive bases broadcast back —
+    never a single-reducer global window, and the table has one row per
+    DISTINCT value, not per input row.
+
+    Output (one row): ``n_a long, n_b long, u2_a double (2*U_A),
+    tie_groups long, z_stat double`` (z NULL when an arm is empty or the
+    variance degenerates — e.g. every value tied)."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    v, var = F.col(value_col), F.col(variant_col)
+    g = (
+        df.where(var.isin(0, 1))
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__t"),
+            F.sum(F.when(var == 0, 1).otherwise(0)).cast("long")
+            .alias("__a"),
+        )
+    )
+    ranged = (
+        g.repartitionByRange(partitions, F.col("__v").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = (
+        Window.partitionBy("__pid").orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__cum", F.sum("__t").over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in ranged.groupBy("__pid").agg(F.sum("__t").alias("t"))
+        .collect()
+    )
+    prefix_rows, acc = [], 0
+    for pid, t in totals:
+        prefix_rows.append((pid, acc))
+        acc += t or 0
+    prefixes = spark.createDataFrame(
+        prefix_rows or [(0, 0)], "__pid int, __base long"
+    )
+    d0 = "decimal(38,0)"
+    s = (F.col("__base") + F.col("__cum") - F.col("__t")).cast(d0)
+    t_ = F.col("__t").cast(d0)
+    a_ = F.col("__a").cast(d0)
+    agg = (
+        local.join(F.broadcast(prefixes), "__pid")
+        .agg(
+            F.sum(F.col("__a")).cast("long").alias("n_a"),
+            F.sum(F.col("__t") - F.col("__a")).cast("long").alias("n_b"),
+            F.sum(a_ * (s * 2 + t_ + 1)).cast(d0).alias("__r2a"),
+            F.sum(t_ * t_ * t_ - t_).cast(d0).alias("__ties"),
+            F.sum(F.when(F.col("__t") > 1, 1).otherwise(0)).cast("long")
+            .alias("tie_groups"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u2a = (
+        F.col("__r2a").cast("double")
+        - F.col("n_a").cast("double") * (F.col("n_a").cast("double") + 1.0)
+    )
+    mean2 = na * nb
+    var_u = (na * nb / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("__ties").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_u > 0),
+        (u2a - mean2) / (F.lit(2.0) * F.sqrt(var_u)),
+    )
+    out = agg.select(
+        "n_a", "n_b", u2a.alias("u2_a"), "tie_groups", z.alias("z_stat")
+    )
+    pinned = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return pinned

@@ -5767,3 +5767,210 @@ SELECT b.new_id,
             WHEN bf.bfirst < b.new_id THEN bf.bfirst END AS match_id
 FROM batch b LEFT JOIN cm ON b.h = cm.h JOIN bf ON b.h = bf.h
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL (sketch.hll_grouped_registers/_estimate) — the same register
+# construction as hll_distinct_orders, grouped by event_type; harmonic
+# sums exact integers, one double division per group.
+# ---------------------------------------------------------------------------
+
+ORACLES["hll_distinct_users_by_type"] = f"""
+WITH keys AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events
+),
+hv AS (
+  SELECT event_type, {_HLL_H} AS h FROM keys
+  WHERE k IS NOT NULL AND k <> ''
+),
+regs AS (
+  SELECT event_type, CAST(h % 16 AS INT) AS register,
+         max(CASE WHEN h // 16 = 0 THEN 28
+             ELSE 28 - length(bin(h // 16)) END) AS max_rho
+  FROM hv GROUP BY event_type, register
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS used_registers,
+         CAST(sum(CAST(1 AS BIGINT) << (28 - max_rho)) AS BIGINT) AS used_pow
+  FROM regs GROUP BY event_type
+),
+s2 AS (
+  SELECT event_type, used_registers,
+         CAST(16 - used_registers AS BIGINT) AS zero_registers,
+         CAST(used_pow + (16 - used_registers) * CAST(268435456 AS BIGINT)
+              AS BIGINT) AS sum_pow
+  FROM s
+),
+s3 AS (
+  SELECT *, CAST('46435841507.98225' AS DOUBLE) / CAST(sum_pow AS DOUBLE) AS hll_estimate
+  FROM s2
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+  FROM keys GROUP BY event_type
+)
+SELECT s3.event_type, used_registers, zero_registers, sum_pow,
+       hll_estimate, exact_distinct,
+       (hll_estimate - CAST(exact_distinct AS DOUBLE))
+         / CAST(exact_distinct AS DOUBLE) AS rel_error
+FROM s3 JOIN ex ON s3.event_type = ex.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Poissonized bootstrap (stats.bootstrap_mean_ci) — 32 deterministic
+# resample means; multiplicities by integer inverse-CDF thresholds
+# (stats.poisson1_thresholds, embedded identically in both engines).
+# ---------------------------------------------------------------------------
+
+from ..operators.stats import poisson1_thresholds as _p1t  # noqa: E402
+
+_BOOT_T = _p1t()
+
+
+def _boot_mult(b: int) -> str:
+    h = _h(f"(k || '__boot{b}|')")
+    whens = " ".join(
+        f"WHEN {h} < {t} THEN {j}" for j, t in enumerate(_BOOT_T)
+    )
+    return f"(CASE {whens} ELSE {len(_BOOT_T) + 1} END)"
+
+
+_BOOT_MCOLS = ",\n         ".join(
+    f"{_boot_mult(b)} AS __M{b}" for b in range(32)
+)
+_BOOT_SELECTS = "\n  UNION ALL".join(
+    f"""
+  SELECT {b} AS resample,
+         CAST(sum(__M{b}) AS BIGINT) AS n_drawn,
+         CASE WHEN sum(__M{b}) > 0 THEN
+           CAST(CAST(sum(cents * __M{b}) AS VARCHAR) AS DOUBLE)
+           / CAST(sum(__M{b}) AS DOUBLE)
+         END AS mean
+  FROM m""" for b in range(32)
+)
+
+ORACLES["bootstrap_ci_order_price"] = f"""
+WITH src AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT cents,
+         {_BOOT_MCOLS}
+  FROM src
+){_BOOT_SELECTS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence (stats.chisq_independence) — full R x C grid
+# with zero cells, exact int128 cell terms, one double division per cell,
+# init-free list_reduce over (row, col)-sorted terms (0.0 + t1 == t1, so
+# Spark's 0.0-seeded fold brackets identically).
+# num and den round-trip via VARCHAR (num^2 exceeds 2^53).
+# ---------------------------------------------------------------------------
+
+ORACLES["chisq_type_variant_events"] = """
+WITH src AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS variant FROM events
+),
+cells AS (
+  SELECT event_type, variant, CAST(count(*) AS BIGINT) AS o
+  FROM src GROUP BY event_type, variant
+),
+rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells
+       GROUP BY event_type),
+ct AS (SELECT variant, CAST(sum(o) AS BIGINT) AS ct FROM cells
+       GROUP BY variant),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS INT) AS n_rows,
+         CAST(count(DISTINCT variant) AS INT) AS n_cols
+  FROM cells
+),
+grid AS (
+  SELECT rt.event_type, ct.variant, rt.rt, ct.ct,
+         COALESCE(cells.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells ON cells.event_type = rt.event_type
+                 AND cells.variant = ct.variant
+),
+terms AS (
+  SELECT g.event_type, g.variant,
+         CAST(CAST(
+           (CAST(g.o AS HUGEINT) * t.n - CAST(g.rt AS HUGEINT) * g.ct)
+           * (CAST(g.o AS HUGEINT) * t.n - CAST(g.rt AS HUGEINT) * g.ct)
+           AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(
+             CAST(t.n AS HUGEINT) * g.rt * g.ct
+           AS VARCHAR) AS DOUBLE) AS term
+  FROM grid g CROSS JOIN tot t
+),
+folded AS (
+  SELECT list_reduce(list(term ORDER BY event_type, variant),
+                     (a, b) -> a + b) AS chi2
+  FROM terms
+)
+SELECT t.n, t.n_rows, t.n_cols,
+       CAST((t.n_rows - 1) * (t.n_cols - 1) AS BIGINT) AS dof,
+       f.chi2
+FROM tot t CROSS JOIN folded f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (stats.mannwhitney_u) — doubled midranks 2s + t + 1 per
+# distinct value (exclusive prefix s over values ascending), exact
+# HUGEINT rank/tie sums, VARCHAR-round-tripped to DOUBLE, one mirrored
+# expression tree for the tie-corrected z.
+# ---------------------------------------------------------------------------
+
+ORACLES["mannwhitney_value_events"] = """
+WITH src AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT cents AS v, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM src WHERE variant IN (0, 1) GROUP BY cents
+),
+p AS (
+  SELECT v, t, a,
+         CAST(COALESCE(sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS HUGEINT) AS s
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(sum(t - a) AS BIGINT) AS n_b,
+         CAST(sum(CAST(a AS HUGEINT) * (s * 2 + t + 1)) AS HUGEINT) AS r2a,
+         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties,
+         CAST(sum(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tie_groups
+  FROM p
+),
+d AS (
+  SELECT *,
+         CAST(CAST(r2a AS VARCHAR) AS DOUBLE)
+           - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) AS u2a,
+         CAST(n_a AS DOUBLE) AS nad,
+         CAST(n_b AS DOUBLE) AS nbd,
+         CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS tiesd
+  FROM agg
+)
+SELECT n_a, n_b, u2a AS u2_a, tie_groups,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+            (nad * nbd / 12.0) * ((nad + nbd + 1.0)
+              - tiesd / ((nad + nbd) * (nad + nbd - 1.0))) > 0
+       THEN (u2a - nad * nbd)
+            / (2.0 * sqrt((nad * nbd / 12.0) * ((nad + nbd + 1.0)
+                - tiesd / ((nad + nbd) * (nad + nbd - 1.0)))))
+       END AS z_stat
+FROM d
+"""

@@ -3913,3 +3913,81 @@ def dedup_exact_ingest(spark, sf_dir):
     )
     new = held_out.unionByName(recrawl_batch).unionByName(recrawl_corpus)
     return dedup.exact_ingest(dedup.content_hash_index(corpus), new)
+
+
+@query("hll_distinct_users_by_type")
+def hll_distinct_users_by_type(spark, sf_dir):
+    """Grouped HLL: distinct users PER EVENT TYPE from one bounded
+    aggregation (sketch.hll_grouped_registers / hll_grouped_estimate —
+    at most 2^p rows per group where exact grouped COUNT(DISTINCT)
+    shuffles every (group, key) pair), fully oracle-gated via the frozen
+    hash kernel — the auditable upgrade of agg_approx_distinct's
+    engine-private sketch. Exact counts and relative error ride along,
+    house style."""
+    from .operators import sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("k"))
+    est = sketch.hll_grouped_estimate(
+        sketch.hll_grouped_registers(ev, ["event_type"], "k", p=4),
+        ["event_type"], p=4,
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("k").cast("long").alias("exact_distinct"))
+    ex = F.col("exact_distinct").cast("double")
+    return est.join(exact, "event_type").select(
+        "event_type", "used_registers", "zero_registers", "sum_pow",
+        "hll_estimate", "exact_distinct",
+        ((F.col("hll_estimate") - ex) / ex).alias("rel_error"),
+    )
+
+
+@query("bootstrap_ci_order_price")
+def bootstrap_ci_order_price(spark, sf_dir):
+    """Poissonized bootstrap of the mean order price
+    (stats.bootstrap_mean_ci): 32 deterministic resample means from ONE
+    map-side-combined aggregation — integer inverse-CDF multiplicities
+    on the frozen hash, exact DECIMAL sums, one double division per
+    resample. Rank the 32 means for CI edges; state is 64 numbers per
+    partition at any scale."""
+    from .operators.stats import bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    return bootstrap_mean_ci(o, "cents", "o_orderkey", n_resamples=32)
+
+
+@query("chisq_type_variant_events")
+def chisq_type_variant_events(spark, sf_dir):
+    """Chi-squared independence of event_type x (user_id % 2) — is the
+    hash split balanced across behavior? (stats.chisq_independence: the
+    full R x C grid including zero cells, exact DECIMAL(38,0) cell
+    terms, sorted-order fold — never a shuffle-order float sum.) The
+    contingency-table sibling of ab_ztest_events."""
+    from .operators.stats import chisq_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+    )
+    return chisq_independence(ev, "event_type", "variant")
+
+
+@query("mannwhitney_value_events")
+def mannwhitney_value_events(spark, sf_dir):
+    """Mann-Whitney U on event value cents across the user_id % 2 split
+    (stats.mannwhitney_u) — the nonparametric A/B readout for skewed
+    metrics: exact doubled midranks via the distributed two-pass prefix
+    sum over the per-value count table, tie-corrected normal z from one
+    fixed expression tree of exact-integer-derived doubles."""
+    from .operators.stats import mannwhitney_u
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    return mannwhitney_u(ev, "variant", "cents")

@@ -112,6 +112,8 @@ NATIVE_QUERIES = [
     # statistics, z-test — all pure column algebra.
     "hll_overlap_halves", "attribution_linear_events", "ols_trend_priority",
     "ab_ztest_events", "kmv_overlap_halves", "join_size_sketch_orders", "dedup_exact_ingest",
+    "hll_distinct_users_by_type", "bootstrap_ci_order_price",
+    "chisq_type_variant_events", "mannwhitney_value_events",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

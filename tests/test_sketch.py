@@ -317,3 +317,26 @@ def test_ams_sketch_bounded_and_deterministic(spark):
     again = sorted(map(tuple, sketch.ams_sketch(
         df.repartition(7), "key", depth=3, width=64).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_hll_grouped_matches_per_group_global(spark):
+    rows = [("a", f"u{i}") for i in range(300)] + \
+           [("b", f"u{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    grouped = sketch.hll_grouped_estimate(
+        sketch.hll_grouped_registers(df, ["g"], "k", p=6), ["g"], p=6)
+    out = {r.g: r for r in grouped.collect()}
+    for g, sub in [("a", df.where("g = 'a'")), ("b", df.where("g = 'b'"))]:
+        solo = sketch.hll_estimate(
+            sketch.hll_registers(sub, "k", p=6), p=6).collect()[0]
+        assert out[g].hll_estimate == solo.hll_estimate
+        assert out[g].sum_pow == solo.sum_pow
+
+
+def test_hll_grouped_accuracy(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(2000)], "g string, k string")
+    r = sketch.hll_grouped_estimate(
+        sketch.hll_grouped_registers(df, ["g"], "k", p=8), ["g"], p=8
+    ).collect()[0]
+    assert abs(r.hll_estimate - 2000) / 2000 < 0.2

@@ -772,3 +772,146 @@ def test_attribution_total_credit_equals_attributed_conversions(spark):
     attributed = sum(1 for u in range(20) if u % 4 > 0)
     total_credit = sum(r.credit for r in out)
     assert abs(total_credit - attributed) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_resample_means_bracket_truth(spark):
+    from simple_anonymizer_spark.operators.stats import bootstrap_mean_ci
+
+    rows = [(i, 100 + (i * 37) % 50) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    true_mean = sum(v for _, v in rows) / len(rows)
+    means = sorted(r.mean for r in bootstrap_mean_ci(
+        df, "v", "id", n_resamples=32).collect())
+    assert len(means) == 32
+    # all resample means near truth; the sorted band brackets it
+    assert means[0] <= true_mean <= means[-1]
+    for m in means:
+        assert abs(m - true_mean) / true_mean < 0.05
+
+
+def test_bootstrap_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.stats import bootstrap_mean_ci
+
+    rows = [(i, (i * 13) % 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = sorted(map(tuple, bootstrap_mean_ci(df, "v", "id", 8).collect()))
+    b = sorted(map(tuple, bootstrap_mean_ci(
+        df.repartition(11), "v", "id", 8).collect()))
+    assert a == b
+
+
+def test_poisson_thresholds_mean_one(spark):
+    # multiplicities over many rows should average ~1 (Poisson(1) mean)
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(5000)], "id long, v long")
+    out = bootstrap_mean_ci(df, "v", "id", n_resamples=4).collect()
+    for r in out:
+        assert abs(r.n_drawn - 5000) / 5000 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# chisq_independence
+# ---------------------------------------------------------------------------
+
+
+def test_chisq_hand_computed_2x2(spark):
+    from simple_anonymizer_spark.operators.stats import chisq_independence
+
+    # 2x2 table: [[30, 10], [20, 40]]
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 20 + [("b", "y")] * 40)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    assert (out.n, out.n_rows, out.n_cols, out.dof) == (100, 2, 2, 1)
+    # hand: e = [[20,20],[30,30]]; chi2 = 100/20*2... compute directly
+    expected = (30 - 20) ** 2 / 20 + (10 - 20) ** 2 / 20 \
+        + (20 - 30) ** 2 / 30 + (40 - 30) ** 2 / 30
+    assert abs(out.chi2 - expected) < 1e-9
+
+
+def test_chisq_independent_is_zero(spark):
+    from simple_anonymizer_spark.operators.stats import chisq_independence
+
+    # perfectly proportional table -> chi2 == 0
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 30 + [("b", "y")] * 60)
+    df = spark.createDataFrame(rows, "r string, c string")
+    assert chisq_independence(df, "r", "c").collect()[0].chi2 == 0.0
+
+
+def test_chisq_zero_cell_included(spark):
+    from simple_anonymizer_spark.operators.stats import chisq_independence
+
+    # (b, y) never observed: the grid must still charge its expected mass
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("b", "x")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    expected = ((5 - 7.5) ** 2 / 7.5 + (5 - 2.5) ** 2 / 2.5
+                + (10 - 7.5) ** 2 / 7.5 + (0 - 2.5) ** 2 / 2.5)
+    assert abs(out.chi2 - expected) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney_u
+# ---------------------------------------------------------------------------
+
+
+def test_mannwhitney_hand_computed_no_ties(spark):
+    from simple_anonymizer_spark.operators.stats import mannwhitney_u
+
+    # A = {1,3,5}, B = {2,4,6}: ranks A = 1,3,5 -> R_A=9, U_A = 9-6 = 3
+    rows = [(0, 1), (0, 3), (0, 5), (1, 2), (1, 4), (1, 6)]
+    df = spark.createDataFrame(rows, "variant int, v long")
+    r = mannwhitney_u(df, "variant", "v").collect()[0]
+    assert (r.n_a, r.n_b, r.tie_groups) == (3, 3, 0)
+    assert r.u2_a == 6.0  # 2 * U_A
+
+
+def test_mannwhitney_ties_midranks(spark):
+    from simple_anonymizer_spark.operators.stats import mannwhitney_u
+
+    # A = {1,2}, B = {2,3}: value 2 ties across arms, midrank 2.5
+    # R_A = 1 + 2.5 = 3.5 -> 2R_A=7; 2U_A = 7 - 2*3 = 1
+    rows = [(0, 1), (0, 2), (1, 2), (1, 3)]
+    df = spark.createDataFrame(rows, "variant int, v long")
+    r = mannwhitney_u(df, "variant", "v").collect()[0]
+    assert r.u2_a == 1.0 and r.tie_groups == 1
+
+
+def test_mannwhitney_identical_distributions_z_zero(spark):
+    from simple_anonymizer_spark.operators.stats import mannwhitney_u
+
+    # perfectly matched arms: each value appears once per arm, so the
+    # rank sums split evenly and U_A sits exactly at its mean
+    rows = [(i % 2, (i // 2 * 17) % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "variant int, v long")
+    r = mannwhitney_u(df, "variant", "v").collect()[0]
+    assert r.z_stat == 0.0
+
+
+def test_mannwhitney_shifted_distribution_detected(spark):
+    from simple_anonymizer_spark.operators.stats import mannwhitney_u
+
+    rows = [(0, (i * 17) % 100) for i in range(500)]
+    rows += [(1, (i * 17) % 100 + 30) for i in range(500)]
+    df = spark.createDataFrame(rows, "variant int, v long")
+    r = mannwhitney_u(df, "variant", "v").collect()[0]
+    assert r.z_stat < -5  # arm B strongly larger -> U_A far below mean
+
+
+def test_mannwhitney_degenerate_all_tied(spark):
+    from simple_anonymizer_spark.operators.stats import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [(0, 7), (1, 7), (0, 7), (1, 7)], "variant int, v long")
+    r = mannwhitney_u(df, "variant", "v").collect()[0]
+    assert r.z_stat is None  # variance degenerates
