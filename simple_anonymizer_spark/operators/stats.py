@@ -1229,3 +1229,127 @@ def mannwhitney_u(
     pinned = out.localCheckpoint(eager=True)
     ranged.unpersist()
     return pinned
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test over a 0/1 variant split — the
+    mean-difference A/B readout between the proportion z-test (boolean
+    outcomes) and Mann-Whitney (rank robustness). ``value_col`` must be
+    exact integers (the cents rule).
+
+    One aggregation produces the six exact per-arm sums; each sample
+    variance is ``(n*Sxx - Sx^2) / (n*(n-1))`` with EXACT numerator, and
+    t plus the Welch-Satterthwaite dof are pure IEEE arithmetic on
+    those identical doubles. Output (one row): ``n_a, n_b long; mean_a,
+    mean_b, var_a, var_b, t_stat, dof double`` (t/dof NULL when either
+    arm has < 2 units or both variances are 0)."""
+    d0 = "decimal(38,0)"
+    var, v = F.col(variant_col), F.col(value_col).cast(d0)
+    agg = df.where(var.isin(0, 1)).agg(
+        F.sum(F.when(var == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(var == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(var == 0, v).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__sa"),
+        F.sum(F.when(var == 1, v).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__sb"),
+        F.sum(F.when(var == 0, v * v).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__qa"),
+        F.sum(F.when(var == 1, v * v).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nad, nbd = F.col("n_a").cast(d0), F.col("n_b").cast(d0)
+    mean_a = F.col("__sa").cast("double") / na
+    mean_b = F.col("__sb").cast("double") / nb
+    num_a = (nad * F.col("__qa") - F.col("__sa") * F.col("__sa")).cast(d0)
+    num_b = (nbd * F.col("__qb") - F.col("__sb") * F.col("__sb")).cast(d0)
+    var_a = num_a.cast("double") / (na * (na - F.lit(1.0)))
+    var_b = num_b.cast("double") / (nb * (nb - F.lit(1.0)))
+    se2 = var_a / na + var_b / nb
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    t = F.when(ok, (mean_b - mean_a) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        (se2 * se2)
+        / ((var_a / na) * (var_a / na) / (na - F.lit(1.0))
+           + (var_b / nb) * (var_b / nb) / (nb - F.lit(1.0))),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.when(F.col("n_a") > 0, mean_a).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mean_b).alias("mean_b"),
+        F.when(F.col("n_a") > 1, var_a).alias("var_a"),
+        F.when(F.col("n_b") > 1, var_b).alias("var_b"),
+        t.alias("t_stat"), dof.alias("dof"),
+    )
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the
+    industry-standard pre-period adjustment: ``theta`` is the pooled OLS
+    slope of post on pre (same exact DECIMAL sufficient statistics as
+    ``grouped_ols``), each arm's adjusted mean is ``mean_y_arm - theta *
+    (mean_x_arm - mean_x_pooled)``, and ``rho2`` — the squared
+    pre/post correlation — IS the fraction of metric variance CUPED
+    removes. One aggregation, pooled + per-arm conditional sums, every
+    double derived from exact integer operands in one mirrored tree.
+
+    Output (one row): ``n_a, n_b long; mean_a, mean_b, diff_mean, theta,
+    rho2, mean_adj_a, mean_adj_b, diff_adj double`` (theta and the
+    adjusted columns NULL when the pre-period is degenerate)."""
+    d0 = "decimal(38,0)"
+    var = F.col(variant_col)
+    x, y = F.col(pre_col).cast(d0), F.col(post_col).cast(d0)
+    agg = df.where(var.isin(0, 1)).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).cast(d0).alias("__sx"),
+        F.sum(y).cast(d0).alias("__sy"),
+        F.sum(x * x).cast(d0).alias("__sxx"),
+        F.sum(y * y).cast(d0).alias("__syy"),
+        F.sum(x * y).cast(d0).alias("__sxy"),
+        F.sum(F.when(var == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(var == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(var == 0, x).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__sxa"),
+        F.sum(F.when(var == 1, x).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__sxb"),
+        F.sum(F.when(var == 0, y).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__sya"),
+        F.sum(F.when(var == 1, y).otherwise(F.lit(0).cast(d0)))
+        .cast(d0).alias("__syb"),
+    )
+    n = F.col("__n").cast(d0)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(d0)
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(d0)
+    yden = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(d0)
+    theta = num.cast("double") / den.cast("double")
+    rho2 = (num.cast("double") / den.cast("double")) \
+        * (num.cast("double") / yden.cast("double"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_x = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    mean_a = F.col("__sya").cast("double") / na
+    mean_b = F.col("__syb").cast("double") / nb
+    adj_a = mean_a - theta * (F.col("__sxa").cast("double") / na - mean_x)
+    adj_b = mean_b - theta * (F.col("__sxb").cast("double") / nb - mean_x)
+    ok = (den != 0) & (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a", "n_b",
+        F.when(F.col("n_a") > 0, mean_a).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mean_b).alias("mean_b"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), mean_b - mean_a)
+        .alias("diff_mean"),
+        F.when(den != 0, theta).alias("theta"),
+        F.when((den != 0) & (yden != 0), rho2).alias("rho2"),
+        F.when(ok, adj_a).alias("mean_adj_a"),
+        F.when(ok, adj_b).alias("mean_adj_b"),
+        F.when(ok, adj_b - adj_a).alias("diff_adj"),
+    )

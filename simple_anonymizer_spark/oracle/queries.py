@@ -5974,3 +5974,141 @@ SELECT n_a, n_b, u2a AS u2_a, tie_groups,
        END AS z_stat
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test + CUPED (stats.welch_ttest / cuped_adjustment) — exact
+# HUGEINT sufficient statistics, VARCHAR round-trips for the >2^53 moment
+# numerators, mirrored IEEE expression trees.
+# ---------------------------------------------------------------------------
+
+ORACLES["welch_ttest_user_value"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+v AS (SELECT CAST(user_id % 2 AS INT) AS variant, cents FROM u),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 0 THEN CAST(cents AS HUGEINT)
+             ELSE 0 END) AS HUGEINT) AS sa,
+    CAST(sum(CASE WHEN variant = 1 THEN CAST(cents AS HUGEINT)
+             ELSE 0 END) AS HUGEINT) AS sb,
+    CAST(sum(CASE WHEN variant = 0 THEN CAST(cents AS HUGEINT) * cents
+             ELSE 0 END) AS HUGEINT) AS qa,
+    CAST(sum(CASE WHEN variant = 1 THEN CAST(cents AS HUGEINT) * cents
+             ELSE 0 END) AS HUGEINT) AS qb
+  FROM v
+),
+d AS (
+  SELECT *,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+           AS mean_a,
+         CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+           AS mean_b,
+         CAST(CAST(n_a * qa - sa * sa AS VARCHAR) AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS var_a,
+         CAST(CAST(n_b * qb - sb * sb AS VARCHAR) AS DOUBLE)
+           / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS var_b
+  FROM a
+),
+e AS (SELECT *, var_a / nad + var_b / nbd AS se2 FROM d)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+       CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+       CASE WHEN n_a > 1 THEN var_a END AS var_a,
+       CASE WHEN n_b > 1 THEN var_b END AS var_b,
+       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+         (mean_b - mean_a) / sqrt(se2) END AS t_stat,
+       CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+         (se2 * se2)
+         / ((var_a / nad) * (var_a / nad) / (nad - 1.0)
+            + (var_b / nbd) * (var_b / nbd) / (nbd - 1.0)) END AS dof
+FROM e
+"""
+
+ORACLES["cuped_user_value"] = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COALESCE(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                < TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              END), 0) AS BIGINT) AS pre,
+         CAST(COALESCE(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                >= TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              END), 0) AS BIGINT) AS post
+  FROM events GROUP BY user_id
+),
+v AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+             CAST(pre AS HUGEINT) AS x, CAST(post AS HUGEINT) AS y
+      FROM u),
+a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS HUGEINT)
+           AS sxa,
+         CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS HUGEINT)
+           AS sxb,
+         CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS HUGEINT)
+           AS sya,
+         CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS HUGEINT)
+           AS syb
+  FROM v
+),
+d AS (
+  SELECT *,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS yden
+  FROM a
+),
+e AS (
+  SELECT *,
+         CAST(CAST(num AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS theta,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mean_x,
+         CAST(CAST(sya AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+           AS mean_a,
+         CAST(CAST(syb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+           AS mean_b
+  FROM d
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+       CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN mean_b - mean_a END AS diff_mean,
+       CASE WHEN den <> 0 THEN theta END AS theta,
+       CASE WHEN den <> 0 AND yden <> 0 THEN
+         (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(den AS VARCHAR) AS DOUBLE))
+         * (CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(yden AS VARCHAR) AS DOUBLE)) END AS rho2,
+       CASE WHEN den <> 0 AND n_a > 0 AND n_b > 0 THEN
+         mean_a - theta * (CAST(CAST(sxa AS VARCHAR) AS DOUBLE)
+                             / CAST(n_a AS DOUBLE) - mean_x)
+       END AS mean_adj_a,
+       CASE WHEN den <> 0 AND n_a > 0 AND n_b > 0 THEN
+         mean_b - theta * (CAST(CAST(sxb AS VARCHAR) AS DOUBLE)
+                             / CAST(n_b AS DOUBLE) - mean_x)
+       END AS mean_adj_b,
+       CASE WHEN den <> 0 AND n_a > 0 AND n_b > 0 THEN
+         (mean_b - theta * (CAST(CAST(sxb AS VARCHAR) AS DOUBLE)
+                              / CAST(n_b AS DOUBLE) - mean_x))
+         - (mean_a - theta * (CAST(CAST(sxa AS VARCHAR) AS DOUBLE)
+                                / CAST(n_a AS DOUBLE) - mean_x))
+       END AS diff_adj
+FROM e
+"""

@@ -3991,3 +3991,48 @@ def mannwhitney_value_events(spark, sf_dir):
         .alias("cents"),
     )
     return mannwhitney_u(ev, "variant", "cents")
+
+
+@query("welch_ttest_user_value")
+def welch_ttest_user_value(spark, sf_dir):
+    """Welch's t over per-user total event value cents, user_id % 2 split
+    (stats.welch_ttest): six exact per-arm sums from one aggregation;
+    t and the Welch-Satterthwaite dof are IEEE arithmetic on identical
+    exact-derived doubles. Completes the A/B family: z (proportions),
+    t (means), U (ranks), chi2 (contingency)."""
+    from .operators.stats import welch_ttest
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum((F.col("value").cast("decimal(12,2)") * 100)
+                   .cast("long")).cast("long").alias("cents"))
+        .select((F.col("user_id") % 2).cast("int").alias("variant"), "cents")
+    )
+    return welch_ttest(users, "variant", "cents")
+
+
+@query("cuped_user_value")
+def cuped_user_value(spark, sf_dir):
+    """CUPED pre-period adjustment (stats.cuped_adjustment): per-user
+    pre (before Jan 16) and post (from Jan 16) event value cents,
+    user_id % 2 arms. theta is the pooled OLS slope of post on pre from
+    the same exact DECIMAL sufficient statistics as grouped_ols; rho2
+    is the variance fraction CUPED removes."""
+    from .operators.stats import cuped_adjustment
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    users = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
+            .cast("long").alias("pre"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0))
+            .cast("long").alias("post"),
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("variant"),
+                "pre", "post")
+    )
+    return cuped_adjustment(users, "variant", "pre", "post")

@@ -114,6 +114,7 @@ NATIVE_QUERIES = [
     "ab_ztest_events", "kmv_overlap_halves", "join_size_sketch_orders", "dedup_exact_ingest",
     "hll_distinct_users_by_type", "bootstrap_ci_order_price",
     "chisq_type_variant_events", "mannwhitney_value_events",
+    "welch_ttest_user_value", "cuped_user_value",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

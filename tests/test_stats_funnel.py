@@ -915,3 +915,74 @@ def test_mannwhitney_degenerate_all_tied(spark):
         [(0, 7), (1, 7), (0, 7), (1, 7)], "variant int, v long")
     r = mannwhitney_u(df, "variant", "v").collect()[0]
     assert r.z_stat is None  # variance degenerates
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest / cuped_adjustment
+# ---------------------------------------------------------------------------
+
+
+def test_welch_hand_computed(spark):
+    from simple_anonymizer_spark.operators.stats import welch_ttest
+
+    a = [10, 12, 14, 16, 18]          # mean 14, var 10
+    b = [20, 25, 30]                  # mean 25, var 25
+    rows = [(0, x) for x in a] + [(1, x) for x in b]
+    df = spark.createDataFrame(rows, "variant int, v long")
+    r = welch_ttest(df, "variant", "v").collect()[0]
+    assert (r.n_a, r.n_b) == (5, 3)
+    assert r.mean_a == 14.0 and r.mean_b == 25.0
+    assert r.var_a == 10.0 and r.var_b == 25.0
+    se2 = 10 / 5 + 25 / 3
+    import math
+    assert abs(r.t_stat - (25 - 14) / math.sqrt(se2)) < 1e-12
+    dof = se2 ** 2 / ((10 / 5) ** 2 / 4 + (25 / 3) ** 2 / 2)
+    assert abs(r.dof - dof) < 1e-9
+
+
+def test_welch_degenerate_single_unit_arm(spark):
+    from simple_anonymizer_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 1), (1, 2)], "variant int, v long")
+    r = welch_ttest(df, "variant", "v").collect()[0]
+    assert r.t_stat is None and r.var_a is None
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    from simple_anonymizer_spark.operators.stats import cuped_adjustment
+
+    # post = pre exactly -> theta = 1, rho2 = 1, adjusted diff = 0
+    rows = [(i % 2, 100 + i, 100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "variant int, pre long, post long")
+    r = cuped_adjustment(df, "variant", "pre", "post").collect()[0]
+    assert r.theta == 1.0 and r.rho2 == 1.0
+    assert abs(r.diff_adj) < 1e-9
+
+
+def test_cuped_uncorrelated_covariate_is_noop_shift(spark):
+    from simple_anonymizer_spark.operators.stats import cuped_adjustment
+
+    # pre constant -> den = 0 -> theta NULL, raw means still reported
+    rows = [(i % 2, 5, 10 + i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "variant int, pre long, post long")
+    r = cuped_adjustment(df, "variant", "pre", "post").collect()[0]
+    assert r.theta is None and r.mean_adj_a is None
+    assert r.mean_a is not None and r.diff_mean is not None
+
+
+def test_cuped_balanced_shift_preserved(spark):
+    from simple_anonymizer_spark.operators.stats import cuped_adjustment
+
+    # arm B's post is arm A's + 7 with identical pre: adjustment keeps
+    # the true treatment effect
+    rows = [(0, (i * 13) % 50, 100 + (i * 13) % 50) for i in range(200)]
+    rows += [(1, (i * 13) % 50, 107 + (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "variant int, pre long, post long")
+    r = cuped_adjustment(df, "variant", "pre", "post").collect()[0]
+    assert abs(r.diff_mean - 7.0) < 1e-9
+    assert abs(r.diff_adj - 7.0) < 1e-9
+    assert r.theta == 1.0
+    # the +7 treatment effect is itself y-variance the pooled covariate
+    # cannot explain, so rho2 tops out below 1 even with a perfect pre
+    assert r.rho2 > 0.9
