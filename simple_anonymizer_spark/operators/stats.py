@@ -1020,52 +1020,69 @@ def bootstrap_mean_ci(
     """Poissonized bootstrap of the mean in ONE pass — error bars for
     pipeline metrics without B full resamples: each row's multiplicity in
     resample ``b`` is Poisson(1), drawn deterministically by integer
-    inverse-CDF on the b-salted frozen hash (``poisson1_thresholds``), so
-    the whole bootstrap is 2B exact sums in a single map-side-combined
-    aggregation (no explode — the shuffle carries one 2B-column row).
+    inverse-CDF on the b-salted frozen hash (``poisson1_thresholds``;
+    the ~1e-6 tail above the last threshold draws ``max_k + 1``).
     ``value_col`` must be exact integers (the cents rule); every
     resample mean is one double division of exact DECIMAL/long
     operands, so all B means — and the CI edges picked from their
     sorted order — are cross-engine deterministic.
 
+    Shape: the resample index EXPLODES into rows (B x input in the map
+    stage only — partial aggregation reduces each partition to B rows
+    before the one B-group shuffle) and the multiplicity is a
+    constant-size fold over the 9-threshold array literal. The obvious
+    alternative — unrolling B hash+sum column pairs into one wide
+    aggregate — executes just as fast but costs ~30 s of Catalyst
+    PLANNING per fresh plan at B = 32 (the documented wide-literal-tree
+    gotcha); this shape plans in milliseconds at any B.
+
     Output: one row per resample: ``resample int, n_drawn long,
     mean double`` (NULL mean for an empty resample — probability
-    ~e^-n). Callers read CI edges by ranking the B means; at 100 TB
-    the aggregation state is 2B numbers per partition regardless of
-    row count."""
-    from ..functions.textops import salted_hash
+    ~e^-n)."""
+    from ..functions.hashing import _raw_hash
+    from .dedup import ensure_parallelism
 
+    if n_resamples < 1:
+        raise ValueError("n_resamples must be >= 1")
     thresholds = poisson1_thresholds()
-    key = F.col(id_col).cast("string")
-    v = F.col(value_col).cast("decimal(38,0)")
-    sums, counts = [], []
-    for b in range(n_resamples):
-        h = salted_hash(key, f"{salt}{b}|")
-        mult = F.lit(len(thresholds) + 1)
-        for k in range(len(thresholds) - 1, -1, -1):
-            mult = F.when(h < F.lit(thresholds[k]), F.lit(k)).otherwise(mult)
-        mult = mult.cast("long")
-        sums.append(
-            F.sum(v * mult.cast("decimal(38,0)"))
-            .cast("decimal(38,0)").alias(f"__s{b}")
-        )
-        counts.append(F.sum(mult).cast("long").alias(f"__n{b}"))
-    wide = df.agg(*sums, *counts)
-    rows = [
-        F.struct(
-            F.lit(b).cast("int").alias("resample"),
-            F.coalesce(F.col(f"__n{b}"), F.lit(0)).alias("n_drawn"),
-            F.when(
-                F.coalesce(F.col(f"__n{b}"), F.lit(0)) > 0,
-                F.col(f"__s{b}").cast("double")
-                / F.col(f"__n{b}").cast("double"),
-            ).alias("mean"),
-        )
-        for b in range(n_resamples)
-    ]
-    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
-        "r.resample", "r.n_drawn", "r.mean"
+    # B x per-row hashing serializes onto one task on single-split inputs
+    # (the fixture-file gotcha) — the guard is a no-op at real scale.
+    base = ensure_parallelism(df.select(
+        F.col(value_col).cast("decimal(38,0)").alias("__v"),
+        F.col(id_col).cast("string").alias("__k"),
+    )).select(
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1)))
+        .alias("resample"),
+        "__k",
     )
+    salted = F.concat(F.col("__k"), F.lit(salt),
+                      F.col("resample").cast("string"), F.lit("|"))
+    hashed = base.select(
+        "resample", "__v", _raw_hash(salted).alias("__h"))
+    tarr = F.array(*[F.lit(t).cast("long") for t in thresholds])
+    mult = F.aggregate(
+        tarr, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(F.col("__h") >= t, 1).otherwise(0),
+    ).cast("long")
+    agg = (
+        hashed.select("resample", "__v", mult.alias("__m"))
+        .groupBy("resample")
+        .agg(
+            F.sum(F.col("__v") * F.col("__m").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").alias("__s"),
+            F.sum("__m").cast("long").alias("n_drawn"),
+        )
+    )
+    return agg.select(
+        F.col("resample").cast("int").alias("resample"),
+        "n_drawn",
+        F.when(
+            F.col("n_drawn") > 0,
+            F.col("__s").cast("double") / F.col("n_drawn").cast("double"),
+        ).alias("mean"),
+    )
+
 
 
 def chisq_independence(

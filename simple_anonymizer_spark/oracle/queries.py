@@ -5834,7 +5834,7 @@ def _boot_mult(b: int) -> str:
     whens = " ".join(
         f"WHEN {h} < {t} THEN {j}" for j, t in enumerate(_BOOT_T)
     )
-    return f"(CASE {whens} ELSE {len(_BOOT_T) + 1} END)"
+    return f"(CASE {whens} ELSE {len(_BOOT_T)} END)"
 
 
 _BOOT_MCOLS = ",\n         ".join(
