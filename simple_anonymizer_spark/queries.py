@@ -3867,9 +3867,11 @@ def join_size_sketch_orders(spark, sf_dir):
     along (cms_rel_error always >= 0)."""
     from .operators import sketch
 
-    ok = _t(spark, sf_dir, "orders").select(
+    # 14 salted hashes per row across the two grids: the fixture's 1-3
+    # parquet splits serialize that CPU without the guard (no-op at scale)
+    ok = _tp(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("key"))
-    lk = _t(spark, sf_dir, "lineitem").select(
+    lk = _tp(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("string").alias("key"))
     cms = sketch.cms_inner_product(
         sketch.cms_sketch(ok, "key"), sketch.cms_sketch(lk, "key")
