@@ -322,11 +322,17 @@ def kmv_sketch(
     (map-side combine shrinks duplicates before the exchange) feeding
     ``TakeOrderedAndProject`` — the reduce side keeps ``k`` rows per
     partition, never a global sort. At 100 TB the distinct exchange still
-    carries one row per distinct key; pass ``expected_n`` (any upstream
-    row-count hint) to pre-filter ``h < 8k/n * 2^31`` BEFORE the
-    aggregation — lossless whenever the true kth minimum is below 8x its
-    expectation (P[miss] < 1e-9 by Chernoff at k >= 64), shrinking the
-    exchange to ~8k rows regardless of cardinality.
+    carries one row per distinct key; pass ``expected_n`` — an estimate
+    of the DISTINCT key count — to pre-filter ``h < 8k/n * 2^31`` BEFORE
+    the aggregation, shrinking the exchange to ~8k rows regardless of
+    cardinality. Loss safety is one-sided: UNDER-estimates only widen
+    the window (always lossless), and over-estimates keep a Chernoff
+    margin — at 4x over the true distinct count the effective window is
+    still 2x the kth minimum's expectation (P[miss] ~ e^-0.3k). A raw
+    row count is a safe hint only for near-unique keys; for heavily
+    duplicated keys (rows >> distinct) use a distinct-count estimate
+    (e.g. :func:`hll_estimate` over yesterday's registers), or omit the
+    hint and pay the full distinct exchange.
 
     Output: ``h long`` (the kept hash values, ascending by take-order).
     """

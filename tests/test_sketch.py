@@ -340,3 +340,13 @@ def test_hll_grouped_accuracy(spark):
         sketch.hll_grouped_registers(df, ["g"], "k", p=8), ["g"], p=8
     ).collect()[0]
     assert abs(r.hll_estimate - 2000) / 2000 < 0.2
+
+
+def test_kmv_prefilter_survives_4x_overestimate(spark):
+    # the one-sided safety claim: hinting 4x the true distinct count
+    # still keeps every sketch value (window stays 2x the kth min)
+    df = spark.createDataFrame([(f"v{i}",) for i in range(2000)], "k string")
+    plain = sorted(r.h for r in sketch.kmv_sketch(df, "k", k=128).collect())
+    hinted = sorted(r.h for r in sketch.kmv_sketch(
+        df, "k", k=128, expected_n=8000).collect())
+    assert plain == hinted
