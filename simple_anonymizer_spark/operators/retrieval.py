@@ -235,3 +235,71 @@ def mmr_rerank(
     return spark.createDataFrame(
         rows, f"rank long, {id_col} long, rel_fp long, mmr_fp long"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N bounded rank lists — the standard hybrid-retrieval combiner
+    (lexical BM25 + semantic ANN) that needs no score calibration
+    because it consumes only RANKS::
+
+        rrf(d) = sum over lists L of 1 / (k_const + rank_L(d))
+
+    with absent lists contributing exactly 0. Every contribution is one
+    correctly-rounded IEEE division of exact integers (bit-identical in
+    any engine) and the sum is an explicit left-to-right chain in list
+    order, so fused scores — and therefore the fused ranking, with its
+    ``id`` tie-break — are deterministic cross-engine without any
+    fixed-point detour.
+
+    Inputs MUST already be top-n bounded (each a ``Limit``/top-k
+    subtree, the natural output of ``bm25_from_index`` /
+    ``similarity.brute_force_topk``): the fuse is a chain of full-outer
+    joins over at most ``sum(n_i)`` rows, and the final global window
+    ranks that bounded union — never a corpus (the house rule against
+    unbounded single-task windows is satisfied by construction, like
+    ``mmr_rerank``'s candidate matrix). At 100 TB the expensive part is
+    producing the input lists; the fusion itself is constant-size.
+
+    Output: ``<id_col>, n_lists_hit (long), rrf (double),
+    rank (long, 1-based)`` — the fused top ``top_k``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused: DataFrame | None = None
+    for i, r in enumerate(rankings):
+        part = r.select(F.col(id_col), F.col(rank_col).alias(f"__r{i}"))
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    contribs = [
+        F.coalesce(
+            F.lit(1).cast("double")
+            / (F.lit(k_const).cast("long")
+               + F.col(f"__r{i}").cast("long")).cast("double"),
+            F.lit(0.0),
+        )
+        for i in range(len(rankings))
+    ]
+    rrf = contribs[0]
+    for c in contribs[1:]:
+        rrf = rrf + c
+    hits = sum(
+        (F.col(f"__r{i}").isNotNull().cast("long")
+         for i in range(len(rankings))),
+        F.lit(0).cast("long"),
+    )
+    scored = fused.select(
+        id_col, hits.alias("n_lists_hit"), rrf.alias("rrf")
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -6112,3 +6112,49 @@ SELECT n_a, n_b,
        END AS diff_adj
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch: hybrid-retrieval fusion.
+# ---------------------------------------------------------------------------
+
+# RRF mirror: lexical list = the bm25_indexed oracle at top-50 (same
+# integer-rational fixed-point ranks), semantic list = the embedding_topk
+# oracle restricted to query vector 7 at k=50. Each RRF contribution is
+# CAST(1 AS DOUBLE)/CAST(60+rank AS DOUBLE) (one correctly-rounded IEEE
+# division of exact integers) and the sum is the same lex-then-sem chain
+# as the Spark side, so fused doubles are bit-identical.
+ORACLES["retrieval_rrf"] = f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM ({_bm25_oracle(["merge", "stream", "vector"], 50)})
+),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id,
+    {_DOT.replace('qv', 'q.embedding').replace('cv', 'c.embedding')}
+      / ({_QNORM.replace('qv', 'q.embedding')}
+         * {_CNORM.replace('cv', 'c.embedding')}) AS cos
+  FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+  WHERE c.vec_id <> 7
+),
+sem AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM sem_scored
+  QUALIFY rank <= 50
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST((l.rank IS NOT NULL) AS BIGINT)
+           + CAST((s.rank IS NOT NULL) AS BIGINT) AS n_lists_hit,
+         COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.rank AS DOUBLE),
+                  CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + s.rank AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS rrf
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, n_lists_hit, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM fused
+QUALIFY rank <= 20
+"""

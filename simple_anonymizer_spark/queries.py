@@ -4038,3 +4038,27 @@ def cuped_user_value(spark, sf_dir):
                 "pre", "post")
     )
     return cuped_adjustment(users, "variant", "pre", "post")
+
+
+@query("retrieval_rrf")
+def retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (retrieval.rrf_fuse):
+    the lexical list is indexed BM25 top-50 for a three-term query, the
+    semantic list is exact cosine top-50 around query vector 7 (the
+    fixtures share the 0..499 id space between documents and
+    embeddings); rrf = 1/(60+r_lex) + 1/(60+r_sem), absent lists
+    contribute 0, fused top-20 with an id tie-break. Each contribution
+    is one IEEE division of exact integers and the two-term sum is a
+    fixed-order chain, so the fused doubles are bit-identical in both
+    engines."""
+    from .operators.retrieval import bm25_from_index, build_term_index, rrf_fuse
+
+    docs = _tp(spark, sf_dir, "documents")
+    lex = bm25_from_index(
+        build_term_index(docs), ["merge", "stream", "vector"], top_k=50
+    ).select("doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 7), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k_const=60, top_k=20)

@@ -115,6 +115,9 @@ NATIVE_QUERIES = [
     "hll_distinct_users_by_type", "bootstrap_ci_order_price",
     "chisq_type_variant_events", "mannwhitney_value_events",
     "welch_ttest_user_value", "cuped_user_value",
+    # hybrid retrieval fusion: bounded-list full-outer joins + one
+    # bounded window — pure column algebra.
+    "retrieval_rrf",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

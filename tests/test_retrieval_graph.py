@@ -369,3 +369,39 @@ def test_doc_surprisal_flags_incoherent_tail(spark):
            for r in doc_surprisal(_docs(spark, rows)).collect()}
     fluent = max(v for k, v in out.items() if k != 99)
     assert out[99] > fluent
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+
+def _ranks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank long")
+
+
+def test_rrf_doc_in_both_lists_beats_single_list_leader(spark):
+    from simple_anonymizer_spark.operators.retrieval import rrf_fuse
+
+    a = _ranks(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _ranks(spark, [(3, 1), (2, 2), (4, 3)])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k_const=60, top_k=10).collect()}
+    # doc 2 (ranks 2+2) and doc 3 (3+1) both fuse two lists; docs 1 and 4
+    # appear once each — any two-list doc outranks any one-list doc here.
+    assert out[2].n_lists_hit == 2 and out[1].n_lists_hit == 1
+    assert out[3].rank < out[1].rank and out[2].rank < out[4].rank
+    # exact contribution arithmetic: absent list contributes exactly 0
+    assert out[1].rrf == 1.0 / 61.0
+    assert out[3].rrf == 1.0 / 63.0 + 1.0 / 61.0
+
+
+def test_rrf_tie_breaks_on_id_and_caps_topk(spark):
+    from simple_anonymizer_spark.operators.retrieval import rrf_fuse
+
+    a = _ranks(spark, [(i, i) for i in range(1, 8)])
+    b = _ranks(spark, [(i + 100, i) for i in range(1, 8)])
+    out = rrf_fuse([a, b], k_const=60, top_k=5).collect()
+    assert len(out) == 5
+    # (1, rank 1) and (101, rank 1) tie on rrf: lower id wins
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[1] == 1 and ranks[101] == 2
