@@ -1166,3 +1166,61 @@ def wordpiece_train(
         "iteration long, left string, right string, merged string,"
         " pair_count long, score_bits long",
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2020,
+    arXiv:1911.00359): rewrite each document with every LINE that occurs
+    in at least ``min_docs`` distinct documents removed — the standard
+    web-corpus pass that strips navigation bars, cookie banners, and
+    copyright footers which repeat across pages while the prose does
+    not. Complements ``scrub_duplicate_spans`` (token-gram spans WITHIN
+    lines) at the coarser line granularity where web boilerplate
+    actually lives.
+
+    Lines shuffle by ``stable_hash(line)`` — constant row width into the
+    frequency aggregation regardless of line length, and the aggregation
+    map-side-combines on the hash key. Only the duplicated hash set (the
+    small side in a healthy corpus) joins back; the rebuild is one
+    shuffle on the doc id with an in-row positional sort, exactly the
+    ``scrub_duplicate_spans`` reassembly shape. Empty documents and
+    documents whose every line was boilerplate come back with
+    ``clean_text = ''``.
+
+    Output: ``<id_col>, n_lines, n_removed (int64), clean_text``.
+    """
+    from ..functions.hashing import stable_hash
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__lh", stable_hash(F.col("__line")))
+    dup = (
+        lines.groupBy("__lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__lh", F.lit(1).alias("__dup"))
+    )
+    marked = lines.join(dup, "__lh", "left")
+    kept = F.when(
+        F.col("__dup").isNull(), F.struct(F.col("__pos").alias("p"),
+                                          F.col("__line").alias("ln"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("__dup").isNotNull().cast("long"))
+            .cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s["ln"]),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

@@ -6158,3 +6158,39 @@ SELECT doc_id, n_lists_hit, rrf,
 FROM fused
 QUALIFY rank <= 20
 """
+
+
+# Line-dedup mirror: same header/footer wrap, lines keyed by the shared
+# stable-hash kernel, drop set = hashes spanning >= 10 distinct docs;
+# string_agg(ORDER BY pos) rebuilds kept lines, COALESCE supplies the
+# all-boilerplate empty string like array_join over an empty array.
+ORACLES["dedup_lines_boilerplate"] = f"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '(c) example-corpus - all rights reserved' || chr(10) || text
+           || chr(10) || 'fetched by crawler #' || CAST(doc_id % 7 AS VARCHAR)
+           AS text
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM wrapped),
+l AS (
+  SELECT doc_id, unnest(parts) AS line,
+         unnest(range(1, len(parts) + 1)) AS pos
+  FROM sp
+),
+h AS (SELECT doc_id, pos, line, {O.stable_hash('line')} AS lh FROM l),
+dup AS (
+  SELECT lh FROM h GROUP BY lh HAVING count(DISTINCT doc_id) >= 10
+),
+m AS (
+  SELECT h.doc_id, h.pos, h.line, (dup.lh IS NOT NULL) AS isdup
+  FROM h LEFT JOIN dup ON h.lh = dup.lh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT isdup THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text
+FROM m
+GROUP BY doc_id
+"""

@@ -4062,3 +4062,29 @@ def retrieval_rrf(spark, sf_dir):
         emb, emb.where(F.col("vec_id") == 7), k=50
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, sem], k_const=60, top_k=20)
+
+
+@query("dedup_lines_boilerplate")
+def dedup_lines_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (textprep.line_dedup, the CCNet
+    pass) over a deterministic crawl rendering of the corpus: every
+    document is wrapped in a constant header line plus a
+    ``doc_id % 7``-keyed crawler footer line (the fixture documents are
+    single-line and all distinct, so the wrap supplies the repeating
+    boilerplate a web corpus would carry). Lines repeating across
+    min_docs=10 documents are dropped — the header always, the footer
+    variants wherever the fixture is large enough — and the prose line
+    survives verbatim."""
+    from .operators.textprep import line_dedup
+
+    wrapped = _tp(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("(c) example-corpus - all rights reserved"),
+            F.col("text"),
+            F.concat(F.lit("fetched by crawler #"),
+                     (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(wrapped, min_docs=10)

@@ -118,6 +118,8 @@ NATIVE_QUERIES = [
     # hybrid retrieval fusion: bounded-list full-outer joins + one
     # bounded window — pure column algebra.
     "retrieval_rrf",
+    # line-level boilerplate removal: explode/agg/rebuild column algebra.
+    "dedup_lines_boilerplate",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

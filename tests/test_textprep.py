@@ -500,3 +500,42 @@ def test_wordpiece_deterministic_across_partitioning(spark):
     b = [tuple(r) for r in
          wordpiece_train(docs.repartition(5), n_merges=4).collect()]
     assert a == b and len(a) == 4
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (CCNet boilerplate pass)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_strips_repeating_lines_keeps_order(spark):
+    from simple_anonymizer_spark.operators.textprep import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha prose\nmid\nFOOTER"),
+            (2, "HEADER\nbeta prose\nFOOTER"),
+            (3, "HEADER\ngamma prose\nFOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out[1].clean_text == "alpha prose\nmid"
+    assert out[1].n_lines == 4 and out[1].n_removed == 2
+    assert out[2].clean_text == "beta prose"
+
+
+def test_line_dedup_threshold_and_all_boilerplate_doc(spark):
+    from simple_anonymizer_spark.operators.textprep import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "dup\nown1"), (2, "dup\nown2"), (3, "dup")],
+        "doc_id long, text string",
+    )
+    # min_docs=4: nothing repeats enough, everything survives
+    loose = {r.doc_id: r.clean_text
+             for r in line_dedup(docs, min_docs=4).collect()}
+    assert loose == {1: "dup\nown1", 2: "dup\nown2", 3: "dup"}
+    # min_docs=3: 'dup' goes; doc 3 becomes empty, counts stay exact
+    tight = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert tight[3].clean_text == "" and tight[3].n_removed == 1
+    assert tight[1].clean_text == "own1"
