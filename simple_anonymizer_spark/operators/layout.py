@@ -88,3 +88,93 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file",
+    size_col: str = "size_bytes",
+    partitions: int | None = None,
+    cache_owner: list | None = None,
+) -> DataFrame:
+    """Small-file compaction planner: assign every file in a table's
+    inventory to an output bin of ~``target_bytes`` — the distributed
+    form of the bin-packing step behind ``OPTIMIZE``-style compaction
+    (the deltalog backend plans its rewrites driver-side from a bounded
+    log; THIS operator is for the 100M-file inventories where the
+    inventory itself is a dataset). The small-files problem is the
+    classic lakehouse tax: a 100 TB table ingested in 1 MB files carries
+    10^8 scan tasks and a same-sized listing cost until compacted.
+
+    Files pack in ``file_col`` order — adjacent-merge, preserving
+    whatever clustering (ingest time, Z-order, hive partition path) the
+    layout already has, unlike size-sorted first-fit which destroys
+    locality. Bin assignment is offset-based, exactly
+    ``textprep.pack_sequences``' formulation: each file lands in
+    ``exclusive_prefix_size div target_bytes``, so a file may straddle a
+    boundary (its bin runs slightly over target) — the deterministic,
+    shuffle-friendly approximation of greedy packing, whose
+    reset-at-overflow counter is inherently sequential. Every bin except
+    the last holds at least ``target_bytes`` minus one file.
+
+    The running offset is the distributed two-pass prefix sum
+    (range-repartition + per-partition cumsum + one bounded
+    one-row-per-partition collect broadcast back) — never a global
+    single-reducer window. Same ``cache_owner`` contract as
+    ``pack_sequences``: the pinned (file, size, pid) projection must
+    outlive the returned plan.
+
+    Output: ``<file_col>, <size_col>, bin (long), bin_offset (long)``.
+    """
+    from pyspark.sql import Window
+
+    base = files.select(F.col(file_col), F.col(size_col).cast("long"))
+    if partitions is None:
+        partitions = base.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        base.repartitionByRange(partitions, F.col(file_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "__local_cum", F.sum(size_col).over(w) - F.col(size_col)
+    )
+    totals = sorted(
+        (r["__pid"], r["total"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(size_col).alias("total"))
+        .collect()
+    )
+    prefix_rows = []
+    running = 0
+    for pid, total in totals:
+        prefix_rows.append((pid, running))
+        running += total
+    if cache_owner is not None:
+        cache_owner.append(ranged)
+    spark = base.sparkSession
+    if prefix_rows:
+        prefix_df = spark.createDataFrame(prefix_rows, "__pid int, __base long")
+        cum = local.join(F.broadcast(prefix_df), "__pid", "left").select(
+            file_col,
+            size_col,
+            (F.col("__local_cum") + F.coalesce(F.col("__base"), F.lit(0)))
+            .alias("__offset"),
+        )
+    else:
+        cum = local.select(
+            file_col, size_col, F.col("__local_cum").alias("__offset")
+        )
+    return cum.select(
+        file_col,
+        size_col,
+        ((F.col("__offset") - F.col("__offset") % target_bytes)
+         / target_bytes).cast("long").alias("bin"),
+        (F.col("__offset") % target_bytes).alias("bin_offset"),
+    )

@@ -6194,3 +6194,27 @@ SELECT doc_id,
 FROM m
 GROUP BY doc_id
 """
+
+
+# Compaction-plan mirror: same bucketed inventory, one SQL window prefix
+# sum (the oracle has no single-reducer concern), same offset//target
+# integer bin arithmetic.
+ORACLES["compaction_plan_files"] = """
+WITH inv AS (
+  SELECT 'part-' || lpad(CAST((o_orderkey - o_orderkey % 200) // 200
+                              AS VARCHAR), 8, '0') AS file,
+         CAST(sum(len(o_orderpriority) + 24) AS BIGINT) AS size_bytes
+  FROM orders
+  GROUP BY o_orderkey - o_orderkey % 200
+),
+c AS (
+  SELECT file, size_bytes,
+         sum(size_bytes) OVER (ORDER BY file ROWS UNBOUNDED PRECEDING)
+           - size_bytes AS off
+  FROM inv
+)
+SELECT file, size_bytes,
+       CAST(off // 32768 AS BIGINT) AS bin,
+       CAST(off % 32768 AS BIGINT) AS bin_offset
+FROM c
+"""

@@ -4088,3 +4088,29 @@ def dedup_lines_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return line_dedup(wrapped, min_docs=10)
+
+
+@query("compaction_plan_files")
+def compaction_plan_files(spark, sf_dir):
+    """Small-file compaction planning (layout.compaction_plan): the file
+    inventory is a deterministic rendering of orders as ingest chunks —
+    one "file" per o_orderkey div 200 sized at 24 bytes/row plus the
+    priority string, named part-<bucket> — packed into ~32 KiB bins by the
+    distributed offset prefix sum. Adjacent-merge in file-name order
+    preserves the ingest clustering; bins are exact integer offsets."""
+    from .operators.layout import compaction_plan
+
+    inv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") - F.col("o_orderkey") % 200)
+                 .alias("__bucket"))
+        .agg(F.sum(F.length("o_orderpriority") + 24).cast("long")
+             .alias("size_bytes"))
+        .select(
+            F.concat(F.lit("part-"),
+                     F.lpad((F.col("__bucket") / 200).cast("long")
+                            .cast("string"), 8, "0")).alias("file"),
+            "size_bytes",
+        )
+    )
+    return compaction_plan(inv, target_bytes=32768)

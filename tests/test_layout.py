@@ -81,3 +81,41 @@ def test_zorder_validation(spark, sf_dir):
         layout.zorder_by(orders, ["o_custkey", "o_totalprice"], bits=32)
     with pytest.raises(ValueError, match="at least one"):
         layout.zorder_value([], bits=4)
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_bins_are_contiguous_and_near_target(spark):
+    from simple_anonymizer_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i:03d}", 400) for i in range(10)], "file string, size_bytes long"
+    )
+    out = sorted(compaction_plan(files, target_bytes=1000).collect(),
+                 key=lambda r: r.file)
+    # 400-byte files against a 1000-byte target: offsets 0,400,800,1200...
+    assert [r.bin for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert out[3].bin_offset == 200  # straddler carries its in-bin offset
+    # adjacent-merge: file order and bin order agree (monotone bins)
+    bins = [r.bin for r in out]
+    assert bins == sorted(bins)
+
+
+def test_compaction_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"p{i:04d}", (i * 37) % 900 + 100) for i in range(200)],
+        "file string, size_bytes long",
+    )
+    owners = ([], [])
+    a = sorted(compaction_plan(files, 4096, partitions=2,
+                               cache_owner=owners[0]).collect())
+    b = sorted(compaction_plan(files, 4096, partitions=64,
+                               cache_owner=owners[1]).collect())
+    assert a == b
+    for o in owners:
+        o[0].unpersist()

@@ -120,6 +120,9 @@ NATIVE_QUERIES = [
     "retrieval_rrf",
     # line-level boilerplate removal: explode/agg/rebuild column algebra.
     "dedup_lines_boilerplate",
+    # compaction planner: pack_sequences' two-pass prefix sum over a file
+    # inventory — bounded per-partition collect, no Python.
+    "compaction_plan_files",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
