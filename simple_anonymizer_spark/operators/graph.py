@@ -230,3 +230,67 @@ def nation_trade_edges(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node with degree < k (and its edges) until stable — the
+    classic graph-density filter (web-spam and bot-farm screens keep
+    the dense core; link-graph quality signals discard the periphery).
+    The input edge list is treated as UNDIRECTED: it is symmetrized and
+    deduplicated first, so degree = number of distinct neighbors.
+
+    Peeling is monotone (a removed node never comes back), so running
+    more iterations past the fixpoint is a no-op: a fixed ``iterations``
+    unroll is output-identical to loop-until-stable whenever it covers
+    convergence, and the loop breaks early the first time an iteration
+    removes nothing (one bounded scalar per iteration — the pagerank
+    node-count pattern). Production runs set ``iterations`` high and
+    rely on the break; the oracle mirror unrolls the same fixed count.
+
+    Each iteration is one map-side-combinable degree aggregation plus
+    two semi-joins of the live edge list against the surviving node
+    set — the same co-partitioned join shape as pagerank's step, with
+    ``localCheckpoint`` pinning each generation (re-evaluating iteration
+    i's lineage at iteration i+1 would rescan the whole upstream graph
+    build per generation). Output: ``node (long), core_degree (long)``
+    — the members of the k-core with their within-core degree.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    sym = (
+        edges.select(src.alias("a"), dst.alias("b"))
+        .union(edges.select(dst.alias("a"), src.alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    for _ in range(iterations):
+        keep = (
+            alive.groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            alive.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        # bounded: one scalar per iteration; peeling is monotone so
+        # equal edge counts mean the fixpoint was reached
+        if nxt.count() == alive.count():
+            alive = nxt
+            break
+        alive = nxt
+    return (
+        alive.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -6218,3 +6218,38 @@ SELECT file, size_bytes,
        CAST(off % 32768 AS BIGINT) AS bin_offset
 FROM c
 """
+
+
+
+def _kcore_sql(k: int = 3, iterations: int = 8) -> str:
+    """Unrolled k-core peeling mirror. Every iteration references the
+    previous live-edge CTE THREE times (degree count + two endpoint
+    joins): plain CTEs would inline 3^N-fold (the BPE lesson), so every
+    generation is AS MATERIALIZED."""
+    ctes = ["""e0 AS MATERIALIZED (
+  SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+  UNION
+  SELECT l_suppkey * 2 + 1 AS a, l_partkey * 2 AS b FROM lineitem
+)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+  SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k}
+)""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN k{i} x ON e.a = x.a
+  JOIN k{i} y ON e.b = y.a
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       CAST(node // 2 AS BIGINT) AS id, core_degree
+FROM (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+  FROM e{iterations} GROUP BY a
+)
+"""
+    )
+
+
+ORACLES["graph_kcore_supply"] = _kcore_sql(3, 8)

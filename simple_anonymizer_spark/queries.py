@@ -4114,3 +4114,28 @@ def compaction_plan_files(spark, sf_dir):
         )
     )
     return compaction_plan(inv, target_bytes=32768)
+
+
+@query("graph_kcore_supply")
+def graph_kcore_supply(spark, sf_dir):
+    """3-core of the bipartite part-supplier graph (graph.kcore):
+    nodes are namespaced by parity (part = 2*partkey,
+    supplier = 2*suppkey+1), edges are the distinct lineitem
+    part-supplier pairs; iterative peeling keeps the densely
+    cross-linked supply core and reports each member's within-core
+    distinct-neighbor degree. Fixed 8-iteration unroll (peeling is
+    monotone, so extra iterations past the fixpoint are no-ops and the
+    operator's early break is output-identical)."""
+    from .operators.graph import kcore
+
+    edges = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    core = kcore(edges, k=3, iterations=8)
+    return core.select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("node div 2").cast("long").alias("id"),
+        "core_degree",
+    )

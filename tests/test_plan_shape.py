@@ -123,6 +123,9 @@ NATIVE_QUERIES = [
     # compaction planner: pack_sequences' two-pass prefix sum over a file
     # inventory — bounded per-partition collect, no Python.
     "compaction_plan_files",
+    # k-core peeling: per-iteration degree agg + semi-joins, one scalar
+    # count per generation — pure column algebra.
+    "graph_kcore_supply",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

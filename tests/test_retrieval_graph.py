@@ -405,3 +405,35 @@ def test_rrf_tie_breaks_on_id_and_caps_topk(spark):
     # (1, rank 1) and (101, rank 1) tie on rrf: lower id wins
     ranks = {r.doc_id: r.rank for r in out}
     assert ranks[1] == 1 and ranks[101] == 2
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendant_chain_cascade(spark):
+    from simple_anonymizer_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a pendant chain 3-4-5: the 2-core is the
+    # triangle, reached only after the cascade (5 dies, then 4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_direction_and_duplicate_insensitive(spark):
+    from simple_anonymizer_spark.operators.graph import kcore
+
+    # same triangle, edges duplicated and reversed: degree counts
+    # distinct neighbors, not edge multiplicity
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 2)],
+        "src long, dst long",
+    )
+    out = {r.node: r.core_degree for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k above the max degree: empty core
+    assert kcore(edges, k=5).count() == 0
