@@ -50,3 +50,28 @@ def test_bucketed_write_enables_shuffle_free_agg(spark, tmp_path):
         assert agg.count() == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_t")
+
+
+def test_bucketed_cobucketed_join_is_shuffle_free(spark):
+    """Sort-merge-bucket join: both sides bucketed on the join key with
+    the same bucket count co-locate, so the join plans with NO exchange
+    on either side — the standing-layout answer to the repeated
+    fact-to-fact join at 100 TB (shuffle once at write time, never per
+    query). Broadcast is disabled for the assertion so AQE can't hide
+    the shuffle question by broadcasting the small fixture."""
+    a = spark.createDataFrame([(i % 50, i) for i in range(400)], "k int, v int")
+    b = spark.createDataFrame([(i % 50, -i) for i in range(300)], "k int, w int")
+    write_bucketed(a, "smb_a", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(b, "smb_b", ["k"], num_buckets=4, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("smb_a").join(spark.table("smb_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.replace("ReusedExchange", "")
+        assert j.count() == 400 * 300 // 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS smb_a")
+        spark.sql("DROP TABLE IF EXISTS smb_b")
