@@ -37,6 +37,20 @@ BUDGETS = {
     "kmv_overlap_halves": (9, 6),
     "join_size_sketch_orders": (7, 6),
     "attribution_linear_events": (4, 2),
+    # round-6 third-session sweep: the continuation batch's costliest
+    # entries plus every newly added query, measured + 1 slack.
+    "dedup_minhash_recall": (3, 5),
+    "contamination_semantic": (3, 2),
+    "quality_lr_classifier": (3, 2),
+    "anon_fpe_orders": (1, 1),
+    "bpe_fertility_langs": (3, 3),
+    "dsir_select_docs": (7, 3),
+    "wordpiece_encode_docs": (2, 2),
+    "quantile_sketch_prices": (25, 10),
+    "retrieval_rrf": (10, 6),
+    "dedup_lines_boilerplate": (4, 2),
+    "compaction_plan_files": (6, 2),
+    "graph_kcore_supply": (2, 1),
 }
 
 
