@@ -1224,3 +1224,55 @@ def line_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def decode_documents(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "ids_csv",
+    oov_token: str = "<unk>",
+) -> DataFrame:
+    """Inverse of ``encode_documents``: token-id sequences back to the
+    space-joined token stream, ids missing from ``vocab`` (the OOV
+    sentinel included) rendered as ``oov_token``. Round-trip contract:
+    ``decode(encode(doc))`` equals the document's normalized token
+    stream exactly when every token is in-vocabulary — the bijectivity
+    certification a tokenizer deployment runs before training (id
+    tables and text must stay inverses across vocab releases).
+
+    Plan mirrors encode: positional explode of the id string ->
+    broadcast join on the model-sized vocab -> one per-document
+    aggregation with an in-row positional sort. Zero-token documents
+    keep a row with ``decoded_text = ''``.
+    Output: ``<id_col>, decoded_text``.
+    """
+    exploded = encoded.where(F.length(F.col(ids_col)) > 0).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(ids_col), " ")).alias("__pos", "__tid"),
+    )
+    joined = exploded.join(
+        F.broadcast(
+            vocab.select(F.col("token_id").cast("string").alias("__tid"),
+                         "token")
+        ),
+        "__tid", "left",
+    ).select(
+        id_col, "__pos",
+        F.coalesce(F.col("token"), F.lit(oov_token)).alias("__tok"),
+    )
+    dec = joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__pos").alias("p"), F.col("__tok").alias("tk")
+                ))),
+                lambda s: s["tk"],
+            ),
+            " ",
+        ).alias("decoded_text")
+    )
+    return encoded.select(id_col).join(dec, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("decoded_text"), F.lit("")).alias("decoded_text"),
+    )

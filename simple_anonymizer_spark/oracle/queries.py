@@ -6253,3 +6253,41 @@ FROM (
 
 
 ORACLES["graph_kcore_supply"] = _kcore_sql(3, 8)
+
+
+# Tokenizer round-trip mirror — deliberately an INDEPENDENT derivation:
+# the Spark side compares the genuinely decoded text against the
+# normalized token stream; the oracle derives the same flag as
+# "no OOV token" from the tagged explode. A decode defect (positional
+# order, vocab join, reassembly) flips the Spark flag but not the
+# oracle's, so the gate catches it.
+ORACLES["tokenizer_roundtrip_docs"] = f"""
+WITH vtoks AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC)
+             AS rnk
+    FROM vtoks GROUP BY token
+  ) WHERE rnk <= 29
+),
+d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS token FROM d
+),
+tagged AS (
+  SELECT p.doc_id, (v.token IS NULL) AS oov
+  FROM pos p LEFT JOIN vocab v USING (token)
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+       COALESCE(per.n_oov, 0) = 0 AS roundtrip_ok
+FROM d LEFT JOIN per USING (doc_id)
+"""

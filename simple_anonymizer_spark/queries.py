@@ -4139,3 +4139,36 @@ def graph_kcore_supply(spark, sf_dir):
         F.expr("node div 2").cast("long").alias("id"),
         "core_degree",
     )
+
+
+@query("tokenizer_roundtrip_docs")
+def tokenizer_roundtrip_docs(spark, sf_dir):
+    """Tokenizer bijectivity certification: build a size-capped vocab
+    (max_size=29 of the fixture's 31 tokens, so both outcomes occur —
+    ~110 clean round trips, ~390 OOV-lossy at every SF), encode every
+    document, decode it back (textprep.decode_documents), and flag
+    whether the decoded token stream equals the original normalized
+    stream. The flag derives from the GENUINE decode comparison on the
+    Spark side while the oracle derives it independently as n_oov = 0 —
+    a broken decode (order, join, reassembly) fails the gate even
+    though both sides agree on the counts."""
+    from .operators.textprep import build_vocab, decode_documents, encode_documents
+
+    docs = _tp(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_size=29)
+    enc = encode_documents(docs, vocab)
+    dec = decode_documents(enc, vocab)
+    ref = docs.select(
+        "doc_id", F.array_join(T.tokens(F.col("text")), " ").alias("__ref")
+    )
+    n_oov = F.size(
+        F.filter(F.split(F.col("ids_csv"), " "), lambda x: x == F.lit("-1"))
+    ).cast("long")
+    return (
+        enc.join(dec, "doc_id")
+        .join(ref, "doc_id")
+        .select(
+            "doc_id", "n_tokens", n_oov.alias("n_oov"),
+            (F.col("decoded_text") == F.col("__ref")).alias("roundtrip_ok"),
+        )
+    )

@@ -126,6 +126,8 @@ NATIVE_QUERIES = [
     # k-core peeling: per-iteration degree agg + semi-joins, one scalar
     # count per generation — pure column algebra.
     "graph_kcore_supply",
+    # tokenizer round trip: encode/decode explode + broadcast vocab joins.
+    "tokenizer_roundtrip_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

@@ -539,3 +539,21 @@ def test_line_dedup_threshold_and_all_boilerplate_doc(spark):
     tight = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
     assert tight[3].clean_text == "" and tight[3].n_removed == 1
     assert tight[1].clean_text == "own1"
+
+
+def test_decode_inverts_encode_and_marks_oov(spark):
+    from simple_anonymizer_spark.operators.textprep import (
+        build_vocab, decode_documents, encode_documents)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, ""), (4, "alpha rare")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, min_freq=2)  # alpha(3), beta(2); gamma/rare OOV
+    enc = encode_documents(docs, vocab)
+    dec = {r.doc_id: r.decoded_text
+           for r in decode_documents(enc, vocab).collect()}
+    assert dec[1] == "alpha beta alpha"   # faithful round trip
+    assert dec[2] == "beta <unk>"         # OOV rendered as sentinel
+    assert dec[3] == ""                   # zero-token doc keeps its row
+    assert dec[4] == "alpha <unk>"
