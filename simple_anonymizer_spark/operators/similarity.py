@@ -720,3 +720,58 @@ def ivf_cell_stats(
              / F.col("__total").cast("double")).alias("load_factor"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 5,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "_neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each query, EXCLUDE its ``k_pos`` nearest neighbors (those are the
+    positives / likely near-duplicates a contrastive loss must not see
+    as negatives), then draw ``k_neg`` negatives from the remainder in
+    salted-hash order — a uniform, seedless, reproducible draw (the
+    frozen-hash kernel), so the training set is bit-identical across
+    runs, engines, and retries.
+
+    Scale shape: the corpus scan scores once against the broadcast
+    query set; BOTH selections run through the ``_per_query_topk``
+    two-phase cascade (positives by cosine, negatives by hash order) —
+    no per-query window ever sees a corpus-sized partition, and the
+    exclusion anti-join is per-query-bounded (``k_pos`` rows per
+    query). Output: ``query_id, neighbor_id, rank (1..k_neg, hash
+    order), cos (double)``.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"))
+        .crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    pos = _per_query_topk(
+        scored, k_pos, F.col("__cos").desc(), F.col("neighbor_id").asc()
+    ).select("query_id", "neighbor_id")
+    rest = scored.join(pos, ["query_id", "neighbor_id"], "left_anti")
+    order_col = salted_hash(
+        F.concat(F.col("query_id").cast("string"), F.lit("_"),
+                 F.col("neighbor_id").cast("string")),
+        salt,
+    )
+    neg = _per_query_topk(
+        rest.withColumn("__ord", order_col), k_neg,
+        F.col("__ord").asc(), F.col("neighbor_id").asc(),
+    )
+    return neg.select(
+        "query_id", "neighbor_id", "rank", F.col("__cos").alias("cos")
+    )

@@ -6291,3 +6291,46 @@ SELECT d.doc_id,
        COALESCE(per.n_oov, 0) = 0 AS roundtrip_ok
 FROM d LEFT JOIN per USING (doc_id)
 """
+
+
+# Hard-negative mirror: same positive top-5 exclusion (cosine window),
+# same salted-hash draw order; ANTI JOIN is the left_anti twin.
+ORACLES["embedding_hard_negatives"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 3
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    {_DOT} / ({_QNORM} * {_CNORM}) AS cos
+  FROM c, q WHERE neighbor_id <> query_id
+),
+pos AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+rest AS (
+  SELECT s.query_id, s.neighbor_id, s.cos
+  FROM scored s ANTI JOIN pos p
+    ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
+),
+ordd AS (
+  SELECT query_id, neighbor_id, cos,
+         {_h("CAST(query_id AS VARCHAR) || '_' || CAST(neighbor_id AS VARCHAR) || '_neg'")}
+           AS o
+  FROM rest
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY o ASC, neighbor_id ASC
+       ) AS BIGINT) AS rank,
+       cos
+FROM ordd
+QUALIFY rank <= 4
+"""

@@ -4172,3 +4172,17 @@ def tokenizer_roundtrip_docs(spark, sf_dir):
             (F.col("decoded_text") == F.col("__ref")).alias("roundtrip_ok"),
         )
     )
+
+
+@query("embedding_hard_negatives")
+def embedding_hard_negatives(spark, sf_dir):
+    """Contrastive-training negative mining
+    (similarity.hard_negatives): queries = vectors 0-2, top-5 cosine
+    neighbors excluded as positives, 4 negatives per query drawn in
+    frozen salted-hash order from the remainder — reproducible
+    negatives with no RNG state, both selections through the two-phase
+    per-query cascade."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 3), k_pos=5, k_neg=4
+    )

@@ -128,6 +128,8 @@ NATIVE_QUERIES = [
     "graph_kcore_supply",
     # tokenizer round trip: encode/decode explode + broadcast vocab joins.
     "tokenizer_roundtrip_docs",
+    # hard-negative mining: broadcast query scoring + two topk cascades.
+    "embedding_hard_negatives",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

@@ -286,3 +286,25 @@ def test_per_query_topk_cascade_partition_invariant(spark, sf_dir):
     plan = (brute_force_topk(e, q)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Window") >= 2
+
+
+def test_hard_negatives_exclude_positives_and_are_deterministic(spark):
+    from simple_anonymizer_spark.operators.similarity import (
+        brute_force_topk, hard_negatives)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") < 2)
+    negs = hard_negatives(emb, q, k_pos=3, k_neg=5).collect()
+    pos = {(r.query_id, r.neighbor_id)
+           for r in brute_force_topk(emb, q, k=3).collect()}
+    assert len(negs) == 10
+    for r in negs:
+        assert (r.query_id, r.neighbor_id) not in pos
+        assert r.neighbor_id != r.query_id
+    # reproducible: second run draws the identical negative sets
+    again = hard_negatives(emb, q, k_pos=3, k_neg=5).collect()
+    assert sorted(map(tuple, negs)) == sorted(map(tuple, again))
