@@ -51,6 +51,8 @@ BUDGETS = {
     "dedup_lines_boilerplate": (4, 2),
     "compaction_plan_files": (6, 2),
     "graph_kcore_supply": (2, 1),
+    "tokenizer_roundtrip_docs": (7, 8),
+    "embedding_hard_negatives": (7, 3),
 }
 
 
