@@ -119,3 +119,15 @@ def test_compaction_partition_invariance(spark):
     assert a == b
     for o in owners:
         o[0].unpersist()
+
+
+def test_compaction_empty_inventory_and_single_oversize_file(spark):
+    from simple_anonymizer_spark.operators.layout import compaction_plan
+
+    empty = spark.createDataFrame([], "file string, size_bytes long")
+    assert compaction_plan(empty, 1000).count() == 0
+    # a single file larger than the target still lands in bin 0 whole —
+    # the planner never splits a file
+    one = spark.createDataFrame([("big", 5000)], "file string, size_bytes long")
+    r = compaction_plan(one, 1000).collect()[0]
+    assert (r.bin, r.bin_offset) == (0, 0)

@@ -437,3 +437,14 @@ def test_kcore_direction_and_duplicate_insensitive(spark):
     assert out == {1: 2, 2: 2, 3: 2}
     # k above the max degree: empty core
     assert kcore(edges, k=5).count() == 0
+
+
+def test_rrf_single_list_is_identity_order_and_empty_rejects(spark):
+    from simple_anonymizer_spark.operators.retrieval import rrf_fuse
+
+    a = _ranks(spark, [(5, 1), (9, 2), (2, 3)])
+    out = rrf_fuse([a], k_const=60, top_k=10).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] \
+        == [(5, 1), (9, 2), (2, 3)]
+    with pytest.raises(ValueError):
+        rrf_fuse([], k_const=60)
