@@ -860,8 +860,9 @@ WITH m AS (
   FROM embeddings
 )
 SELECT vec_id, scale,
-  CASE WHEN scale = 0 THEN [0 for x in dv]
-       ELSE [{_Q8_CODE} for x in dv] END AS codes,
+  array_to_string(
+    CASE WHEN scale = 0 THEN [0 for x in dv]
+         ELSE [{_Q8_CODE} for x in dv] END, ',') AS codes_csv,
   CASE WHEN scale = 0 THEN 0.0
        ELSE list_max([abs(x - ({_Q8_CODE} * scale) / 127.0) for x in dv])
        END AS max_abs_err

@@ -1043,8 +1043,19 @@ def embedding_topk_lsh(spark, sf_dir):
 def embedding_quantize_int8(spark, sf_dir):
     """Symmetric int8 vector quantization (similarity.quantize_int8):
     per-vector scale + codes + reconstruction bound, all in one
-    map-only pass of IEEE-identical double arithmetic."""
-    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    map-only pass of IEEE-identical double arithmetic. Codes are
+    emitted as CSV (the repo's scalar-output convention,
+    operators/textprep.py: encode_documents) — the driver's pandas
+    canonicalizer cannot sort list-typed columns."""
+    q = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+        "max_abs_err",
+    )
 
 
 @query("embedding_topk_pq")
