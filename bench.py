@@ -109,8 +109,17 @@ def main() -> None:
     # Warm-up at the smallest scale factor: compiles each query's
     # whole-stage-codegen classes (cache keys on generated source, which is
     # scale-independent) so timed runs measure execution, not JIT.
+    #
+    # HEADLINE-ONLY here: round 6 proved that warming the whole registry
+    # (231 plans) before timing the headline tier contaminates the
+    # committed artifact — accumulated JVM/session state inflated
+    # doc_surprisal_corpus to 10.62 s in BENCH_r06 vs 2.02 s standalone
+    # best-of-3 (same box, same config), manufacturing phantom regressions
+    # that grow with registry size. The headline tier is the
+    # round-over-round comparability record, so it is warmed and TIMED in
+    # a fresh-session-equivalent state; the sweep tier warms afterwards.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for name in HEADLINE + SWEEP:
+    for name in HEADLINE:
         try:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite").save()
@@ -141,7 +150,15 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
-    # Sweep tier: one warm timed pass for every remaining registry query.
+    # Sweep tier: warm (codegen compile at sf0.001) then one timed pass
+    # for every remaining registry query. Sweep warm-up runs AFTER the
+    # headline tier has been timed (see the headline warm-up note).
+    for name in SWEEP:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite").save()
+        except Exception:
+            pass
     sweep: dict[str, float] = {}
     for name in SWEEP:
         if name in errors:

@@ -156,6 +156,7 @@ def mmr_rerank(
     lam_tenths: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pool: int = 1024,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell & Goldstein
     1998) of a query's top-n retrieval: greedily pick the candidate
@@ -176,8 +177,18 @@ def mmr_rerank(
     construction, n_candidates^2 rows), and only it is collected for
     the inherently sequential greedy loop (the BPE/kmeans bounded-
     collect pattern: select_k steps of integer arithmetic on the
-    driver). Output: ``rank (1-based), <id_col>, rel_fp, mmr_fp``.
+    driver). The bound is ENFORCED, not assumed: ``n_candidates`` above
+    ``max_pool`` raises (the jpeg.py amplification-guard contract), so
+    no caller can quietly turn the n^2 driver matrix into an unbounded
+    collect. Output: ``rank (1-based), <id_col>, rel_fp, mmr_fp``.
     """
+    if n_candidates > max_pool:
+        raise ValueError(
+            f"mmr_rerank candidate pool {n_candidates} exceeds max_pool "
+            f"{max_pool}: the n^2 driver-side similarity matrix is only "
+            "bounded if the pool is; rerank a pre-limited candidate set "
+            "or raise max_pool deliberately"
+        )
     spark = corpus.sparkSession
     q = F.broadcast(
         corpus.where(F.col(id_col) == query_id)

@@ -64,3 +64,21 @@ def test_mmr_rank1_is_relevance_argmax_on_fixture(spark, sf_dir):
     assert len(rows) == 4
     assert rows[0][2] == max(r[2] for r in rows)  # seed has max relevance
     assert len({r[1] for r in rows}) == 4          # no repeats
+
+
+def test_mmr_oversized_pool_raises_before_any_job(spark):
+    """The n^2 driver-side matrix bound is enforced, not assumed
+    (jpeg.py amplification-guard contract): an oversized candidate
+    pool must raise BEFORE any Spark job runs, and an explicit
+    max_pool override must lift the guard deliberately."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_pool"):
+        mmr_rerank(df, query_id=0, n_candidates=2048, select_k=2)
+    out = mmr_rerank(df, query_id=0, n_candidates=2048, select_k=2,
+                     max_pool=4096)
+    assert out.count() == 2
