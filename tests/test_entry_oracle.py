@@ -95,6 +95,39 @@ def test_driver_window_fronts_unverified_queries():
             assert names.index(n) < len(unverified), n
 
 
+def test_round8_window_previews_stalest_reverification(monkeypatch):
+    """Round-8 window preview: once the 32 still-unverified names go green
+    in round 7 (they all fit the 50-slot window), coverage is total and the
+    policy flips to the perpetual regression screen — the NEXT window must
+    front the 50 stalest names, i.e. all 41 round-1 names first, then the
+    oldest remaining stamps, never a recently-refreshed name."""
+    simulated = dict(entrymod._DRIVER_VERIFIED_ROUND)
+    unverified = [n for n in QUERIES if n not in simulated]
+    assert len(unverified) <= 50, (
+        "never-verified backlog no longer fits one driver window — "
+        "the preview below assumes total coverage after round 7"
+    )
+    for n in unverified:
+        simulated[n] = 7
+    simulated.setdefault("embedding_quantize_int8", 7)
+    monkeypatch.setattr(entrymod, "_DRIVER_VERIFIED_ROUND", simulated)
+    monkeypatch.setattr(entrymod, "_DRIVER_VERIFIED", set(simulated))
+    monkeypatch.setattr(entrymod, "_DEFERRED_TO_NEXT_ROUND", set())
+
+    window = list(entrymod.queries())[:50]
+    round1 = {n for n, r in simulated.items() if r == 1}
+    assert round1 <= set(window), (
+        f"round-1 names missing from the round-8 window: "
+        f"{sorted(round1 - set(window))[:8]}"
+    )
+    cutoff = max(simulated[n] for n in window)
+    outside = [n for n in simulated
+               if n not in window and simulated[n] < cutoff]
+    assert not outside, (
+        f"stale names ranked behind fresher ones: {outside[:8]}"
+    )
+
+
 def test_approx_aggregates_bounds_hold(spark):
     """The error-bound booleans must actually be TRUE (not just match the
     oracle's booleans) — a regression in the sketch shows up here first."""
