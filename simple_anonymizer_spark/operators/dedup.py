@@ -341,6 +341,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for caller-supplied candidate pairs —
+    the doc-in-doc signal Jaccard misses: a short document quoted
+    verbatim inside a long one has low Jaccard (union is large) but
+    containment ``|A ∩ B| / |A|`` near 1. The standard screen for
+    quote/excerpt/boilerplate relationships between near-dup candidates
+    (Broder's containment coefficient alongside resemblance).
+
+    Same plan shape as ``ngram_jaccard_pairs`` (one shingle projection
+    feeding both join branches through ``ensure_parallelism``, in-row
+    ``array_intersect`` — lambda-free, stays in codegen). Output:
+    ``id_a, id_b, containment_ab (|A∩B|/|A|), containment_ba
+    (|A∩B|/|B|)`` — both divisions single IEEE ops on exact integer
+    set sizes. Empty shingle sets emit NULL (no 0/0)."""
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        T.char_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    size_a = F.size(F.col("__sh_a"))
+    size_b = F.size(F.col("__sh_b"))
+
+    def ratio(den):
+        return F.when(
+            den > 0, inter.cast("long").cast("double")
+            / den.cast("long").cast("double"))
+
+    return (
+        pairs.join(sh.withColumnRenamed("__id", "id_a")
+                   .withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .select("id_a", "id_b",
+                ratio(size_a).alias("containment_ab"),
+                ratio(size_b).alias("containment_ba"))
+    )
+
+
 def fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

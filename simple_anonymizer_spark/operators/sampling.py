@@ -392,3 +392,62 @@ def epoch_shuffle(
         F.expr(f"__rank * {n_shards} div {max(n, 1)}")
         .cast("long").alias("shard"),
     )
+
+
+def water_fill_budget(
+    counts: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling token-budget allocation across domains: spend a
+    total token budget ``B`` so that every domain is capped at a common
+    waterline ``W`` — small domains keep everything, large ones are cut
+    to ``W`` — the max-min-fair corpus mix (the continuous limit of the
+    per-domain-cap heuristic, and the allocation DoReMi-style mixers
+    start from).
+
+    Exact integer closed form, no iteration: sort domains ascending by
+    count, exclusive prefix sum ``P``, candidate waterline at row k is
+    ``(B - P) div (m - k + 1)``; the first row whose candidate falls
+    below its own count is the breakpoint and its candidate IS ``W``
+    (every earlier domain fits under the line whole; every later one is
+    cut to ``W``). No breakpoint means the budget covers the corpus and
+    every domain is fully granted. Guarantees
+    ``sum(granted) <= B < sum(min(count, W + 1))`` when cutting.
+
+    Windows here range over the DOMAIN table (group-cardinality-bounded,
+    the sketch register-table shape), never the corpus: at 100 TB the
+    corpus contributes one count aggregation; everything after is
+    arithmetic on ``m`` rows. Output: ``<group_col>, <count_col>,
+    waterline (int64, NULL when unconstrained), granted (int64)``.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    m = Window.orderBy(F.col(count_col).asc(), F.col(group_col).asc())
+    full = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        counts.select(group_col, F.col(count_col).cast("long")
+                      .alias(count_col))
+        .withColumn("__k", F.row_number().over(m).cast("long"))
+        .withColumn("__p", F.coalesce(
+            F.sum(count_col).over(
+                m.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).cast("long"))
+        .withColumn("__m", F.count(F.lit(1)).over(full).cast("long"))
+    )
+    cand = F.expr(f"({budget} - __p) div (__m - __k + 1)")
+    flagged = ranked.withColumn("__cand", cand).withColumn(
+        "__hit", F.when(F.col("__cand") < F.col(count_col),
+                        F.struct("__k", "__cand")))
+    line = F.min("__hit").over(full)["__cand"]
+    out = flagged.withColumn("waterline", line).select(
+        group_col,
+        count_col,
+        F.col("waterline").cast("long"),
+        F.when(F.col("waterline").isNotNull(),
+               F.least(F.col(count_col), F.col("waterline")))
+        .otherwise(F.col(count_col)).cast("long").alias("granted"),
+    )
+    return out

@@ -6335,3 +6335,165 @@ SELECT query_id, neighbor_id,
 FROM ordd
 QUALIFY rank <= 4
 """
+
+
+# --- Round-7 additions ----------------------------------------------------
+
+# orc_roundtrip_docs: Spark writes documents to ORC and reads it back;
+# DuckDB cannot read ORC, so (exactly like avro/warc) the oracle is the
+# source table itself — the value hash gates the whole write/read cycle.
+ORACLES["orc_roundtrip_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+# dedup_url_canonical: both engines synthesize the SAME collision-rich
+# URL (path keys on doc_id % 50, volatile parts on doc_id) and reuse the
+# proven canonicalization mirror (_U_CANON) from url_parse_docs.
+_COLLISION_URL_EXPR = (
+    "'https://' || source || '.example.com/page/' || "
+    "CAST(doc_id % 50 AS VARCHAR) || '?utm_source=crawl&ref=' || "
+    "CAST(doc_id AS VARCHAR) || '#sec' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+ORACLES["dedup_url_canonical"] = f"""
+WITH u AS (SELECT doc_id, {_COLLISION_URL_EXPR} AS url FROM documents)
+SELECT {_U_CANON} AS url_canonical,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM u GROUP BY url_canonical
+"""
+
+# lang_confusion_matrix: the lang_id scorer (same _lang_cols/_lang_pick
+# builders) aggregated into a (true, predicted) grid with per-true-label
+# row shares — exact int64 counts, one division on identical integers.
+ORACLES["lang_confusion_matrix"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_tokens('text')} AS toks FROM documents
+),
+scored AS (SELECT doc_id, lang, {_lang_cols} FROM t),
+pred AS (SELECT doc_id, lang, {_lang_pick} AS predicted_lang FROM scored),
+grid AS (
+  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS row_share
+FROM grid
+"""
+
+# zipf_fit_tokens: integer-bits OLS (the doc_surprisal bits rule) over
+# the top-1000 token frequencies; all regression sums exact int64, the
+# slope one division on identical integers.
+ORACLES["zipf_fit_tokens"] = f"""
+WITH tok AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM tok GROUP BY token
+  ORDER BY freq DESC, token ASC LIMIT 1000
+),
+xy AS (
+  SELECT
+    CAST(length(bin(CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                         AS BIGINT))) AS BIGINT) AS x,
+    CAST(length(bin(freq)) AS BIGINT) AS y
+  FROM freq
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fit,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy
+  FROM xy
+)
+SELECT n_fit, sum_x, sum_y, sum_xx, sum_xy,
+       CAST(n_fit * sum_xy - sum_x * sum_y AS DOUBLE)
+         / CAST(n_fit * sum_xx - sum_x * sum_x AS DOUBLE) AS zipf_slope
+FROM s
+"""
+
+# ngram_novelty_release: contamination_screen inverted — batch = the
+# deterministic doc_id % 4 = 3 quarter, prior = the rest; novelty =
+# share of the batch doc's distinct 5-grams absent from the prior set.
+ORACLES["ngram_novelty_release"] = f"""
+WITH prior_grams AS (
+  SELECT DISTINCT unnest({_doc_ngrams(5)}) AS gram
+  FROM documents WHERE doc_id % 4 < 3
+),
+batch_docs AS (
+  SELECT doc_id, {_doc_ngrams(5)} AS grams
+  FROM documents WHERE doc_id % 4 = 3
+),
+batch_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM batch_docs
+),
+hits AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM batch_grams bg
+  WHERE bg.gram IN (SELECT gram FROM prior_grams)
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.grams) AS BIGINT) AS n_grams,
+       CAST(len(d.grams) - coalesce(h.n_hit, 0) AS BIGINT) AS n_novel,
+       CASE WHEN len(d.grams) > 0 THEN
+         CAST(len(d.grams) - coalesce(h.n_hit, 0) AS DOUBLE)
+           / CAST(len(d.grams) AS DOUBLE)
+       END AS novelty_ratio
+FROM batch_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+# simjoin_containment_adjacent: the ngram_jaccard_adjacent mirror with
+# directional denominators (Broder containment).
+ORACLES["simjoin_containment_adjacent"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles('text')} AS sh FROM documents
+),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
+SELECT p.id_a, p.id_b,
+  CASE WHEN len(sa.sh) > 0 THEN
+    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      / CAST(len(sa.sh) AS DOUBLE) END AS containment_ab,
+  CASE WHEN len(sb.sh) > 0 THEN
+    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      / CAST(len(sb.sh) AS DOUBLE) END AS containment_ba
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.id_a
+JOIN sh sb ON sb.doc_id = p.id_b
+"""
+
+# remix_water_fill: the closed-form integer waterline — ascending-count
+# exclusive prefix sums, per-row candidate (B - P) // remaining, first
+# violating row's candidate is the line; no violation = unconstrained.
+ORACLES["remix_water_fill"] = f"""
+WITH counts AS (
+  SELECT source, CAST(sum(len({_tokens('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM counts),
+ranked AS (
+  SELECT c.source, c.n_tokens, t.b,
+    CAST(row_number() OVER (ORDER BY c.n_tokens ASC, c.source ASC)
+         AS BIGINT) AS k,
+    CAST(coalesce(sum(c.n_tokens) OVER (
+      ORDER BY c.n_tokens ASC, c.source ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p,
+    CAST(count(*) OVER () AS BIGINT) AS m
+  FROM counts c, tot t
+),
+cand AS (
+  SELECT *, CAST((b - p) // (m - k + 1) AS BIGINT) AS c FROM ranked
+),
+line AS (
+  SELECT min_by(c, k) AS waterline FROM cand WHERE c < n_tokens
+)
+SELECT r.source, r.n_tokens,
+       CAST(l.waterline AS BIGINT) AS waterline,
+       CAST(CASE WHEN l.waterline IS NOT NULL
+                 THEN least(r.n_tokens, l.waterline)
+                 ELSE r.n_tokens END AS BIGINT) AS granted
+FROM cand r, line l
+"""

@@ -4197,3 +4197,191 @@ def embedding_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(
         emb, emb.where(F.col("vec_id") < 3), k_pos=5, k_neg=4
     )
+
+
+@query("orc_roundtrip_docs")
+def orc_roundtrip_docs(spark, sf_dir):
+    """ORC interchange, driver-verifiable end-to-end: the documents
+    table is written through the ORC sink (``sources/orc.py`` — Spark's
+    native writer, zstd) and read back through the matching reader; the
+    oracle is simply the source table, so the driver's value hash gates
+    the full write/read cycle (the avro/warc roundtrip gate shape,
+    DuckDB never needs to read ORC itself)."""
+    import tempfile
+
+    from .sources.orc import orc_writer, read_orc_table
+
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    orc_writer(spark, out)("documents", _t(spark, sf_dir, "documents"))
+    return read_orc_table(spark, out + "/documents")
+
+
+def _collision_urls(spark, sf_dir):
+    """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
+    the volatile parts (tracking params, fragment) key on doc_id — so
+    canonicalization genuinely collapses distinct raw URLs. One source
+    of truth with the oracle's SQL builder (_COLLISION_URL_EXPR)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=crawl&ref="),
+            F.col("doc_id").cast("string"),
+            F.lit("#sec"), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+
+
+@query("dedup_url_canonical")
+def dedup_url_canonical(spark, sf_dir):
+    """Canonical-URL exact dedup — the first dedup rung of a web-corpus
+    intake (CCNet/C4 drop refetches of the same page before any content
+    hashing): canonicalize (tracking params, fragments, default ports
+    stripped — operators/urls.py), group by the canonical form, keep
+    the lowest doc id and count the collapsed fetches. One projection +
+    one hash aggregation on the canonical key; at 100 TB this is the
+    cheapest shuffle in the pipeline (the key is ~100 bytes and the
+    payload two int64s)."""
+    from .operators.urls import normalize_url
+
+    u = _collision_urls(spark, sf_dir)
+    return (
+        u.select("doc_id", normalize_url(F.col("url")).alias("url_canonical"))
+        .groupBy("url_canonical")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+@query("lang_confusion_matrix")
+def lang_confusion_matrix(spark, sf_dir):
+    """Language-ID evaluation readout: confusion matrix of the stopword
+    language identifier against the labeled ``lang`` column, with each
+    row's share of its true-label total (recall decomposition). The
+    prediction pass is the existing map-only scorer; the matrix is one
+    hash aggregation on the (true, predicted) pair — a bounded
+    languages^2 grid — and the share divides exact int64 counts inside
+    a label-partitioned window over that grid."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text_analysis.language_id(d)
+    grid = (
+        d.select("doc_id", "lang")
+        .join(pred.select("doc_id", "predicted_lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return grid.select(
+        "lang", "predicted_lang", "n_docs",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("row_share"),
+    )
+
+
+@query("zipf_fit_tokens")
+def zipf_fit_tokens(spark, sf_dir):
+    """Zipf's-law fit of the token frequency distribution: OLS slope of
+    bits(freq) against bits(rank) over the top-1000 tokens — the
+    corpus-health readout (natural text sits near slope -1; a corpus of
+    boilerplate or spam bends the curve). ``bits(n) = length(bin(n))``
+    is the engine's exact integer log2 (the doc_surprisal rule), so the
+    regression sums are exact int64 and the slope/intercept are single
+    IEEE divisions on identical integers in both engines.
+
+    Scale: one token count aggregation (vocabulary-bounded), top-1000
+    via TakeOrderedAndProject, ranking and sums confined to those 1000
+    rows. The corpus contributes exactly one shuffle."""
+    d = _tp(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(1000)
+    )
+    xy = freq.select(
+        F.length(F.expr("bin(row_number() OVER (ORDER BY freq DESC, token ASC))"))
+         .cast("long").alias("x"),
+        F.length(F.expr("bin(freq)")).cast("long").alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+    )
+    slope = (
+        (F.col("n_fit") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("double")
+        / (F.col("n_fit") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"))
+        .cast("double")
+    )
+    return sums.select(
+        "n_fit", "sum_x", "sum_y", "sum_xx", "sum_xy",
+        slope.alias("zipf_slope"),
+    )
+
+
+@query("ngram_novelty_release")
+def ngram_novelty_release(spark, sf_dir):
+    """Incoming-batch novelty against the prior release: for each doc of
+    the deterministic 1/4 batch slice (doc_id % 4 = 3), the share of its
+    distinct 5-grams NOT present anywhere in the 3/4 prior corpus — the
+    inverse of the contamination screen, answering the curator's
+    question "does this new crawl add anything". Same scale shape as
+    contamination_report (distinct-gram semi-join, gram-keyed —
+    vocabulary-bounded, never doc x doc)."""
+    from .operators.contamination import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    prior = d.where(F.col("doc_id") % 4 < 3)
+    batch = d.where(F.col("doc_id") % 4 == 3)
+    rep = contamination_report(prior, batch, n=5)
+    return rep.select(
+        "doc_id", "n_grams",
+        (F.col("n_grams") - F.col("n_contaminated")).cast("long")
+        .alias("n_novel"),
+        F.when(
+            F.col("n_grams") > 0,
+            (F.col("n_grams") - F.col("n_contaminated")).cast("double")
+            / F.col("n_grams").cast("double"),
+        ).alias("novelty_ratio"),
+    )
+
+
+@query("simjoin_containment_adjacent")
+def simjoin_containment_adjacent(spark, sf_dir):
+    """Directional n-gram containment on the adjacent-id candidate pairs
+    (dedup.ngram_containment_pairs): the doc-in-doc / quote-detection
+    coefficient |A∩B|/|A| that resemblance (Jaccard) misses when sizes
+    differ — same candidate-pair plan as ngram_jaccard_adjacent."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+    return dedup.ngram_containment_pairs(d, pairs)
+
+
+@query("remix_water_fill")
+def remix_water_fill(spark, sf_dir):
+    """Water-filling token-budget allocation across sources
+    (sampling.water_fill_budget): spend half the corpus's tokens with a
+    common per-domain waterline — small domains keep everything, big
+    ones are cut to the line. The per-source token counts are one
+    corpus aggregation; the closed-form waterline is exact integer
+    arithmetic over the bounded domain table. Budget = total div 2
+    computed on the oracle side from the same counts, so both engines
+    derive the identical literal-free allocation."""
+    from .operators.sampling import water_fill_budget
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("__t"))
+    budget = total.collect()[0]["__t"] // 2  # one scalar, model-sized collect
+    return water_fill_budget(counts, budget)

@@ -6,10 +6,11 @@ pruning, vectorized scan — so the copier's reader/writer callables work
 identically; the conformance tests pin PushedFilters/ReadSchema on ORC
 scans to keep that claim honest.
 
-DuckDB cannot read ORC, so there is no oracle-gated registry query for
-the format itself; conformance instead rests on byte-parity round trips
-against the Parquet fixtures (same rows, same schema, both directions)
-in tests/test_orc.py.
+DuckDB cannot read ORC, so the oracle gate takes the avro/warc
+roundtrip shape instead: ``orc_roundtrip_docs`` writes documents to ORC
+and reads them back while the oracle is the source table itself — the
+driver's value hash covers the full write/read cycle. Byte-parity round
+trips against the Parquet fixtures live in tests/test_orc.py.
 """
 
 from __future__ import annotations

@@ -130,6 +130,15 @@ NATIVE_QUERIES = [
     "tokenizer_roundtrip_docs",
     # hard-negative mining: broadcast query scoring + two topk cascades.
     "embedding_hard_negatives",
+    # round-7 batch: URL canonical dedup, lang-ID confusion grid,
+    # integer-bits Zipf OLS, novelty anti-screen, containment pairs,
+    # water-filling over the bounded domain table — all pure column
+    # algebra (water_fill's budget is one single-row scalar collect);
+    # orc_roundtrip reads back through Spark's native ORC scan (no
+    # Python at all, unlike the avro/warc from-scratch codecs).
+    "orc_roundtrip_docs", "dedup_url_canonical", "lang_confusion_matrix",
+    "zipf_fit_tokens", "ngram_novelty_release",
+    "simjoin_containment_adjacent", "remix_water_fill",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
