@@ -6497,3 +6497,117 @@ SELECT r.source, r.n_tokens,
                  ELSE r.n_tokens END AS BIGINT) AS granted
 FROM cand r, line l
 """
+
+
+# pack_efficiency_report: one aggregation over the SAME packing CTE as
+# pack_sequences_docs (reused as a subquery — one source of truth).
+ORACLES["pack_efficiency_report"] = f"""
+WITH packed AS ({ORACLES["pack_sequences_docs"]})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN seq_offset + n_tokens > 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddlers,
+       CAST(sum(CASE WHEN seq_offset + n_tokens > 256 THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS straddle_share,
+       CAST(sum(n_tokens) - 256 * (max(seq_id) + 1 - 1) AS DOUBLE) / 256.0
+         AS tail_fill
+FROM packed
+"""
+
+# vocab_coverage_curve: ranked vocab + k-grid (1..1024 by powers of 2);
+# counts exact int64, one division per row on identical integers.
+ORACLES["vocab_coverage_curve"] = f"""
+WITH tok AS (
+  SELECT unnest({_tokens('text')}) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                    AS BIGINT) AS rank
+  FROM freq
+),
+tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM ranked
+),
+ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024])
+               AS BIGINT) AS k)
+SELECT ks.k,
+       CAST(count(*) AS BIGINT) AS n_vocab_used,
+       CAST(sum(r.freq) AS BIGINT) AS covered_tokens,
+       t.total_tokens,
+       CAST(sum(r.freq) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+         AS coverage
+FROM ks JOIN ranked r ON r.rank <= ks.k, tot t
+GROUP BY ks.k, t.total_tokens
+"""
+
+# lang_id_kappa: chance-corrected agreement from the same _lang_pick
+# scorer; all marginals exact int64, po/pe single divisions.
+ORACLES["lang_id_kappa"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_tokens('text')} AS toks FROM documents
+),
+scored AS (SELECT doc_id, lang, {_lang_cols} FROM t),
+pred AS (SELECT doc_id, lang, {_lang_pick} AS predicted_lang FROM scored),
+grid AS (
+  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, predicted_lang
+),
+rows_m AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS rn
+           FROM grid GROUP BY lang),
+cols_m AS (SELECT predicted_lang AS cls, CAST(sum(n) AS BIGINT) AS cn
+           FROM grid GROUP BY predicted_lang),
+cross_m AS (
+  SELECT CAST(sum(r.rn * c.cn) AS BIGINT) AS rc
+  FROM rows_m r JOIN cols_m c ON r.cls = c.cls
+),
+base AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = predicted_lang THEN n ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM grid
+)
+SELECT b.n_docs, b.n_agree, x.rc,
+  CAST(b.n_agree AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS po,
+  CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE) AS pe,
+  (CAST(b.n_agree AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+   - CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE))
+  / (1.0 - CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE))
+    AS kappa
+FROM base b, cross_m x
+"""
+
+# dedup_cluster_sizes: content-hash multiplicity histogram.
+ORACLES["dedup_cluster_sizes"] = f"""
+WITH clusters AS (
+  SELECT {O.stable_hash('text')} AS h, CAST(count(*) AS BIGINT)
+           AS cluster_size
+  FROM documents GROUP BY h
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM clusters GROUP BY cluster_size
+"""
+
+# source_lang_mix: dominant language per source with deterministic
+# (count DESC, lang ASC) tie-break, shares on exact int64 counts.
+ORACLES["source_lang_mix"] = """
+WITH grid AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+ranked AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang ASC) AS rk,
+         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs
+  FROM grid
+)
+SELECT source, n_docs, n_langs, lang AS top_lang,
+       CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+FROM ranked WHERE rk = 1
+"""

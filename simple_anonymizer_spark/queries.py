@@ -4385,3 +4385,160 @@ def remix_water_fill(spark, sf_dir):
     total = counts.agg(F.sum("n_tokens").cast("long").alias("__t"))
     budget = total.collect()[0]["__t"] // 2  # one scalar, model-sized collect
     return water_fill_budget(counts, budget)
+
+
+@query("pack_efficiency_report")
+def pack_efficiency_report(spark, sf_dir):
+    """Packing-efficiency readout over the 256-token sequence layout
+    (textprep.pack_sequences): sequence/document counts, boundary
+    straddlers (docs the trainer must truncate or spill — offset
+    packing's whole cost, since its closed sequences are gap-free by
+    construction), the straddler share, and the tail sequence's fill.
+    One aggregation over the packing projection — same two-pass
+    prefix-sum plan, no extra shuffle."""
+    from .operators.textprep import pack_sequences
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), 256)
+    return packed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("seq_offset") + F.col("n_tokens") > 256, 1)
+              .otherwise(0)).cast("long").alias("n_straddlers"),
+    ).select(
+        "n_docs", "n_seqs", "total_tokens", "n_straddlers",
+        (F.col("n_straddlers").cast("double")
+         / F.col("n_docs").cast("double")).alias("straddle_share"),
+        ((F.col("total_tokens") - F.lit(256) * (F.col("n_seqs") - 1))
+         .cast("double") / F.lit(256.0)).alias("tail_fill"),
+    )
+
+
+@query("vocab_coverage_curve")
+def vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-design readout: what share of all token OCCURRENCES the
+    top-k vocabulary covers, at k = 1, 2, 4, ... 1024 — the coverage
+    curve that sizes a vocabulary before training one. Token counts are
+    one corpus aggregation (vocabulary-bounded); ranking and cumulative
+    sums run over the vocab table (the register-table shape), and the
+    k-grid is a literal explode joined on rank <= k. Counts exact
+    int64; coverage one division on identical integers."""
+    d = _tp(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = freq.select(
+        "freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+    total = ranked.agg(F.sum("freq").cast("long").alias("total_tokens"),
+                       F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    # column shift amount: expr form (F.shiftleft only takes literals)
+    ks = spark.range(0, 11).select(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("k")
+    )
+    cov = (
+        ks.join(ranked, ranked.rank <= ks.k)
+        .groupBy("k")
+        .agg(F.sum("freq").cast("long").alias("covered_tokens"),
+             F.count(F.lit(1)).cast("long").alias("n_vocab_used"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(total))
+        .select(
+            "k", "n_vocab_used", "covered_tokens", "total_tokens",
+            (F.col("covered_tokens").cast("double")
+             / F.col("total_tokens").cast("double")).alias("coverage"),
+        )
+    )
+
+
+@query("lang_id_kappa")
+def lang_id_kappa(spark, sf_dir):
+    """Cohen's kappa between the stopword language identifier and the
+    labeled ``lang`` column — chance-corrected agreement, the one-number
+    eval for a classifier against a skewed label mix. Marginals and the
+    diagonal are exact int64 sums over the bounded languages^2 grid;
+    ``po = agree/n`` and ``pe = sum(row_i * col_i)/n^2`` are single
+    divisions on identical integers, and kappa combines the two
+    already-identical doubles."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text_analysis.language_id(d)
+    pairs = d.select("doc_id", "lang").join(
+        pred.select("doc_id", "predicted_lang"), "doc_id")
+    grid = pairs.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    rows = grid.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
+    cols = grid.groupBy("predicted_lang").agg(
+        F.sum("n").cast("long").alias("cn"))
+    cross = (
+        rows.join(cols, rows.lang == cols.predicted_lang, "inner")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("rc"))
+    )
+    base = grid.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("predicted_lang"), F.col("n"))
+              .otherwise(F.lit(0))).cast("long").alias("n_agree"),
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_docs").cast("double")
+    pe = F.col("rc").cast("double") / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    return (
+        base.crossJoin(F.broadcast(cross))
+        .select(
+            "n_docs", "n_agree", "rc",
+            po.alias("po"), pe.alias("pe"),
+            ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        )
+    )
+
+
+@query("dedup_cluster_sizes")
+def dedup_cluster_sizes(spark, sf_dir):
+    """Exact-duplicate cluster-size histogram: how much of the corpus
+    sits in 1-, 2-, k-way duplicate families — the census a dedup run
+    reports before deleting anything (the head of this histogram IS the
+    dedup savings estimate). Two hash aggregations (content key, then
+    multiplicity); at 100 TB the first keys on the content hash, the
+    second on a handful of small integers."""
+    from .functions.hashing import stable_hash
+
+    d = _tp(spark, sf_dir, "documents")
+    clusters = d.groupBy(stable_hash(F.col("text")).alias("__h")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size", "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+@query("source_lang_mix")
+def source_lang_mix(spark, sf_dir):
+    """Per-source language census: document count, language count, the
+    dominant language (ties to the lexicographically first) and its
+    share — the mix table a multilingual curation run checks before
+    remixing. One (source, lang) aggregation, then grid-bounded windows
+    over it; the share divides exact int64 counts."""
+    d = _t(spark, sf_dir, "documents")
+    grid = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    tot = Window.partitionBy("source")
+    return (
+        grid.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_docs", F.sum("n").over(tot).cast("long"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(tot).cast("long"))
+        .where(F.col("__rk") == 1)
+        .select(
+            "source", "n_docs", "n_langs",
+            F.col("lang").alias("top_lang"),
+            (F.col("n").cast("double") / F.col("n_docs").cast("double"))
+            .alias("top_share"),
+        )
+    )

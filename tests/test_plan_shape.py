@@ -139,6 +139,12 @@ NATIVE_QUERIES = [
     "orc_roundtrip_docs", "dedup_url_canonical", "lang_confusion_matrix",
     "zipf_fit_tokens", "ngram_novelty_release",
     "simjoin_containment_adjacent", "remix_water_fill",
+    # round-7 second batch: packing census (one agg over the two-pass
+    # prefix-sum plan), vocab coverage grid, Cohen's kappa marginals,
+    # dup-cluster histogram, per-source language census — all pure
+    # column algebra over bounded grids.
+    "pack_efficiency_report", "vocab_coverage_curve", "lang_id_kappa",
+    "dedup_cluster_sizes", "source_lang_mix",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
