@@ -4459,38 +4459,36 @@ def vocab_coverage_curve(spark, sf_dir):
 def lang_id_kappa(spark, sf_dir):
     """Cohen's kappa between the stopword language identifier and the
     labeled ``lang`` column — chance-corrected agreement, the one-number
-    eval for a classifier against a skewed label mix. Marginals and the
-    diagonal are exact int64 sums over the bounded languages^2 grid;
-    ``po = agree/n`` and ``pe = sum(row_i * col_i)/n^2`` are single
-    divisions on identical integers, and kappa combines the two
-    already-identical doubles."""
+    eval for a classifier against a skewed label mix. The corpus
+    contributes ONE aggregation (the languages^2 grid); the grid is
+    collected (bounded at n_langs^2 rows — the BPE/kmeans model-sized
+    collect pattern, NOT a corpus collect) and the marginal products
+    are exact Python int64 arithmetic; ``po``/``pe``/``kappa`` are the
+    same IEEE double divisions DuckDB performs on the identical
+    integers."""
     d = _t(spark, sf_dir, "documents")
     pred = text_analysis.language_id(d)
-    pairs = d.select("doc_id", "lang").join(
-        pred.select("doc_id", "predicted_lang"), "doc_id")
-    grid = pairs.groupBy("lang", "predicted_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n"))
-    rows = grid.groupBy("lang").agg(F.sum("n").cast("long").alias("rn"))
-    cols = grid.groupBy("predicted_lang").agg(
-        F.sum("n").cast("long").alias("cn"))
-    cross = (
-        rows.join(cols, rows.lang == cols.predicted_lang, "inner")
-        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("rc"))
+    grid = (
+        d.select("doc_id", "lang")
+        .join(pred.select("doc_id", "predicted_lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
     )
-    base = grid.agg(
-        F.sum("n").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("lang") == F.col("predicted_lang"), F.col("n"))
-              .otherwise(F.lit(0))).cast("long").alias("n_agree"),
-    )
-    po = F.col("n_agree").cast("double") / F.col("n_docs").cast("double")
-    pe = F.col("rc").cast("double") / (F.col("n_docs") * F.col("n_docs")).cast("double")
-    return (
-        base.crossJoin(F.broadcast(cross))
-        .select(
-            "n_docs", "n_agree", "rc",
-            po.alias("po"), pe.alias("pe"),
-            ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
-        )
+    n_docs = sum(r["n"] for r in grid)
+    n_agree = sum(r["n"] for r in grid if r["lang"] == r["predicted_lang"])
+    rn: dict[str, int] = {}
+    cn: dict[str, int] = {}
+    for r in grid:
+        rn[r["lang"]] = rn.get(r["lang"], 0) + r["n"]
+        cn[r["predicted_lang"]] = cn.get(r["predicted_lang"], 0) + r["n"]
+    rc = sum(v * cn.get(k, 0) for k, v in rn.items())
+    po = n_agree / n_docs
+    pe = rc / (n_docs * n_docs)
+    return spark.createDataFrame(
+        [(n_docs, n_agree, rc, po, pe, (po - pe) / (1.0 - pe))],
+        "n_docs long, n_agree long, rc long, po double, pe double, "
+        "kappa double",
     )
 
 

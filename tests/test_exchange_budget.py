@@ -53,6 +53,20 @@ BUDGETS = {
     "graph_kcore_supply": (2, 1),
     "tokenizer_roundtrip_docs": (7, 8),
     "embedding_hard_negatives": (7, 3),
+    # round-7 batch, measured + 1 slack (lang_id_kappa is absent on
+    # purpose: its returned plan is a local relation — the corpus work
+    # happens in the one collected grid aggregation).
+    "orc_roundtrip_docs": (1, 1),
+    "dedup_url_canonical": (2, 1),
+    "lang_confusion_matrix": (4, 2),
+    "zipf_fit_tokens": (3, 1),
+    "ngram_novelty_release": (8, 3),
+    "simjoin_containment_adjacent": (5, 3),
+    "remix_water_fill": (3, 1),
+    "pack_efficiency_report": (6, 2),
+    "vocab_coverage_curve": (7, 3),
+    "dedup_cluster_sizes": (4, 1),
+    "source_lang_mix": (3, 1),
 }
 
 
