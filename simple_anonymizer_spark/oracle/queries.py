@@ -6573,10 +6573,11 @@ base AS (
 SELECT b.n_docs, b.n_agree, x.rc,
   CAST(b.n_agree AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS po,
   CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE) AS pe,
-  (CAST(b.n_agree AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
-   - CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE))
-  / (1.0 - CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE))
-    AS kappa
+  CASE WHEN x.rc = b.n_docs * b.n_docs THEN NULL ELSE
+    (CAST(b.n_agree AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+     - CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE))
+    / (1.0 - CAST(x.rc AS DOUBLE) / CAST(b.n_docs * b.n_docs AS DOUBLE))
+  END AS kappa
 FROM base b, cross_m x
 """
 

@@ -4485,8 +4485,11 @@ def lang_id_kappa(spark, sf_dir):
     rc = sum(v * cn.get(k, 0) for k, v in rn.items())
     po = n_agree / n_docs
     pe = rc / (n_docs * n_docs)
+    # degenerate single-class corpus: pe == 1 makes kappa 0/0 — undefined
+    # by convention, emitted as NULL (the oracle mirrors the CASE)
+    kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
     return spark.createDataFrame(
-        [(n_docs, n_agree, rc, po, pe, (po - pe) / (1.0 - pe))],
+        [(n_docs, n_agree, rc, po, pe, kappa)],
         "n_docs long, n_agree long, rc long, po double, pe double, "
         "kappa double",
     )
