@@ -451,3 +451,21 @@ def water_fill_budget(
         .otherwise(F.col(count_col)).cast("long").alias("granted"),
     )
     return out
+
+
+def sample_fixed_k(
+    df: DataFrame, k: int, key_col: str, salt: str = "_fixk"
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample — the missing cell next to
+    ``hash_sample`` (rate-based, size varies with the input) and
+    ``weighted_sample_topk`` (PPS): take the k rows whose salted hash
+    bucket ranks smallest, key as the tie-break. Reproducible across
+    runs/engines/partitionings like every sampler here, and plans as
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus,
+    each task keeps its local top-k and the driver merges k-sized
+    heaps. Different salts draw statistically independent samples."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return df.orderBy(
+        sample_bucket(key_col, salt).asc(), F.col(key_col).asc()
+    ).limit(k)

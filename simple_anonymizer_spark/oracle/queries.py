@@ -6612,3 +6612,69 @@ SELECT source, n_docs, n_langs, lang AS top_lang,
        CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
 FROM ranked WHERE rk = 1
 """
+
+
+# sample_customers_fixed_k: exact-k hash-rank sample, bucket + key order.
+_FIXK_BUCKET = (
+    "(" + O.stable_hash("(CAST(c_custkey AS VARCHAR) || '_fixk')") + " % 10000)"
+)
+ORACLES["sample_customers_fixed_k"] = f"""
+SELECT c_custkey, c_mktsegment, CAST({_FIXK_BUCKET} AS BIGINT) AS bucket
+FROM customer
+ORDER BY {_FIXK_BUCKET} ASC, c_custkey ASC
+LIMIT 100
+"""
+
+# fk_fanout_profile: one grouped count per FK edge + the parent count;
+# UNION ALL of five 1-row edge summaries.
+def _fanout_edge_sql(name: str, ptab: str, ctab: str, fk: str) -> str:
+    return f"""
+SELECT '{name}' AS edge,
+  (SELECT CAST(count(*) AS BIGINT) FROM {ptab}) AS n_parents,
+  CAST(count(*) AS BIGINT) AS parents_with_children,
+  CAST(sum(n) AS BIGINT) AS n_children,
+  CAST(min(n) AS BIGINT) AS min_fanout,
+  CAST(max(n) AS BIGINT) AS max_fanout,
+  CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_fanout
+FROM (SELECT {fk}, count(*) AS n FROM {ctab} GROUP BY {fk})
+"""
+
+
+ORACLES["fk_fanout_profile"] = " UNION ALL ".join([
+    _fanout_edge_sql("customer->orders", "customer", "orders", "o_custkey"),
+    _fanout_edge_sql("orders->lineitem", "orders", "lineitem", "l_orderkey"),
+    _fanout_edge_sql("part->lineitem", "part", "lineitem", "l_partkey"),
+    _fanout_edge_sql("supplier->lineitem", "supplier", "lineitem",
+                     "l_suppkey"),
+    _fanout_edge_sql("nation->customer", "nation", "customer",
+                     "c_nationkey"),
+])
+
+# char_entropy_docs: in-row char histogram, integer-bits entropy (the
+# doc_surprisal rule). Comprehension variables avoid `i` (the inlined
+# md5 helper binds it).
+ORACLES["char_entropy_docs"] = """
+WITH h AS (
+  SELECT doc_id, length(text) AS n,
+    [substr(text, cc, 1) for cc in range(1, length(text) + 1)] AS chars
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+    CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+    [len(list_filter(chars, x -> x = ch))
+     for ch in list_distinct(chars)] AS counts
+  FROM h
+)
+SELECT doc_id, n_chars_counted, n_distinct_chars,
+  CAST(coalesce(list_sum(
+    [cnt * (length(bin(n_chars_counted)) - length(bin(cnt)))
+     for cnt in counts]), 0) AS BIGINT) AS total_bits,
+  CASE WHEN n_chars_counted > 0 THEN
+    CAST(coalesce(list_sum(
+      [cnt * (length(bin(n_chars_counted)) - length(bin(cnt)))
+       for cnt in counts]), 0) AS DOUBLE)
+      / CAST(n_chars_counted AS DOUBLE)
+  END AS mean_bits_per_char
+FROM c
+"""

@@ -4543,3 +4543,112 @@ def source_lang_mix(spark, sf_dir):
             .alias("top_share"),
         )
     )
+
+
+@query("sample_customers_fixed_k")
+def sample_customers_fixed_k(spark, sf_dir):
+    """Deterministic EXACT-k uniform sample (sampling.sample_fixed_k):
+    the 100 customers whose salted hash buckets rank smallest, key
+    tie-break — completing the sampler matrix next to rate-based
+    hash_sample and PPS weighted_sample_topk. Plans as
+    TakeOrderedAndProject: per-task top-k heaps, no corpus shuffle."""
+    from .operators.sampling import sample_bucket, sample_fixed_k
+
+    c = _tp(spark, sf_dir, "customer")
+    return sample_fixed_k(c, 100, "c_custkey").select(
+        "c_custkey", "c_mktsegment",
+        sample_bucket("c_custkey", "_fixk").cast("long").alias("bucket"),
+    )
+
+
+@query("fk_fanout_profile")
+def fk_fanout_profile(spark, sf_dir):
+    """FK fan-out census over the declared constraint graph: per edge,
+    parent/child cardinalities, how many parents actually have children,
+    and the min/max/avg children per parent — the skew-and-sizing input
+    a subsetting plan (plans/propagation.py) or a join-strategy choice
+    reads before running. One count aggregation per edge keyed on the
+    FK (the same shuffle the join itself would pay), parent counts are
+    metadata-cheap scans; the union is five 1-row frames. avg divides
+    exact int64 counts."""
+    edges = [
+        ("customer->orders", "customer", "c_custkey", "orders", "o_custkey"),
+        ("orders->lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("part->lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+        ("supplier->lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+        ("nation->customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+    ]
+    out = None
+    for name, ptab, pk, ctab, fk in edges:
+        parent_n = _t(spark, sf_dir, ptab).agg(
+            F.count(F.lit(1)).cast("long").alias("n_parents"))
+        fan = (
+            _t(spark, sf_dir, ctab).groupBy(fk)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("parents_with_children"),
+                F.sum("__n").cast("long").alias("n_children"),
+                F.min("__n").cast("long").alias("min_fanout"),
+                F.max("__n").cast("long").alias("max_fanout"),
+            )
+        )
+        row = (
+            fan.crossJoin(F.broadcast(parent_n))
+            .select(
+                F.lit(name).alias("edge"),
+                "n_parents", "parents_with_children", "n_children",
+                "min_fanout", "max_fanout",
+                (F.col("n_children").cast("double")
+                 / F.col("parents_with_children").cast("double"))
+                .alias("avg_fanout"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query("char_entropy_docs")
+def char_entropy_docs(spark, sf_dir):
+    """Character-distribution entropy per document in exact WHOLE BITS
+    (the doc_surprisal integer-log2 rule applied to the char histogram):
+    ``total_bits = sum_i c_i * (bits(n) - bits(c_i))`` over the doc's
+    distinct characters — low for repetitive padding, high for
+    uniform-random gibberish; with word-level repetition
+    (text_repetition) this closes the quality family at the character
+    level. Map-only: the histogram is built IN-ROW (one counting lambda
+    per distinct char, O(alphabet x len) — bounded by the alphabet, and
+    the counts array is built once so the fold never duplicates the
+    counting subexpression, the lang_id CSE lesson). Empty docs emit
+    zero bits and NULL mean."""
+    d = _tp(spark, sf_dir, "documents")
+    n = F.length(F.col("text")).cast("long")
+
+    def bits(c):
+        return F.length(F.call_function("bin", c)).cast("long")
+
+    chars = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n.cast("int")),
+                    lambda i: F.col("text").substr(i, F.lit(1))),
+    ).otherwise(F.array().cast("array<string>"))
+    counts_col = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda c: c == ch)).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_chars_counted"),
+        F.size(F.array_distinct(chars)).cast("long")
+        .alias("n_distinct_chars"),
+        F.aggregate(
+            counts_col, F.lit(0).cast("long"),
+            lambda acc, c: acc + c * (bits(n) - bits(c)),
+        ).alias("total_bits"),
+    ).select(
+        "*",
+        F.when(
+            F.col("n_chars_counted") > 0,
+            F.col("total_bits").cast("double")
+            / F.col("n_chars_counted").cast("double"),
+        ).alias("mean_bits_per_char"),
+    )

@@ -67,6 +67,11 @@ BUDGETS = {
     "vocab_coverage_curve": (7, 3),
     "dedup_cluster_sizes": (4, 1),
     "source_lang_mix": (3, 1),
+    "sample_customers_fixed_k": (2, 1),
+    # 5 edges x (1 fanout agg + 1 partial/final pair + 1 parent count
+    # single-partition) in plan text; each shuffles a tiny summary.
+    "fk_fanout_profile": (16, 6),
+    "char_entropy_docs": (2, 1),
 }
 
 

@@ -145,6 +145,10 @@ NATIVE_QUERIES = [
     # column algebra over bounded grids.
     "pack_efficiency_report", "vocab_coverage_curve", "lang_id_kappa",
     "dedup_cluster_sizes", "source_lang_mix",
+    # round-7 third batch: exact-k hash sample (TakeOrderedAndProject),
+    # per-edge FK fan-out censuses (grouped counts + 1-row unions),
+    # in-row char-histogram entropy — pure column algebra.
+    "sample_customers_fixed_k", "fk_fanout_profile", "char_entropy_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
