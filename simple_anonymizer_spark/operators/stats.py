@@ -1370,3 +1370,81 @@ def cuped_adjustment(
         F.when(ok, adj_b).alias("mean_adj_b"),
         F.when(ok, adj_b - adj_a).alias("diff_adj"),
     )
+
+
+def gini_exact(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact Gini coefficient of a value distribution —
+    ``G = (2 * sum_i(rank_i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))``
+    with values ranked ascending (key tie-break) — the standard
+    inequality number for "how concentrated is activity / token mass /
+    crawl volume", run over per-entity aggregates whose cardinality
+    SCALES with the data (users, domains), so the global rank must not
+    funnel through one window task.
+
+    The rank is the pack_sequences two-pass distributed prefix:
+    range-repartition on (value, key) pins one sampled layout (cached —
+    re-evaluation would re-sample boundaries), row_number runs within
+    each partition, one bounded collect (one row per partition) turns
+    per-partition counts into exclusive base offsets, and a broadcast
+    join re-bases the local ranks. No single-reducer sort anywhere.
+
+    Sums accumulate in DECIMAL(38,0) (exact at any scale — rank*value
+    reaches n*sum, past int64 on a large corpus) and convert to DOUBLE
+    once for the single division. Output one row:
+    ``n_entities (int64), total (int64), gini (double; NULL when the
+    total is zero or n < 2)``."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    vals = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    ranged = (
+        vals.repartitionByRange(partitions, F.col("__x"), F.col("__k"))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__x"), F.col("__k"))
+    local = ranged.withColumn("__rn", F.row_number().over(w).cast("long"))
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    )
+    base_rows, running = [], 0
+    for pid, c in counts:
+        base_rows.append((pid, running))
+        running += c
+    spark = df.sparkSession
+    if base_rows:
+        base = spark.createDataFrame(base_rows, "__pid int, __base long")
+        ranked = local.join(F.broadcast(base), "__pid", "left").select(
+            "__x",
+            (F.col("__rn") + F.coalesce(F.col("__base"), F.lit(0)))
+            .alias("__rank"),
+        )
+    else:
+        ranked = local.select("__x", F.col("__rn").alias("__rank"))
+    dec = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
+        F.sum((F.col("__rank") * F.col("__x")).cast(dec)).cast(dec)
+        .alias("__srx"),
+    )
+    num = (F.lit(2).cast(dec) * F.col("__srx")
+           - (F.col("n_entities") + 1).cast(dec) * F.col("__sx"))
+    den = F.col("n_entities").cast(dec) * F.col("__sx")
+    return s.select(
+        "n_entities",
+        F.col("__sx").cast("long").alias("total"),
+        F.when(
+            (F.col("n_entities") >= 2) & (F.col("__sx") > 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("gini"),
+    )

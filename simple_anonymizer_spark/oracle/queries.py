@@ -6678,3 +6678,32 @@ SELECT doc_id, n_chars_counted, n_distinct_chars,
   END AS mean_bits_per_char
 FROM c
 """
+
+
+# events_user_gini: the textbook rank formula over per-user counts;
+# sums in HUGEINT-exact DECIMAL(38,0), the final division on doubles
+# round-tripped through VARCHAR (the DECIMAL->DOUBLE double-rounding
+# gotcha) so both engines divide identical doubles.
+ORACLES["events_user_gini"] = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, user_id ASC)
+                 AS BIGINT) AS rk
+  FROM c
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(rk * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS srx
+  FROM r
+)
+SELECT n AS n_entities, CAST(sx AS BIGINT) AS total,
+  CASE WHEN n >= 2 AND sx > 0 THEN
+    CAST(CAST(2 * srx - (n + 1) * sx AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(n * sx AS VARCHAR) AS DOUBLE)
+  END AS gini
+FROM s
+"""

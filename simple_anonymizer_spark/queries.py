@@ -4652,3 +4652,21 @@ def char_entropy_docs(spark, sf_dir):
             / F.col("n_chars_counted").cast("double"),
         ).alias("mean_bits_per_char"),
     )
+
+
+@query("events_user_gini")
+def events_user_gini(spark, sf_dir):
+    """Activity-concentration Gini over per-user event counts
+    (stats.gini_exact): the inequality number a crawl/traffic census
+    reports. Per-user counts are one shuffle; the global ascending rank
+    the formula needs runs through the distributed two-pass prefix
+    (pack_sequences machinery) — user cardinality scales with the data,
+    so no single window task ever sees it."""
+    from .operators.stats import gini_exact
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return gini_exact(counts, "n_events", "user_id")

@@ -105,3 +105,31 @@ def test_source_lang_mix_tie_breaks_lexicographically(spark, tmp_path):
     assert got["web"]["n_langs"] == 2 and got["web"]["top_share"] == 0.5
     assert got["books"]["top_lang"] == "fr"
     assert got["books"]["top_share"] == 2 / 3
+
+
+def test_gini_known_distributions(spark):
+    """gini == 0 for a uniform distribution, (n-1)/n when one entity
+    holds everything, and the result is invariant to the partition
+    count (the two-pass global rank is layout-independent)."""
+    from simple_anonymizer_spark.operators.stats import gini_exact
+
+    uniform = spark.createDataFrame(
+        [(i, 5) for i in range(8)], "k long, x long")
+    assert gini_exact(uniform, "x", "k").collect()[0]["gini"] == 0.0
+
+    concentrated = spark.createDataFrame(
+        [(0, 100)] + [(i, 0) for i in range(1, 10)], "k long, x long")
+    r = gini_exact(concentrated, "x", "k").collect()[0]
+    assert r["gini"] == (10 - 1) / 10 and r["total"] == 100
+
+    skewed = spark.createDataFrame(
+        [(i, i) for i in range(1, 101)], "k long, x long")
+    a = gini_exact(skewed, "x", "k", partitions=1).collect()[0]["gini"]
+    b = gini_exact(skewed, "x", "k", partitions=7).collect()[0]["gini"]
+    c = gini_exact(skewed.repartition(13), "x", "k").collect()[0]["gini"]
+    assert a == b == c
+    # degenerate inputs emit NULL, never a division error
+    single = spark.createDataFrame([(0, 3)], "k long, x long")
+    assert gini_exact(single, "x", "k").collect()[0]["gini"] is None
+    zeros = spark.createDataFrame([(0, 0), (1, 0)], "k long, x long")
+    assert gini_exact(zeros, "x", "k").collect()[0]["gini"] is None

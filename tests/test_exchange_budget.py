@@ -72,6 +72,7 @@ BUDGETS = {
     # single-partition) in plan text; each shuffles a tiny summary.
     "fk_fanout_profile": (16, 6),
     "char_entropy_docs": (2, 1),
+    "events_user_gini": (8, 2),
 }
 
 

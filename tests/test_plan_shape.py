@@ -149,6 +149,9 @@ NATIVE_QUERIES = [
     # per-edge FK fan-out censuses (grouped counts + 1-row unions),
     # in-row char-histogram entropy — pure column algebra.
     "sample_customers_fixed_k", "fk_fanout_profile", "char_entropy_docs",
+    # exact Gini: per-user agg + the two-pass distributed rank (one
+    # bounded per-partition collect, broadcast re-base) — no Python.
+    "events_user_gini",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
