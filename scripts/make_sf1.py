@@ -67,6 +67,13 @@ def main() -> None:
                 strides[(t, k)] = pc.max(tables[t][k]).as_py() + 1
     for col, (ft, fk) in STRIDE_OF.items():
         strides[(col.split("_")[0], col)] = strides[(ft, fk)]
+    # vec_id == doc_id alignment (hybrid-retrieval fusion joins on it):
+    # both tables must replicate with ONE shared stride or replicas 1..N
+    # drift apart and the cross-replica doc/vector correspondence breaks
+    shared = max(strides[("documents", "doc_id")],
+                 strides[("embeddings", "vec_id")])
+    strides[("documents", "doc_id")] = shared
+    strides[("embeddings", "vec_id")] = shared
 
     for name, tab in tables.items():
         if name in ("region", "nation"):

@@ -1377,6 +1377,7 @@ def gini_exact(
     value_col: str,
     key_col: str,
     partitions: int | None = None,
+    cache_owner: list | None = None,
 ) -> DataFrame:
     """Exact Gini coefficient of a value distribution —
     ``G = (2 * sum_i(rank_i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))``
@@ -1394,10 +1395,18 @@ def gini_exact(
     join re-bases the local ranks. No single-reducer sort anywhere.
 
     Sums accumulate in DECIMAL(38,0) (exact at any scale — rank*value
-    reaches n*sum, past int64 on a large corpus) and convert to DOUBLE
-    once for the single division. Output one row:
-    ``n_entities (int64), total (int64), gini (double; NULL when the
-    total is zero or n < 2)``."""
+    reaches n*sum, past int64 on a large corpus), with BOTH operands
+    cast to DECIMAL BEFORE the multiply: an int64 product would wrap
+    silently in non-ANSI Spark once rank_i*x_i exceeds 2^63, and only
+    then be cast. One conversion to DOUBLE for the single division.
+
+    Same ``cache_owner`` contract as ``global_ranks``: the ranged
+    layout is correctness-bearing (sampled boundaries) and stays
+    pinned; pass a list and unpersist after consuming the one-row
+    result, or accept LRU/session lifetime for run-once use.
+
+    Output one row: ``n_entities (int64), total (int64), gini (double;
+    NULL when the total is zero or n < 2)``."""
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
     vals = df.select(
@@ -1409,6 +1418,8 @@ def gini_exact(
         .withColumn("__pid", F.spark_partition_id())
         .cache()
     )
+    if cache_owner is not None:
+        cache_owner.append(ranged)
     w = Window.partitionBy("__pid").orderBy(F.col("__x"), F.col("__k"))
     local = ranged.withColumn("__rn", F.row_number().over(w).cast("long"))
     counts = sorted(
@@ -1434,7 +1445,7 @@ def gini_exact(
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_entities"),
         F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
-        F.sum((F.col("__rank") * F.col("__x")).cast(dec)).cast(dec)
+        F.sum(F.col("__rank").cast(dec) * F.col("__x").cast(dec)).cast(dec)
         .alias("__srx"),
     )
     num = (F.lit(2).cast(dec) * F.col("__srx")

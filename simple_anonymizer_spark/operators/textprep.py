@@ -541,6 +541,7 @@ def build_vocab(
     text_col: str = "text",
     min_freq: int = 1,
     max_size: int | None = None,
+    cache_owner: list | None = None,
 ) -> DataFrame:
     """Corpus vocabulary with stable contiguous ids: tokens ranked by
     (frequency DESC, token ASC) — the deterministic id assignment step of
@@ -548,14 +549,19 @@ def build_vocab(
     Output: ``token, token_id (0-based long), n_occurrences``.
 
     Scale: the frequency aggregation is map-side combinable over the
-    corpus; the ranking window runs over the DISTINCT-token table, which
-    is vocabulary-bounded (10^5-10^7 rows at web scale, not corpus-sized)
-    — a deliberate single-reducer over model-sized state, same class as
-    the centroid collect in kmeans. ``min_freq``/``max_size`` prune the
-    long tail before anything downstream joins the vocab."""
-    from pyspark.sql import Window
-
+    corpus; distinct-token cardinality grows with corpus size (Heaps'
+    law), so the id assignment must NOT rank the whole vocabulary
+    through one window task. With ``max_size`` set, a
+    TakeOrderedAndProject ``limit`` bounds the table first (per-task
+    heaps, one model-sized merge); the contiguous ids then come from
+    ``stats.global_ranks`` — the two-pass distributed prefix rank
+    (range-repartition, rank within partitions, one row-per-partition
+    collect, broadcast re-base) — under the total order
+    ``(-n_occurrences, token)``, bit-identical to the naive global
+    window. Same ``cache_owner`` contract as ``global_ranks`` (the
+    range layout is correctness-bearing and stays pinned)."""
     from ..functions import textops as T
+    from .stats import global_ranks
 
     freq = (
         df.select(F.explode(T.tokens(F.col(text_col))).alias("token"))
@@ -563,13 +569,19 @@ def build_vocab(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_freq)
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
-    vocab = freq.withColumn(
-        "token_id", (F.row_number().over(w) - 1).cast("long")
-    ).select("token", "token_id", "n_occurrences")
     if max_size is not None:
-        vocab = vocab.where(F.col("token_id") < max_size)
-    return vocab
+        freq = freq.orderBy(
+            F.col("n_occurrences").desc(), F.col("token").asc()
+        ).limit(max_size)
+    ranked, _ = global_ranks(
+        freq.withColumn("__negf", -F.col("n_occurrences")),
+        "__negf", "token", cache_owner=cache_owner,
+    )
+    return ranked.select(
+        "token",
+        F.col("__rank").cast("long").alias("token_id"),
+        (-F.col("__negf")).cast("long").alias("n_occurrences"),
+    )
 
 
 def encode_documents(

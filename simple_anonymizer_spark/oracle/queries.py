@@ -6697,7 +6697,8 @@ r AS (
 s AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-         CAST(sum(CAST(rk * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS srx
+         CAST(sum(CAST(rk AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS srx
   FROM r
 )
 SELECT n AS n_entities, CAST(sx AS BIGINT) AS total,

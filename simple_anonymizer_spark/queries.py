@@ -4419,22 +4419,27 @@ def vocab_coverage_curve(spark, sf_dir):
     """Tokenizer-design readout: what share of all token OCCURRENCES the
     top-k vocabulary covers, at k = 1, 2, 4, ... 1024 — the coverage
     curve that sizes a vocabulary before training one. Token counts are
-    one corpus aggregation (vocabulary-bounded); ranking and cumulative
-    sums run over the vocab table (the register-table shape), and the
-    k-grid is a literal explode joined on rank <= k. Counts exact
-    int64; coverage one division on identical integers."""
+    one corpus aggregation; the curve only ever consumes ranks <= 1024
+    (k maxes at 2^10), so the ranking window runs AFTER a
+    TakeOrderedAndProject ``limit(1024)`` (per-task heaps, one bounded
+    merge — the zipf_fit_tokens plan), never over the full vocabulary,
+    whose cardinality grows with the corpus (Heaps' law). Totals are a
+    plain aggregation over the unranked vocab. The k-grid is a literal
+    explode joined on rank <= k. Counts exact int64; coverage one
+    division on identical integers."""
     d = _tp(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    total = freq.agg(F.sum("freq").cast("long").alias("total_tokens"),
+                     F.count(F.lit(1)).cast("long").alias("n_vocab"))
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(1024)
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    ranked = freq.select(
+    ranked = top.select(
         "freq", F.row_number().over(w).cast("long").alias("rank")
     )
-    total = ranked.agg(F.sum("freq").cast("long").alias("total_tokens"),
-                       F.count(F.lit(1)).cast("long").alias("n_vocab"))
     # column shift amount: expr form (F.shiftleft only takes literals)
     ks = spark.range(0, 11).select(
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("k")
@@ -4483,11 +4488,16 @@ def lang_id_kappa(spark, sf_dir):
         rn[r["lang"]] = rn.get(r["lang"], 0) + r["n"]
         cn[r["predicted_lang"]] = cn.get(r["predicted_lang"], 0) + r["n"]
     rc = sum(v * cn.get(k, 0) for k, v in rn.items())
-    po = n_agree / n_docs
-    pe = rc / (n_docs * n_docs)
-    # degenerate single-class corpus: pe == 1 makes kappa 0/0 — undefined
-    # by convention, emitted as NULL (the oracle mirrors the CASE)
-    kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
+    # mirror the oracle's CAST(int AS DOUBLE)/CAST(int AS DOUBLE): convert
+    # each exact integer to double FIRST, then divide — Python's bigint
+    # true division is correctly rounded from the exact rational and
+    # drifts 1 ulp from the double/double quotient past 2^53
+    po = float(n_agree) / float(n_docs)
+    pe = float(rc) / float(n_docs * n_docs)
+    # degenerate single-class corpus: kappa is 0/0 — undefined by
+    # convention, emitted as NULL; guard on the EXACT integers (the
+    # oracle's CASE rc = n*n), not the rounded pe
+    kappa = None if rc == n_docs * n_docs else (po - pe) / (1.0 - pe)
     return spark.createDataFrame(
         [(n_docs, n_agree, rc, po, pe, kappa)],
         "n_docs long, n_agree long, rc long, po double, pe double, "

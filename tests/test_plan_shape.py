@@ -1,9 +1,12 @@
 """Plan-shape audits: the physical plans must carry the properties that
 make these operators viable at 100 TB — pushed filters, pruned scans, no
-Python in native paths, broadcast joins where a side is small, and no
-unexpected shuffles."""
+Python in native paths, broadcast joins where a side is small, no
+unexpected shuffles, and no partition-less window over a data-scaling
+table (the single-reducer scale killer)."""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -13,6 +16,89 @@ from simple_anonymizer_spark.queries import QUERIES
 def plan_of(spark, name, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Queries whose plans legitimately carry a partition-less window over an
+# UNBOUNDED-looking subtree: the window input is a DOMAIN table (one row
+# per source/segment — cardinality grows like distinct domains, not like
+# the corpus), which the plan-string heuristic below cannot see. Anything
+# else that trips the audit is a regression, not a candidate for this
+# list: route it through stats.global_ranks (distributed two-pass rank)
+# or a TakeOrderedAndProject limit first, the way build_vocab and
+# vocab_coverage_curve do.
+GLOBAL_WINDOW_DOMAIN_BOUNDED = frozenset({
+    # water-filling waterline: three windows over the per-source token
+    # count table (operators/sampling.py water_fill_budget) — one row
+    # per source by construction.
+    "remix_water_fill",
+})
+
+
+def _first_windowspec_arg(line: str) -> str:
+    """First top-level argument of the first windowspecdefinition(...)."""
+    inner = line[line.index("windowspecdefinition(")
+                 + len("windowspecdefinition("):]
+    depth, arg = 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        arg.append(ch)
+    return "".join(arg)
+
+
+def _node_depth(line: str) -> int:
+    m = re.search(r"[A-Za-z*(]", line)
+    return m.start() if m else 0
+
+
+def unbounded_global_windows(plan: str) -> list[str]:
+    """Window nodes with NO partition spec (first windowspecdefinition
+    argument is an ASC/DESC order column — partition columns print
+    first, without a sort direction) whose input subtree carries no
+    limiting operator. Such a node shuffles its whole input to ONE task
+    ("Moving all data to a single partition") — fixture-fast, fatal on
+    a table that scales with the data."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow(GroupLimit)?\s", ln):
+            continue
+        if "windowspecdefinition(" not in ln:
+            continue
+        arg = _first_windowspec_arg(ln)
+        if " ASC" not in arg and " DESC" not in arg:
+            continue  # partitioned window — fine
+        depth = _node_depth(ln)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if re.search(r"[A-Za-z]", nxt) and _node_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if not re.search(
+            r"TakeOrderedAndProject|GlobalLimit|LocalLimit|CollectLimit"
+            r"|LocalTableScan|Range \(",
+            sub,
+        ):
+            bad.append(ln.strip()[:160])
+    return bad
+
+
+def assert_no_single_task_global_window(name: str, plan: str) -> None:
+    if name in GLOBAL_WINDOW_DOMAIN_BOUNDED:
+        return
+    bad = unbounded_global_windows(plan)
+    assert not bad, (
+        f"{name}: partition-less window over an unbounded input — a "
+        f"single-reducer sort at scale. Route through stats.global_ranks "
+        f"or bound the input with a limit first. Nodes: {bad}"
+    )
 
 
 NATIVE_QUERIES = [
@@ -179,6 +265,7 @@ def test_multimodal_has_exactly_one_pandas_slot(spark, sf_dir, name):
     assert plan.count("MapInPandas") == 1, f"{name}: want exactly 1 slot"
     assert "BatchEvalPython" not in plan, f"{name}: row-Python crept in"
     assert "ArrowEvalPython" not in plan, f"{name}: scalar pandas UDF crept in"
+    assert_no_single_task_global_window(name, plan)
 
 
 def test_registry_is_fully_plan_covered():
@@ -249,6 +336,10 @@ def test_no_python_in_native_paths(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
     assert "ArrowEvalPython" not in plan, f"{name} fell back to pandas UDF"
     assert "FlatMapsInPandas" not in plan
+    # same plan, second invariant: no single-task global window over a
+    # data-scaling table anywhere in the registry (NATIVE + PANDAS_SLOT
+    # tile it; the pandas-slot test runs the same audit).
+    assert_no_single_task_global_window(name, plan)
 
 
 def test_filter_pushed_to_parquet_scan(spark, sf_dir):
