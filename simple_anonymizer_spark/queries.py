@@ -4625,10 +4625,14 @@ def char_entropy_docs(spark, sf_dir):
     distinct characters — low for repetitive padding, high for
     uniform-random gibberish; with word-level repetition
     (text_repetition) this closes the quality family at the character
-    level. Map-only: the histogram is built IN-ROW (one counting lambda
-    per distinct char, O(alphabet x len) — bounded by the alphabet, and
-    the counts array is built once so the fold never duplicates the
-    counting subexpression, the lang_id CSE lesson). Empty docs emit
+    level. Map-only, SINGLE-PASS in-row histogram: sort the char array
+    once (O(len log len)), find run boundaries, and turn consecutive
+    boundary positions into run-length counts — the original
+    distinct x filter shape re-scanned the array per distinct char
+    (O(alphabet x len)) and was the heaviest map in the sf1 sweep.
+    Each intermediate array is BOUND TO A COLUMN before lambdas
+    reference it (the lang_id CSE lesson — expressions inlined into
+    higher-order lambdas re-evaluate per reference). Empty docs emit
     zero bits and NULL mean."""
     d = _tp(spark, sf_dir, "documents")
     n = F.length(F.col("text")).cast("long")
@@ -4641,18 +4645,45 @@ def char_entropy_docs(spark, sf_dir):
         F.transform(F.sequence(F.lit(1), n.cast("int")),
                     lambda i: F.col("text").substr(i, F.lit(1))),
     ).otherwise(F.array().cast("array<string>"))
-    counts_col = F.transform(
-        F.array_distinct(chars),
-        lambda ch: F.size(F.filter(chars, lambda c: c == ch)).cast("long"),
-    )
-    return d.select(
+    base = d.select(
         "doc_id",
         n.alias("n_chars_counted"),
-        F.size(F.array_distinct(chars)).cast("long")
-        .alias("n_distinct_chars"),
+        F.array_sort(chars).alias("__s"),
+    )
+    s = F.col("__s")
+    # 1-based positions that START a run in the sorted array; guard the
+    # sequence build — sequence(1, 0) DESCENDS, it is not empty
+    starts = F.when(
+        F.size(s) >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size(s)),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(s, i) != F.element_at(s, i - F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = base.select(
+        "doc_id", "n_chars_counted", starts.alias("__starts"))
+    st = F.col("__starts")
+    # run lengths: next start (or n+1 past the end) minus this start
+    ends = F.concat(
+        F.slice(st, F.lit(2), F.greatest(F.size(st) - 1, F.lit(0))),
+        F.array((F.col("n_chars_counted") + 1).cast("int")),
+    )
+    counts_col = F.when(
+        F.size(st) >= 1,
+        F.zip_with(st, ends, lambda a, b: (b - a).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    withc = staged.select(
+        "doc_id", "n_chars_counted",
+        F.size(st).cast("long").alias("n_distinct_chars"),
+        counts_col.alias("__counts"),
+    )
+    nb = bits(F.col("n_chars_counted"))
+    return withc.select(
+        "doc_id", "n_chars_counted", "n_distinct_chars",
         F.aggregate(
-            counts_col, F.lit(0).cast("long"),
-            lambda acc, c: acc + c * (bits(n) - bits(c)),
+            F.col("__counts"), F.lit(0).cast("long"),
+            lambda acc, c: acc + c * (nb - bits(c)),
         ).alias("total_bits"),
     ).select(
         "*",
