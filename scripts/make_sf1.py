@@ -17,7 +17,9 @@ type (events keeps timestamp[ns], embeddings keeps list<float>):
   distribution-preserving, so kmeans/semantic-dedup cells don't
   collapse into 10x-multiplicity point masses.
 
-Usage: python scripts/make_sf1.py [/tmp/sf1]
+Usage: python scripts/make_sf1.py [/tmp/sf1] [replicas]
+(replicas defaults to 10 = sf1; 30 = sf3, 100 = sf10 — the third
+scale-curve point VERDICT r7 asked for)
 """
 
 from __future__ import annotations
@@ -31,7 +33,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
 
 KEY_OFFSETS = {
     "customer": ["c_custkey"],
@@ -54,6 +55,7 @@ STRIDE_OF = {
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out_dir, exist_ok=True)
 
     tables = {t: pq.read_table(f"{SRC}/{t}.parquet")
@@ -80,7 +82,7 @@ def main() -> None:
             pq.write_table(tab, f"{out_dir}/{name}.parquet")
             continue
         chunks = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             rep = tab
             for key in KEY_OFFSETS[name]:
                 if key in STRIDE_OF:

@@ -380,6 +380,89 @@ def scrub_duplicate_spans(
     )
 
 
+def duplicate_span_islands(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated spans per document — the
+    longest-match readout of exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499). Their single-node suffix array reports maximal
+    duplicated substrings of length >= threshold; this computes the
+    identical token-level spans distributively: a span of L >= k tokens
+    is duplicated iff ALL of its L-k+1 constituent k-grams are
+    duplicated, so the union of duplicated-k-gram covers IS the union
+    of maximal duplicated spans, and merging adjacent covered positions
+    (gaps-and-islands: position minus its per-doc rank is constant
+    within a run) recovers each maximal span's start and length.
+
+    Output: one row per maximal span — ``<id_col>, span_start (0-based
+    token position, int64), span_len (int64, always >= k)``; documents
+    with no duplicated span emit nothing.
+
+    Scale (100 TB): same honest positional explode as
+    ``scrub_duplicate_spans`` (the gram build), the gram frequency
+    aggregation map-side-combines on the gram key, only DUPLICATED
+    occurrences explode into cover positions, and the island merge is
+    one shuffle on the doc id with per-doc windows (never global)."""
+    from pyspark.sql import Window
+
+    from ..functions import textops as T
+
+    base = df.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = (
+        base.where(n > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("p"),
+                        F.array_join(
+                            F.slice(F.col("__toks"), s + 1, k), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("__sg"),
+        )
+        .select(id_col, F.col("__sg.p").alias("__p"),
+                F.col("__sg.g").alias("__gram"))
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    covered = (
+        grams.join(dup, "__gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.lit(k - 1))
+            ).alias("__cpos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("__cpos")
+    islands = covered.withColumn(
+        "__island", F.col("__cpos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("__cpos").cast("long").alias("span_start"),
+            F.count(F.lit(1)).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,

@@ -6708,3 +6708,34 @@ SELECT n AS n_entities, CAST(sx AS BIGINT) AS total,
   END AS gini
 FROM s
 """
+
+# dup_span_islands: the scrub_dup_spans cover merged into maximal spans
+# via gaps-and-islands (cpos - per-doc rank constant within a run).
+ORACLES["dup_span_islands"] = f"""
+WITH d AS (SELECT doc_id, {_tokens('text')} AS toks FROM documents),
+gr AS (
+  SELECT doc_id, sg['p'] AS p, sg['g'] AS gram
+  FROM (
+    SELECT doc_id,
+           unnest([{{'p': s, 'g': array_to_string(toks[s+1:s+8], ' ')}}
+                   for s in range(0, greatest(len(toks) - 8, 0) + 1)]) AS sg
+    FROM d WHERE len(toks) > 0
+  )
+),
+dup AS (
+  SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS cpos
+  FROM gr WHERE gram IN (SELECT gram FROM dup)
+),
+isl AS (
+  SELECT doc_id, cpos,
+         cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos)
+           AS island
+  FROM cov
+)
+SELECT doc_id, CAST(min(cpos) AS BIGINT) AS span_start,
+       CAST(count(*) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""

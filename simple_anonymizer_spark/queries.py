@@ -4711,3 +4711,20 @@ def events_user_gini(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     return gini_exact(counts, "n_events", "user_id")
+
+
+@query("dup_span_islands")
+def dup_span_islands(spark, sf_dir):
+    """Maximal cross-document duplicated spans
+    (textprep.duplicate_span_islands): the longest-match readout of
+    Lee et al. exact-substring dedup, recovered distributively by
+    merging the duplicated-8-gram position cover into islands — one
+    row per maximal span with its 0-based start and length. Sibling of
+    scrub_dup_spans (which removes the cover) and dup_spans (which
+    only measures the shared fraction)."""
+    from .operators.textprep import duplicate_span_islands
+
+    return duplicate_span_islands(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents")),
+        k=8, min_docs=2,
+    )

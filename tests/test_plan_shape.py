@@ -238,6 +238,9 @@ NATIVE_QUERIES = [
     # exact Gini: per-user agg + the two-pass distributed rank (one
     # bounded per-partition collect, broadcast re-base) — no Python.
     "events_user_gini",
+    # round-8: maximal duplicated spans — the scrub cover merged via
+    # per-doc gaps-and-islands windows, pure column algebra.
+    "dup_span_islands",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

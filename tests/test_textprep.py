@@ -276,6 +276,79 @@ def test_scrub_overlapping_spans_union_cover(spark):
     assert out[1] == (6, 5, "tail1")
 
 
+def _islands(spark, docs, **kw):
+    from simple_anonymizer_spark.operators.textprep import (
+        duplicate_span_islands,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {}
+    for r in duplicate_span_islands(df, **kw).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_islands_report_maximal_span_not_grams(spark):
+    # a 5-token shared span at k=3 is THREE duplicated grams but ONE
+    # maximal island of length 5 — the longest-match semantics.
+    span = "one two three four five"
+    out = _islands(spark, [
+        (1, f"alpha {span} omega"),
+        (2, f"{span} tail tail2 tail3"),
+    ], k=3, min_docs=2)
+    assert out[1] == [(1, 5)]
+    assert out[2] == [(0, 5)]
+
+
+def test_islands_separate_spans_stay_separate(spark):
+    # two shared trigrams with a unique token between them: two islands.
+    out = _islands(spark, [
+        (1, "a b c GAP1 x y z"),
+        (2, "a b c GAP2 x y z"),
+    ], k=3, min_docs=2)
+    assert out[1] == [(0, 3), (4, 3)]
+    assert out[2] == [(0, 3), (4, 3)]
+
+
+def test_islands_none_when_no_duplication(spark):
+    out = _islands(spark, [
+        (1, "totally unique words here"),
+        (2, "other document text body"),
+    ], k=3, min_docs=2)
+    assert out == {}
+
+
+def test_islands_match_scrub_cover(spark):
+    # the islands must tile exactly the positions scrub removes.
+    docs = [
+        (1, "a b c d e tail1"),
+        (2, "a b c left2"),
+        (3, "c d e right3"),
+    ]
+    isl = _islands(spark, docs, k=3, min_docs=2)
+    scrubbed = _scrub(spark, docs, k=3, min_docs=2)
+    for doc_id, (_, n_removed, _) in scrubbed.items():
+        covered = sum(ln for _, ln in isl.get(doc_id, []))
+        assert covered == n_removed, doc_id
+
+
+def test_islands_partition_invariance(spark):
+    from simple_anonymizer_spark.operators.textprep import (
+        duplicate_span_islands,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(i, f"u{i} {span} v{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in duplicate_span_islands(
+        df.repartition(1), k=4).collect())
+    b = sorted(tuple(r) for r in duplicate_span_islands(
+        df.repartition(7), k=4).collect())
+    assert a == b and len(a) == 6
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
