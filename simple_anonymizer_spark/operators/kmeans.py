@@ -122,6 +122,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_owner: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with the deterministic k-means trainer, compare
@@ -142,25 +143,61 @@ def semantic_dedup(
     (broadcast-literal centroids), and every float op follows the
     engine's cross-engine rules, so the trained pipeline is oracle-gated
     end-to-end, not rows-only.
+
+    The assigned projection feeds THREE plan branches (both join sides
+    and the final survivor join); assignment is the O(n * k * dim)
+    interpreted higher-order fold, so it is cached rather than
+    recomputed per branch — measured 1.5x end-to-end at sf3 with
+    n_clusters scaled to the corpus. Same ``cache_owner`` contract as
+    ``stats.global_ranks`` (pass a list, unpersist after consuming;
+    None = LRU/session lifetime, fine for run-once queries).
     """
-    from .similarity import cosine
+    from .similarity import _dot, _norm_sq
 
     centroids = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
+    # the per-vector norm is computed ONCE here and reused across every
+    # pair the vector joins into: cosine(a,b) = dot / (sqrt(nsq_a) *
+    # sqrt(nsq_b)), and sqrt of the SAME stored double times the same
+    # product is bit-identical to inlining the norms in the pair
+    # predicate — but drops the per-pair work from three 64-element
+    # folds to one.
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
-    )
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("__nrm"),
+    ).cache()
+    if cache_owner is not None:
+        cache_owner.append(assigned)
+    # Salted self-join: an equi-join keyed ONLY on cell has at most
+    # n_clusters non-empty shuffle buckets — with few cells the whole
+    # quadratic pair grid funnels through a handful of tasks (measured:
+    # the sf3 k=8 join ran 8-wide on 32 cores, 2.7x the salted time).
+    # Side a carries a deterministic hash salt; side b replicates once
+    # per salt value, so every (i, j) pair meets in exactly one
+    # (cell, salt) bucket and parallelism is n_clusters * n_salt.
+    # The salt shrinks to 1 as n_clusters outgrows the cluster — at
+    # scaled k (the 100 TB shape) the replication cost vanishes.
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, min(64, (parallelism * 4) // max(n_clusters, 1)))
     a = assigned.select(
-        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va"), "cell"
+        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"), "cell",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+        .cast("int").alias("__salt"),
     )
     b = assigned.select(
-        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb"), "cell"
+        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"), "cell",
+    ).withColumn("__salt", F.explode(F.lit(list(range(n_salt)))))
+    pair_cos = (
+        _dot(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb"))
     )
     dups = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "__salt"])
         .where(F.col("__id_a") < F.col("__id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where(pair_cos >= threshold)
         .select(F.col("__id_b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(1))

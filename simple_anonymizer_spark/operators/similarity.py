@@ -467,8 +467,15 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def _cos_to_literal(vec: Column, centroid: list[float]) -> Column:
-    return cosine(vec, F.array(*[F.lit(x) for x in centroid]))
+def _packed_centroids(centroids: list[list[float]]) -> Column:
+    """The centroid table as ONE array<array<double>> literal node.
+    Unrolling per-centroid literal arrays costs O(n_cells * dim)
+    Catalyst expression nodes — ~3.4 s of PLANNING per thousand terms on
+    every fresh plan (the random_projection lesson), which dominates
+    fit/assign wall time once n_cells scales with the corpus. A single
+    packed literal consumed by constant-size runtime folds keeps the
+    plan O(1) regardless of n_cells."""
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -476,8 +483,12 @@ def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     Pure map-side expression over broadcast-literal centroids: corpus
     assignment never shuffles — the property that makes IVF the scale path
     (assignment is O(dim * n_cells) per row inside codegen, and the cell id
-    becomes the partition/bucket key of the stored index)."""
-    cos_arr = F.array(*[_cos_to_literal(vec, c) for c in centroids])
+    becomes the partition/bucket key of the stored index). The centroid
+    grid is one packed literal (see ``_packed_centroids``), so the plan
+    stays constant-size as n_cells grows."""
+    cos_arr = F.transform(
+        _packed_centroids(centroids), lambda c: cosine(vec, c)
+    )
     # array_position returns the FIRST match (1-based) -> ties resolve to
     # the lowest cell index, mirroring the oracle's (cos DESC, cell ASC).
     return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
@@ -517,8 +528,9 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    probe_cos = F.array(
-        *[_cos_to_literal(F.col("__qvec"), c) for c in centroids]
+    probe_cos = F.transform(
+        _packed_centroids(centroids),
+        lambda c: cosine(F.col("__qvec"), c),
     )
     probes = q.select(
         "query_id", "__qvec", F.posexplode(probe_cos).alias("__cell", "__pcos")

@@ -51,7 +51,13 @@ BUDGETS = {
     "dedup_lines_boilerplate": (4, 2),
     "compaction_plan_files": (6, 2),
     "graph_kcore_supply": (2, 1),
-    "tokenizer_roundtrip_docs": (7, 8),
+    # round-8 re-measure: build_vocab's global window became the
+    # global_ranks two-pass rank (range exchange + prefix broadcast),
+    # and the vocab subtree is REFERENCED three times (encode + decode
+    # joins) — plan text triples it, but global_ranks caches the ranged
+    # layout so the range shuffle EXECUTES once; the rest is
+    # vocab-sized. Declared-plan count 19 + 1 slack.
+    "tokenizer_roundtrip_docs": (20, 9),
     "embedding_hard_negatives": (7, 3),
     # round-7 batch, measured + 1 slack (lang_id_kappa is absent on
     # purpose: its returned plan is a local relation — the corpus work
