@@ -115,6 +115,7 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    cache_owner: list | None = None,
 ) -> DataFrame:
     """Embedding-space contamination screen — the SEMANTIC sibling of the
     n-gram overlap report above: a pool document counts as contaminated
@@ -128,9 +129,17 @@ def semantic_contamination(
     against broadcast-literal centroids, and cosine runs only WITHIN a
     cell — cost is ``sum_c |pool_c| * |bench_c|`` instead of
     ``|pool| * |bench|``, with the documented SemDeDup approximation
-    (cross-cell leaks are missed; ``n_clusters`` is the recall knob). The
-    pair join is a plain equi-join on the cell id, so AQE skew handling
-    applies; nothing is collected but the ``n_clusters``-row model.
+    (cross-cell leaks are missed; ``n_clusters`` is the recall knob).
+
+    Scale hardening (the semantic_dedup lesson): an equi-join keyed
+    only on cell has at most n_clusters non-empty shuffle buckets, so a
+    shuffle-join draw serializes the whole pair grid onto n_clusters
+    tasks. The pool side carries a deterministic hash salt and the
+    (small) bench side replicates once per salt value, so parallelism
+    is n_clusters * n_salt under ANY join strategy; per-vector norms
+    are hoisted out of the pair predicate (bit-identical IEEE ops —
+    sqrt of the same stored double, same product); the pool assignment
+    feeds two plan branches and is cached (``cache_owner`` contract).
 
     Output: one row per pool vector — ``<id_col>, cell int,
     n_bench_hits long, max_cosine double (NULL when no hit),
@@ -138,28 +147,40 @@ def semantic_contamination(
     fixed-point rules), so fully oracle-gated.
     """
     from .kmeans import kmeans_fit
-    from .similarity import cosine, ivf_assign_cell
+    from .similarity import _dot, _norm_sq, ivf_assign_cell
 
     if centroids is None:
         centroids = kmeans_fit(
             pool.unionByName(bench), n_clusters, iters, id_col, vec_col
         )
+    parallelism = pool.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, min(64, (parallelism * 4) // max(n_clusters, 1)))
     p = pool.select(
         F.col(id_col),
         F.col(vec_col).alias("__vp"),
         ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
-    )
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("__np"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+        .cast("int").alias("__salt"),
+    ).cache()
+    if cache_owner is not None:
+        cache_owner.append(p)
     b = bench.select(
         F.col(vec_col).alias("__vb"),
         ivf_assign_cell(F.col(vec_col), centroids).alias("cell"),
+        F.sqrt(_norm_sq(F.col(vec_col))).alias("__nb"),
+    ).withColumn("__salt", F.explode(F.lit(list(range(n_salt)))))
+    pair_cos = (
+        _dot(F.col("__vp"), F.col("__vb"))
+        / (F.col("__np") * F.col("__nb"))
     )
     hits = (
-        p.join(b, "cell")
-        .where(cosine(F.col("__vp"), F.col("__vb")) >= threshold)
+        p.join(b, ["cell", "__salt"])
+        .where(pair_cos >= threshold)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
-            F.max(cosine(F.col("__vp"), F.col("__vb"))).alias("max_cosine"),
+            F.max(pair_cos).alias("max_cosine"),
         )
     )
     return (

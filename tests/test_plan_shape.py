@@ -326,6 +326,22 @@ def test_lsh_ingest_verify_is_candidate_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["semantic_dedup_embeddings", "contamination_semantic"])
+def test_cell_pair_joins_are_salted(spark, sf_dir, name):
+    """The within-cell pair joins must key on (cell, __salt), never cell
+    alone: an equi-join keyed only on cell has at most n_clusters
+    non-empty shuffle buckets, and a shuffle-join strategy draw then
+    serializes the whole quadratic pair grid onto n_clusters tasks
+    (measured 2.7x at sf3 — SCALE.md round-8)."""
+    plan = plan_of(spark, name, sf_dir)
+    salted_join = any(
+        "Join" in ln and "cell#" in ln and "__salt#" in ln
+        for ln in plan.splitlines()
+    )
+    assert salted_join, f"{name}: cell pair join lost its salt key"
+
+
 def test_skew_profile_broadcasts_total(spark, sf_dir):
     # The single-row total must broadcast, not shuffle, into the join.
     plan = plan_of(spark, "skew_profile_orders", sf_dir)
