@@ -147,10 +147,11 @@ def semantic_dedup(
     The assigned projection feeds THREE plan branches (both join sides
     and the final survivor join); assignment is the O(n * k * dim)
     interpreted higher-order fold, so it is cached rather than
-    recomputed per branch — measured 1.5x end-to-end at sf3 with
-    n_clusters scaled to the corpus. Same ``cache_owner`` contract as
-    ``stats.global_ranks`` (pass a list, unpersist after consuming;
-    None = LRU/session lifetime, fine for run-once queries).
+    recomputed per branch — measured 231 -> 50 s end-to-end at sf3
+    with n_clusters scaled to the corpus (SCALE.md round-8). Same
+    ``cache_owner`` contract as ``stats.global_ranks`` (pass a list,
+    unpersist after consuming; None = LRU/session lifetime, fine for
+    run-once queries).
     """
     from .similarity import _dot, _norm_sq
 

@@ -402,3 +402,58 @@ def test_canary_spurious_content_flagged(spark):
     ).first()
     assert r.n_expected == 0
     assert r.n_spurious == 1
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=14),
+        min_size=2, max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_span_islands_match_bruteforce(spark, token_lists, k):
+    """duplicate_span_islands against a direct Python computation on
+    random tiny-alphabet corpora (duplication-rich by construction):
+    the maximal spans must coincide exactly, including the sub-k
+    whole-document-gram case."""
+    from simple_anonymizer_spark.operators.textprep import (
+        duplicate_span_islands,
+    )
+
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+
+    grams: dict[str, set[int]] = {}
+    for d, ts in enumerate(token_lists):
+        n = len(ts)
+        if n == 0:
+            continue
+        for s in range(0, max(n - k, 0) + 1):
+            g = " ".join(ts[s:s + k])
+            grams.setdefault(g, set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    want: dict[int, list[tuple[int, int]]] = {}
+    for d, ts in enumerate(token_lists):
+        n = len(ts)
+        if n == 0:
+            continue
+        covered: set[int] = set()
+        for s in range(0, max(n - k, 0) + 1):
+            if " ".join(ts[s:s + k]) in dup:
+                covered.update(range(s, s + k))
+        runs: list[list[int]] = []
+        for pos in sorted(covered):
+            if runs and pos == runs[-1][0] + runs[-1][1]:
+                runs[-1][1] += 1
+            else:
+                runs.append([pos, 1])
+        if runs:
+            want[d] = [tuple(r) for r in runs]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in duplicate_span_islands(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    got = {d: sorted(v) for d, v in got.items()}
+    want = {d: sorted(v) for d, v in want.items()}
+    assert got == want
