@@ -135,6 +135,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 500,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
 
@@ -152,6 +153,15 @@ def minhash_lsh_pairs(
     exact/near-exact duplicates that exact dedup (``exact_duplicates``)
     already catches at linear cost. Measure what was dropped with
     ``lsh_bucket_stats`` before tuning the cap; ``None`` disables it.
+
+    ``hash_shingles=True`` verifies over ``xxhash64(shingle)`` int64
+    arrays instead of shingle text — the verify join ships BOTH sides'
+    shingle sets to every candidate pair, so on a duplicate-dense
+    corpus that payload is the whole shuffle (measured: the sf10
+    100-way-family corpus spilled past this box's disk on text
+    shingles and completes hashed — SCALE.md round-8). Results are
+    identical up to declared ~n_shingles^2/2^64 collision tolerance;
+    the default stays text-exact for oracle bit-parity.
     """
     src = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
                                        F.col(text_col).alias("__text")))
@@ -189,9 +199,12 @@ def minhash_lsh_pairs(
     # it appears in exactly one plan branch (`candidates`). (A candidate-id
     # semi-join here sounds like an optimization but instantiates the
     # candidates subtree two extra times — measured 2x slower.)
-    sh = src.select(
-        "__id", T.char_shingles(F.col("__text"), shingle_k).alias("__shingles")
-    )
+    shingles = T.char_shingles(F.col("__text"), shingle_k)
+    if hash_shingles:
+        shingles = F.array_distinct(
+            F.transform(shingles, lambda s: F.xxhash64(s))
+        )
+    sh = src.select("__id", shingles.alias("__shingles"))
     verified = (
         candidates.join(sh.withColumnRenamed("__id", "id_a")
                         .withColumnRenamed("__shingles", "__sh_a"), "id_a")

@@ -63,3 +63,26 @@ def test_cap_is_identity_on_fixture_corpus(spark, sf_dir):
         docs, jaccard_threshold=0.3, max_bucket_size=None
     ).collect()
     assert key(capped) == key(uncapped)
+
+
+def test_hashed_shingle_verify_identical_pairs(spark, sf_dir):
+    """hash_shingles=True (the payload-shrinking scale path for the
+    verify join) must emit the identical pair set and jaccard values as
+    the text-exact default — xxhash64 collisions are the only allowed
+    divergence and are absent at any realistic shingle count."""
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.operators import dedup
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    text = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    )
+    hashed = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, hash_shingles=True).collect()
+    )
+    assert text == hashed and len(text) > 0
