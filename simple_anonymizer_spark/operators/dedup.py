@@ -485,6 +485,7 @@ def minhash_lsh_ingest(
     bands: int = 4,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate screen for an INCOMING batch against a standing
     corpus — the production ingest shape: signatures are computed for the
@@ -503,6 +504,12 @@ def minhash_lsh_ingest(
     second full-corpus signature pass. Output: ``new_id, corpus_id,
     jaccard`` — every standing document each new document would
     near-duplicate at the threshold.
+
+    ``hash_shingles`` is the same verify-payload switch as
+    ``minhash_lsh_pairs``: int64 hashed shingle sets instead of text
+    (identical output up to declared collision tolerance), for
+    duplicate-dense candidate sets whose text payload dominates the
+    shuffle.
     """
     new_src = ensure_parallelism(new_docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
@@ -520,16 +527,22 @@ def minhash_lsh_ingest(
         .select("new_id", "corpus_id")
         .distinct()
     )
+    def _sh(col):
+        s = T.char_shingles(col, shingle_k)
+        if hash_shingles:
+            s = F.array_distinct(F.transform(s, lambda x: F.xxhash64(x)))
+        return s
+
     sh_new = new_docs.select(
         F.col(id_col).alias("new_id"),
-        T.char_shingles(F.col(text_col), shingle_k).alias("__sh_a"),
+        _sh(F.col(text_col)).alias("__sh_a"),
     )
     cand_ids = candidates.select(
         F.col("corpus_id").alias(id_col)
     ).distinct()
     sh_corpus = corpus.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col).alias("corpus_id"),
-        T.char_shingles(F.col(text_col), shingle_k).alias("__sh_b"),
+        _sh(F.col(text_col)).alias("__sh_b"),
     )
     return (
         candidates.join(sh_new, "new_id")

@@ -86,3 +86,24 @@ def test_hashed_shingle_verify_identical_pairs(spark, sf_dir):
             docs, jaccard_threshold=0.3, hash_shingles=True).collect()
     )
     assert text == hashed and len(text) > 0
+
+
+def test_hashed_shingle_ingest_identical(spark, sf_dir):
+    from simple_anonymizer_spark.operators import dedup
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+    from pyspark.sql import functions as F
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_band_index(corpus)
+
+    def pairs(**kw):
+        return sorted(
+            (r.new_id, r.corpus_id, round(r.jaccard, 12))
+            for r in dedup.minhash_lsh_ingest(
+                idx, corpus, batch, jaccard_threshold=0.3, **kw).collect()
+        )
+
+    text, hashed = pairs(), pairs(hash_shingles=True)
+    assert text == hashed and len(text) > 0
