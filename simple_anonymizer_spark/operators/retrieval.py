@@ -148,6 +148,81 @@ def bm25_from_index(
     )
 
 
+def rm3_expansion(
+    df: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback expansion terms (Lavrenko &
+    Croft relevance models): retrieve the BM25 top-``fb_docs``, weight
+    each feedback-document term by ``tf(t,d)/dl(d)`` times the
+    document's retrieval score, and emit the top-``fb_terms`` NEW terms
+    (the original query terms are excluded — interpolation back into
+    the query is the caller's mixing step). The standard query-expansion
+    move of a lexical retrieval pipeline.
+
+    Determinism contract (the bm25_scores pattern): the per-(term, doc)
+    contribution is the exact integer ``(tf * score_fp) div dl`` —
+    ``score_fp`` already carries BM25's 2^20 fixed-point scale, so the
+    truncation loses < 1 fp-unit per posting and both engines compute
+    the identical int64. Weights sum exactly; ties break on the term.
+    int64 bound: ``tf * score_fp`` per posting — safe while
+    ``tf * n_query_terms * 2.2 * idf_max * 2^20 < 2^63`` (orders of
+    magnitude of headroom at any realistic shard size).
+
+    Scale (100 TB): the feedback set is ``fb_docs`` rows (broadcast);
+    only feedback documents are re-tokenized (semi-join before the
+    explode), so expansion cost is O(fb_docs * doclen) regardless of
+    corpus size; the final top-``fb_terms`` is TakeOrderedAndProject
+    plus a window bounded by the limit. Output: ``term, weight_fp
+    (int64), weight (double), n_fb_docs (int64), rank (int64)``.
+    """
+    fb = F.broadcast(
+        bm25_scores(df, query_terms, top_k=fb_docs, text_col=text_col,
+                    id_col=id_col).select(id_col, "score_fp")
+    )
+    fb_text = df.join(fb, id_col).select(
+        F.col(id_col), F.col("score_fp"), F.col(text_col)
+    )
+    toks = fb_text.select(
+        id_col, "score_fp",
+        F.explode(T.tokens(F.col(text_col))).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__dl"))
+    tf = toks.groupBy(id_col, "term", "score_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("__tf"))
+    contrib = (
+        tf.join(F.broadcast(dl), id_col)
+        .where(~F.col("term").isin(*query_terms))
+        .select(
+            "term",
+            F.expr("(__tf * score_fp) div __dl").cast("long").alias("__c"),
+        )
+    )
+    scored = (
+        contrib.groupBy("term")
+        .agg(
+            F.sum("__c").cast("long").alias("weight_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_fb_docs"),
+        )
+        .orderBy(F.desc("weight_fp"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    w = Window.orderBy(F.desc("weight_fp"), F.asc("term"))
+    return scored.select(
+        "term",
+        "weight_fp",
+        (F.col("weight_fp").cast("double") / F.lit(float(FP_SCALE)))
+        .alias("weight"),
+        "n_fb_docs",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def mmr_rerank(
     corpus: DataFrame,
     query_id: int,

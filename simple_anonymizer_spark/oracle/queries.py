@@ -6739,3 +6739,41 @@ SELECT doc_id, CAST(min(cpos) AS BIGINT) AS span_start,
        CAST(count(*) AS BIGINT) AS span_len
 FROM isl GROUP BY doc_id, island
 """
+
+# bm25_rm3_expansion: RM3 feedback terms over the bm25 top-10 — exact
+# integer (tf * score_fp) // dl contributions (both engines truncate
+# identically on positive int64), excluding the original query terms.
+ORACLES["bm25_rm3_expansion"] = f"""
+WITH fb AS (
+  SELECT doc_id, score_fp
+  FROM ({_bm25_oracle(["merge", "stream", "vector"], 10)})
+),
+toks AS (
+  SELECT d.doc_id, f.score_fp, unnest({_tokens('text')}) AS term
+  FROM documents d JOIN fb f USING (doc_id)
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+tf AS (
+  SELECT doc_id, term, score_fp, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term, score_fp
+),
+contrib AS (
+  SELECT term, CAST((tf.tf * tf.score_fp) // dl.dl AS BIGINT) AS c
+  FROM tf JOIN dl USING (doc_id)
+  WHERE term NOT IN ('merge', 'stream', 'vector')
+),
+scored AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS weight_fp,
+         CAST(count(*) AS BIGINT) AS n_fb_docs
+  FROM contrib GROUP BY term
+  ORDER BY weight_fp DESC, term LIMIT 15
+)
+SELECT term, weight_fp,
+       CAST(weight_fp AS DOUBLE) / 1048576.0 AS weight,
+       n_fb_docs,
+       CAST(row_number() OVER (ORDER BY weight_fp DESC, term) AS BIGINT)
+         AS rank
+FROM scored
+"""

@@ -4713,6 +4713,22 @@ def events_user_gini(spark, sf_dir):
     return gini_exact(counts, "n_events", "user_id")
 
 
+@query("bm25_rm3_expansion")
+def bm25_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback query expansion
+    (retrieval.rm3_expansion): BM25 top-10 feedback documents weight
+    their terms by exact integer tf/dl x score_fp products; the top-15
+    NEW terms come back with fixed-point weights — the standard
+    lexical query-expansion step of a retrieval pipeline, on the same
+    deterministic BM25 arithmetic as bm25_docs."""
+    from .operators.retrieval import rm3_expansion
+
+    return rm3_expansion(
+        _t(spark, sf_dir, "documents"),
+        ["merge", "stream", "vector"], fb_docs=10, fb_terms=15,
+    )
+
+
 @query("dup_span_islands")
 def dup_span_islands(spark, sf_dir):
     """Maximal cross-document duplicated spans

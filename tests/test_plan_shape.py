@@ -241,6 +241,9 @@ NATIVE_QUERIES = [
     # round-8: maximal duplicated spans — the scrub cover merged via
     # per-doc gaps-and-islands windows, pure column algebra.
     "dup_span_islands",
+    # round-8: RM3 expansion — broadcast feedback set, integer div
+    # contributions, TakeOrderedAndProject top terms.
+    "bm25_rm3_expansion",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

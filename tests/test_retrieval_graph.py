@@ -448,3 +448,35 @@ def test_rrf_single_list_is_identity_order_and_empty_rejects(spark):
         == [(5, 1), (9, 2), (2, 3)]
     with pytest.raises(ValueError):
         rrf_fuse([], k_const=60)
+
+
+def test_rm3_expansion_ranks_cooccurring_terms(spark):
+    """Expansion terms come only from feedback (query-matching) docs,
+    exclude the original query terms, and rank by the exact integer
+    tf/dl x score_fp weight — the co-occurring term that dominates the
+    feedback set ranks first; vocabulary from non-matching docs never
+    appears."""
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.retrieval import rm3_expansion
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="merge alpha alpha alpha beta"),
+        Row(doc_id=2, text="stream alpha beta"),
+        Row(doc_id=3, text="gamma gamma gamma unrelated"),
+    ])
+    out = rm3_expansion(docs, ["merge", "stream"], fb_docs=5, fb_terms=10)
+    rows = {r.term: r for r in out.collect()}
+    assert "merge" not in rows and "stream" not in rows
+    assert "gamma" not in rows and "unrelated" not in rows
+    assert set(rows) == {"alpha", "beta"}
+    assert rows["alpha"].rank == 1 and rows["beta"].rank == 2
+    assert rows["alpha"].weight_fp > rows["beta"].weight_fp > 0
+    assert rows["alpha"].n_fb_docs == 2 and rows["beta"].n_fb_docs == 2
+
+    # partition invariance of the exact integer weights
+    a = sorted(tuple(r) for r in rm3_expansion(
+        docs.repartition(1), ["merge", "stream"]).collect())
+    b = sorted(tuple(r) for r in rm3_expansion(
+        docs.repartition(7), ["merge", "stream"]).collect())
+    assert a == b
