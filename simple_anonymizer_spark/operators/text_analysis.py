@@ -643,3 +643,78 @@ def readability(
                              / F.col("n_words").cast("double")),
         ).alias("flesch"),
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group token-distribution divergence from the whole corpus in
+    whole bits — the domain-shift census of a multi-source curation
+    run: a source whose unigram distribution sits far from the corpus
+    mix dominates remix decisions and deserves its own quality pass.
+    ``KL(P_s || P) = sum_t P(t|s) * log2(P(t|s) / P(t))``; per the
+    doc_surprisal rule every log2 is the exact integer binary length,
+    and — the pmi_collocations overflow lesson — the ratio decomposes
+    into SUMS of individually int64-safe lengths, never ``n * N``
+    products::
+
+        contrib(s, t) = n_ts * (bits(n_ts) + bits(N)
+                                - bits(N_s) - bits(n_t))
+
+    summed exactly per group (whole-bits is within a few bits of true
+    KL and can go negative for a group made of corpus-common tokens —
+    expected of the approximation, deterministic in both engines).
+
+    Output: one row per group — ``<group_col>, n_tokens, n_terms
+    (int64), kl_bits_total (int64), mean_kl_bits (double — one
+    division of exact integers)``.
+
+    Scale (100 TB): two token aggregations (group x term and term —
+    both map-side combinable, term-keyed shuffles), the group totals
+    are a domain-bounded broadcast, and the contribution join is keyed
+    on the term. Nothing funnels through a single task.
+    """
+
+    def bits(c) -> Column:
+        col = F.col(c) if isinstance(c, str) else c
+        return F.length(F.call_function("bin", col)).cast("long")
+
+    tok = _spread(df).select(
+        F.col(group_col).alias("__g"),
+        F.explode(T.tokens(F.col(text_col))).alias("__w"),
+    )
+    ts = tok.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__nts"))
+    tcorp = tok.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt"))
+    gtot = ts.groupBy("__g").agg(
+        F.sum("__nts").cast("long").alias("__ns"),
+        F.count(F.lit(1)).cast("long").alias("__nterms"),
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    contrib = (
+        ts.join(tcorp, "__w")
+        .join(F.broadcast(gtot), "__g")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__g", "__ns", "__nterms",
+            (F.col("__nts")
+             * (bits("__nts") + bits("__n") - bits("__ns") - bits("__nt")))
+            .cast("long").alias("__c"),
+        )
+    )
+    return (
+        contrib.groupBy(
+            F.col("__g").alias(group_col),
+            F.col("__ns").alias("n_tokens"),
+            F.col("__nterms").alias("n_terms"),
+        )
+        .agg(F.sum("__c").cast("long").alias("kl_bits_total"))
+        .select(
+            group_col, "n_tokens", "n_terms", "kl_bits_total",
+            (F.col("kl_bits_total").cast("double")
+             / F.col("n_tokens").cast("double")).alias("mean_kl_bits"),
+        )
+    )

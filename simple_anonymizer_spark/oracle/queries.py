@@ -6777,3 +6777,37 @@ SELECT term, weight_fp,
          AS rank
 FROM scored
 """
+
+# source_kl_tokens: per-source whole-bits KL vs the corpus unigram mix;
+# bit-length SUMS only (no n*N products — int64-safe at any scale).
+ORACLES["source_kl_tokens"] = f"""
+WITH tok AS (
+  SELECT source AS g, unnest({_tokens('text')}) AS w FROM documents
+),
+ts AS (
+  SELECT g, w, CAST(count(*) AS BIGINT) AS nts FROM tok GROUP BY g, w
+),
+tc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY w
+),
+gt AS (
+  SELECT g, CAST(sum(nts) AS BIGINT) AS ns,
+         CAST(count(*) AS BIGINT) AS nterms
+  FROM ts GROUP BY g
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+contrib AS (
+  SELECT ts.g, gt.ns, gt.nterms,
+         CAST(ts.nts * (CAST(length(bin(ts.nts)) AS BIGINT)
+                        + CAST(length(bin(tot.n)) AS BIGINT)
+                        - CAST(length(bin(gt.ns)) AS BIGINT)
+                        - CAST(length(bin(tc.nt)) AS BIGINT))
+              AS BIGINT) AS c
+  FROM ts JOIN tc USING (w) JOIN gt USING (g) CROSS JOIN tot
+)
+SELECT g AS source, ns AS n_tokens, nterms AS n_terms,
+       CAST(sum(c) AS BIGINT) AS kl_bits_total,
+       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(ns AS DOUBLE)
+         AS mean_kl_bits
+FROM contrib GROUP BY g, ns, nterms
+"""

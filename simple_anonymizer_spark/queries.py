@@ -4729,6 +4729,15 @@ def bm25_rm3_expansion(spark, sf_dir):
     )
 
 
+@query("source_kl_tokens")
+def source_kl_tokens(spark, sf_dir):
+    """Per-source token-distribution KL divergence from the corpus in
+    whole bits (text_analysis.source_kl_divergence) — the domain-shift
+    census a multi-source remix consults; exact integer bit-length
+    sums, no n x N products (the pmi_collocations overflow rule)."""
+    return text_analysis.source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
 @query("dup_span_islands")
 def dup_span_islands(spark, sf_dir):
     """Maximal cross-document duplicated spans

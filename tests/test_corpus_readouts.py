@@ -133,3 +133,39 @@ def test_gini_known_distributions(spark):
     assert gini_exact(single, "x", "k").collect()[0]["gini"] is None
     zeros = spark.createDataFrame([(0, 0), (1, 0)], "k long, x long")
     assert gini_exact(zeros, "x", "k").collect()[0]["gini"] is None
+
+
+def test_source_kl_flags_divergent_source(spark):
+    """A source speaking the corpus-common vocabulary sits near zero
+    whole-bits KL; a source of tokens found nowhere else diverges
+    positively and strictly more; exact totals are partition-invariant."""
+    from pyspark.sql import Row
+
+    from simple_anonymizer_spark.operators.text_analysis import (
+        source_kl_divergence,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append(Row(doc_id=i, source="common",
+                        text="the quick brown fox jumps"))
+    for i in range(20, 24):
+        rows.append(Row(doc_id=i, source="mixed",
+                        text="the quick brown fox jumps"))
+    for i in range(24, 28):
+        rows.append(Row(doc_id=i, source="weird",
+                        text="zxqv wvut qqqp zxqv zxqv"))
+    df = spark.createDataFrame(rows)
+    out = {r.source: r for r in source_kl_divergence(df).collect()}
+    assert set(out) == {"common", "mixed", "weird"}
+    # the divergent source dominates both common-vocabulary sources
+    assert out["weird"].mean_kl_bits > out["common"].mean_kl_bits
+    assert out["weird"].mean_kl_bits > out["mixed"].mean_kl_bits
+    assert out["weird"].kl_bits_total > 0
+    assert out["weird"].n_tokens == 20 and out["weird"].n_terms == 3
+
+    a = sorted(tuple(r) for r in source_kl_divergence(
+        df.repartition(1)).collect())
+    b = sorted(tuple(r) for r in source_kl_divergence(
+        df.repartition(7)).collect())
+    assert a == b

@@ -244,6 +244,9 @@ NATIVE_QUERIES = [
     # round-8: RM3 expansion — broadcast feedback set, integer div
     # contributions, TakeOrderedAndProject top terms.
     "bm25_rm3_expansion",
+    # round-8: per-source whole-bits KL census — term-keyed joins,
+    # domain-bounded broadcast totals, pure column algebra.
+    "source_kl_tokens",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
