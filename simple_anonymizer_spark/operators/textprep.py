@@ -400,7 +400,12 @@ def duplicate_span_islands(
 
     Output: one row per maximal span — ``<id_col>, span_start (0-based
     token position, int64), span_len (int64, always >= k)``; documents
-    with no duplicated span emit nothing.
+    with no duplicated span emit nothing. Documents SHORTER than k
+    tokens contribute one whole-document gram whose cover still spans k
+    positions, so for such a doc ``span_start + span_len`` can exceed
+    its actual token count (a duplicated 3-token doc reports
+    span_len=k); the DuckDB oracle and the brute-force property test
+    mirror this convention exactly.
 
     Scale (100 TB): same honest positional explode as
     ``scrub_duplicate_spans`` (the gram build), the gram frequency

@@ -4652,13 +4652,20 @@ def char_entropy_docs(spark, sf_dir):
     )
     s = F.col("__s")
     # 1-based positions that START a run in the sorted array; guard the
-    # sequence build — sequence(1, 0) DESCENDS, it is not empty
+    # sequence build — sequence(1, 0) DESCENDS, it is not empty.
+    # element_at raises on index 0 regardless of the i==1 disjunct's
+    # value, so keep the index expression total (clamped to 1) instead
+    # of relying on Or short-circuit order: at i==1 the clamped compare
+    # is s[1] != s[1] = false and the first disjunct still wins.
     starts = F.when(
         F.size(s) >= 1,
         F.filter(
             F.sequence(F.lit(1), F.size(s)),
             lambda i: (i == F.lit(1))
-            | (F.element_at(s, i) != F.element_at(s, i - F.lit(1))),
+            | (
+                F.element_at(s, i)
+                != F.element_at(s, F.greatest(i - F.lit(1), F.lit(1)))
+            ),
         ),
     ).otherwise(F.array().cast("array<int>"))
     staged = base.select(
