@@ -135,7 +135,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 500,
-    hash_shingles: bool = False,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
 
@@ -154,14 +154,19 @@ def minhash_lsh_pairs(
     already catches at linear cost. Measure what was dropped with
     ``lsh_bucket_stats`` before tuning the cap; ``None`` disables it.
 
-    ``hash_shingles=True`` verifies over ``xxhash64(shingle)`` int64
-    arrays instead of shingle text — the verify join ships BOTH sides'
-    shingle sets to every candidate pair, so on a duplicate-dense
-    corpus that payload is the whole shuffle (measured: the sf10
-    100-way-family corpus spilled past this box's disk on text
-    shingles and completes hashed — SCALE.md round-8). Results are
-    identical up to declared ~n_shingles^2/2^64 collision tolerance;
-    the default stays text-exact for oracle bit-parity.
+    ``hash_shingles=True`` (the DEFAULT) verifies over
+    ``xxhash64(shingle)`` int64 arrays instead of shingle text — the
+    verify join ships BOTH sides' shingle sets to every candidate pair,
+    so on a duplicate-dense corpus that payload is the whole shuffle
+    (measured: the sf10 100-way-family corpus spilled past this box's
+    disk on text shingles — ``[SPILL_OUT_OF_MEMORY]`` — and completes
+    hashed in 322 s; SCALE.md rounds 8-9). Results are identical up to
+    declared ~n_shingles^2/2^64 collision tolerance (pair identity
+    pinned on the fixtures, tests/test_dedup_scale.py). Pass
+    ``hash_shingles=False`` only where bit-exact text Jaccard is
+    contractually required — the oracle-gated registry queries do,
+    because xxhash64 has no DuckDB mirror; that oracle split is the
+    ONLY sanctioned use of the text payload at scale.
     """
     src = ensure_parallelism(df.select(F.col(id_col).alias("__id"),
                                        F.col(text_col).alias("__text")))
@@ -485,7 +490,7 @@ def minhash_lsh_ingest(
     bands: int = 4,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
-    hash_shingles: bool = False,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate screen for an INCOMING batch against a standing
     corpus — the production ingest shape: signatures are computed for the
@@ -506,10 +511,11 @@ def minhash_lsh_ingest(
     near-duplicate at the threshold.
 
     ``hash_shingles`` is the same verify-payload switch as
-    ``minhash_lsh_pairs``: int64 hashed shingle sets instead of text
-    (identical output up to declared collision tolerance), for
-    duplicate-dense candidate sets whose text payload dominates the
-    shuffle.
+    ``minhash_lsh_pairs`` and shares its default (True — int64 hashed
+    shingle sets instead of text; identical output up to declared
+    collision tolerance): on a duplicate-dense candidate set the text
+    payload dominates the shuffle. ``False`` is for the oracle-gated
+    registry queries only (DuckDB bit-parity; no xxhash64 mirror).
     """
     new_src = ensure_parallelism(new_docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
@@ -586,9 +592,14 @@ def minhash_recall_report(
     in one aggregation each.
     """
     lo = min(thresholds)
+    # Text-exact verify on purpose: the truth side below measures TEXT
+    # shingle Jaccard, and the found-is-a-subset-of-truth property is
+    # exact only when both sides score the identical metric. This is a
+    # sampled measurement tool (quadratic truth side), so the text
+    # payload never reaches corpus scale here.
     found_pairs = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_k,
-        lo, max_bucket_size,
+        lo, max_bucket_size, hash_shingles=False,
     )
     found = found_pairs.agg(*[
         F.coalesce(

@@ -740,8 +740,12 @@ def dedup_distinct_docs(spark, sf_dir):
 
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark, sf_dir):
+    """Oracle split: hash_shingles=False because the DuckDB mirror
+    scores TEXT shingle Jaccard (xxhash64 has no DuckDB mirror); the
+    operator's own default is the scale-safe hashed verify payload."""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.3
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.3,
+        hash_shingles=False,
     )
 
 
@@ -1296,7 +1300,9 @@ def dedup_clusters(spark, sf_dir):
     from .operators.components import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    # hash_shingles=False: oracle bit-parity (text-Jaccard DuckDB mirror)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.3, hash_shingles=False)
     return connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )
@@ -1310,7 +1316,9 @@ def dedup_golden_records(spark, sf_dir):
     from .operators.components import connected_components, golden_records
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    # hash_shingles=False: oracle bit-parity (text-Jaccard DuckDB mirror)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.3, hash_shingles=False)
     labels = connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node"))
     )
@@ -1418,7 +1426,9 @@ def pipeline_corpus(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     comp = connected_components(
-        dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3),
+        # hash_shingles=False: oracle bit-parity (text-Jaccard mirror)
+        dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, hash_shingles=False),
         nodes=docs.select(F.col("doc_id").alias("node")),
     )
     canonical = comp.where(F.col("node") == F.col("component")).select(
@@ -2132,7 +2142,9 @@ def dedup_lsh_ingest(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     new = docs.where(F.col("doc_id") % 10 == 0)
     index = dedup.minhash_band_index(corpus)
-    return dedup.minhash_lsh_ingest(index, corpus, new)
+    # hash_shingles=False: oracle bit-parity (text-Jaccard DuckDB mirror)
+    return dedup.minhash_lsh_ingest(
+        index, corpus, new, hash_shingles=False)
 
 
 @query("sample_weighted_topk")

@@ -67,9 +67,10 @@ def test_cap_is_identity_on_fixture_corpus(spark, sf_dir):
 
 def test_hashed_shingle_verify_identical_pairs(spark, sf_dir):
     """hash_shingles=True (the payload-shrinking scale path for the
-    verify join) must emit the identical pair set and jaccard values as
-    the text-exact default — xxhash64 collisions are the only allowed
-    divergence and are absent at any realistic shingle count."""
+    verify join, and since round 9 the DEFAULT) must emit the identical
+    pair set and jaccard values as the text-exact oracle path —
+    xxhash64 collisions are the only allowed divergence and are absent
+    at any realistic shingle count."""
     from pyspark.sql import functions as F
 
     from simple_anonymizer_spark.operators import dedup
@@ -78,7 +79,8 @@ def test_hashed_shingle_verify_identical_pairs(spark, sf_dir):
     docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
     text = sorted(
         (r.id_a, r.id_b, round(r.jaccard, 12))
-        for r in dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+        for r in dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, hash_shingles=False).collect()
     )
     hashed = sorted(
         (r.id_a, r.id_b, round(r.jaccard, 12))
@@ -86,6 +88,21 @@ def test_hashed_shingle_verify_identical_pairs(spark, sf_dir):
             docs, jaccard_threshold=0.3, hash_shingles=True).collect()
     )
     assert text == hashed and len(text) > 0
+
+
+def test_scale_safe_payload_is_the_default():
+    """The plan a caller gets WITHOUT flags must be the one that
+    survives sf10 (SCALE.md: text payload died on spill, hashed
+    completed) — pin the signature defaults so a refactor can't
+    silently flip them back."""
+    import inspect
+
+    from simple_anonymizer_spark.operators import dedup
+
+    for fn in (dedup.minhash_lsh_pairs, dedup.minhash_lsh_ingest):
+        assert (
+            inspect.signature(fn).parameters["hash_shingles"].default is True
+        ), fn.__name__
 
 
 def test_hashed_shingle_ingest_identical(spark, sf_dir):
@@ -105,5 +122,5 @@ def test_hashed_shingle_ingest_identical(spark, sf_dir):
                 idx, corpus, batch, jaccard_threshold=0.3, **kw).collect()
         )
 
-    text, hashed = pairs(), pairs(hash_shingles=True)
+    text, hashed = pairs(hash_shingles=False), pairs(hash_shingles=True)
     assert text == hashed and len(text) > 0
