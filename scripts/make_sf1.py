@@ -13,9 +13,16 @@ type (events keeps timestamp[ns], embeddings keeps list<float>):
   replica while cross-replica rows are high-Jaccard NEAR-duplicates —
   a realistic near-dup-rich corpus rather than a degenerate 10x
   exact-duplicate one (n_chars is recomputed from the new text);
-* embeddings rotate each vector by ``replica`` positions — norm- and
-  distribution-preserving, so kmeans/semantic-dedup cells don't
-  collapse into 10x-multiplicity point masses.
+* embeddings apply a per-replica RANDOM ORTHOGONAL rotation (QR of a
+  seeded Gaussian matrix) — norm- and distribution-preserving, so
+  kmeans/semantic-dedup cells don't collapse into 10x-multiplicity
+  point masses, and (unlike the earlier ``np.roll`` which wrapped at
+  dim=64, repeating rotations past replica 64) every replica gets a
+  DISTINCT rotation at any replica count. Because one rotation is
+  applied to ALL vectors of a replica, within-replica pairwise cosines
+  are preserved exactly: each replica is an isometric copy of sf0.1's
+  point set, so semantic-dedup survivor counts should scale ~linearly
+  with replicas (the output-semantics prediction SCALE.md verifies).
 
 Usage: python scripts/make_sf1.py [/tmp/sf1] [replicas]
 (replicas defaults to 10 = sf1; 30 = sf3, 100 = sf10 — the third
@@ -103,8 +110,16 @@ def main() -> None:
                                      rep.schema.field("n_chars"), n_chars)
             if name == "embeddings" and i > 0:
                 vecs = np.stack(rep["embedding"].to_pylist()).astype("float32")
-                rolled = np.roll(vecs, i, axis=1)
-                col = pa.array(list(rolled),
+                # Per-replica random orthogonal rotation: distinct for
+                # EVERY replica (np.roll wrapped at dim=64), norm- and
+                # within-replica-geometry-preserving (isometry), so
+                # semantic-dedup output semantics stay predictable.
+                dim = vecs.shape[1]
+                rng = np.random.default_rng(1_000_003 * i)
+                q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+                q = q * np.sign(np.diag(r))  # deterministic sign fix
+                rotated = (vecs @ q.astype("float64")).astype("float32")
+                col = pa.array(list(rotated),
                                type=rep.schema.field("embedding").type)
                 rep = rep.set_column(
                     rep.schema.get_field_index("embedding"),
