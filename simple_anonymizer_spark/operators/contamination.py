@@ -109,7 +109,7 @@ def contamination_report(
 def semantic_contamination(
     pool: DataFrame,
     bench: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     threshold: float = 0.85,
     id_col: str = "vec_id",
@@ -146,9 +146,16 @@ def semantic_contamination(
     contaminated long 0/1``. Deterministic end-to-end (the trainer's
     fixed-point rules), so fully oracle-gated.
     """
-    from .kmeans import kmeans_fit
+    from .kmeans import default_n_clusters, kmeans_fit
     from .similarity import _dot, _norm_sq, ivf_assign_cell
 
+    if centroids is not None:
+        n_clusters = len(centroids)
+    elif n_clusters is None:
+        # scale-aware default, same rationale as kmeans.default_n_clusters:
+        # fixed k grows sum|cell|^2 quadratically with the corpus
+        n_clusters = default_n_clusters(
+            pool.unionByName(bench).count())
     if centroids is None:
         centroids = kmeans_fit(
             pool.unionByName(bench), n_clusters, iters, id_col, vec_col

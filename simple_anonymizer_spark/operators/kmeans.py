@@ -35,6 +35,8 @@ noise at float32 input precision.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from .similarity import ivf_assign_cell
@@ -47,9 +49,29 @@ def _dim_of(corpus: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def default_n_clusters(n_rows: int) -> int:
+    """Scale-aware cluster count when the caller doesn't pick one:
+    ``k ~= sqrt(N)``, FAISS's coarse-quantizer sizing guideline, capped
+    at ``N // 39`` so every centroid keeps >= ~39 training points (the
+    FAISS minimum before centroids go unsupported), floor 1.
+
+    Why sqrt and not a constant: SemDeDup's pair cost is
+    ``sum_c |cell_c|^2 ~= N^2 / k``. A FIXED k makes that term grow
+    quadratically with the corpus — measured: 0.5M -> 450M within-cell
+    pairs over a 30x data increase at k=8, while k ~ sqrt(N) held the
+    sf3 end-to-end at 52.7 s vs 140 s fixed (SCALE.md rounds 7-8). With
+    k = sqrt(N) the pair term is N^1.5 and per-cell size stays sqrt(N)
+    — the shape that survives a 100 TB corpus, where k simply grows
+    into the tens of thousands of cells an IVF index would use anyway.
+    """
+    if n_rows < 1:
+        return 1
+    return max(1, min(math.isqrt(n_rows), max(1, n_rows // 39)))
+
+
 def kmeans_fit(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -58,7 +80,14 @@ def kmeans_fit(
     (broadcastable state). Init is the ``n_clusters`` lowest-id vectors —
     deterministic, the property the oracle mirror depends on. Clusters
     that lose every member keep their previous centroid (standard Lloyd
-    degeneracy handling, mirrored in SQL with a coalescing left join)."""
+    degeneracy handling, mirrored in SQL with a coalescing left join).
+
+    ``n_clusters=None`` (the default) sizes k from the corpus via
+    ``default_n_clusters`` (~sqrt(N), FAISS-style) — one extra count()
+    job. The oracle-gated registry queries pass an explicit k=8 for
+    cross-engine parity; callers who know their corpus should pick k."""
+    if n_clusters is None:
+        n_clusters = default_n_clusters(corpus.count())
     if n_clusters < 1 or iters < 0:
         raise ValueError("n_clusters must be >= 1 and iters >= 0")
     dim = _dim_of(corpus, vec_col)
@@ -117,7 +146,7 @@ def kmeans_assign(
 
 def semantic_dedup(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     threshold: float = 0.9,
     id_col: str = "vec_id",
@@ -137,7 +166,12 @@ def semantic_dedup(
     quadratic pair comparison is confined to each cell, so cost is
     ``sum_c |cell_c|^2`` instead of n^2; ``n_clusters`` is the knob that
     trades recall (duplicates straddling a cell boundary are missed —
-    SemDeDup's documented approximation) against per-cell join size. The
+    SemDeDup's documented approximation) against per-cell join size.
+    When the caller doesn't pass it, k is sized from the corpus
+    (``default_n_clusters``, ~sqrt(N)): a FIXED k grows the pair term
+    quadratically with data (measured 0.5M -> 450M pairs over 30x at
+    k=8 — SCALE.md), so the scale-safe sizing is the DEFAULT and the
+    oracle-gated registry queries opt into k=8 for parity. The
     pair join is a plain equi-join on the cell id, so AQE's skew handling
     applies to an oversized cell. Assignment itself never shuffles
     (broadcast-literal centroids), and every float op follows the
@@ -155,6 +189,8 @@ def semantic_dedup(
     """
     from .similarity import _dot, _norm_sq
 
+    if n_clusters is None:
+        n_clusters = default_n_clusters(corpus.count())
     centroids = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
     # the per-vector norm is computed ONCE here and reused across every
     # pair the vector joins into: cosine(a,b) = dot / (sqrt(nsq_a) *
@@ -218,7 +254,7 @@ def semantic_dedup(
 
 def kmeans_cluster_profile(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -226,7 +262,8 @@ def kmeans_cluster_profile(
     """Train + assign + summarize in one call: per-cell member counts and
     the first centroid component (a cross-engine float sentinel — if any
     iteration diverged between engines, this double diverges with it).
-    Output: ``cell int, n_members long, centroid_d1 double``."""
+    Output: ``cell int, n_members long, centroid_d1 double``.
+    ``n_clusters=None`` sizes k ~sqrt(N) via ``default_n_clusters``."""
     centroids = kmeans_fit(corpus, n_clusters, iters, id_col, vec_col)
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(

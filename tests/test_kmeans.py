@@ -186,3 +186,66 @@ def test_semantic_contamination_same_quantizer_as_split_training(spark):
     b = semantic_contamination(pool, bench, threshold=0.9,
                                centroids=cents).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# Scale-aware default k (VERDICT r8 #2): fixed k=8 grows the SemDeDup
+# pair term sum|cell|^2 quadratically with the corpus (measured 0.5M ->
+# 450M pairs over 30x — SCALE.md); k ~ sqrt(N) is the default.
+
+
+def test_default_n_clusters_formula():
+    assert kmeans.default_n_clusters(0) == 1
+    assert kmeans.default_n_clusters(1) == 1
+    assert kmeans.default_n_clusters(38) == 1          # N//39 support floor
+    assert kmeans.default_n_clusters(500) == 12        # capped by N//39
+    assert kmeans.default_n_clusters(2000) == 44       # sqrt regime
+    assert kmeans.default_n_clusters(10**6) == 1000
+    assert kmeans.default_n_clusters(10**12) == 10**6  # 100 TB-ish: IVF-size k
+
+
+def test_semantic_dedup_default_k_equals_explicit(spark, emb):
+    n = emb.count()
+    k = kmeans.default_n_clusters(n)
+    a = sorted(map(tuple, kmeans.semantic_dedup(emb).collect()))
+    b = sorted(map(tuple,
+                   kmeans.semantic_dedup(emb, n_clusters=k).collect()))
+    assert a == b and len(a) == n
+
+
+def _pair_budget(corpus, k):
+    cents = kmeans.kmeans_fit(corpus, n_clusters=k, iters=2)
+    counts = (
+        kmeans.kmeans_assign(corpus, cents)
+        .groupBy("cell").count().collect()
+    )
+    return sum(r["count"] ** 2 for r in counts)
+
+
+def test_default_k_pair_budget_subquadratic(spark, emb):
+    """The SCALE.md knee reproduced in-code: replicate the fixture 8x
+    (ids offset; identical points, so the fixed-k trainer provably
+    reproduces its centroids and every cell scales exactly 8x). Fixed
+    k=8 must show the quadratic signature (sum|cell|^2 ~ 64x); the
+    scale-aware default must stay well under half of it."""
+    stride = emb.agg(F.max("vec_id")).first()[0] + 1
+    n1 = emb.count()
+    rep8 = emb
+    for i in range(1, 8):
+        rep8 = rep8.unionByName(
+            emb.select((F.col("vec_id") + i * stride).alias("vec_id"),
+                       "embedding", "label"))
+    rep8 = rep8.cache()
+    n8 = rep8.count()
+    assert n8 == 8 * n1
+
+    b1_fixed = _pair_budget(emb, 8)
+    b8_fixed = _pair_budget(rep8, 8)
+    assert b8_fixed == 64 * b1_fixed  # the quadratic signature, exactly
+
+    b1_def = _pair_budget(emb, kmeans.default_n_clusters(n1))
+    b8_def = _pair_budget(rep8, kmeans.default_n_clusters(n8))
+    # sub-quadratic: sqrt-scaled k targets ~8^1.5 = 22.6x; allow cell
+    # imbalance but reject anything in the quadratic regime
+    assert b8_def / b1_def < 40
+    assert b8_def < b8_fixed / 2
+    rep8.unpersist()
