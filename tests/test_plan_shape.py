@@ -101,6 +101,58 @@ def assert_no_single_task_global_window(name: str, plan: str) -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bounded-key shuffle-join audit (VERDICT r8 #7): an equi-join whose ONLY
+# keys are bounded-cardinality derived columns (a kmeans cell, an LSH band,
+# a language/label code) has at most |keys| non-empty shuffle buckets — a
+# shuffle-join strategy draw then serializes the whole pair grid onto
+# |keys| tasks regardless of cluster size (measured: the sf3 k=8 SemDeDup
+# join ran 8-wide on 32 cores, 2.7x the salted time; 450M pairs on 8
+# tasks). Every such join must either carry a salt key alongside the
+# bounded key or broadcast one side. Name-heuristic: these are the
+# repo's bounded-cardinality join-column names; extend the set when a
+# new bounded key is introduced, and extend the allowlist ONLY with a
+# reason that explains why the join cannot concentrate.
+
+_BOUNDED_KEY_NAMES = {
+    "cell", "__cell", "band", "__band", "label", "__label",
+    "lang", "__lang", "grid", "__grid",
+}
+
+# name -> reason the bare bounded-key shuffle join is safe THERE.
+BOUNDED_JOIN_ALLOWLIST: dict[str, str] = {}
+
+
+def bounded_key_shuffle_joins(plan: str) -> list[str]:
+    """Shuffle-join nodes (SortMergeJoin / ShuffledHashJoin — broadcast
+    joins don't bucket by key) whose left key list consists ONLY of
+    bounded-cardinality column names: parallelism is then capped at the
+    key domain size, not the cluster."""
+    bad = []
+    for ln in plan.splitlines():
+        m = re.search(
+            r"(SortMergeJoin|ShuffledHashJoin)\S*\s+\[([^\]]*)\]", ln)
+        if not m:
+            continue
+        keys = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", m.group(2))
+        if keys and all(k in _BOUNDED_KEY_NAMES for k in keys):
+            bad.append(ln.strip()[:160])
+    return bad
+
+
+def assert_no_bounded_key_shuffle_join(name: str, plan: str) -> None:
+    if name in BOUNDED_JOIN_ALLOWLIST:
+        return
+    bad = bounded_key_shuffle_joins(plan)
+    assert not bad, (
+        f"{name}: shuffle join keyed ONLY on bounded-cardinality "
+        f"column(s) — at most |domain| tasks ever run it. Salt the key "
+        f"(hash salt one side, explode-replicate the other, join on "
+        f"(key, salt) — see kmeans.semantic_dedup) or broadcast a side. "
+        f"Nodes: {bad}"
+    )
+
+
 NATIVE_QUERIES = [
     "anon_customer_pii", "anon_names", "anon_redact", "anon_stable_hash",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
@@ -275,6 +327,7 @@ def test_multimodal_has_exactly_one_pandas_slot(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-Python crept in"
     assert "ArrowEvalPython" not in plan, f"{name}: scalar pandas UDF crept in"
     assert_no_single_task_global_window(name, plan)
+    assert_no_bounded_key_shuffle_join(name, plan)
 
 
 def test_registry_is_fully_plan_covered():
@@ -348,6 +401,30 @@ def test_cell_pair_joins_are_salted(spark, sf_dir, name):
     assert salted_join, f"{name}: cell pair join lost its salt key"
 
 
+def test_bounded_join_auditor_catches_unsalted_cell_join(spark, sf_dir):
+    """The auditor itself must fire on the anti-pattern it exists for: a
+    self-join keyed on cell alone (what semantic_dedup would plan without
+    its salt), with broadcast disabled so the shuffle-join draw happens."""
+    from pyspark.sql import functions as F
+
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    cells = emb.select("vec_id", (F.col("vec_id") % 8).alias("cell"))
+    a = cells.select(F.col("vec_id").alias("id_a"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), "cell")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bare = a.join(b, "cell")
+        plan = bare._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert bounded_key_shuffle_joins(plan), (
+        "auditor failed to flag a bare cell-keyed shuffle join"
+    )
+
+
 def test_skew_profile_broadcasts_total(spark, sf_dir):
     # The single-row total must broadcast, not shuffle, into the join.
     plan = plan_of(spark, "skew_profile_orders", sf_dir)
@@ -365,6 +442,9 @@ def test_no_python_in_native_paths(spark, sf_dir, name):
     # data-scaling table anywhere in the registry (NATIVE + PANDAS_SLOT
     # tile it; the pandas-slot test runs the same audit).
     assert_no_single_task_global_window(name, plan)
+    # third invariant, same plan: no shuffle join keyed only on a
+    # bounded-cardinality column (the 450M-pairs-on-8-tasks class).
+    assert_no_bounded_key_shuffle_join(name, plan)
 
 
 def test_filter_pushed_to_parquet_scan(spark, sf_dir):
