@@ -513,7 +513,22 @@ def bpe_train(
             F.lit(" </w>"),
         ).alias("__seq"),
     ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        _bpe_merge_loop(vocab, n_merges),
+        "iteration long, left string, right string, merged string,"
+        " pair_count long",
+    )
 
+
+def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
+    """The shared Sennrich merge loop over a ``__freq, __seq`` vocabulary
+    state (word-level and byte-level trainers differ only in how the
+    initial symbol sequences are built): per iteration, count adjacent
+    symbol pairs weighted by frequency, take the best by (count DESC,
+    pair text ASC), rewrite every sequence via the double-spaced literal
+    replace. Exactly one (pair, count) row reaches the driver per
+    iteration; sequences re-materialize via localCheckpoint so plan depth
+    stays flat."""
     merges: list[tuple] = []
     for i in range(n_merges):
         sym = F.split(F.col("__seq"), " ")
@@ -540,23 +555,26 @@ def bpe_train(
         # double-space the sequence so every symbol owns its flanking
         # spaces; literal replace is then greedy non-overlapping with no
         # shared-boundary misses, identically in every engine.
-        padded = F.concat(
-            F.lit(" "),
-            F.expr("replace(__seq, ' ', '  ')"),
-            F.lit(" "),
-        )
-        pat = " " + pair.replace(" ", "  ") + " "
-        rep = " " + merged + " "
-        replaced = F.call_function("replace", padded, F.lit(pat), F.lit(rep))
-        new_seq = F.trim(F.regexp_replace(replaced, " +", " "))
+        new_seq = _apply_one_merge(F.col("__seq"), pair, merged)
         vocab = vocab.select(
             "__freq", new_seq.alias("__seq")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "iteration long, left string, right string, merged string,"
-        " pair_count long",
+    return merges
+
+
+def _apply_one_merge(seq: Column, pair: str, merged: str) -> Column:
+    """One double-spaced literal-replace merge rewrite of a
+    space-separated symbol sequence — the step both trainers and both
+    segmenters share, and the step the DuckDB oracle replays verbatim."""
+    padded = F.concat(
+        F.lit(" "),
+        F.call_function("replace", seq, F.lit(" "), F.lit("  ")),
+        F.lit(" "),
     )
+    pat = " " + pair.replace(" ", "  ") + " "
+    rep = " " + merged + " "
+    replaced = F.call_function("replace", padded, F.lit(pat), F.lit(rep))
+    return F.trim(F.regexp_replace(replaced, " +", " "))
 
 
 def bpe_segment(
@@ -590,17 +608,17 @@ def bpe_segment(
     )
     for row in merges:
         left, right, merged = row[1], row[2], row[3]
-        padded = F.concat(
-            F.lit(" "),
-            F.call_function("replace", seq, F.lit(" "), F.lit("  ")),
-            F.lit(" "),
-        )
-        replaced = F.call_function(
-            "replace", padded,
-            F.lit(f" {left}  {right} "), F.lit(f" {merged} "),
-        )
-        seq = F.trim(F.regexp_replace(replaced, " +", " "))
+        seq = _apply_one_merge(seq, f"{left} {right}", merged)
     pieces = tok.select(id_col, "__pos", seq.alias("__seq"))
+    return _reassemble_pieces(df, pieces, id_col)
+
+
+def _reassemble_pieces(
+    df: DataFrame, pieces: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared segmenter tail: order the per-token piece sequences back
+    into document order, space-join, and left-join onto the full id set
+    so empty/untokenizable documents come back as ``''`` with 0 pieces."""
     agg = pieces.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -621,6 +639,175 @@ def bpe_segment(
         .cast("long")
         .alias("n_pieces"),
         "pieces",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE — the GPT-2 tokenizer family (Radford et al. 2019),
+# the byte encoder modern LLM tokenizers (GPT-2/3, LLaMA via BBPE) ship:
+# text is pre-tokenized by a regex, each pre-token becomes its UTF-8
+# BYTE sequence remapped through the printable-symbol table, and BPE
+# merges train/apply over those byte symbols. Losslessness is structural:
+# the pre-tokenizer partitions the string, the byte remap is a bijection
+# on all 256 bytes, and merges only concatenate — so decode(encode(x))
+# == x for ANY unicode input, no <unk>, no normalization loss.
+
+
+def _gpt2_byte_symbols() -> str:
+    """The GPT-2 ``bytes_to_unicode`` bijection as a 256-char string:
+    position ``b`` holds the printable symbol for byte ``b``. Printable
+    bytes ('!'..'~', 0xA1..0xAC, 0xAE..0xFF) map to themselves; the rest
+    (controls, space, 0x7F, 0xA0, 0xAD) shift to 256+n in byte order.
+    The remap exists so byte sequences can be space-joined symbol
+    strings: byte 0x20 itself must not render as the separator."""
+    keep = (list(range(ord("!"), ord("~") + 1))
+            + list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0x100)))
+    table: dict[int, int] = {b: b for b in keep}
+    n = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = 256 + n
+            n += 1
+    return "".join(chr(table[b]) for b in range(256))
+
+
+#: Shared source of truth for both engines (the DuckDB oracle imports
+#: these — same table, same regex, verbatim).
+BYTE_BPE_SYMBOLS: str = _gpt2_byte_symbols()
+
+#: GPT-2's pre-tokenizer, restricted to syntax with identical semantics
+#: in Java regex (Spark) and RE2 (DuckDB): the contraction alternates and
+#: the trailing-whitespace lookahead ``\s+(?!\S)`` are dropped (RE2 has
+#: no lookaround), so an inner whitespace run keeps ALL its spaces in one
+#: pre-token instead of donating the last one to the next word. Still a
+#: PARTITION of the input (every char is \s, \p{L}, \p{N}, or other), so
+#: losslessness is unaffected.
+BYTE_BPE_PRETOKEN_RE: str = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def byte_pretokens(col: Column | str) -> Column:
+    """Pre-token array for byte-level BPE (no lowercasing, no
+    normalization — byte-level tokenizers are lossless by contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BYTE_BPE_PRETOKEN_RE), 0)
+
+
+def byte_symbol_seq(col: Column | str) -> Column:
+    """A string's UTF-8 bytes as a space-joined remapped-symbol sequence:
+    ``hex(encode(s))`` pairs -> byte ints -> 1 char each from the
+    ``BYTE_BPE_SYMBOLS`` table. One string literal indexed by substr —
+    not a 256-branch CASE or array literal (wide literal trees cost
+    Catalyst planning time; CLAUDE.md). Empty input -> empty sequence
+    (``sequence(1, 0)`` DESCENDS, so the length is guarded)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.hex(F.encode(c, "UTF-8"))
+    nbytes = (F.length(h) / F.lit(2)).cast("int")
+    syms = F.transform(
+        F.sequence(F.lit(1), nbytes),
+        lambda bi: F.substr(
+            F.lit(BYTE_BPE_SYMBOLS),
+            F.conv(F.substr(h, bi * 2 - 1, F.lit(2)), 16, 10).cast("int")
+            + F.lit(1),
+            F.lit(1),
+        ),
+    )
+    return F.when(nbytes >= 1, F.array_join(syms, " ")).otherwise(F.lit(""))
+
+
+def byte_bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Byte-level BPE merge training: pre-token frequency table (one
+    corpus scan, map-side combinable), sequences are remapped UTF-8 byte
+    symbols with NO ``</w>`` marker (word boundaries live in the leading
+    space the pre-tokenizer attaches to the next token, GPT-2 style),
+    then the same deterministic Sennrich merge loop as ``bpe_train`` —
+    vocabulary-bounded iterations, one (pair, count) row to the driver
+    each. Output: ``iteration long, left, right, merged, pair_count``.
+
+    Scale (100 TB): identical shape to ``bpe_train`` — the corpus is
+    touched once; every iteration runs over the model-sized pre-token
+    table. The byte alphabet caps the initial symbol set at 256, so the
+    pair space per iteration is bounded by (vocab growth)^2, never by
+    corpus size."""
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(byte_pretokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+    )
+    vocab = words.select(
+        "__freq", byte_symbol_seq(F.col("__w")).alias("__seq")
+    ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        _bpe_merge_loop(vocab, n_merges),
+        "iteration long, left string, right string, merged string,"
+        " pair_count long",
+    )
+
+
+def byte_bpe_segment(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained byte-level merges (``byte_bpe_train`` rows, in
+    order): each pre-token becomes its byte-symbol sequence, every merge
+    rewrites it with the shared double-spaced literal replace, and the
+    per-document pieces reassemble in document order. Output:
+    ``<id_col>, n_pieces long, pieces`` (space-joined byte-level
+    symbols). ``byte_bpe_decode`` inverts it exactly.
+
+    Scale: ``len(merges)`` nested literal rewrites per pre-token — pure
+    whole-stage codegen, no joins; one per-document reassembly shuffle."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(byte_pretokens(F.col(text_col))).alias(
+            "__pos", "__w"),
+    )
+    seq = byte_symbol_seq(F.col("__w"))
+    for row in merges:
+        left, right, merged = row[1], row[2], row[3]
+        seq = _apply_one_merge(seq, f"{left} {right}", merged)
+    pieces = tok.select(id_col, "__pos", seq.alias("__seq"))
+    return _reassemble_pieces(df, pieces, id_col)
+
+
+def byte_bpe_decode(
+    df: DataFrame,
+    pieces_col: str = "pieces",
+    id_col: str = "doc_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """Invert ``byte_bpe_segment``: symbols never contain a literal
+    space (the remap's whole purpose), so drop separators, reverse-map
+    every char to its byte via its position in ``BYTE_BPE_SYMBOLS``, and
+    UTF-8-decode the byte string. Pure column algebra; the lossless
+    round-trip ``decode(segment(x)) == x`` is the tokenizer's contract
+    and is property-tested over arbitrary unicode."""
+    joined = F.call_function(
+        "replace", F.col(pieces_col), F.lit(" "), F.lit(""))
+    chars = F.filter(F.split(joined, ""), lambda ch: ch != F.lit(""))
+    hexpairs = F.transform(
+        chars,
+        lambda ch: F.lpad(
+            F.conv(
+                (F.call_function("instr", F.lit(BYTE_BPE_SYMBOLS), ch)
+                 - F.lit(1)).cast("string"),
+                10, 16,
+            ),
+            2, "0",
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.decode(F.unhex(F.array_join(hexpairs, "")), "UTF-8")
+        .alias(out_col),
     )
 
 

@@ -3458,19 +3458,11 @@ def _bpe_seq_rewrite(best_cte: str) -> str:
     ' +', ' ', 'g'))"""
 
 
-def _bpe_cte_parts(n_merges: int) -> list[str]:
-    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
-    # and each iteration references its predecessor ~3 times — without
-    # materialization the expansion is 3^N copies of the corpus scan
-    # (measured: 8 iterations took 8+ minutes; materialized, seconds).
-    parts = [
-        "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq "
-        "FROM ("
-        f"SELECT unnest({_tokens('text')}) AS w FROM documents) GROUP BY w)",
-        "v0 AS MATERIALIZED (SELECT freq, array_to_string("
-        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
-        "FROM words)",
-    ]
+def _bpe_iter_parts(n_merges: int) -> list[str]:
+    """The merge-iteration CTE chain over a ``v0(freq, seq)`` state —
+    shared by the word-level and byte-level trainers (they differ only
+    in how v0's symbol sequences are built)."""
+    parts = []
     for i in range(n_merges):
         parts.append(f"""p{i} AS MATERIALIZED (
   SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -3488,6 +3480,23 @@ def _bpe_cte_parts(n_merges: int) -> list[str]:
   SELECT freq, {_bpe_seq_rewrite(f'b{i}')} AS seq
   FROM v{i}
 )""")
+    return parts
+
+
+def _bpe_cte_parts(n_merges: int) -> list[str]:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and each iteration references its predecessor ~3 times — without
+    # materialization the expansion is 3^N copies of the corpus scan
+    # (measured: 8 iterations took 8+ minutes; materialized, seconds).
+    parts = [
+        "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq "
+        "FROM ("
+        f"SELECT unnest({_tokens('text')}) AS w FROM documents) GROUP BY w)",
+        "v0 AS MATERIALIZED (SELECT freq, array_to_string("
+        "[w[i] for i in range(1, len(w) + 1)], ' ') || ' </w>' AS seq "
+        "FROM words)",
+    ]
+    parts.extend(_bpe_iter_parts(n_merges))
     return parts
 
 
@@ -6811,3 +6820,102 @@ SELECT g AS source, ns AS n_tokens, nterms AS n_terms,
          AS mean_kl_bits
 FROM contrib GROUP BY g, ns, nterms
 """
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 byte encoder — operators/textprep.py
+# byte_bpe_train/byte_bpe_segment/byte_bpe_decode). Same unrolled
+# MATERIALIZED iteration chain as the word-level trainer (_bpe_iter_parts
+# is shared); only v0 differs: pre-tokens via the RE2/Java-identical
+# GPT-2 regex, sequences are UTF-8 bytes remapped through the
+# BYTE_BPE_SYMBOLS bijection (imported from the Spark side — one source
+# of truth, no drift).
+
+from ..operators.textprep import (  # noqa: E402  (appended section)
+    BYTE_BPE_PRETOKEN_RE,
+    BYTE_BPE_SYMBOLS,
+)
+
+_BSYMS_SQL = "'" + BYTE_BPE_SYMBOLS.replace("'", "''") + "'"
+_BRE = BYTE_BPE_PRETOKEN_RE  # backslashes verbatim (RE2 raw strings)
+_HEXD = "'0123456789ABCDEF'"
+
+
+def _byte_pretokens(text: str) -> str:
+    return f"regexp_extract_all({text}, '{_BRE}')"
+
+
+def _byte_seq_sql(hx: str) -> str:
+    """Space-joined remapped byte symbols from an uppercase-hex column:
+    each hex pair indexes one char of the 256-char symbol table
+    (byte + 1 = 16 * hi + lo with 1-based strpos). Empty hex -> ''."""
+    return (
+        f"array_to_string([substr({_BSYMS_SQL}, "
+        f"16 * (strpos({_HEXD}, substr({hx}, 2 * bj - 1, 1)) - 1) "
+        f"+ strpos({_HEXD}, substr({hx}, 2 * bj, 1)), 1) "
+        f"for bj in range(1, len({hx}) // 2 + 1)], ' ')"
+    )
+
+
+def _byte_bpe_cte_parts(n_merges: int) -> list[str]:
+    parts = [
+        "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq "
+        "FROM ("
+        f"SELECT unnest({_byte_pretokens('text')}) AS w FROM documents) "
+        "GROUP BY w)",
+        f"v0 AS MATERIALIZED (SELECT freq, {_byte_seq_sql('hx')} AS seq "
+        "FROM (SELECT freq, hex(encode(w)) AS hx FROM words))",
+    ]
+    parts.extend(_bpe_iter_parts(n_merges))
+    return parts
+
+
+def _byte_bpe_oracle(n_merges: int) -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS iteration, "
+        f"split_part(pair, ' ', 1) AS \"left\", "
+        f"split_part(pair, ' ', 2) AS \"right\", "
+        f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    ]
+    return ("WITH " + ",\n".join(_byte_bpe_cte_parts(n_merges)) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+def _byte_bpe_encode_oracle(n_merges: int) -> str:
+    parts = _byte_bpe_cte_parts(n_merges)
+    parts.append(f"""tok AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(pts, 1) AS pos, unnest(pts) AS w
+  FROM (SELECT doc_id, {_byte_pretokens('text')} AS pts FROM documents)
+)""")
+    parts.append(
+        f"s0 AS MATERIALIZED (SELECT doc_id, pos, {_byte_seq_sql('hx')} "
+        "AS seq FROM (SELECT doc_id, pos, hex(encode(w)) AS hx FROM tok))"
+    )
+    for i in range(n_merges):
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, pos, {_bpe_seq_rewrite(f'b{i}')} AS seq
+  FROM s{i}
+)""")
+    parts.append(f"""agg AS (
+  SELECT doc_id, string_agg(seq, ' ' ORDER BY pos) AS pieces
+  FROM s{n_merges} GROUP BY doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       CAST(CASE WHEN a.pieces IS NULL OR a.pieces = '' THEN 0
+                 ELSE len(string_split(a.pieces, ' ')) END AS BIGINT)
+         AS n_pieces,
+       COALESCE(a.pieces, '') AS pieces
+FROM documents d LEFT JOIN agg a USING (doc_id)""")
+
+
+ORACLES["byte_bpe_train_corpus"] = _byte_bpe_oracle(8)
+ORACLES["byte_bpe_encode_docs"] = _byte_bpe_encode_oracle(8)
+
+# Round-trip losslessness as a DRIVER-VISIBLE contract: the Spark side
+# trains 8 merges, encodes every document, and decodes the pieces back;
+# the oracle is simply the original table. A value-hash match therefore
+# PROVES decode(encode(x)) == x over the whole fixture corpus in the
+# driver's own comparison, not just in pytest.
+ORACLES["byte_bpe_roundtrip_docs"] = "SELECT doc_id, text FROM documents"

@@ -3102,6 +3102,52 @@ def bpe_encode_docs(spark, sf_dir):
     return bpe_segment(docs, merges)
 
 
+@query("byte_bpe_train_corpus")
+def byte_bpe_train_corpus(spark, sf_dir):
+    """Byte-level BPE training (textprep.byte_bpe_train — the GPT-2
+    byte encoder): pre-token frequency table via the RE2/Java-identical
+    GPT-2 regex, UTF-8 bytes remapped through the printable-symbol
+    bijection, then the same deterministic merge loop as bpe_train —
+    one corpus scan, model-sized iterations."""
+    from .operators.textprep import byte_bpe_train
+
+    return byte_bpe_train(
+        dedup.ensure_parallelism(_t(spark, sf_dir, "documents")),
+        n_merges=8,
+    )
+
+
+@query("byte_bpe_encode_docs")
+def byte_bpe_encode_docs(spark, sf_dir):
+    """Train 8 byte-level merges, then encode every document
+    (textprep.byte_bpe_segment): per-pre-token codegen replace chain,
+    one per-document reassembly shuffle — what a training-data pipeline
+    actually meters tokens with."""
+    from .operators.textprep import byte_bpe_segment, byte_bpe_train
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = [tuple(r) for r in byte_bpe_train(docs, n_merges=8).collect()]
+    return byte_bpe_segment(docs, merges)
+
+
+@query("byte_bpe_roundtrip_docs")
+def byte_bpe_roundtrip_docs(spark, sf_dir):
+    """Byte-level BPE losslessness, driver-checked: encode every
+    document with 8 trained merges, decode the pieces back
+    (textprep.byte_bpe_decode), and return (doc_id, text). The oracle
+    is the ORIGINAL documents table — a value-hash match proves
+    decode(encode(x)) == x corpus-wide in the driver's own compare."""
+    from .operators.textprep import (
+        byte_bpe_decode,
+        byte_bpe_segment,
+        byte_bpe_train,
+    )
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = [tuple(r) for r in byte_bpe_train(docs, n_merges=8).collect()]
+    return byte_bpe_decode(byte_bpe_segment(docs, merges))
+
+
 @query("unigram_train_corpus")
 def unigram_train_corpus(spark, sf_dir):
     """Unigram-LM tokenizer training (textprep.unigram_train — the

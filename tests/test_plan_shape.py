@@ -299,6 +299,11 @@ NATIVE_QUERIES = [
     # round-8: per-source whole-bits KL census — term-keyed joins,
     # domain-bounded broadcast totals, pure column algebra.
     "source_kl_tokens",
+    # round-9: byte-level BPE (GPT-2 byte encoder) — pre-token explode,
+    # bounded merge-loop collects, codegen replace chains, and the
+    # hex/substr byte remap — pure column algebra end-to-end.
+    "byte_bpe_train_corpus", "byte_bpe_encode_docs",
+    "byte_bpe_roundtrip_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]

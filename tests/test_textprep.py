@@ -630,3 +630,94 @@ def test_decode_inverts_encode_and_marks_oov(spark):
     assert dec[2] == "beta <unk>"         # OOV rendered as sentinel
     assert dec[3] == ""                   # zero-token doc keeps its row
     assert dec[4] == "alpha <unk>"
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (the GPT-2 byte encoder): remap bijection, trainer
+# semantics, and the lossless round-trip contract over arbitrary unicode.
+
+
+def test_byte_symbol_table_is_gpt2_bijection():
+    from simple_anonymizer_spark.operators.textprep import BYTE_BPE_SYMBOLS
+
+    assert len(BYTE_BPE_SYMBOLS) == 256
+    assert len(set(BYTE_BPE_SYMBOLS)) == 256          # bijective
+    assert " " not in BYTE_BPE_SYMBOLS                # space is never a symbol
+    # GPT-2 pins: printable bytes map to themselves; space -> Ġ (U+0120),
+    # newline -> Ċ (U+010A), NUL -> Ā (U+0100)
+    assert BYTE_BPE_SYMBOLS[ord("A")] == "A"
+    assert BYTE_BPE_SYMBOLS[ord("!")] == "!"
+    assert BYTE_BPE_SYMBOLS[0x20] == "Ġ"
+    assert BYTE_BPE_SYMBOLS[0x0A] == "Ċ"
+    assert BYTE_BPE_SYMBOLS[0x00] == "Ā"
+    assert BYTE_BPE_SYMBOLS[0xFF] == "ÿ"
+
+
+def test_byte_bpe_train_greedy_merge_semantics(spark):
+    from simple_anonymizer_spark.operators.textprep import byte_bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaaa")], "doc_id long, text string")
+    m = [tuple(r) for r in byte_bpe_train(docs, n_merges=2).collect()]
+    # 'aaaa' x3 ('aaaa' and ' aaaa' pre-tokens): pair 'a a' counts
+    # non-overlapping left-to-right -> merge 0 is (a, a); merge 1 then
+    # pairs the merged symbol: (aa, aa).
+    assert m[0][1:4] == ("a", "a", "aa")
+    assert m[1][1:4] == ("aa", "aa", "aaaa")
+
+
+def test_byte_bpe_roundtrip_fixture_corpus(spark, sf_dir):
+    from simple_anonymizer_spark.operators.textprep import (
+        byte_bpe_decode, byte_bpe_segment, byte_bpe_train)
+    from simple_anonymizer_spark.sources.parquet import read_sf_table
+
+    docs = read_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [tuple(r) for r in byte_bpe_train(docs, n_merges=4).collect()]
+    dec = byte_bpe_decode(byte_bpe_segment(docs, merges))
+    bad = (docs.alias("a").join(dec.alias("b"), "doc_id")
+           .where(F.col("a.text") != F.col("b.text")).count())
+    assert bad == 0
+
+
+def test_byte_bpe_roundtrip_arbitrary_unicode(spark):
+    """Losslessness is structural (partitioning regex + byte bijection +
+    concatenation-only merges) — property-check it over adversarial
+    unicode: emoji, CJK, combining marks, controls, lone surrogates are
+    excluded (not encodable UTF-8) but everything else must survive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simple_anonymizer_spark.operators.textprep import (
+        byte_bpe_decode, byte_bpe_segment, byte_bpe_train)
+
+    texts_seen: list[str] = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=40),
+        min_size=1, max_size=4))
+    def check(texts):
+        texts_seen.append("".join(texts))
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = [tuple(r) for r in byte_bpe_train(df, n_merges=2).collect()]
+        dec = {r.doc_id: r.text
+               for r in byte_bpe_decode(byte_bpe_segment(df, merges)).collect()}
+        for i, t in rows:
+            assert dec[i] == t, (i, t, dec[i])
+
+    check()
+    assert texts_seen  # the property actually ran
+
+
+def test_byte_bpe_segment_empty_and_whitespace_docs(spark):
+    from simple_anonymizer_spark.operators.textprep import byte_bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x")], "doc_id long, text string")
+    out = {r.doc_id: r for r in byte_bpe_segment(docs, []).collect()}
+    assert out[1].n_pieces == 0 and out[1].pieces == ""
+    assert out[2].n_pieces == 3 and set(out[2].pieces.split(" ")) == {"Ġ"}
+    assert out[3].pieces == "x"
