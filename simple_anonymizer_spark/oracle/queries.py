@@ -6919,3 +6919,12 @@ ORACLES["byte_bpe_encode_docs"] = _byte_bpe_encode_oracle(8)
 # PROVES decode(encode(x)) == x over the whole fixture corpus in the
 # driver's own comparison, not just in pytest.
 ORACLES["byte_bpe_roundtrip_docs"] = "SELECT doc_id, text FROM documents"
+
+# iceberg_roundtrip_docs: Spark commits documents as two snapshots of an
+# identity-partitioned Iceberg table and reads the current snapshot back
+# through the metadata tree; DuckDB cannot walk Iceberg metadata, so
+# (exactly like orc/avro/warc) the oracle is the source table — the
+# value hash gates the whole commit/plan/read cycle.
+ORACLES["iceberg_roundtrip_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -4274,6 +4274,28 @@ def orc_roundtrip_docs(spark, sf_dir):
     return read_orc_table(spark, out + "/documents")
 
 
+@query("iceberg_roundtrip_docs")
+def iceberg_roundtrip_docs(spark, sf_dir):
+    """Iceberg metadata-tree tier, driver-verifiable end-to-end
+    (sources/iceberg.py): the documents table is committed as TWO
+    snapshots of an identity-partitioned Iceberg table (create +
+    append, split on source), then read back through the metadata walk
+    — version-hint -> metadata.json -> manifest-list Avro -> manifest
+    Avro -> exactly the live parquet files, no directory listing. The
+    oracle is the source table, so the driver's value hash gates the
+    whole commit/plan/read cycle (the orc/avro/warc roundtrip shape)."""
+    import tempfile
+
+    from .sources.iceberg import append_iceberg, create_iceberg, read_iceberg
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ice_rt_") + "/tbl"
+    create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
+                   partition_by="source")
+    append_iceberg(docs.where(F.col("doc_id") % 2 != 0), out)
+    return read_iceberg(spark, out)
+
+
 def _collision_urls(spark, sf_dir):
     """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
     the volatile parts (tracking params, fragment) key on doc_id — so

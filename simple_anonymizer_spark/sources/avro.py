@@ -152,15 +152,22 @@ def _norm_type(t):
         if tt == "map" and "values" in t:
             return ("map", _norm_type(t["values"]))
         if tt == "record":
-            return ("record", _parse_fields(t))
+            # nested records may be EMPTY (zero fields encode zero
+            # bytes — Avro allows it, and Iceberg's unpartitioned
+            # manifest ``partition`` struct is exactly that)
+            return ("record", _parse_fields(t, allow_empty=True))
         if isinstance(tt, str) and tt in _PRIMITIVES:
             return ("prim", tt)  # {"type": "string", ...logicalType} form
     raise ValueError(f"unsupported avro type {t!r}")
 
 
-def _parse_fields(schema: dict) -> list[tuple[str, tuple]]:
+def _parse_fields(
+    schema: dict, allow_empty: bool = False
+) -> list[tuple[str, tuple]]:
     """-> [(name, normalized_node)] from a record schema, ValueError on
-    anything outside the documented subset."""
+    anything outside the documented subset. Top-level records must have
+    fields (a rowless row type is a malformed container); nested ones
+    may be empty."""
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
     raw = schema.get("fields", [])
@@ -171,7 +178,7 @@ def _parse_fields(schema: dict) -> list[tuple[str, tuple]]:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
             raise ValueError("malformed record field")
         fields.append((f["name"], _norm_type(f["type"])))
-    if not fields:
+    if not fields and not allow_empty:
         raise ValueError("record schema has no fields")
     return fields
 
