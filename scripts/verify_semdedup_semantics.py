@@ -34,6 +34,7 @@ import numpy as np
 from pyspark.sql import SparkSession, functions as F
 
 from simple_anonymizer_spark.operators import kmeans
+from simple_anonymizer_spark.operators.dedup import ensure_parallelism
 
 TAU = float(os.environ.get("SEMDEDUP_TAU", "0.45"))
 BASE = "/root/testdata/sf0.1"
@@ -97,26 +98,34 @@ def main() -> None:
     base_rows = pq.read_metadata(f"{BASE}/embeddings.parquet").num_rows
     results = []
     for d in dirs:
-        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
-            "vec_id", "embedding")
+        # the sf fixtures are SINGLE parquet files: without this the
+        # O(n*k*dim) interpreted assign fold serializes onto one task
+        # (the CLAUDE.md ensure_parallelism gotcha, re-learned here)
+        emb = ensure_parallelism(
+            spark.read.parquet(f"{d}/embeddings.parquet").select(
+                "vec_id", "embedding"))
         n_rows = emb.count()
         k = kmeans.default_n_clusters(n_rows)
         cents = kmeans.kmeans_fit(emb, n_clusters=k)
 
         t0 = time.perf_counter()
-        out = kmeans.semantic_dedup(emb, n_clusters=k, threshold=TAU)
+        owner = []
+        out = kmeans.semantic_dedup(
+            emb, n_clusters=k, threshold=TAU, cache_owner=owner)
         out.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        survivors = kmeans.semantic_dedup(
-            emb, n_clusters=k, threshold=TAU
-        ).agg(F.sum("kept")).first()[0]
+        # survivor count from the SAME DataFrame (sum(kept) cannot be
+        # pruned — kept depends on the pair join)
+        survivors = out.agg(F.sum("kept")).first()[0]
         z_dups = n_rows - kmeans.semantic_dedup(
             emb, n_clusters=k, threshold=0.9
         ).agg(F.sum("kept")).first()[0]
+        for c in owner:
+            c.unpersist()
 
+        raw = pq.read_table(f"{d}/embeddings.parquet")["embedding"]
         vecs = np.stack(
-            pq.read_table(f"{d}/embeddings.parquet")["embedding"]
-            .to_pylist()
+            raw.combine_chunks().to_numpy(zero_copy_only=False)
         ).astype("float64")
         pred_surv, pred_pairs = numpy_truth(
             vecs, np.asarray(cents, dtype="float64"), TAU)
