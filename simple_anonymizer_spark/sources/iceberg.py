@@ -18,15 +18,24 @@ Implemented (format-version 1, Hadoop-catalog layout with
 * ``create_iceberg`` / ``append_iceberg`` / ``overwrite_iceberg`` —
   snapshot-per-commit writers (append reuses prior manifests untouched —
   O(new files) metadata per commit; overwrite publishes a manifest list
-  referencing only the new manifest);
+  referencing only the new manifest). Partitioned writes are ONE Spark
+  job (``partitionBy`` into staging, partition values recovered from the
+  Hive-style directory names), never a per-value scan loop;
 * identity partitioning on one column (``partition_by=``): partition
-  values recorded on every manifest row per the spec;
+  values recorded on every manifest row per the spec; NULL partition
+  values are first-class (Hive default-partition directory -> a null
+  manifest partition value);
+* per-file column stats: ``lower_bounds`` / ``upper_bounds`` (spec
+  field-ids 125/128, field-id-keyed, single-value binary serialization
+  per spec Appendix D) harvested from the parquet footers at write time;
 * ``read_iceberg`` — snapshot resolution (current / by id / by
   timestamp), manifest-list -> manifest walk through the repo's own Avro
-  decoder, file-level identity-partition pruning, then one native
-  parquet scan of exactly the surviving files;
+  decoder, file-level identity-partition pruning AND min/max range
+  pruning (``predicates=``), then one native parquet scan of exactly the
+  surviving files plus the residual row filter;
 * ``iceberg_snapshots`` / ``iceberg_live_files`` — the history and
-  file-inventory metadata tables;
+  file-inventory metadata tables; ``iceberg_plan_files`` — the pruned
+  planning walk itself, exposed for tests and scale measurement;
 * ``iceberg_count`` — metadata-only row count (sum of manifest
   ``record_count``), zero data IO.
 
@@ -37,8 +46,10 @@ container — the honest claim is round-trip + independent-decoder
 verification (tests/test_iceberg.py).
 
 Deliberate scope bounds: format-version 1 (no sequence-number /
-delete-file machinery), single identity partition column, and no
-column-bound stats in manifests (``record_count`` / sizes only).
+delete-file machinery) and a single identity partition column. An
+EMPTY-STRING string partition value collapses to null on write — the
+Hive directory layout cannot distinguish them (Spark routes both to the
+default-partition directory), the classic Hive-metastore semantics.
 """
 
 from __future__ import annotations
@@ -48,10 +59,12 @@ import io
 import json
 import os
 import shutil
+import struct
 import time
+import urllib.parse
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .avro import read_container, write_container
 
@@ -64,6 +77,30 @@ _SPARK_TO_ICE = {
     "binary": "binary", "date": "date", "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp",
 }
+
+_ICE_TO_SPARK_TYPE = {
+    "long": T.LongType, "int": T.IntegerType, "string": T.StringType,
+    "double": T.DoubleType, "float": T.FloatType, "boolean": T.BooleanType,
+    "binary": T.BinaryType, "date": T.DateType,
+    "timestamptz": T.TimestampType, "timestamp": T.TimestampNTZType,
+}
+
+#: Iceberg types whose min/max can be harvested from parquet footers and
+#: serialized with the spec's single-value binary form (Appendix D).
+_BOUND_TYPES = {"long", "int", "string", "double", "float", "boolean"}
+
+#: Identity-partition types representable in the manifest Avro schema.
+_PARTITION_AVRO = {"long": "long", "int": "int", "string": "string",
+                   "double": "double", "float": "float",
+                   "boolean": "boolean"}
+
+#: Temp column duplicating the partition key for the one-job
+#: ``partitionBy`` write: Hive layout drops the partitioned column from
+#: file contents, but Iceberg data files must keep every column — so we
+#: partition by a throwaway copy and the real column stays in the files.
+_PART_TMP = "__sa_ice_part"
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class IcebergError(ValueError):
@@ -93,12 +130,71 @@ def _ice_schema(df: DataFrame) -> tuple[dict, dict[str, int]]:
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids
 
 
+def _schema_fields(meta: dict) -> list[dict]:
+    return meta["schema"]["fields"]
+
+
+def _spark_schema(meta: dict) -> T.StructType:
+    """The table's Spark schema, rebuilt from the Iceberg schema struct
+    (for empty-plan reads that never touch a parquet file)."""
+    return T.StructType([
+        T.StructField(f["name"], _ICE_TO_SPARK_TYPE[f["type"]](),
+                      not f["required"])
+        for f in _schema_fields(meta)])
+
+
+def _bound_bytes(ice_t: str, v) -> bytes:
+    """Single-value binary serialization (spec Appendix D)."""
+    if ice_t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_t == "int":
+        return struct.pack("<i", v)
+    if ice_t == "long":
+        return struct.pack("<q", v)
+    if ice_t == "float":
+        return struct.pack("<f", v)
+    if ice_t == "double":
+        return struct.pack("<d", v)
+    if ice_t == "string":
+        return v.encode("utf-8")
+    raise IcebergError(f"no single-value serialization for {ice_t!r}")
+
+
+def _bound_value(ice_t: str, b: bytes):
+    if ice_t == "boolean":
+        return b != b"\x00"
+    if ice_t == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_t == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_t == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_t == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_t == "string":
+        return b.decode("utf-8")
+    raise IcebergError(f"no single-value serialization for {ice_t!r}")
+
+
+def _kv_bounds_field(name: str, fid: int, key_id: int, val_id: int) -> dict:
+    """``map<int, binary>`` per the spec's manifest Avro encoding: an
+    array of key/value records with field-ids (Avro maps are
+    string-keyed, so Iceberg encodes int-keyed maps this way)."""
+    return {"name": name, "field-id": fid, "default": None,
+            "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": f"k{key_id}_v{val_id}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": key_id},
+                        {"name": "value", "type": "bytes",
+                         "field-id": val_id},
+                    ]}}]}
+
+
 def _manifest_schema(partition_by: str | None, ptype: str) -> dict:
     pfields = []
     if partition_by is not None:
-        avro_t = {"long": "long", "int": "int", "string": "string",
-                  "double": "double", "float": "float",
-                  "boolean": "boolean"}.get(ptype)
+        avro_t = _PARTITION_AVRO.get(ptype)
         if avro_t is None:
             raise IcebergError(
                 f"unsupported identity partition type {ptype!r}")
@@ -124,6 +220,8 @@ def _manifest_schema(partition_by: str | None, ptype: str) -> dict:
                      "field-id": 104},
                     {"name": "block_size_in_bytes", "type": "long",
                      "field-id": 105},
+                    _kv_bounds_field("lower_bounds", 125, 126, 127),
+                    _kv_bounds_field("upper_bounds", 128, 129, 130),
                 ]}},
         ]}
 
@@ -140,60 +238,124 @@ _MANIFEST_LIST_SCHEMA = {
     ]}
 
 
+def _parse_partition_dirname(dirname: str, ptype: str):
+    """Recover the typed partition value from a Hive-style staging
+    directory name (``__sa_ice_part=<escaped-value>``)."""
+    raw = dirname.split("=", 1)[1]
+    s = urllib.parse.unquote(raw)
+    if s == _HIVE_NULL:
+        return None
+    if ptype == "string":
+        return s
+    if ptype in ("long", "int"):
+        return int(s)
+    if ptype in ("double", "float"):
+        return float(s)
+    if ptype == "boolean":
+        return s == "true"
+    raise IcebergError(f"unsupported identity partition type {ptype!r}")
+
+
+def _file_bounds(md, bound_types: dict[str, str]) -> dict[str, tuple]:
+    """Per-column (min, max) for one parquet file, from its footer
+    row-group statistics. A column drops out if ANY row group lacks
+    exact min/max (all-null chunk, missing stats) or a float bound is
+    NaN — bounds are advisory, absence just means no pruning. Parquet
+    writers may truncate long string maxes but must keep them valid
+    upper bounds (parquet-format Statistics contract), so range pruning
+    on what the footer reports stays sound."""
+    acc: dict[str, tuple] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in bound_types or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, float) and (lo != lo or hi != hi):
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            if name in acc:
+                lo, hi = min(acc[name][0], lo), max(acc[name][1], hi)
+            acc[name] = (lo, hi)
+    return acc
+
+
 def _write_data_files(
-    df: DataFrame, table_dir: str, tag: str, partition_by: str | None
+    df: DataFrame, table_dir: str, tag: str, partition_by: str | None,
+    ptype: str, bound_types: dict[str, str],
 ) -> list[dict]:
-    """Write parquet data files and return one dict per file:
-    file_path (relative), record_count, file_size_in_bytes, partition
-    value. Identity partitioning writes one spark job per partition
-    value — the partition domain is bounded by definition (it IS the
-    thing a table is partitioned by), the same bounded-driver-loop
-    contract as the level-parallel copier."""
+    """Write parquet data files in ONE Spark job and return one dict per
+    file: file_path (relative), record_count, file_size_in_bytes,
+    partition value, per-column (min, max) bounds. Identity partitioning
+    goes through ``partitionBy`` on a throwaway duplicate column
+    (``_PART_TMP``) so the real column stays inside the data files; the
+    partition value is recovered from the Hive-style staging directory
+    name and the stats from the parquet footers — no per-value
+    ``.where`` re-scan of the input, however many partition values there
+    are. (Callers who want one-file-per-partition layout can
+    ``df.repartition(partition_col)`` first; we do not force it — that
+    would serialize large partitions onto single tasks.)"""
     import pyarrow.parquet as pq
 
     os.makedirs(_data_dir(table_dir), exist_ok=True)
-    staging_root = os.path.join(table_dir, f"_staging-{tag}")
-    groups: list[tuple[object, DataFrame]] = []
+    staging = os.path.join(table_dir, f"_staging-{tag}")
+    found: list[tuple[object, str]] = []
     if partition_by is None:
-        groups.append((None, df))
+        df.write.mode("overwrite").parquet(staging)
+        found = [(None, p) for p in
+                 sorted(glob.glob(os.path.join(staging, "part-*.parquet")))]
     else:
-        values = [r[0] for r in
-                  df.select(partition_by).distinct().orderBy(
-                      partition_by).collect()]
-        for v in values:
-            groups.append((v, df.where(F.col(partition_by) == F.lit(v))))
+        (df.withColumn(_PART_TMP, F.col(partition_by))
+           .write.mode("overwrite").partitionBy(_PART_TMP).parquet(staging))
+        for d in sorted(glob.glob(os.path.join(staging, f"{_PART_TMP}=*"))):
+            pval = _parse_partition_dirname(os.path.basename(d), ptype)
+            for p in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
+                found.append((pval, p))
     files: list[dict] = []
-    seq = 0
-    for pval, part_df in groups:
-        staging = os.path.join(staging_root, str(seq))
-        part_df.write.mode("overwrite").parquet(staging)
-        for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-            name = f"{tag}-{seq:05d}.parquet"
-            dst = os.path.join(_data_dir(table_dir), name)
-            shutil.move(src, dst)
-            md = pq.read_metadata(dst)
-            files.append({
-                "file_path": os.path.join("data", name),
-                "record_count": md.num_rows,
-                "file_size_in_bytes": os.path.getsize(dst),
-                "partition": pval,
-            })
-            seq += 1
-    shutil.rmtree(staging_root, ignore_errors=True)
+    for seq, (pval, src) in enumerate(found):
+        name = f"{tag}-{seq:05d}.parquet"
+        dst = os.path.join(_data_dir(table_dir), name)
+        shutil.move(src, dst)
+        md = pq.read_metadata(dst)
+        files.append({
+            "file_path": os.path.join("data", name),
+            "record_count": md.num_rows,
+            "file_size_in_bytes": os.path.getsize(dst),
+            "partition": pval,
+            "bounds": _file_bounds(md, bound_types),
+        })
+    shutil.rmtree(staging, ignore_errors=True)
     return files
 
 
 def _write_manifest(
     table_dir: str, snapshot_id: int, files: list[dict],
     partition_by: str | None, ptype: str,
+    ids: dict[str, int], types: dict[str, str],
 ) -> dict:
     schema = _manifest_schema(partition_by, ptype)
-    name = f"manifest-{snapshot_id:05d}.avro"
+    # uuid suffix per the spec's writers: two racing commits must never
+    # share a manifest filename (the metadata.json O_EXCL check decides
+    # the winner; the loser's orphan Avro files are harmless).
+    name = f"manifest-{snapshot_id:05d}-{uuid.uuid4().hex[:8]}.avro"
     path = os.path.join(_meta_dir(table_dir), name)
     rows = []
     for f in files:
         part = ({} if partition_by is None
                 else {partition_by: f["partition"]})
+        lower = [{"key": ids[c], "value": _bound_bytes(types[c], lo)}
+                 for c, (lo, _) in sorted(f["bounds"].items())]
+        upper = [{"key": ids[c], "value": _bound_bytes(types[c], hi)}
+                 for c, (_, hi) in sorted(f["bounds"].items())]
         rows.append((1, snapshot_id, {  # status 1 = ADDED
             "file_path": f["file_path"],
             "file_format": "PARQUET",
@@ -201,6 +363,8 @@ def _write_manifest(
             "record_count": f["record_count"],
             "file_size_in_bytes": f["file_size_in_bytes"],
             "block_size_in_bytes": _BLOCK_SIZE,
+            "lower_bounds": lower or None,
+            "upper_bounds": upper or None,
         }))
     buf = io.BytesIO()
     write_container(buf, schema, iter(rows))
@@ -219,7 +383,7 @@ def _write_manifest(
 def _write_manifest_list(
     table_dir: str, snapshot_id: int, manifests: list[dict]
 ) -> str:
-    name = f"snap-{snapshot_id:05d}.avro"
+    name = f"snap-{snapshot_id:05d}-{uuid.uuid4().hex[:8]}.avro"
     path = os.path.join(_meta_dir(table_dir), name)
     rows = [tuple(m[f["name"]] for f in _MANIFEST_LIST_SCHEMA["fields"])
             for m in manifests]
@@ -271,11 +435,14 @@ def _new_snapshot(
     pspec = meta["partition-specs"][0]["fields"]
     partition_by = pspec[0]["name"] if pspec else None
     ptype = meta.get("_sa-partition-type", "string")
+    ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+    types = {f["name"]: f["type"] for f in _schema_fields(meta)}
+    bound_types = {c: t for c, t in types.items() if t in _BOUND_TYPES}
     snap_id = meta["current-snapshot-id"] + 1
     files = _write_data_files(
-        df, table_dir, f"s{snap_id:05d}", partition_by)
+        df, table_dir, f"s{snap_id:05d}", partition_by, ptype, bound_types)
     manifest = _write_manifest(
-        table_dir, snap_id, files, partition_by, ptype)
+        table_dir, snap_id, files, partition_by, ptype, ids, types)
     mlist = _write_manifest_list(
         table_dir, snap_id, prior_manifests + [manifest])
     now = int(time.time() * 1000)
@@ -309,6 +476,9 @@ def create_iceberg(
             (f.name, f.dataType.typeName()) for f in df.schema.fields
         )[partition_by]
         ptype = {"long": "long", "integer": "int"}.get(ptype, ptype)
+        # validate BEFORE any directory or data file exists: an
+        # unsupported type must not leave a half-built table behind.
+        _manifest_schema(partition_by, ptype)
     spec_fields = [] if partition_by is None else [{
         "name": partition_by, "transform": "identity",
         "source-id": ids[partition_by], "field-id": 1000,
@@ -392,11 +562,51 @@ def _resolve_snapshot(
         eligible = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
         if not eligible:
             raise IcebergError(f"no snapshot at or before {as_of_ms}")
-        return max(eligible, key=lambda s: s["timestamp-ms"])
+        # tie-break toward the NEWER commit when two snapshots share a
+        # millisecond (common for back-to-back test commits).
+        return max(eligible,
+                   key=lambda s: (s["timestamp-ms"], s["snapshot-id"]))
     for s in snaps:
         if s["snapshot-id"] == meta["current-snapshot-id"]:
             return s
     raise IcebergError("current-snapshot-id not in snapshot list")
+
+
+_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "!="}
+
+
+def _survives_bounds(
+    data_file: dict, predicates: list[tuple],
+    ids: dict[str, int], types: dict[str, str],
+) -> bool:
+    """True unless some predicate PROVES the file can't match: bounds
+    are advisory, so a missing bound (old manifest, all-null chunk,
+    unsupported type) keeps the file. ``!=`` never prunes (a file whose
+    entire range equals v could still be all-null — record-level truth
+    belongs to the residual filter)."""
+    lower = {e["key"]: e["value"]
+             for e in (data_file.get("lower_bounds") or [])}
+    upper = {e["key"]: e["value"]
+             for e in (data_file.get("upper_bounds") or [])}
+    for colname, op, v in predicates:
+        fid = ids.get(colname)
+        t = types.get(colname)
+        if fid is None or t not in _BOUND_TYPES:
+            continue
+        if fid not in lower or fid not in upper:
+            continue
+        lo, hi = _bound_value(t, lower[fid]), _bound_value(t, upper[fid])
+        if op == ">=" and hi < v:
+            return False
+        if op == ">" and hi <= v:
+            return False
+        if op == "<=" and lo > v:
+            return False
+        if op == "<" and lo >= v:
+            return False
+        if op in ("=", "==") and (v < lo or v > hi):
+            return False
+    return True
 
 
 def _live_files(
@@ -422,24 +632,69 @@ def _live_files(
     return out
 
 
+def iceberg_plan_files(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    partition_filter: dict | None = None,
+    predicates: list[tuple] | None = None,
+) -> list[dict]:
+    """The planning walk ``read_iceberg`` runs, exposed: resolve the
+    snapshot, walk manifest list -> manifests, prune by identity
+    partition AND per-file min/max bounds. Pure metadata — no parquet
+    file is ever opened. ``predicates`` is a list of
+    ``(column, op, value)`` with op in <, <=, >, >=, =, !=."""
+    meta = _load_metadata(table_dir)
+    for colname, op, _v in predicates or []:
+        if op not in _PRUNE_OPS:
+            raise IcebergError(f"unsupported predicate op {op!r}")
+        if colname not in {f["name"] for f in _schema_fields(meta)}:
+            raise IcebergError(f"unknown predicate column {colname!r}")
+    snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
+    files = _live_files(table_dir, snap, partition_filter)
+    if predicates:
+        ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+        types = {f["name"]: f["type"] for f in _schema_fields(meta)}
+        files = [f for f in files
+                 if _survives_bounds(f, predicates, ids, types)]
+    return files
+
+
+def _residual_filter(df: DataFrame, predicates: list[tuple]) -> DataFrame:
+    for colname, op, v in predicates:
+        c = F.col(colname)
+        cond = {"<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v,
+                "=": c == v, "==": c == v, "!=": c != v}[op]
+        df = df.where(cond)
+    return df
+
+
 def read_iceberg(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partition_filter: dict | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot through the metadata tree: one native parquet
     scan over exactly the files the manifests say are live (pruned by
-    ``partition_filter`` with zero data IO). No directory listing ever
-    happens — planning cost is O(manifest rows)."""
-    meta = _load_metadata(table_dir)
-    snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
-    files = _live_files(table_dir, snap, partition_filter)
+    ``partition_filter`` and by min/max ``predicates`` with zero data
+    IO; the predicates are then re-applied as the residual row filter,
+    so results are exact). No directory listing ever happens — planning
+    cost is O(manifest rows). An empty plan (empty table, or a filter
+    that prunes everything) returns an EMPTY DataFrame with the table
+    schema, as real Iceberg scans do."""
+    files = iceberg_plan_files(
+        table_dir, snapshot_id, as_of_ms, partition_filter, predicates)
     if not files:
-        raise IcebergError("snapshot has no matching data files")
+        meta = _load_metadata(table_dir)
+        return spark.createDataFrame([], _spark_schema(meta))
     paths = [os.path.join(table_dir, f["file_path"]) for f in files]
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if predicates:
+        df = _residual_filter(df, predicates)
+    return df
 
 
 def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -159,3 +159,148 @@ def test_long_partition_column(spark, tdir):
     I.create_iceberg(df, tdir, partition_by="bucket")
     got = I.read_iceberg(spark, tdir, partition_filter={"bucket": 1})
     assert sorted(r.doc_id for r in got.collect()) == [1, 4, 7, 10]
+
+
+def test_partitioned_write_is_one_spark_job(spark, tdir):
+    """The 100 TB write contract: a multi-partition append must be ONE
+    partitionBy job, never a per-partition-value `.where` re-scan loop
+    (which would be k full input passes for k values)."""
+    n_values = 6
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n_values).alias("bucket"),
+    )
+    I.create_iceberg(df.where(F.lit(False)), tdir, partition_by="bucket")
+    sc = spark.sparkContext
+    sc.setJobGroup("ice-append-jobcount", "iceberg append job count")
+    try:
+        I.append_iceberg(df, tdir)
+        jobs = sc.statusTracker().getJobIdsForGroup("ice-append-jobcount")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert 1 <= len(jobs) <= 2 < n_values, jobs
+    assert I.iceberg_count(tdir) == 60
+    got = I.read_iceberg(spark, tdir, partition_filter={"bucket": 3})
+    assert sorted(r.doc_id for r in got.collect()) == [3, 9, 15, 21, 27,
+                                                       33, 39, 45, 51, 57]
+
+
+def test_null_partition_values_survive(spark, tdir):
+    """NULL partition-key rows must reach data files and manifests (the
+    Hive default-partition directory -> a null manifest value), not be
+    silently dropped. Empty string collapses to null too — Hive layout
+    can't tell them apart; that caveat is part of the contract."""
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+         .otherwise(F.concat(F.lit("s"), F.col("id") % 2)).alias("source"),
+    )
+    I.create_iceberg(df, tdir, partition_by="source")
+    assert I.iceberg_count(tdir) == 10
+    got = I.read_iceberg(spark, tdir)
+    assert sorted(r.doc_id for r in got.collect()) == list(range(10))
+    nulls = I.read_iceberg(spark, tdir, partition_filter={"source": None})
+    assert sorted(r.doc_id for r in nulls.collect()) == [0, 3, 6, 9]
+    assert all(r.source is None for r in nulls.collect())
+
+
+def test_minmax_bounds_prune_files(spark, tdir):
+    """Manifest lower/upper bounds: a range predicate must plan strictly
+    fewer files than the full snapshot (zero data IO in planning), and
+    the read stays exact via the residual filter."""
+    df = (spark.range(0, 100).repartitionByRange(4, "id")
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("t"), F.col("id")).alias("text")))
+    I.create_iceberg(df, tdir)
+    all_files = I.iceberg_plan_files(tdir)
+    pruned = I.iceberg_plan_files(tdir, predicates=[("doc_id", ">=", 75)])
+    assert len(pruned) < len(all_files)
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", ">=", 75)])
+    assert sorted(r.doc_id for r in got.collect()) == list(range(75, 100))
+    # equality on a string column prunes through string bounds too
+    got2 = I.read_iceberg(spark, tdir, predicates=[("text", "=", "t42")])
+    assert [r.doc_id for r in got2.collect()] == [42]
+
+
+def test_bounds_are_spec_encoded_in_manifest_avro(spark, tdir):
+    """lower_bounds/upper_bounds land in the manifest Avro as the spec's
+    int-keyed k/v arrays (field-ids 125/128, keys 126/129, values
+    127/130), with Appendix-D single-value binary payloads."""
+    I.create_iceberg(_docs(spark, 5, 12), tdir)
+    meta = I._load_metadata(tdir)
+    m = I._current_manifests(tdir, meta)[0]
+    with open(os.path.join(tdir, m["manifest_path"]), "rb") as fh:
+        schema, rows = read_container(fh.read())
+    dfields = {f["name"]: f for f in
+               next(f for f in schema["fields"]
+                    if f["name"] == "data_file")["type"]["fields"]}
+    assert dfields["lower_bounds"]["field-id"] == 125
+    assert dfields["upper_bounds"]["field-id"] == 128
+    ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    los, his = {}, {}
+    for _, _, data_file in rows:
+        for e in data_file["lower_bounds"]:
+            v = I._bound_value("long", e["value"]) \
+                if e["key"] == ids["doc_id"] else None
+            if v is not None:
+                los[data_file["file_path"]] = v
+        for e in data_file["upper_bounds"]:
+            if e["key"] == ids["doc_id"]:
+                his[data_file["file_path"]] = I._bound_value(
+                    "long", e["value"])
+    assert min(los.values()) == 5 and max(his.values()) == 11
+
+
+def test_empty_plan_returns_empty_dataframe(spark, tdir):
+    """A filter that prunes everything (or an empty table) returns an
+    empty DataFrame with the table schema — real Iceberg scan
+    semantics, not an error."""
+    I.create_iceberg(_docs(spark, 0, 5), tdir, partition_by="source")
+    got = I.read_iceberg(spark, tdir, partition_filter={"source": "zzz"})
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "text", "source"]
+    got2 = I.read_iceberg(spark, tdir,
+                          predicates=[("doc_id", ">", 10_000)])
+    assert got2.count() == 0
+    # an empty APPEND commits a zero-file snapshot readably
+    I.append_iceberg(_docs(spark, 0, 5).where(F.lit(False)), tdir)
+    assert I.read_iceberg(spark, tdir).count() == 5
+
+
+def test_as_of_ms_tie_breaks_to_newest_snapshot(spark):
+    meta = {"snapshots": [
+        {"snapshot-id": 1, "timestamp-ms": 1000},
+        {"snapshot-id": 2, "timestamp-ms": 1000},
+    ], "current-snapshot-id": 2}
+    got = I._resolve_snapshot(meta, None, 1500)
+    assert got["snapshot-id"] == 2
+
+
+def test_bad_partition_type_fails_before_any_write(spark, tmp_path):
+    """An unsupported identity-partition type (date) must fail BEFORE
+    the metadata dir exists, so a corrected retry on the same path
+    succeeds instead of hitting 'table already exists'."""
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 3).select(
+        F.col("id").alias("doc_id"),
+        F.to_date(F.lit("2026-01-01")).alias("d"))
+    with pytest.raises(I.IcebergError):
+        I.create_iceberg(df, tdir, partition_by="d")
+    assert not os.path.exists(tdir)
+    I.create_iceberg(df, tdir)  # retry unpartitioned: clean slate
+    assert I.iceberg_count(tdir) == 3
+
+
+def test_iceberg_count_opens_no_data_file(spark, tdir):
+    """Metadata-only COUNT: still exact after every data file is
+    deleted — proof that no parquet file is opened."""
+    import glob as _glob
+
+    I.create_iceberg(_docs(spark, 0, 50), tdir, partition_by="source")
+    I.append_iceberg(_docs(spark, 50, 80, "b"), tdir)
+    for p in _glob.glob(os.path.join(tdir, "data", "*.parquet")):
+        os.remove(p)
+    assert I.iceberg_count(tdir) == 80
+    assert I.iceberg_count(tdir, partition_filter={"source": "b"}) == 30
+    assert I.iceberg_plan_files(
+        tdir, predicates=[("doc_id", "<", 10)])  # planning is metadata-only
