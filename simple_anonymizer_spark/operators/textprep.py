@@ -676,13 +676,18 @@ def _gpt2_byte_symbols() -> str:
 BYTE_BPE_SYMBOLS: str = _gpt2_byte_symbols()
 
 #: GPT-2's pre-tokenizer, restricted to syntax with identical semantics
-#: in Java regex (Spark) and RE2 (DuckDB): the contraction alternates and
-#: the trailing-whitespace lookahead ``\s+(?!\S)`` are dropped (RE2 has
-#: no lookaround), so an inner whitespace run keeps ALL its spaces in one
+#: in Java regex (Spark) and RE2 (DuckDB): the contraction alternations
+#: (``'s|'t|'re|'ve|'m|'ll|'d``, plain literals, kept verbatim and FIRST
+#: as in GPT-2 — both engines are leftmost-first) are in; only the
+#: trailing-whitespace lookahead ``\s+(?!\S)`` is dropped (RE2 has no
+#: lookaround), so an inner whitespace run keeps ALL its spaces in one
 #: pre-token instead of donating the last one to the next word. Still a
 #: PARTITION of the input (every char is \s, \p{L}, \p{N}, or other), so
-#: losslessness is unaffected.
-BYTE_BPE_PRETOKEN_RE: str = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: losslessness is unaffected. SQL embedders must double the apostrophes
+#: (see oracle/queries.py); backslashes stay verbatim (RE2 raw strings).
+BYTE_BPE_PRETOKEN_RE: str = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
 
 
 def byte_pretokens(col: Column | str) -> Column:

@@ -6837,7 +6837,10 @@ from ..operators.textprep import (  # noqa: E402  (appended section)
 )
 
 _BSYMS_SQL = "'" + BYTE_BPE_SYMBOLS.replace("'", "''") + "'"
-_BRE = BYTE_BPE_PRETOKEN_RE  # backslashes verbatim (RE2 raw strings)
+# Backslashes verbatim (RE2 raw strings); apostrophes doubled because the
+# regex is embedded in a single-quoted SQL literal (a SQL-layer escape,
+# not a regex change — RE2 still sees single quotes).
+_BRE = BYTE_BPE_PRETOKEN_RE.replace("'", "''")
 _HEXD = "'0123456789ABCDEF'"
 
 

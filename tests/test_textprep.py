@@ -653,6 +653,30 @@ def test_byte_symbol_table_is_gpt2_bijection():
     assert BYTE_BPE_SYMBOLS[0xFF] == "ÿ"
 
 
+def test_byte_pretokens_gpt2_contractions(spark):
+    """The contraction alternations are back (round-10): ``don't`` must
+    split GPT-2-style into ``don`` + ``'t``, and the pre-tokenization
+    must remain a partition of the input (losslessness)."""
+    from simple_anonymizer_spark.operators.textprep import byte_pretokens
+
+    cases = {
+        "don't": ["don", "'t"],
+        "I'll we're you've he's I'm they'd can't": [
+            "I", "'ll", " we", "'re", " you", "'ve", " he", "'s",
+            " I", "'m", " they", "'d", " can", "'t"],
+        "it 's": ["it", " '", "s"],        # space+quote: not a contraction
+        "rock'n'roll": ["rock", "'", "n", "'", "roll"],
+        "a  b\n\nc": ["a", "  ", "b", "\n\n", "c"],  # inner runs keep all ws
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string")
+    got = {r.text: r.toks for r in
+           df.select("text", byte_pretokens("text").alias("toks")).collect()}
+    for text, want in cases.items():
+        assert got[text] == want, (text, got[text])
+        assert "".join(got[text]) == text  # partition: lossless
+
+
 def test_byte_bpe_train_greedy_merge_semantics(spark):
     from simple_anonymizer_spark.operators.textprep import byte_bpe_train
 
