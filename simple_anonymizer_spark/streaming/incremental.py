@@ -388,3 +388,47 @@ def stream_embedding_ingest(
         raw.writeStream.foreachBatch(_replay_guarded(index_path, ingest_batch))
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_iceberg_append(
+    spark: SparkSession,
+    source_path: str,
+    table_dir: str,
+    checkpoint: str,
+    schema=None,
+    partition_by: str | None = None,
+):
+    """Continuously maintain an Iceberg table from a stream — the
+    lakehouse face of the maintainer family: each micro-batch commits
+    exactly ONE append snapshot through ``sources/iceberg.py`` (the
+    first batch creates the table, ``partition_by`` included), so the
+    table's snapshot history IS the batch history and every historical
+    batch boundary stays time-travelable.
+
+    The commit itself is the single-job partitionBy write + O(new
+    files) metadata append, so per-batch cost is O(batch) regardless of
+    table size — the property that makes this a standing maintainer at
+    100 TB. A crash between commit and checkpoint would replay the
+    batch as a SECOND append snapshot (doubled rows), so the same
+    batch-id guard as ``stream_rollup`` makes replays no-ops; with it,
+    streamed contents equal a batch-mode create+appends over the same
+    arrivals (the streamed==batch contract the test pins). Returns the
+    DataStreamWriter (call ``.start()``)."""
+    from ..sources import iceberg as ice
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.parquet(source_path)
+
+    def append_batch(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(ice._meta_dir(table_dir)):
+            ice.append_iceberg(batch_df, table_dir)
+        else:
+            ice.create_iceberg(batch_df, table_dir,
+                               partition_by=partition_by)
+
+    return (
+        raw.writeStream.foreachBatch(_replay_guarded(table_dir, append_batch))
+        .option("checkpointLocation", checkpoint)
+    )

@@ -330,3 +330,66 @@ def test_incremental_hll_across_arrivals(spark, sf_dir, tmp_path):
     INC.merge_max(spark, delta, reg_path, keys=["register"],
                   max_cols=["max_rho"])
     assert regs(reg_path) == full
+
+
+def test_stream_iceberg_append_equals_batch(spark, sf_dir, tmp_path):
+    """Streamed Iceberg maintenance: after two arrivals the table must
+    equal the full corpus (streamed == batch), each micro-batch must be
+    exactly one append snapshot (history == batch history, every batch
+    boundary time-travelable), and a no-new-data run commits nothing."""
+    import glob
+    import shutil
+
+    from simple_anonymizer_spark.sources import iceberg as ice
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (
+            INC.stream_iceberg_append(
+                spark, str(src), table, ckpt, schema=docs.schema,
+                partition_by="source",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    deliver(halves[0], "part1.parquet")
+    run_once()
+    assert rows(ice.read_iceberg(spark, table)) == rows(halves[0])
+    snaps1 = ice.iceberg_snapshots(spark, table).collect()
+    assert [r.operation for r in snaps1] == ["append"]
+
+    deliver(halves[1], "part2.parquet")
+    run_once()
+    assert rows(ice.read_iceberg(spark, table)) == rows(docs)
+    snaps2 = ice.iceberg_snapshots(spark, table).collect()
+    assert len(snaps2) == 2
+    # batch-1 boundary stays time-travelable
+    assert rows(ice.read_iceberg(
+        spark, table, snapshot_id=snaps2[0].snapshot_id)) == rows(halves[0])
+    # partition pruning works on the streamed table
+    one_src = [r[0] for r in docs.select("source").distinct().collect()][0]
+    assert rows(ice.read_iceberg(
+        spark, table, partition_filter={"source": one_src})) == rows(
+        docs.where(F.col("source") == one_src))
+
+    run_once()  # no new files: no new snapshot, contents unchanged
+    assert ice.iceberg_snapshots(spark, table).count() == 2
+    assert ice.iceberg_count(table) == docs.count()
