@@ -6931,3 +6931,13 @@ ORACLES["byte_bpe_roundtrip_docs"] = "SELECT doc_id, text FROM documents"
 ORACLES["iceberg_roundtrip_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+# iceberg_v2_delete_docs: Spark commits documents as a format-version-2
+# table, deletes a predicate's rows via POSITION DELETE files, and reads
+# the survivors back merge-on-read; the oracle is the source table under
+# the negated predicate — the value hash gates the sequence-number /
+# delete-manifest / (file_path, row_index) anti-join cycle exactly.
+ORACLES["iceberg_v2_delete_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE NOT (doc_id % 7 = 0 OR lang = 'de')
+"""

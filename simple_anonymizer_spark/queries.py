@@ -4296,6 +4296,28 @@ def iceberg_roundtrip_docs(spark, sf_dir):
     return read_iceberg(spark, out)
 
 
+@query("iceberg_v2_delete_docs")
+def iceberg_v2_delete_docs(spark, sf_dir):
+    """Iceberg v2 row-level deletes, driver-verifiable end-to-end
+    (sources/iceberg.py): documents becomes a format-version-2
+    partitioned table, a predicate's rows are committed as POSITION
+    DELETE files (merge-on-read — no data file rewritten), and the
+    survivors are read back through the metadata walk with the delete
+    anti-join applied. The oracle is the source table under the negated
+    predicate, so the driver's value hash gates the whole v2
+    sequence-number/delete-manifest/anti-join cycle."""
+    import tempfile
+
+    from .sources.iceberg import (create_iceberg, delete_iceberg_rows,
+                                  read_iceberg)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ice_v2_") + "/tbl"
+    create_iceberg(docs, out, partition_by="source", format_version=2)
+    delete_iceberg_rows(spark, out, "doc_id % 7 = 0 OR lang = 'de'")
+    return read_iceberg(spark, out)
+
+
 def _collision_urls(spark, sf_dir):
     """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
     the volatile parts (tracking params, fragment) key on doc_id — so

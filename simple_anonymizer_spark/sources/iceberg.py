@@ -12,7 +12,7 @@ O(metadata), and partition pruning happens on manifest rows BEFORE any
 data IO — the property that makes query planning on a 100 TB / million-
 file table a driver-side metadata read instead of a filesystem crawl.
 
-Implemented (format-version 1, Hadoop-catalog layout with
+Implemented (format-versions 1 and 2, Hadoop-catalog layout with
 ``version-hint.text``):
 
 * ``create_iceberg`` / ``append_iceberg`` / ``overwrite_iceberg`` —
@@ -37,7 +37,12 @@ Implemented (format-version 1, Hadoop-catalog layout with
   file-inventory metadata tables; ``iceberg_plan_files`` — the pruned
   planning walk itself, exposed for tests and scale measurement;
 * ``iceberg_count`` — metadata-only row count (sum of manifest
-  ``record_count``), zero data IO.
+  ``record_count``, minus delete-manifest counts on v2), zero data IO;
+* format-version 2 row-level deletes: ``delete_iceberg_rows`` commits
+  POSITION DELETE parquet files under delete manifests (content=1,
+  sequence numbers tracked per the spec); ``read_iceberg`` applies them
+  merge-on-read with an anti-join on (file path, ``_metadata.row_index``)
+  — broadcast when the metadata-known delete count is small.
 
 Manifest Avro schemas carry the spec's ``field-id`` attributes, so the
 files are shaped for a real Iceberg runtime; like the Delta tier, what
@@ -45,8 +50,9 @@ an external jar runtime would do with them cannot be executed in this
 container — the honest claim is round-trip + independent-decoder
 verification (tests/test_iceberg.py).
 
-Deliberate scope bounds: format-version 1 (no sequence-number /
-delete-file machinery) and a single identity partition column. An
+Deliberate scope bounds: position deletes only (no v2 equality
+deletes), delete-file paths manifest-relative like every other path
+this tier writes, and a single identity partition column. An
 EMPTY-STRING string partition value collapses to null on write — the
 Hive directory layout cannot distinguish them (Spark routes both to the
 default-partition directory), the classic Hive-metastore semantics.
@@ -68,8 +74,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .avro import read_container, write_container
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSIONS = (1, 2)
 _BLOCK_SIZE = 67108864  # deprecated-but-required v1 field
+
+#: Metadata-driven join strategy for applying position deletes: below
+#: this many delete rows (known EXACTLY from delete-manifest
+#: record_counts, no data IO) the delete set is broadcast; above it the
+#: anti-join shuffles both sides.
+_DELETE_BROADCAST_ROWS = 10_000_000
 
 _SPARK_TO_ICE = {
     "long": "long", "integer": "int", "string": "string",
@@ -191,7 +203,9 @@ def _kv_bounds_field(name: str, fid: int, key_id: int, val_id: int) -> dict:
                     ]}}]}
 
 
-def _manifest_schema(partition_by: str | None, ptype: str) -> dict:
+def _manifest_schema(
+    partition_by: str | None, ptype: str, format_version: int = 1
+) -> dict:
     pfields = []
     if partition_by is not None:
         avro_t = _PARTITION_AVRO.get(ptype)
@@ -200,34 +214,33 @@ def _manifest_schema(partition_by: str | None, ptype: str) -> dict:
                 f"unsupported identity partition type {ptype!r}")
         pfields.append({"name": partition_by, "type": ["null", avro_t],
                         "field-id": 1000})
+    dfields = [
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "field-id": 102, "type": {
+            "type": "record", "name": "r102", "fields": pfields}},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+        _kv_bounds_field("lower_bounds", 125, 126, 127),
+        _kv_bounds_field("upper_bounds", 128, 129, 130),
+    ]
+    if format_version >= 2:
+        # content: 0 = data, 1 = position deletes (spec field-id 134)
+        dfields.insert(1, {"name": "content", "type": "int",
+                           "field-id": 134})
     return {
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": ["null", "long"],
              "field-id": 1},
-            {"name": "data_file", "field-id": 2, "type": {
-                "type": "record", "name": "r2", "fields": [
-                    {"name": "file_path", "type": "string",
-                     "field-id": 100},
-                    {"name": "file_format", "type": "string",
-                     "field-id": 101},
-                    {"name": "partition", "field-id": 102, "type": {
-                        "type": "record", "name": "r102",
-                        "fields": pfields}},
-                    {"name": "record_count", "type": "long",
-                     "field-id": 103},
-                    {"name": "file_size_in_bytes", "type": "long",
-                     "field-id": 104},
-                    {"name": "block_size_in_bytes", "type": "long",
-                     "field-id": 105},
-                    _kv_bounds_field("lower_bounds", 125, 126, 127),
-                    _kv_bounds_field("upper_bounds", 128, 129, 130),
-                ]}},
+            {"name": "data_file", "field-id": 2,
+             "type": {"type": "record", "name": "r2", "fields": dfields}},
         ]}
 
 
-_MANIFEST_LIST_SCHEMA = {
-    "type": "record", "name": "manifest_file", "fields": [
+def _manifest_list_schema(format_version: int = 1) -> dict:
+    fields = [
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
@@ -235,7 +248,16 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_data_files_count", "type": "int",
          "field-id": 504},
         {"name": "added_rows_count", "type": "long", "field-id": 512},
-    ]}
+    ]
+    if format_version >= 2:
+        fields[3:3] = [
+            # content: 0 = data manifest, 1 = delete manifest
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long",
+             "field-id": 516},
+        ]
+    return {"type": "record", "name": "manifest_file", "fields": fields}
 
 
 def _parse_partition_dirname(dirname: str, ptype: str):
@@ -341,8 +363,10 @@ def _write_manifest(
     table_dir: str, snapshot_id: int, files: list[dict],
     partition_by: str | None, ptype: str,
     ids: dict[str, int], types: dict[str, str],
+    format_version: int = 1, content: int = 0,
+    sequence_number: int = 0,
 ) -> dict:
-    schema = _manifest_schema(partition_by, ptype)
+    schema = _manifest_schema(partition_by, ptype, format_version)
     # uuid suffix per the spec's writers: two racing commits must never
     # share a manifest filename (the metadata.json O_EXCL check decides
     # the winner; the loser's orphan Avro files are harmless).
@@ -351,12 +375,12 @@ def _write_manifest(
     rows = []
     for f in files:
         part = ({} if partition_by is None
-                else {partition_by: f["partition"]})
+                else {partition_by: f.get("partition")})
         lower = [{"key": ids[c], "value": _bound_bytes(types[c], lo)}
                  for c, (lo, _) in sorted(f["bounds"].items())]
         upper = [{"key": ids[c], "value": _bound_bytes(types[c], hi)}
                  for c, (_, hi) in sorted(f["bounds"].items())]
-        rows.append((1, snapshot_id, {  # status 1 = ADDED
+        data_file = {
             "file_path": f["file_path"],
             "file_format": "PARQUET",
             "partition": part,
@@ -365,12 +389,15 @@ def _write_manifest(
             "block_size_in_bytes": _BLOCK_SIZE,
             "lower_bounds": lower or None,
             "upper_bounds": upper or None,
-        }))
+        }
+        if format_version >= 2:
+            data_file["content"] = content
+        rows.append((1, snapshot_id, data_file))  # status 1 = ADDED
     buf = io.BytesIO()
     write_container(buf, schema, iter(rows))
     with open(path, "wb") as fh:
         fh.write(buf.getvalue())
-    return {
+    out = {
         "manifest_path": os.path.join("metadata", name),
         "manifest_length": len(buf.getvalue()),
         "partition_spec_id": 0,
@@ -378,17 +405,24 @@ def _write_manifest(
         "added_data_files_count": len(files),
         "added_rows_count": sum(f["record_count"] for f in files),
     }
+    if format_version >= 2:
+        out["content"] = content
+        out["sequence_number"] = sequence_number
+        out["min_sequence_number"] = sequence_number
+    return out
 
 
 def _write_manifest_list(
-    table_dir: str, snapshot_id: int, manifests: list[dict]
+    table_dir: str, snapshot_id: int, manifests: list[dict],
+    format_version: int = 1,
 ) -> str:
     name = f"snap-{snapshot_id:05d}-{uuid.uuid4().hex[:8]}.avro"
     path = os.path.join(_meta_dir(table_dir), name)
-    rows = [tuple(m[f["name"]] for f in _MANIFEST_LIST_SCHEMA["fields"])
+    schema = _manifest_list_schema(format_version)
+    rows = [tuple(m[f["name"]] for f in schema["fields"])
             for m in manifests]
     buf = io.BytesIO()
-    write_container(buf, _MANIFEST_LIST_SCHEMA, iter(rows))
+    write_container(buf, schema, iter(rows))
     with open(path, "wb") as fh:
         fh.write(buf.getvalue())
     return os.path.join("metadata", name)
@@ -409,7 +443,7 @@ def _load_metadata(table_dir: str, version: int | None = None) -> dict:
             meta = json.load(fh)
     except (OSError, ValueError) as exc:
         raise IcebergError(f"missing/invalid metadata {path}") from exc
-    if meta.get("format-version") != _FORMAT_VERSION:
+    if meta.get("format-version") not in _FORMAT_VERSIONS:
         raise IcebergError("unsupported format-version")
     return meta
 
@@ -428,10 +462,37 @@ def _commit_metadata(table_dir: str, meta: dict, version: int) -> None:
         fh.write(str(version))
 
 
+def _publish_snapshot(
+    table_dir: str, meta: dict, operation: str, manifests: list[dict],
+    snap_id: int, seq: int,
+) -> dict:
+    """Write the manifest list and return updated metadata with the new
+    snapshot appended — the shared tail of every commit kind."""
+    fv = meta["format-version"]
+    mlist = _write_manifest_list(table_dir, snap_id, manifests, fv)
+    now = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["current-snapshot-id"] = snap_id
+    meta["last-updated-ms"] = now
+    snap = {
+        "snapshot-id": snap_id, "timestamp-ms": now,
+        "manifest-list": mlist, "schema-id": 0,
+        "summary": {"operation": operation},
+    }
+    if fv >= 2:
+        snap["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["snapshot-log"] = meta["snapshot-log"] + [
+        {"snapshot-id": snap_id, "timestamp-ms": now}]
+    return meta
+
+
 def _new_snapshot(
     df: DataFrame, table_dir: str, meta: dict, operation: str,
     prior_manifests: list[dict],
 ) -> dict:
+    fv = meta["format-version"]
     pspec = meta["partition-specs"][0]["fields"]
     partition_by = pspec[0]["name"] if pspec else None
     ptype = meta.get("_sa-partition-type", "string")
@@ -439,32 +500,27 @@ def _new_snapshot(
     types = {f["name"]: f["type"] for f in _schema_fields(meta)}
     bound_types = {c: t for c, t in types.items() if t in _BOUND_TYPES}
     snap_id = meta["current-snapshot-id"] + 1
+    seq = meta.get("last-sequence-number", 0) + 1
     files = _write_data_files(
         df, table_dir, f"s{snap_id:05d}", partition_by, ptype, bound_types)
     manifest = _write_manifest(
-        table_dir, snap_id, files, partition_by, ptype, ids, types)
-    mlist = _write_manifest_list(
-        table_dir, snap_id, prior_manifests + [manifest])
-    now = int(time.time() * 1000)
-    meta = dict(meta)
-    meta["current-snapshot-id"] = snap_id
-    meta["last-updated-ms"] = now
-    meta["snapshots"] = meta["snapshots"] + [{
-        "snapshot-id": snap_id, "timestamp-ms": now,
-        "manifest-list": mlist, "schema-id": 0,
-        "summary": {"operation": operation},
-    }]
-    meta["snapshot-log"] = meta["snapshot-log"] + [
-        {"snapshot-id": snap_id, "timestamp-ms": now}]
-    return meta
+        table_dir, snap_id, files, partition_by, ptype, ids, types,
+        format_version=fv, content=0, sequence_number=seq)
+    return _publish_snapshot(
+        table_dir, meta, operation, prior_manifests + [manifest],
+        snap_id, seq)
 
 
 def create_iceberg(
-    df: DataFrame, table_dir: str, partition_by: str | None = None
+    df: DataFrame, table_dir: str, partition_by: str | None = None,
+    format_version: int = 1,
 ) -> int:
     """Create a new Iceberg table from ``df``; returns the snapshot id.
     ``partition_by`` records identity partition values on every manifest
-    row (the pruning key)."""
+    row (the pruning key). ``format_version=2`` enables sequence-number
+    tracking and row-level position deletes (``delete_iceberg_rows``)."""
+    if format_version not in _FORMAT_VERSIONS:
+        raise IcebergError(f"unsupported format-version {format_version}")
     if os.path.exists(_meta_dir(table_dir)):
         raise IcebergError(f"table already exists at {table_dir}")
     schema, ids = _ice_schema(df)
@@ -485,7 +541,7 @@ def create_iceberg(
     }]
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     meta = {
-        "format-version": _FORMAT_VERSION,
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
                                      os.path.abspath(table_dir))),
         "location": os.path.abspath(table_dir),
@@ -499,6 +555,8 @@ def create_iceberg(
         "current-snapshot-id": 0,
         "snapshots": [], "snapshot-log": [],
     }
+    if format_version >= 2:
+        meta["last-sequence-number"] = 0
     meta = _new_snapshot(df, table_dir, meta, "append", [])
     _commit_metadata(table_dir, meta, 1)
     return meta["current-snapshot-id"]
@@ -540,6 +598,103 @@ def overwrite_iceberg(df: DataFrame, table_dir: str) -> int:
     new_meta = _new_snapshot(df, table_dir, meta, "overwrite", [])
     _commit_metadata(table_dir, new_meta, version)
     return new_meta["current-snapshot-id"]
+
+
+def _delete_path_prefix(table_dir: str) -> str:
+    """What ``_metadata.file_path`` prepends to our manifest-relative
+    paths on a local filesystem scan."""
+    return "file:" + os.path.abspath(table_dir) + "/"
+
+
+def _position_deletes_df(
+    spark: SparkSession, table_dir: str, snapshot: dict,
+) -> tuple[DataFrame | None, int]:
+    """The snapshot's merged position-delete rows (file_path, pos) and
+    their EXACT total row count (from delete-manifest record_counts —
+    metadata only)."""
+    dels = _live_delete_files(table_dir, snapshot)
+    if not dels:
+        return None, 0
+    paths = [os.path.join(table_dir, f["file_path"]) for f in dels]
+    return spark.read.parquet(*paths), sum(
+        f["record_count"] for f in dels)
+
+
+def delete_iceberg_rows(
+    spark: SparkSession, table_dir: str, predicate: str,
+) -> int:
+    """Row-level DELETE via v2 POSITION DELETE files: rows of the
+    current snapshot matching ``predicate`` (a SQL expression over the
+    table's columns) are recorded as (file_path, pos) rows in a new
+    parquet delete file, committed as a delete manifest (content=1) —
+    no data file is rewritten, the merge-on-read half of the v2 spec.
+
+    Positions come from Spark's ``_metadata.row_index`` on one scan of
+    the live data files; rows already deleted by earlier snapshots are
+    anti-joined out first, so delete files never overlap (each live row
+    is deleted at most once — what keeps the metadata-only count exact
+    and a re-run of the same predicate a no-op). ``file_path`` values in
+    delete files are manifest-relative, consistent with every other
+    path this tier writes. Returns the new snapshot id (the current one
+    if nothing matched)."""
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(table_dir)
+    if meta["format-version"] < 2:
+        raise IcebergError(
+            "row-level deletes need format_version=2 tables")
+    version = _next_version(table_dir)
+    snap = _resolve_snapshot(meta, None, None)
+    files = _live_files(table_dir, snap)
+    if not files:
+        return meta["current-snapshot-id"]
+    prefix = _delete_path_prefix(table_dir)
+    paths = [os.path.join(table_dir, f["file_path"]) for f in files]
+    hits = (
+        spark.read.parquet(*paths)
+        .where(F.expr(predicate))
+        .select(
+            F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")
+            .alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        ))
+    prior, _n = _position_deletes_df(spark, table_dir, snap)
+    if prior is not None:
+        hits = hits.join(prior, ["file_path", "pos"], "left_anti")
+    snap_id = meta["current-snapshot-id"] + 1
+    seq = meta["last-sequence-number"] + 1
+    staging = os.path.join(table_dir, f"_staging-del{snap_id:05d}")
+    # spec ordering: position delete files sorted by file_path then pos
+    hits.sort("file_path", "pos").coalesce(1).write.mode(
+        "overwrite").parquet(staging)
+    [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+    name = f"s{snap_id:05d}-delete-00000.parquet"
+    dst = os.path.join(_data_dir(table_dir), name)
+    shutil.move(part, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    md = pq.read_metadata(dst)
+    if md.num_rows == 0:
+        os.remove(dst)
+        return meta["current-snapshot-id"]
+    pspec = meta["partition-specs"][0]["fields"]
+    partition_by = pspec[0]["name"] if pspec else None
+    ptype = meta.get("_sa-partition-type", "string")
+    ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+    types = {f["name"]: f["type"] for f in _schema_fields(meta)}
+    manifest = _write_manifest(
+        table_dir, snap_id,
+        [{"file_path": os.path.join("data", name),
+          "record_count": md.num_rows,
+          "file_size_in_bytes": os.path.getsize(dst),
+          "partition": None, "bounds": {}}],
+        partition_by, ptype, ids, types,
+        format_version=2, content=1, sequence_number=seq)
+    prior_manifests = _current_manifests(table_dir, meta)
+    new_meta = _publish_snapshot(
+        table_dir, meta, "delete", prior_manifests + [manifest],
+        snap_id, seq)
+    _commit_metadata(table_dir, new_meta, version)
+    return snap_id
 
 
 def _next_version(table_dir: str) -> int:
@@ -609,27 +764,42 @@ def _survives_bounds(
     return True
 
 
-def _live_files(
-    table_dir: str, snapshot: dict,
+def _live_entries(
+    table_dir: str, snapshot: dict, content: int,
     partition_filter: dict | None = None,
 ) -> list[dict]:
-    """Walk manifest list -> manifests; return live data-file rows
-    (status != 2), pruned by identity-partition equality BEFORE any
-    data IO."""
+    """Walk manifest list -> manifests of the requested ``content`` kind
+    (0 = data, 1 = position deletes); return live file rows (status
+    != 2), pruned by identity-partition equality BEFORE any data IO.
+    ``partition_filter`` applies only to data entries — position deletes
+    are path-matched, so loading them unpruned is always sound."""
     out = []
     for m in _read_manifest_list(table_dir, snapshot["manifest-list"]):
+        if m.get("content", 0) != content:
+            continue
         with open(os.path.join(table_dir, m["manifest_path"]), "rb") as fh:
             _, rows = read_container(fh.read())
         for status, snap_id, data_file in rows:
             if status == 2:  # DELETED
                 continue
             part = data_file["partition"]
-            if partition_filter and any(
+            if content == 0 and partition_filter and any(
                 part.get(k) != v for k, v in partition_filter.items()
             ):
                 continue
             out.append({"snapshot_id": snap_id, **data_file})
     return out
+
+
+def _live_files(
+    table_dir: str, snapshot: dict,
+    partition_filter: dict | None = None,
+) -> list[dict]:
+    return _live_entries(table_dir, snapshot, 0, partition_filter)
+
+
+def _live_delete_files(table_dir: str, snapshot: dict) -> list[dict]:
+    return _live_entries(table_dir, snapshot, 1)
 
 
 def iceberg_plan_files(
@@ -684,14 +854,37 @@ def read_iceberg(
     so results are exact). No directory listing ever happens — planning
     cost is O(manifest rows). An empty plan (empty table, or a filter
     that prunes everything) returns an EMPTY DataFrame with the table
-    schema, as real Iceberg scans do."""
+    schema, as real Iceberg scans do.
+
+    On v2 tables with position deletes, deleted rows are filtered
+    MERGE-ON-READ: an anti-join against the snapshot's delete files on
+    (file path, ``_metadata.row_index``) — broadcast when the
+    metadata-known delete row count is small, shuffled otherwise."""
     files = iceberg_plan_files(
         table_dir, snapshot_id, as_of_ms, partition_filter, predicates)
+    meta = _load_metadata(table_dir)
     if not files:
-        meta = _load_metadata(table_dir)
         return spark.createDataFrame([], _spark_schema(meta))
     paths = [os.path.join(table_dir, f["file_path"]) for f in files]
     df = spark.read.parquet(*paths)
+    if meta["format-version"] >= 2:
+        snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
+        dels, n_del = _position_deletes_df(spark, table_dir, snap)
+        if dels is not None:
+            if n_del <= _DELETE_BROADCAST_ROWS:
+                dels = F.broadcast(dels)
+            prefix = _delete_path_prefix(table_dir)
+            cols = df.columns
+            df = (
+                df.withColumn("__sa_fp", F.expr(
+                    f"substring(_metadata.file_path, {len(prefix) + 1})"))
+                .withColumn("__sa_pos", F.col("_metadata.row_index")))
+            df = df.join(
+                dels,
+                (df["__sa_fp"] == dels["file_path"])
+                & (df["__sa_pos"] == dels["pos"]),
+                "left_anti",
+            ).select(*cols)
     if predicates:
         df = _residual_filter(df, predicates)
     return df
@@ -728,8 +921,21 @@ def iceberg_count(
     partition_filter: dict | None = None,
 ) -> int:
     """Metadata-only COUNT(*): sums manifest ``record_count`` — zero
-    data-file IO, the planning-economy property the format exists for."""
+    data-file IO, the planning-economy property the format exists for.
+    Position deletes subtract exactly because this tier's writer never
+    lets delete files overlap (``delete_iceberg_rows`` anti-joins prior
+    deletes); they are not partition-attributed, so a partition-filtered
+    count on a table with deletes must go through ``read_iceberg``."""
     meta = _load_metadata(table_dir)
     snap = _resolve_snapshot(meta, snapshot_id, None)
-    return sum(f["record_count"]
-               for f in _live_files(table_dir, snap, partition_filter))
+    n = sum(f["record_count"]
+            for f in _live_files(table_dir, snap, partition_filter))
+    if meta["format-version"] >= 2:
+        n_del = sum(f["record_count"]
+                    for f in _live_delete_files(table_dir, snap))
+        if n_del and partition_filter:
+            raise IcebergError(
+                "partition-filtered metadata count is not exact under "
+                "position deletes; use read_iceberg(...).count()")
+        n -= n_del
+    return n

@@ -304,3 +304,103 @@ def test_iceberg_count_opens_no_data_file(spark, tdir):
     assert I.iceberg_count(tdir, partition_filter={"source": "b"}) == 30
     assert I.iceberg_plan_files(
         tdir, predicates=[("doc_id", "<", 10)])  # planning is metadata-only
+
+
+def test_v2_position_deletes_merge_on_read(spark, tdir):
+    """Format-version 2: delete_iceberg_rows commits a position-delete
+    file + delete manifest; reads apply it merge-on-read; time travel to
+    the pre-delete snapshot still sees every row; metadata-only count
+    subtracts exactly."""
+    s1 = I.create_iceberg(_docs(spark, 0, 20), tdir, format_version=2)
+    s2 = I.delete_iceberg_rows(spark, tdir, "doc_id % 3 = 0")
+    assert s2 == s1 + 1
+    got = sorted(r.doc_id for r in I.read_iceberg(spark, tdir).collect())
+    assert got == [i for i in range(20) if i % 3 != 0]
+    assert I.iceberg_count(tdir) == len(got)
+    # pre-delete snapshot is untouched
+    assert I.read_iceberg(spark, tdir, snapshot_id=s1).count() == 20
+    hist = I.iceberg_snapshots(spark, tdir).collect()
+    assert [r.operation for r in hist] == ["append", "delete"]
+
+
+def test_v2_deletes_are_idempotent_and_stack(spark, tdir):
+    """Re-running the same predicate is a no-op (no overlapping delete
+    rows — the exact-count invariant); a second predicate stacks; an
+    append after deletes adds rows the old delete files don't touch."""
+    I.create_iceberg(_docs(spark, 0, 12), tdir, format_version=2)
+    s2 = I.delete_iceberg_rows(spark, tdir, "doc_id < 4")
+    s3 = I.delete_iceberg_rows(spark, tdir, "doc_id < 4")  # no-op
+    assert s3 == s2 and I.iceberg_count(tdir) == 8
+    I.delete_iceberg_rows(spark, tdir, "doc_id >= 10")
+    assert sorted(r.doc_id for r in
+                  I.read_iceberg(spark, tdir).collect()) == [4, 5, 6, 7,
+                                                             8, 9]
+    I.append_iceberg(_docs(spark, 0, 4, "later"), tdir)
+    got = sorted((r.doc_id, r.source) for r in
+                 I.read_iceberg(spark, tdir).collect())
+    assert got == [(0, "later"), (1, "later"), (2, "later"),
+                   (3, "later"), (4, "a"), (5, "a"), (6, "a"),
+                   (7, "a"), (8, "a"), (9, "a")]
+    assert I.iceberg_count(tdir) == 10
+
+
+def test_v2_delete_manifest_is_spec_shaped(spark, tdir):
+    """The delete commit writes a content=1 manifest-list row with
+    sequence numbers (field-ids 517/515/516), a content=1 data_file
+    entry (field-id 134), and a (file_path, pos) parquet delete file
+    sorted by path then position."""
+    I.create_iceberg(_docs(spark, 0, 10), tdir, format_version=2)
+    I.delete_iceberg_rows(spark, tdir, "doc_id IN (7, 2, 4)")
+    meta = I._load_metadata(tdir)
+    snap = meta["snapshots"][-1]
+    assert snap["sequence-number"] == 2
+    assert meta["last-sequence-number"] == 2
+    with open(os.path.join(tdir, snap["manifest-list"]), "rb") as fh:
+        lschema, lrows = read_container(fh.read())
+    ids = {f["name"]: f.get("field-id") for f in lschema["fields"]}
+    assert ids["content"] == 517 and ids["sequence_number"] == 515
+    assert ids["min_sequence_number"] == 516
+    by_content = {}
+    names = [f["name"] for f in lschema["fields"]]
+    for r in lrows:
+        row = dict(zip(names, r))
+        by_content[row["content"]] = row
+    assert set(by_content) == {0, 1}
+    assert by_content[1]["sequence_number"] == 2
+    # the delete manifest's entry says content=1 (field-id 134)
+    with open(os.path.join(tdir, by_content[1]["manifest_path"]),
+              "rb") as fh:
+        mschema, mrows = read_container(fh.read())
+    dfields = {f["name"]: f.get("field-id")
+               for f in next(f for f in mschema["fields"]
+                             if f["name"] == "data_file")["type"]["fields"]}
+    assert dfields["content"] == 134
+    assert mrows[0][2]["content"] == 1
+    # the delete file itself: (file_path, pos) sorted
+    del_path = os.path.join(tdir, mrows[0][2]["file_path"])
+    rows = [(r.file_path, r.pos)
+            for r in spark.read.parquet(del_path).collect()]
+    assert rows == sorted(rows)
+    assert len(rows) == 3
+
+
+def test_v2_deletes_compose_with_pruning(spark, tdir):
+    """Partition pruning, min/max predicate pruning, and position
+    deletes compose on one read."""
+    df = _docs(spark, 0, 30, "a").union(_docs(spark, 30, 50, "b"))
+    I.create_iceberg(df, tdir, partition_by="source", format_version=2)
+    I.delete_iceberg_rows(spark, tdir, "doc_id % 2 = 1")
+    got = sorted(r.doc_id for r in I.read_iceberg(
+        spark, tdir, partition_filter={"source": "b"},
+        predicates=[("doc_id", ">=", 40)]).collect())
+    assert got == [40, 42, 44, 46, 48]
+    # partition-filtered metadata count under deletes is honest: raises
+    with pytest.raises(I.IcebergError):
+        I.iceberg_count(tdir, partition_filter={"source": "b"})
+    assert I.iceberg_count(tdir) == 25
+
+
+def test_v1_table_rejects_row_deletes(spark, tdir):
+    I.create_iceberg(_docs(spark, 0, 5), tdir)
+    with pytest.raises(I.IcebergError):
+        I.delete_iceberg_rows(spark, tdir, "doc_id = 1")

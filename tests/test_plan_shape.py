@@ -309,6 +309,10 @@ NATIVE_QUERIES = [
     # run eagerly at build time; no Python in the read path, unlike the
     # avro/warc codec tiers).
     "iceberg_roundtrip_docs",
+    # round-10: iceberg v2 position deletes — ONE native parquet scan
+    # plus a broadcast left-anti join on (_metadata.file_path,
+    # _metadata.row_index) against the delete files; no Python anywhere.
+    "iceberg_v2_delete_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
