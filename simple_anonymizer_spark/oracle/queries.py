@@ -6941,3 +6941,50 @@ ORACLES["iceberg_v2_delete_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE NOT (doc_id % 7 = 0 OR lang = 'de')
 """
+
+
+def _byte_bpe_fertility_oracle(n_merges: int) -> str:
+    """Byte-level fertility scorecard: the byte_bpe encode CTE chain,
+    aggregated per document (pieces + pre-token counts) then per
+    language with byte totals (strlen = UTF-8 bytes, mirroring Spark's
+    octet_length)."""
+    parts = _byte_bpe_cte_parts(n_merges)
+    parts.append(f"""tok AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(pts, 1) AS pos, unnest(pts) AS w
+  FROM (SELECT doc_id, {_byte_pretokens('text')} AS pts FROM documents)
+)""")
+    parts.append(
+        f"s0 AS MATERIALIZED (SELECT doc_id, pos, {_byte_seq_sql('hx')} "
+        "AS seq FROM (SELECT doc_id, pos, hex(encode(w)) AS hx FROM tok))"
+    )
+    for i in range(n_merges):
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT doc_id, pos, {_bpe_seq_rewrite(f'b{i}')} AS seq FROM s{i}
+)""")
+    parts.append(f"""perdoc AS (
+  SELECT doc_id,
+         CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_pieces,
+         CAST(count(*) AS BIGINT) AS n_pretokens
+  FROM s{n_merges} GROUP BY doc_id
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+, agg AS (
+  SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(p.n_pretokens), 0) AS BIGINT) AS total_pretokens,
+         CAST(COALESCE(sum(p.n_pieces), 0) AS BIGINT) AS total_pieces,
+         CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, total_pretokens, total_pieces, total_bytes,
+       CASE WHEN total_pretokens > 0 THEN
+         CAST(total_pieces AS DOUBLE) / CAST(total_pretokens AS DOUBLE)
+       END AS pieces_per_pretoken,
+       CASE WHEN total_pieces > 0 THEN
+         CAST(total_bytes AS DOUBLE) / CAST(total_pieces AS DOUBLE)
+       END AS bytes_per_piece
+FROM agg""")
+
+
+ORACLES["byte_bpe_fertility_langs"] = _byte_bpe_fertility_oracle(8)

@@ -3493,6 +3493,50 @@ def bpe_fertility_langs(spark, sf_dir):
     )
 
 
+@query("byte_bpe_fertility_langs")
+def byte_bpe_fertility_langs(spark, sf_dir):
+    """Byte-level tokenizer QA scorecard: fertility (pieces per
+    pre-token) and compression (UTF-8 BYTES per piece — bytes, not
+    chars, are the byte-level tokenizer's native cost unit) of the
+    corpus-trained 8-merge byte-level BPE, per language — the GPT-2-
+    family counterpart of ``bpe_fertility_langs``. Composes
+    byte_bpe_train -> byte_bpe_segment -> one aggregation; every ratio
+    is a single IEEE division of exact integer sums (float order
+    rule)."""
+    from .operators.textprep import (byte_bpe_segment, byte_bpe_train,
+                                     byte_pretokens)
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = [tuple(r) for r in byte_bpe_train(docs, n_merges=8).collect()]
+    seg = byte_bpe_segment(docs, merges).select("doc_id", "n_pieces")
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(byte_pretokens(F.col("text"))).cast("long").alias("__w"),
+        F.octet_length("text").cast("long").alias("__b"),
+    )
+    agg = (
+        base.join(seg, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("total_pretokens"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.sum("__b").cast("long").alias("total_bytes"),
+        )
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("total_pretokens") > 0,
+               F.col("total_pieces").cast("double")
+               / F.col("total_pretokens").cast("double"))
+        .alias("pieces_per_pretoken"),
+        F.when(F.col("total_pieces") > 0,
+               F.col("total_bytes").cast("double")
+               / F.col("total_pieces").cast("double"))
+        .alias("bytes_per_piece"),
+    )
+
+
 @query("corpus_scorecard_langs")
 def corpus_scorecard_langs(spark, sf_dir):
     """Per-language curation dashboard: Gopher keep rate, token volume,

@@ -304,6 +304,9 @@ NATIVE_QUERIES = [
     # hex/substr byte remap — pure column algebra end-to-end.
     "byte_bpe_train_corpus", "byte_bpe_encode_docs",
     "byte_bpe_roundtrip_docs",
+    # round-10: byte-level fertility scorecard — same codegen rewrite
+    # chain, one doc-keyed join + one lang aggregation.
+    "byte_bpe_fertility_langs",
     # round-9: iceberg metadata-tree round trip — the returned plan is
     # ONE native parquet scan over the manifest-listed files (commits
     # run eagerly at build time; no Python in the read path, unlike the
