@@ -6988,3 +6988,15 @@ FROM agg""")
 
 
 ORACLES["byte_bpe_fertility_langs"] = _byte_bpe_fertility_oracle(8)
+
+# iceberg_v2_upsert_docs: Spark upserts every tenth document into a v2
+# table via equality-delete + append (the CDC MERGE pattern); the oracle
+# amends the same rows in place — the value hash gates the equality_ids /
+# sequence-rule / null-safe-key anti-join cycle and last-write-wins.
+ORACLES["iceberg_v2_upsert_docs"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN text || ' [v2]' ELSE text END
+         AS text,
+       lang, source, n_chars
+FROM documents
+"""

@@ -4362,6 +4362,30 @@ def iceberg_v2_delete_docs(spark, sf_dir):
     return read_iceberg(spark, out)
 
 
+@query("iceberg_v2_upsert_docs")
+def iceberg_v2_upsert_docs(spark, sf_dir):
+    """Iceberg v2 MERGE (upsert) via EQUALITY DELETES, driver-verifiable
+    end-to-end (sources/iceberg.py): documents becomes a
+    format-version-2 table, then every tenth document is upserted with
+    amended text — one equality-delete commit on the keys (spec
+    equality_ids, null-safe match, strict sequence rule) plus one
+    append, the spec's CDC pattern, no data file rewritten. The oracle
+    is the source table with the same rows amended, so the driver's
+    value hash gates last-write-wins semantics exactly."""
+    import tempfile
+
+    from .sources.iceberg import (create_iceberg, read_iceberg,
+                                  upsert_iceberg)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ice_v2u_") + "/tbl"
+    create_iceberg(docs, out, format_version=2)
+    upd = (docs.where(F.col("doc_id") % 10 == 0)
+           .withColumn("text", F.concat(F.col("text"), F.lit(" [v2]"))))
+    upsert_iceberg(spark, out, upd, ["doc_id"])
+    return read_iceberg(spark, out)
+
+
 def _collision_urls(spark, sf_dir):
     """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
     the volatile parts (tracking params, fragment) key on doc_id — so

@@ -39,10 +39,14 @@ Implemented (format-versions 1 and 2, Hadoop-catalog layout with
 * ``iceberg_count`` — metadata-only row count (sum of manifest
   ``record_count``, minus delete-manifest counts on v2), zero data IO;
 * format-version 2 row-level deletes: ``delete_iceberg_rows`` commits
-  POSITION DELETE parquet files under delete manifests (content=1,
-  sequence numbers tracked per the spec); ``read_iceberg`` applies them
-  merge-on-read with an anti-join on (file path, ``_metadata.row_index``)
-  — broadcast when the metadata-known delete count is small.
+  POSITION DELETE parquet files and ``delete_iceberg_keys`` EQUALITY
+  DELETE files (``equality_ids`` field-id 135) under delete manifests,
+  sequence numbers tracked per the spec; ``read_iceberg`` applies both
+  merge-on-read — position deletes as an anti-join on (file path,
+  ``_metadata.row_index``), equality deletes as null-safe key anti-joins
+  gated by the strict sequence rule (data seq < delete seq) — broadcast
+  when the metadata-known delete counts are small. ``upsert_iceberg``
+  composes them into the spec's CDC MERGE pattern (delete keys, append).
 
 Manifest Avro schemas carry the spec's ``field-id`` attributes, so the
 files are shaped for a real Iceberg runtime; like the Delta tier, what
@@ -50,9 +54,10 @@ an external jar runtime would do with them cannot be executed in this
 container — the honest claim is round-trip + independent-decoder
 verification (tests/test_iceberg.py).
 
-Deliberate scope bounds: position deletes only (no v2 equality
-deletes), delete-file paths manifest-relative like every other path
-this tier writes, and a single identity partition column. An
+Deliberate scope bounds: delete-file paths manifest-relative like every
+other path this tier writes, upserts as two commits (single-commit
+delta writes are a real-runtime feature), and a single identity
+partition column. An
 EMPTY-STRING string partition value collapses to null on write — the
 Hive directory layout cannot distinguish them (Spark routes both to the
 default-partition directory), the classic Hive-metastore semantics.
@@ -226,9 +231,15 @@ def _manifest_schema(
         _kv_bounds_field("upper_bounds", 128, 129, 130),
     ]
     if format_version >= 2:
-        # content: 0 = data, 1 = position deletes (spec field-id 134)
+        # content: 0 = data, 1 = position deletes, 2 = equality deletes
+        # (spec field-id 134); equality_ids: the field-ids an equality
+        # delete matches on (spec field-id 135)
         dfields.insert(1, {"name": "content", "type": "int",
                            "field-id": 134})
+        dfields.append({"name": "equality_ids", "field-id": 135,
+                        "default": None,
+                        "type": ["null", {"type": "array",
+                                          "items": "int"}]})
     return {
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int", "field-id": 0},
@@ -392,6 +403,7 @@ def _write_manifest(
         }
         if format_version >= 2:
             data_file["content"] = content
+            data_file["equality_ids"] = f.get("equality_ids")
         rows.append((1, snapshot_id, data_file))  # status 1 = ADDED
     buf = io.BytesIO()
     write_container(buf, schema, iter(rows))
@@ -406,7 +418,10 @@ def _write_manifest(
         "added_rows_count": sum(f["record_count"] for f in files),
     }
     if format_version >= 2:
-        out["content"] = content
+        # manifest-list content: 0 = data manifest, 1 = DELETES manifest
+        # (position or equality — the entry's own content field, 1 vs 2,
+        # tells them apart)
+        out["content"] = 0 if content == 0 else 1
         out["sequence_number"] = sequence_number
         out["min_sequence_number"] = sequence_number
     return out
@@ -606,13 +621,23 @@ def _delete_path_prefix(table_dir: str) -> str:
     return "file:" + os.path.abspath(table_dir) + "/"
 
 
+def _position_delete_entries(table_dir: str, snapshot: dict) -> list[dict]:
+    return [f for f in _live_delete_files(table_dir, snapshot)
+            if not f.get("equality_ids")]
+
+
+def _equality_delete_entries(table_dir: str, snapshot: dict) -> list[dict]:
+    return [f for f in _live_delete_files(table_dir, snapshot)
+            if f.get("equality_ids")]
+
+
 def _position_deletes_df(
     spark: SparkSession, table_dir: str, snapshot: dict,
 ) -> tuple[DataFrame | None, int]:
     """The snapshot's merged position-delete rows (file_path, pos) and
     their EXACT total row count (from delete-manifest record_counts —
     metadata only)."""
-    dels = _live_delete_files(table_dir, snapshot)
+    dels = _position_delete_entries(table_dir, snapshot)
     if not dels:
         return None, 0
     paths = [os.path.join(table_dir, f["file_path"]) for f in dels]
@@ -695,6 +720,81 @@ def delete_iceberg_rows(
         snap_id, seq)
     _commit_metadata(table_dir, new_meta, version)
     return snap_id
+
+
+def delete_iceberg_keys(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame,
+) -> int:
+    """Row-level DELETE via v2 EQUALITY DELETE files: each distinct row
+    of ``keys_df`` (whose columns must be a subset of the table schema)
+    is written to a parquet delete file committed under a delete
+    manifest with the spec's ``equality_ids`` (field-id 135). On read, a
+    data row is removed when a delete row matches all key columns
+    NULL-SAFELY and the data file's sequence number is STRICTLY LESS
+    than the delete's — so rows appended AFTER the delete with the same
+    key survive, which is exactly what makes ``upsert_iceberg`` (delete
+    keys, then append) the spec's CDC pattern. Returns the new snapshot
+    id (the current one if ``keys_df`` is empty)."""
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(table_dir)
+    if meta["format-version"] < 2:
+        raise IcebergError(
+            "row-level deletes need format_version=2 tables")
+    ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+    unknown = [c for c in keys_df.columns if c not in ids]
+    if unknown:
+        raise IcebergError(f"unknown equality-delete columns {unknown}")
+    version = _next_version(table_dir)
+    snap_id = meta["current-snapshot-id"] + 1
+    seq = meta["last-sequence-number"] + 1
+    staging = os.path.join(table_dir, f"_staging-eqdel{snap_id:05d}")
+    keys_df.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+    [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+    name = f"s{snap_id:05d}-eqdelete-00000.parquet"
+    dst = os.path.join(_data_dir(table_dir), name)
+    os.makedirs(_data_dir(table_dir), exist_ok=True)
+    shutil.move(part, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    md = pq.read_metadata(dst)
+    if md.num_rows == 0:
+        os.remove(dst)
+        return meta["current-snapshot-id"]
+    pspec = meta["partition-specs"][0]["fields"]
+    partition_by = pspec[0]["name"] if pspec else None
+    ptype = meta.get("_sa-partition-type", "string")
+    types = {f["name"]: f["type"] for f in _schema_fields(meta)}
+    manifest = _write_manifest(
+        table_dir, snap_id,
+        [{"file_path": os.path.join("data", name),
+          "record_count": md.num_rows,
+          "file_size_in_bytes": os.path.getsize(dst),
+          "partition": None, "bounds": {},
+          "equality_ids": [ids[c] for c in keys_df.columns]}],
+        partition_by, ptype, ids, types,
+        format_version=2, content=2, sequence_number=seq)
+    prior_manifests = _current_manifests(table_dir, meta)
+    new_meta = _publish_snapshot(
+        table_dir, meta, "delete", prior_manifests + [manifest],
+        snap_id, seq)
+    _commit_metadata(table_dir, new_meta, version)
+    return snap_id
+
+
+def upsert_iceberg(
+    spark: SparkSession, table_dir: str, df: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE (upsert) the v2 CDC way: one equality-delete commit on the
+    batch's key values, then one append commit — two snapshots, both
+    merge-on-read, no data file rewritten. The sequence-number rule does
+    the rest: the delete (seq S) kills older versions of the keys
+    (seq < S) while the appended rows (seq S+1 > S) survive. A reader
+    BETWEEN the two commits sees the keys deleted-but-not-yet-reinserted
+    (this tier commits them separately; single-commit delta writes are a
+    real-runtime feature). Returns the append's snapshot id."""
+    delete_iceberg_keys(spark, table_dir, df.select(*key_cols))
+    return append_iceberg(df, table_dir)
 
 
 def _next_version(table_dir: str) -> int:
@@ -787,7 +887,9 @@ def _live_entries(
                 part.get(k) != v for k, v in partition_filter.items()
             ):
                 continue
-            out.append({"snapshot_id": snap_id, **data_file})
+            out.append({"snapshot_id": snap_id,
+                        "_seq": m.get("sequence_number", 0),
+                        **data_file})
     return out
 
 
@@ -869,25 +971,72 @@ def read_iceberg(
     df = spark.read.parquet(*paths)
     if meta["format-version"] >= 2:
         snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
-        dels, n_del = _position_deletes_df(spark, table_dir, snap)
-        if dels is not None:
-            if n_del <= _DELETE_BROADCAST_ROWS:
-                dels = F.broadcast(dels)
-            prefix = _delete_path_prefix(table_dir)
-            cols = df.columns
-            df = (
-                df.withColumn("__sa_fp", F.expr(
-                    f"substring(_metadata.file_path, {len(prefix) + 1})"))
-                .withColumn("__sa_pos", F.col("_metadata.row_index")))
-            df = df.join(
-                dels,
-                (df["__sa_fp"] == dels["file_path"])
-                & (df["__sa_pos"] == dels["pos"]),
-                "left_anti",
-            ).select(*cols)
+        df = _apply_v2_deletes(spark, table_dir, meta, snap, df, files)
     if predicates:
         df = _residual_filter(df, predicates)
     return df
+
+
+def _apply_v2_deletes(
+    spark: SparkSession, table_dir: str, meta: dict, snap: dict,
+    df: DataFrame, files: list[dict],
+) -> DataFrame:
+    """Merge-on-read: anti-join the scan against the snapshot's delete
+    files. Position deletes match on (file path, ``_metadata.row_index``);
+    equality deletes match null-safely on their key columns, restricted
+    by the spec's sequence rule (data seq STRICTLY LESS than delete seq)
+    via a metadata-sized broadcast (file -> sequence number) lookup.
+    Delete sides broadcast when their metadata-known row counts are
+    small."""
+    pos, n_pos = _position_deletes_df(spark, table_dir, snap)
+    eqs = _equality_delete_entries(table_dir, snap)
+    if pos is None and not eqs:
+        return df
+    prefix = _delete_path_prefix(table_dir)
+    cols = df.columns
+    df = (
+        df.withColumn("__sa_fp", F.expr(
+            f"substring(_metadata.file_path, {len(prefix) + 1})"))
+        .withColumn("__sa_pos", F.col("_metadata.row_index")))
+    if pos is not None:
+        if n_pos <= _DELETE_BROADCAST_ROWS:
+            pos = F.broadcast(pos)
+        df = df.join(
+            pos,
+            (df["__sa_fp"] == pos["file_path"])
+            & (df["__sa_pos"] == pos["pos"]),
+            "left_anti",
+        )
+    if eqs:
+        seq_df = F.broadcast(spark.createDataFrame(
+            [(f["file_path"], f.get("_seq", 0)) for f in files],
+            "file_path string, __sa_seq long"))
+        df = (df.join(seq_df, df["__sa_fp"] == seq_df["file_path"],
+                      "left")
+              .drop(seq_df["file_path"]))
+        names = {f["id"]: f["name"] for f in _schema_fields(meta)}
+        groups: dict[tuple, list[dict]] = {}
+        for e in eqs:
+            groups.setdefault(tuple(sorted(e["equality_ids"])),
+                              []).append(e)
+        for id_tuple, entries in sorted(groups.items()):
+            key_cols = [names[i] for i in id_tuple]
+            dels = None
+            for e in entries:
+                one = (spark.read.parquet(
+                        os.path.join(table_dir, e["file_path"]))
+                       .select(*key_cols)
+                       .withColumn("__del_seq",
+                                   F.lit(e.get("_seq", 0)).cast("long")))
+                dels = one if dels is None else dels.unionByName(one)
+            if sum(e["record_count"]
+                   for e in entries) <= _DELETE_BROADCAST_ROWS:
+                dels = F.broadcast(dels)
+            cond = dels["__del_seq"] > df["__sa_seq"]
+            for c in key_cols:
+                cond = cond & df[c].eqNullSafe(dels[c])
+            df = df.join(dels, cond, "left_anti")
+    return df.select(*cols)
 
 
 def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -931,8 +1080,13 @@ def iceberg_count(
     n = sum(f["record_count"]
             for f in _live_files(table_dir, snap, partition_filter))
     if meta["format-version"] >= 2:
+        if _equality_delete_entries(table_dir, snap):
+            raise IcebergError(
+                "metadata count is not exact under equality deletes "
+                "(their record_count is keys, not matched rows); use "
+                "read_iceberg(...).count()")
         n_del = sum(f["record_count"]
-                    for f in _live_delete_files(table_dir, snap))
+                    for f in _position_delete_entries(table_dir, snap))
         if n_del and partition_filter:
             raise IcebergError(
                 "partition-filtered metadata count is not exact under "

@@ -404,3 +404,81 @@ def test_v1_table_rejects_row_deletes(spark, tdir):
     I.create_iceberg(_docs(spark, 0, 5), tdir)
     with pytest.raises(I.IcebergError):
         I.delete_iceberg_rows(spark, tdir, "doc_id = 1")
+
+
+def test_v2_equality_deletes_respect_sequence_rule(spark, tdir):
+    """Equality deletes kill matching rows in STRICTLY OLDER data files
+    only: a row appended AFTER the delete with the same key survives —
+    the property that makes delete-then-append an upsert."""
+    I.create_iceberg(_docs(spark, 0, 10), tdir, format_version=2)
+    keys = spark.createDataFrame([(2,), (5,), (7,)], "doc_id long")
+    I.delete_iceberg_keys(spark, tdir, keys)
+    got = sorted(r.doc_id for r in I.read_iceberg(spark, tdir).collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9]
+    # re-append key 5 AFTER the delete: the new row must survive
+    I.append_iceberg(_docs(spark, 5, 6, "v2"), tdir)
+    rows = {(r.doc_id, r.source) for r in
+            I.read_iceberg(spark, tdir).collect()}
+    assert (5, "v2") in rows and (5, "a") not in rows
+    assert (2, "a") not in rows
+    # metadata count is honest under equality deletes: raises
+    with pytest.raises(I.IcebergError):
+        I.iceberg_count(tdir)
+    assert I.read_iceberg(spark, tdir).count() == 8
+
+
+def test_v2_upsert_merges_by_key(spark, tdir):
+    """upsert_iceberg = equality-delete keys + append: existing keys are
+    replaced, new keys inserted, untouched keys unchanged; the
+    pre-upsert snapshot still time-travels to the old values."""
+    s1 = I.create_iceberg(_docs(spark, 0, 6), tdir, format_version=2)
+    upd = _docs(spark, 3, 9, "new")  # 3..5 replace, 6..8 insert
+    I.upsert_iceberg(spark, tdir, upd, ["doc_id"])
+    got = sorted((r.doc_id, r.source) for r in
+                 I.read_iceberg(spark, tdir).collect())
+    assert got == [(0, "a"), (1, "a"), (2, "a"), (3, "new"), (4, "new"),
+                   (5, "new"), (6, "new"), (7, "new"), (8, "new")]
+    assert I.read_iceberg(spark, tdir, snapshot_id=s1).count() == 6
+    # a second upsert of the same keys wins again (last write wins)
+    I.upsert_iceberg(spark, tdir, _docs(spark, 4, 5, "newer"), ["doc_id"])
+    rows = {(r.doc_id, r.source) for r in
+            I.read_iceberg(spark, tdir).collect()}
+    assert (4, "newer") in rows and (4, "new") not in rows
+    assert len(rows) == 9
+
+
+def test_v2_equality_delete_manifest_records_equality_ids(spark, tdir):
+    """The equality-delete manifest entry carries content=2 and the
+    spec's equality_ids (field-id 135) naming the key columns by
+    field id."""
+    I.create_iceberg(_docs(spark, 0, 5), tdir, format_version=2)
+    I.delete_iceberg_keys(
+        spark, tdir, spark.createDataFrame([(1,)], "doc_id long"))
+    meta = I._load_metadata(tdir)
+    ids = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    snap = meta["snapshots"][-1]
+    mlist = I._read_manifest_list(tdir, snap["manifest-list"])
+    eq_m = [m for m in mlist if m["content"] == 1]
+    assert len(eq_m) == 1
+    with open(os.path.join(tdir, eq_m[0]["manifest_path"]), "rb") as fh:
+        mschema, mrows = read_container(fh.read())
+    dfields = {f["name"]: f.get("field-id")
+               for f in next(f for f in mschema["fields"]
+                             if f["name"] == "data_file")["type"]["fields"]}
+    assert dfields["equality_ids"] == 135
+    assert mrows[0][2]["content"] == 2
+    assert mrows[0][2]["equality_ids"] == [ids["doc_id"]]
+
+
+def test_v2_equality_deletes_match_nulls_null_safely(spark, tdir):
+    df = spark.range(0, 6).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(None))
+         .otherwise(F.concat(F.lit("s"), F.col("id"))).alias("source"),
+    )
+    I.create_iceberg(df, tdir, format_version=2)
+    I.delete_iceberg_keys(
+        spark, tdir,
+        spark.createDataFrame([(None,)], "source string"))
+    got = sorted(r.doc_id for r in I.read_iceberg(spark, tdir).collect())
+    assert got == [1, 3, 5]  # the null-source rows are gone

@@ -316,6 +316,9 @@ NATIVE_QUERIES = [
     # plus a broadcast left-anti join on (_metadata.file_path,
     # _metadata.row_index) against the delete files; no Python anywhere.
     "iceberg_v2_delete_docs",
+    # round-10: iceberg v2 upsert — equality-delete anti-join (null-safe
+    # keys + broadcast file->seq lookup) over the same native scan.
+    "iceberg_v2_upsert_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
