@@ -432,3 +432,47 @@ def stream_iceberg_append(
         raw.writeStream.foreachBatch(_replay_guarded(table_dir, append_batch))
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_iceberg_upsert(
+    spark: SparkSession,
+    source_path: str,
+    table_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    schema=None,
+    partition_by: str | None = None,
+):
+    """Continuously MERGE a change stream into an Iceberg v2 table — the
+    CDC face of ``stream_iceberg_append``: each micro-batch upserts by
+    ``key_cols`` (one equality-delete commit on the batch's keys + one
+    append, ``upsert_iceberg``), so later batches overwrite earlier rows
+    with the same key and the table always reads as the LAST write per
+    key. Keys must be unique WITHIN a batch (the standard foreachBatch
+    merge assumption); across batches the sequence rule arbitrates.
+
+    Per-batch cost is O(batch) metadata + one key-file write — no data
+    file is ever rewritten, however large the table grows (the deletes
+    apply merge-on-read). The batch-id guard makes replays no-ops; with
+    it, streamed contents equal batch-mode upserts over the same
+    arrivals in the same order. Returns the DataStreamWriter."""
+    from ..sources import iceberg as ice
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.parquet(source_path)
+
+    def upsert_batch(batch_df: DataFrame, _bid: int) -> None:
+        if os.path.exists(ice._meta_dir(table_dir)):
+            ice.upsert_iceberg(
+                batch_df.sparkSession, table_dir, batch_df, key_cols)
+        else:
+            ice.create_iceberg(batch_df, table_dir,
+                               partition_by=partition_by,
+                               format_version=2)
+
+    return (
+        raw.writeStream.foreachBatch(_replay_guarded(table_dir, upsert_batch))
+        .option("checkpointLocation", checkpoint)
+    )

@@ -393,3 +393,58 @@ def test_stream_iceberg_append_equals_batch(spark, sf_dir, tmp_path):
     run_once()  # no new files: no new snapshot, contents unchanged
     assert ice.iceberg_snapshots(spark, table).count() == 2
     assert ice.iceberg_count(table) == docs.count()
+
+
+def test_stream_iceberg_upsert_last_write_wins(spark, sf_dir, tmp_path):
+    """Streamed CDC upserts: batch 2 overwrites batch 1's rows with the
+    same key and inserts new keys; the table reads as the last write per
+    key; a no-new-data run changes nothing."""
+    import glob
+    import shutil
+
+    from simple_anonymizer_spark.sources import iceberg as ice
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    first = docs.where(F.col("doc_id") < 300)
+    second = (docs.where((F.col("doc_id") >= 150)
+                         & (F.col("doc_id") < 450))
+              .withColumn("source", F.lit("cdc")))
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (
+            INC.stream_iceberg_upsert(
+                spark, str(src), table, ckpt, ["doc_id"],
+                schema=docs.schema,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    deliver(first, "part1.parquet")
+    run_once()
+    assert sorted(map(tuple, ice.read_iceberg(spark, table).collect())) \
+        == sorted(map(tuple, first.collect()))
+
+    deliver(second, "part2.parquet")
+    run_once()
+    want = sorted(map(tuple, first.where(F.col("doc_id") < 150)
+                      .unionByName(second).collect()))
+    got = sorted(map(tuple, ice.read_iceberg(spark, table).collect()))
+    assert got == want
+    assert {r[2] for r in got if 150 <= r[0] < 450} == {"cdc"}
+
+    run_once()  # no new files: unchanged
+    assert sorted(map(tuple, ice.read_iceberg(spark, table).collect())) \
+        == want
