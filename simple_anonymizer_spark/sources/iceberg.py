@@ -1039,6 +1039,100 @@ def _apply_v2_deletes(
     return df.select(*cols)
 
 
+def _reachable_paths(table_dir: str, snapshots: list[dict]) -> set[str]:
+    """Every table-relative path (manifest lists, manifests, data +
+    delete files) reachable from the given snapshots — pure metadata
+    walk."""
+    out: set[str] = set()
+    for s in snapshots:
+        out.add(s["manifest-list"])
+        for m in _read_manifest_list(table_dir, s["manifest-list"]):
+            out.add(m["manifest_path"])
+            with open(os.path.join(table_dir, m["manifest_path"]),
+                      "rb") as fh:
+                _, rows = read_container(fh.read())
+            for _status, _sid, data_file in rows:
+                out.add(data_file["file_path"])
+    return out
+
+
+def expire_iceberg_snapshots(
+    table_dir: str, keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict:
+    """The spec's ``expireSnapshots`` maintenance action: drop snapshots
+    from the history (the current snapshot is always retained; plus the
+    newest ``keep_last``, plus any newer than ``older_than_ms``) and
+    physically delete every manifest-list/manifest/data/delete file
+    reachable ONLY from the expired ones. Metadata commits FIRST, file
+    deletion after — a crash between the two leaves orphans (cleanable
+    by ``remove_iceberg_orphans``), never a broken table. Shared files
+    (an append chain reuses prior manifests) are kept as long as any
+    retained snapshot references them. Returns
+    ``{"expired_snapshots": n, "deleted_files": n}``."""
+    if keep_last is None and older_than_ms is None:
+        raise IcebergError("pass keep_last and/or older_than_ms")
+    meta = _load_metadata(table_dir)
+    version = _next_version(table_dir)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
+    keep_ids = {meta["current-snapshot-id"]}
+    if keep_last is not None:
+        keep_ids.update(s["snapshot-id"] for s in snaps[-keep_last:])
+    if older_than_ms is not None:
+        keep_ids.update(s["snapshot-id"] for s in snaps
+                        if s["timestamp-ms"] >= older_than_ms)
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    keep_paths = _reachable_paths(table_dir, retained)
+    drop_paths = _reachable_paths(table_dir, expired) - keep_paths
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table_dir, new_meta, version)
+    deleted = 0
+    for rel in sorted(drop_paths):
+        try:
+            os.remove(os.path.join(table_dir, rel))
+            deleted += 1
+        except OSError:
+            pass  # already gone: expiry is idempotent
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def remove_iceberg_orphans(table_dir: str) -> list[str]:
+    """The spec's ``removeOrphanFiles`` maintenance action: delete files
+    under ``data/`` and ``metadata/`` that no snapshot of the CURRENT
+    metadata reaches — losing-commit leftovers, crashed-staging debris,
+    post-expiry stragglers. This is the ONE place a directory listing is
+    correct (it exists to find what the metadata does NOT know about);
+    planning still never lists. Metadata version files and the version
+    hint are always kept. Returns the deleted table-relative paths."""
+    meta = _load_metadata(table_dir)
+    keep = _reachable_paths(table_dir, meta["snapshots"])
+    removed: list[str] = []
+    for sub in ("data", "metadata"):
+        root = os.path.join(table_dir, sub)
+        for p in sorted(glob.glob(os.path.join(root, "**", "*"),
+                                  recursive=True)):
+            if os.path.isdir(p):
+                continue
+            rel = os.path.relpath(p, table_dir)
+            base = os.path.basename(p)
+            if sub == "metadata" and (
+                base == "version-hint.text"
+                or (base.startswith("v") and base.endswith(".metadata.json"))
+            ):
+                continue
+            if rel not in keep:
+                os.remove(p)
+                removed.append(rel)
+    return removed
+
+
 def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
     """The snapshot-history metadata table."""
     meta = _load_metadata(table_dir)

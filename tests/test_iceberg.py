@@ -5,6 +5,7 @@ and hostile-input rejection."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -482,3 +483,57 @@ def test_v2_equality_deletes_match_nulls_null_safely(spark, tdir):
         spark.createDataFrame([(None,)], "source string"))
     got = sorted(r.doc_id for r in I.read_iceberg(spark, tdir).collect())
     assert got == [1, 3, 5]  # the null-source rows are gone
+
+
+def test_expire_snapshots_keeps_shared_files(spark, tdir):
+    """Expiry drops old snapshots and their EXCLUSIVE files only: an
+    append chain shares the first manifest + data files, so expiring
+    snapshot 1 while snapshot 2 survives must keep them; an expired
+    overwrite's orphaned predecessors go away physically."""
+    s1 = I.create_iceberg(_docs(spark, 0, 10), tdir)
+    s2 = I.append_iceberg(_docs(spark, 10, 15), tdir)
+    s3 = I.overwrite_iceberg(_docs(spark, 100, 103), tdir)
+    n_files_before = len(
+        glob.glob(os.path.join(tdir, "data", "*.parquet")))
+    stats = I.expire_iceberg_snapshots(tdir, keep_last=1)
+    assert stats["expired_snapshots"] == 2
+    assert stats["deleted_files"] > 0
+    # current snapshot reads fine; expired ids are gone from history
+    assert I.read_iceberg(spark, tdir).count() == 3
+    hist = I.iceberg_snapshots(spark, tdir).collect()
+    assert [r.snapshot_id for r in hist] == [s3]
+    with pytest.raises(I.IcebergError):
+        I.read_iceberg(spark, tdir, snapshot_id=s1)
+    # s1/s2's data files (unreferenced by s3) are physically gone
+    n_files_after = len(
+        glob.glob(os.path.join(tdir, "data", "*.parquet")))
+    assert n_files_after < n_files_before
+    assert I.iceberg_count(tdir) == 3
+    # idempotent: nothing left to expire
+    again = I.expire_iceberg_snapshots(tdir, keep_last=1)
+    assert again == {"expired_snapshots": 0, "deleted_files": 0}
+    # shared-file safety on an append chain
+    t2 = tdir + "_chain"
+    I.create_iceberg(_docs(spark, 0, 10), t2)
+    I.append_iceberg(_docs(spark, 10, 12), t2)
+    I.expire_iceberg_snapshots(t2, keep_last=1)
+    got = sorted(r.doc_id for r in I.read_iceberg(spark, t2).collect())
+    assert got == list(range(12))  # snapshot 1's shared files survive
+
+
+def test_remove_orphans_cleans_unreferenced_files_only(spark, tdir):
+    I.create_iceberg(_docs(spark, 0, 8), tdir)
+    # plant debris: a fake data file, a losing-commit manifest orphan
+    orphan_data = os.path.join(tdir, "data", "zz-orphan.parquet")
+    open(orphan_data, "wb").write(b"junk")
+    orphan_manifest = os.path.join(
+        tdir, "metadata", "manifest-99999-deadbeef.avro")
+    open(orphan_manifest, "wb").write(b"junk")
+    removed = I.remove_iceberg_orphans(tdir)
+    assert sorted(removed) == [
+        "data/zz-orphan.parquet",
+        "metadata/manifest-99999-deadbeef.avro"]
+    assert not os.path.exists(orphan_data)
+    # the table is untouched
+    assert I.read_iceberg(spark, tdir).count() == 8
+    assert I.remove_iceberg_orphans(tdir) == []
