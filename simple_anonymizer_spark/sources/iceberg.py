@@ -1039,6 +1039,32 @@ def _apply_v2_deletes(
     return df.select(*cols)
 
 
+def rewrite_iceberg_files(
+    spark: SparkSession, table_dir: str,
+    sort_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> int:
+    """The spec's ``rewriteDataFiles`` (compaction) maintenance action:
+    materialize the current snapshot's merge-on-read view (position AND
+    equality deletes applied) and commit it as one REPLACE snapshot —
+    purging the accumulated delete debt (the new manifest list carries
+    no delete manifests, so reads drop their anti-joins and
+    ``iceberg_count`` is metadata-exact again) and optionally laying the
+    data out sorted. ``sort_by`` range-partitions + sorts within
+    partitions, which TIGHTENS per-file min/max bounds — the standard
+    way to make range pruning bite on a hot column. Prior snapshots stay
+    time-travelable until ``expire_iceberg_snapshots``. Returns the new
+    snapshot id."""
+    df = read_iceberg(spark, table_dir)
+    if sort_by:
+        n = target_partitions or df.rdd.getNumPartitions()
+        df = (df.repartitionByRange(n, *[F.col(c) for c in sort_by])
+                .sortWithinPartitions(*sort_by))
+    elif target_partitions is not None:
+        df = df.repartition(target_partitions)
+    return overwrite_iceberg(df, table_dir)
+
+
 def _reachable_paths(table_dir: str, snapshots: list[dict]) -> set[str]:
     """Every table-relative path (manifest lists, manifests, data +
     delete files) reachable from the given snapshots — pure metadata

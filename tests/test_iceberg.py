@@ -537,3 +537,34 @@ def test_remove_orphans_cleans_unreferenced_files_only(spark, tdir):
     # the table is untouched
     assert I.read_iceberg(spark, tdir).count() == 8
     assert I.remove_iceberg_orphans(tdir) == []
+
+
+def test_rewrite_files_purges_delete_debt_and_tightens_bounds(spark, tdir):
+    """Compaction: after rewrite_iceberg_files the current snapshot has
+    zero delete manifests (anti-joins gone, metadata count exact again),
+    contents are unchanged, and a sort_by layout tightens bounds so
+    range pruning plans fewer files than the unsorted table would."""
+    I.create_iceberg(_docs(spark, 0, 100), tdir, format_version=2)
+    I.delete_iceberg_rows(spark, tdir, "doc_id % 4 = 1")
+    I.delete_iceberg_keys(
+        spark, tdir, spark.createDataFrame([(2,), (6,)], "doc_id long"))
+    want = sorted(map(tuple, I.read_iceberg(spark, tdir).collect()))
+    with pytest.raises(I.IcebergError):
+        I.iceberg_count(tdir)  # equality debt blocks metadata count
+    s = I.rewrite_iceberg_files(spark, tdir, sort_by=["doc_id"],
+                                target_partitions=4)
+    meta = I._load_metadata(tdir)
+    snap = I._resolve_snapshot(meta, s, None)
+    assert I._live_delete_files(tdir, snap) == []
+    got = sorted(map(tuple, I.read_iceberg(spark, tdir).collect()))
+    assert got == want
+    assert I.iceberg_count(tdir) == len(want)  # exact again
+    # sorted layout: disjoint per-file ranges -> a range predicate plans
+    # strictly fewer files
+    all_files = I.iceberg_plan_files(tdir)
+    pruned = I.iceberg_plan_files(
+        tdir, predicates=[("doc_id", ">=", 90)])
+    assert len(all_files) > 1 and len(pruned) < len(all_files)
+    # pre-compaction snapshots still time-travel (deletes included)
+    assert sorted(map(tuple, I.read_iceberg(
+        spark, tdir, snapshot_id=s - 1).collect())) == want
