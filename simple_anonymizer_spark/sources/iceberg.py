@@ -36,6 +36,11 @@ Implemented (format-versions 1 and 2, Hadoop-catalog layout with
 * ``iceberg_snapshots`` / ``iceberg_live_files`` — the history and
   file-inventory metadata tables; ``iceberg_plan_files`` — the pruned
   planning walk itself, exposed for tests and scale measurement;
+* schema evolution (``add_iceberg_column`` — fresh field-id, new
+  schema struct, metadata-only commit; old files read back null-filled
+  via the explicit-schema scan, old snapshots keep their schema-id) and
+  maintenance actions (``expire_iceberg_snapshots``,
+  ``remove_iceberg_orphans``, ``rewrite_iceberg_files`` compaction);
 * ``iceberg_count`` — metadata-only row count (sum of manifest
   ``record_count``, minus delete-manifest counts on v2), zero data IO;
 * format-version 2 row-level deletes: ``delete_iceberg_rows`` commits
@@ -151,13 +156,26 @@ def _schema_fields(meta: dict) -> list[dict]:
     return meta["schema"]["fields"]
 
 
-def _spark_schema(meta: dict) -> T.StructType:
-    """The table's Spark schema, rebuilt from the Iceberg schema struct
-    (for empty-plan reads that never touch a parquet file)."""
+def _schema_for_snapshot(meta: dict, snap: dict) -> dict:
+    """The schema struct a snapshot was committed under — spec readers
+    resolve a scan's schema by the snapshot's schema-id, so a column
+    added LATER is invisible when time-traveling to before the add."""
+    sid = snap.get("schema-id", meta["current-schema-id"])
+    for s in meta.get("schemas", [meta["schema"]]):
+        if s.get("schema-id") == sid:
+            return s
+    return meta["schema"]
+
+
+def _spark_struct(schema_struct: dict) -> T.StructType:
+    """An Iceberg schema struct as a Spark schema. Reads always pass it
+    EXPLICITLY to the parquet scan: files written before an add-column
+    lack the new field, and the explicit schema makes Spark fill it with
+    null instead of failing schema inference."""
     return T.StructType([
         T.StructField(f["name"], _ICE_TO_SPARK_TYPE[f["type"]](),
                       not f["required"])
-        for f in _schema_fields(meta)])
+        for f in schema_struct["fields"]])
 
 
 def _bound_bytes(ice_t: str, v) -> bytes:
@@ -491,7 +509,8 @@ def _publish_snapshot(
     meta["last-updated-ms"] = now
     snap = {
         "snapshot-id": snap_id, "timestamp-ms": now,
-        "manifest-list": mlist, "schema-id": 0,
+        "manifest-list": mlist,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": operation},
     }
     if fv >= 2:
@@ -511,6 +530,13 @@ def _new_snapshot(
     pspec = meta["partition-specs"][0]["fields"]
     partition_by = pspec[0]["name"] if pspec else None
     ptype = meta.get("_sa-partition-type", "string")
+    names = [f["name"] for f in _schema_fields(meta)]
+    if sorted(df.columns) != sorted(names):
+        raise IcebergError(
+            f"dataframe columns {sorted(df.columns)} do not match the "
+            f"table schema {sorted(names)} (after add_iceberg_column, "
+            "writers must supply the new column)")
+    df = df.select(*names)  # schema order; data files carry every column
     ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
     types = {f["name"]: f["type"] for f in _schema_fields(meta)}
     bound_types = {c: t for c, t in types.items() if t in _BOUND_TYPES}
@@ -965,12 +991,19 @@ def read_iceberg(
     files = iceberg_plan_files(
         table_dir, snapshot_id, as_of_ms, partition_filter, predicates)
     meta = _load_metadata(table_dir)
+    snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
+    # current reads use the CURRENT table schema (an add-column is
+    # metadata-only, no snapshot); explicit time travel reads with the
+    # schema the snapshot was committed under.
+    struct = (meta["schema"]
+              if snapshot_id is None and as_of_ms is None
+              else _schema_for_snapshot(meta, snap))
+    schema = _spark_struct(struct)
     if not files:
-        return spark.createDataFrame([], _spark_schema(meta))
+        return spark.createDataFrame([], schema)
     paths = [os.path.join(table_dir, f["file_path"]) for f in files]
-    df = spark.read.parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
     if meta["format-version"] >= 2:
-        snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
         df = _apply_v2_deletes(spark, table_dir, meta, snap, df, files)
     if predicates:
         df = _residual_filter(df, predicates)
@@ -1037,6 +1070,44 @@ def _apply_v2_deletes(
                 cond = cond & df[c].eqNullSafe(dels[c])
             df = df.join(dels, cond, "left_anti")
     return df.select(*cols)
+
+
+def add_iceberg_column(
+    table_dir: str, name: str, ice_type: str,
+) -> int:
+    """Schema evolution, the spec's safe ADD COLUMN: a new OPTIONAL
+    field with a fresh field-id (last-column-id + 1) joins the schema as
+    a new schema struct (schema-id + 1) in a metadata-only commit — no
+    snapshot, no data rewritten. Existing files simply lack the column
+    and read back as null (the explicit-schema scan fills it); snapshots
+    committed before the add keep their old schema-id, so time travel
+    does not show the column retroactively. After the add, writers must
+    supply the column (``_new_snapshot`` validates). Renames/drops/type
+    promotion are out of scope — field-id-based column resolution inside
+    parquet files needs writer-side field-id metadata, a real-runtime
+    feature. Returns the new column's field-id."""
+    if ice_type not in _ICE_TO_SPARK_TYPE:
+        raise IcebergError(f"unknown iceberg type {ice_type!r}")
+    meta = _load_metadata(table_dir)
+    fields = _schema_fields(meta)
+    if name in {f["name"] for f in fields}:
+        raise IcebergError(f"column {name!r} already exists")
+    version = _next_version(table_dir)
+    fid = meta["last-column-id"] + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": meta["current-schema-id"] + 1,
+        "fields": fields + [{"id": fid, "name": name,
+                             "required": False, "type": ice_type}],
+    }
+    meta = dict(meta)
+    meta["last-column-id"] = fid
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["schema"] = new_schema
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table_dir, meta, version)
+    return fid
 
 
 def rewrite_iceberg_files(

@@ -568,3 +568,39 @@ def test_rewrite_files_purges_delete_debt_and_tightens_bounds(spark, tdir):
     # pre-compaction snapshots still time-travel (deletes included)
     assert sorted(map(tuple, I.read_iceberg(
         spark, tdir, snapshot_id=s - 1).collect())) == want
+
+
+def test_add_column_evolves_schema_without_rewrite(spark, tdir):
+    """ADD COLUMN is metadata-only: old files read back null-filled, the
+    pre-evolution snapshot does NOT show the column (schema-id per
+    snapshot), post-add appends must supply it, and predicates on the
+    new column treat old rows as null."""
+    s1 = I.create_iceberg(_docs(spark, 0, 5), tdir)
+    fid = I.add_iceberg_column(tdir, "score", "double")
+    meta = I._load_metadata(tdir)
+    assert fid == meta["last-column-id"] == 4
+    assert meta["current-schema-id"] == 1 and len(meta["schemas"]) == 2
+    # current read: old rows null-filled in the new column
+    got = I.read_iceberg(spark, tdir)
+    assert got.columns == ["doc_id", "text", "source", "score"]
+    assert all(r.score is None for r in got.collect())
+    # time travel to the pre-add snapshot: no score column
+    old = I.read_iceberg(spark, tdir, snapshot_id=s1)
+    assert old.columns == ["doc_id", "text", "source"]
+    # append without the new column is rejected
+    with pytest.raises(I.IcebergError):
+        I.append_iceberg(_docs(spark, 5, 8), tdir)
+    I.append_iceberg(
+        _docs(spark, 5, 8).withColumn(
+            "score", F.col("doc_id").cast("double") / 2), tdir)
+    rows = {r.doc_id: r.score for r in
+            I.read_iceberg(spark, tdir).collect()}
+    assert rows[6] == 3.0 and rows[1] is None and len(rows) == 8
+    # range predicate on the evolved column: nulls drop, bounds prune
+    hit = I.read_iceberg(spark, tdir, predicates=[("score", ">=", 3.0)])
+    assert sorted(r.doc_id for r in hit.collect()) == [6, 7]
+    # duplicate / bogus adds rejected
+    with pytest.raises(I.IcebergError):
+        I.add_iceberg_column(tdir, "score", "double")
+    with pytest.raises(I.IcebergError):
+        I.add_iceberg_column(tdir, "x", "uuid")
