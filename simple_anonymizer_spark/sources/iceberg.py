@@ -701,8 +701,10 @@ def delete_iceberg_rows(
         return meta["current-snapshot-id"]
     prefix = _delete_path_prefix(table_dir)
     paths = [os.path.join(table_dir, f["file_path"]) for f in files]
+    # explicit current schema: pre-evolution files lack added columns
+    # and must read null-filled so the predicate can reference them
     hits = (
-        spark.read.parquet(*paths)
+        spark.read.schema(_spark_struct(meta["schema"])).parquet(*paths)
         .where(F.expr(predicate))
         .select(
             F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")

@@ -604,3 +604,29 @@ def test_add_column_evolves_schema_without_rewrite(spark, tdir):
         I.add_iceberg_column(tdir, "score", "double")
     with pytest.raises(I.IcebergError):
         I.add_iceberg_column(tdir, "x", "uuid")
+
+
+def test_evolution_deletes_and_compaction_compose(spark, tdir):
+    """The round-10 features interact correctly on one table: add a
+    column, upsert with it, position-delete ON the evolved column over
+    mixed old/new files, then compact — contents stay right at every
+    step and the compacted table is delete-free with the full schema."""
+    I.create_iceberg(_docs(spark, 0, 10), tdir, format_version=2)
+    I.add_iceberg_column(tdir, "score", "double")
+    upd = (_docs(spark, 5, 12, "upd")
+           .withColumn("score", F.col("doc_id").cast("double")))
+    I.upsert_iceberg(spark, tdir, upd, ["doc_id"])
+    # position-delete on the EVOLVED column: old files read null there
+    I.delete_iceberg_rows(spark, tdir, "score >= 10.0")
+    got = {r.doc_id: (r.source, r.score) for r in
+           I.read_iceberg(spark, tdir).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6, 7, 8, 9}
+    assert got[3] == ("a", None) and got[7] == ("upd", 7.0)
+    s = I.rewrite_iceberg_files(spark, tdir)
+    meta = I._load_metadata(tdir)
+    snap = I._resolve_snapshot(meta, s, None)
+    assert I._live_delete_files(tdir, snap) == []
+    after = {r.doc_id: (r.source, r.score) for r in
+             I.read_iceberg(spark, tdir).collect()}
+    assert after == got
+    assert I.iceberg_count(tdir) == 10
