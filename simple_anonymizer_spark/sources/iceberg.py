@@ -1286,3 +1286,155 @@ def iceberg_count(
                 "position deletes; use read_iceberg(...).count()")
         n -= n_del
     return n
+
+
+# -- Spark Python Data Source: format("pyiceberg") ----------------------------
+#
+# The idiomatic front door — spark.read.format("pyiceberg").load(table)
+# — on Spark 4's Python Data Source API (the sources/pyds.py pattern).
+# Planning runs driver-side through the SAME metadata walk as
+# read_iceberg (iceberg_plan_files: snapshot resolution, partition +
+# min/max pruning, zero data IO); each surviving data file becomes one
+# input partition whose task reads it as ARROW BATCHES via pyarrow
+# (never row-at-a-time Python) and applies its own position deletes with
+# a parquet-pushdown filter on file_path. read_iceberg stays the fast
+# path (native parquet scan); this front door exists for API parity and
+# for sessions that want the format(...) surface. Tables carrying
+# EQUALITY deletes are rejected here (their null-safe-key anti-join
+# belongs to the native path) — use read_iceberg.
+
+try:  # pragma: no cover - import surface depends on pyspark build
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceReader, InputPartition,
+    )
+
+    _ICE_TO_ARROW = {
+        "long": "int64", "int": "int32", "string": "string",
+        "double": "float64", "float": "float32", "boolean": "bool",
+        "binary": "binary", "date": "date32",
+    }
+
+    def _arrow_schema(schema_struct: dict):
+        import pyarrow as pa
+
+        fields = []
+        for f in schema_struct["fields"]:
+            t = f["type"]
+            if t == "timestamptz":
+                at = pa.timestamp("us", tz="UTC")
+            elif t == "timestamp":
+                at = pa.timestamp("us")
+            elif t == "date":
+                at = pa.date32()
+            else:
+                at = getattr(pa, _ICE_TO_ARROW[t])()
+            fields.append(pa.field(f["name"], at,
+                                   nullable=not f["required"]))
+        return pa.schema(fields)
+
+    class _IcebergScanPartition(InputPartition):
+        def __init__(self, table_dir: str, rel_path: str,
+                     delete_paths: list[str]):
+            self.table_dir = table_dir
+            self.rel_path = rel_path
+            self.delete_paths = delete_paths
+
+    class IcebergDataSource(DataSource):
+        """``format("pyiceberg")`` — see the section comment. Options:
+        ``path`` (table dir, or use ``.load(dir)``), ``snapshot_id``,
+        ``as_of_ms`` (time travel). Read-only: writes must go through
+        the snapshot-committing API (``create_iceberg`` /
+        ``append_iceberg`` / ``upsert_iceberg``)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pyiceberg"
+
+        def _table_dir(self) -> str:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError(
+                    "pyiceberg requires a path (use .load(table_dir))")
+            return path
+
+        def _snap_args(self) -> tuple[int | None, int | None]:
+            sid = self.options.get("snapshot_id")
+            ts = self.options.get("as_of_ms")
+            return (int(sid) if sid is not None else None,
+                    int(ts) if ts is not None else None)
+
+        def _struct(self) -> dict:
+            meta = _load_metadata(self._table_dir())
+            sid, ts = self._snap_args()
+            if sid is None and ts is None:
+                return meta["schema"]
+            snap = _resolve_snapshot(meta, sid, ts)
+            return _schema_for_snapshot(meta, snap)
+
+        def schema(self):
+            return _spark_struct(self._struct())
+
+        def reader(self, schema) -> "IcebergScanReader":
+            table_dir = self._table_dir()
+            sid, ts = self._snap_args()
+            meta = _load_metadata(table_dir)
+            snap = _resolve_snapshot(meta, sid, ts)
+            if _equality_delete_entries(table_dir, snap):
+                raise ValueError(
+                    "pyiceberg cannot apply equality deletes; use "
+                    "read_iceberg (the native path)")
+            files = _live_files(table_dir, snap)
+            dels = [f["file_path"]
+                    for f in _position_delete_entries(table_dir, snap)]
+            return IcebergScanReader(table_dir, files, dels,
+                                     self._struct())
+
+        def writer(self, schema, overwrite: bool):
+            raise ValueError(
+                "pyiceberg is read-only: commit through create_iceberg/"
+                "append_iceberg/upsert_iceberg (snapshot semantics)")
+
+    class IcebergScanReader(DataSourceReader):
+        def __init__(self, table_dir: str, files: list[dict],
+                     delete_paths: list[str], schema_struct: dict):
+            self.table_dir = table_dir
+            self.files = files
+            self.delete_paths = delete_paths
+            self.schema_struct = schema_struct
+
+        def partitions(self):
+            return [_IcebergScanPartition(self.table_dir, f["file_path"],
+                                          self.delete_paths)
+                    for f in self.files]
+
+        def read(self, partition: "_IcebergScanPartition"):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(partition.table_dir, partition.rel_path))
+            if partition.delete_paths:
+                dead: list = []
+                for rel in partition.delete_paths:
+                    dt = pq.read_table(
+                        os.path.join(partition.table_dir, rel),
+                        filters=[("file_path", "=", partition.rel_path)])
+                    dead.extend(dt.column("pos").to_pylist())
+                if dead:
+                    keep = np.ones(tbl.num_rows, dtype=bool)
+                    keep[np.asarray(dead, dtype=np.int64)] = False
+                    tbl = tbl.filter(pa.array(keep))
+            target = _arrow_schema(self.schema_struct)
+            # schema evolution: files predating an add-column lack the
+            # field — null-fill, then cast to the exact target schema
+            for name in target.names:
+                if name not in tbl.column_names:
+                    tbl = tbl.append_column(
+                        name, pa.nulls(tbl.num_rows,
+                                       target.field(name).type))
+            tbl = tbl.select(target.names).cast(target)
+            return iter(tbl.to_batches(max_chunksize=1 << 16))
+
+except ImportError:  # pragma: no cover
+    IcebergDataSource = None  # type: ignore[assignment]

@@ -630,3 +630,48 @@ def test_evolution_deletes_and_compaction_compose(spark, tdir):
              I.read_iceberg(spark, tdir).collect()}
     assert after == got
     assert I.iceberg_count(tdir) == 10
+
+
+def test_pyiceberg_datasource_front_door(spark, tdir):
+    """format("pyiceberg"): same rows as read_iceberg on a partitioned
+    v1 table, snapshot_id time travel, position deletes applied
+    per-task, schema-evolution null-fill — and honest rejections for
+    writes and equality-delete tables."""
+    from pyspark.errors import PySparkException
+
+    from simple_anonymizer_spark.sources.iceberg import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    df = _docs(spark, 0, 20, "a").union(_docs(spark, 20, 30, "b"))
+    s1 = I.create_iceberg(df, tdir, partition_by="source")
+    s2 = I.append_iceberg(_docs(spark, 30, 35, "c"), tdir)
+    got = spark.read.format("pyiceberg").load(tdir)
+    assert _rows(got) == _rows(I.read_iceberg(spark, tdir))
+    assert got.count() == 35
+    # one input partition per data file (task-level parallelism)
+    assert got.rdd.getNumPartitions() == len(I.iceberg_plan_files(tdir))
+    # time travel via option
+    tt = (spark.read.format("pyiceberg")
+          .option("snapshot_id", s1).load(tdir))
+    assert tt.count() == 30
+    # v2 position deletes respected
+    t2 = tdir + "_v2"
+    I.create_iceberg(_docs(spark, 0, 12), t2, format_version=2)
+    I.delete_iceberg_rows(spark, t2, "doc_id % 3 = 0")
+    got2 = spark.read.format("pyiceberg").load(t2)
+    assert sorted(r.doc_id for r in got2.collect()) == [
+        i for i in range(12) if i % 3 != 0]
+    # schema evolution: old files null-fill the added column
+    I.add_iceberg_column(t2, "score", "double")
+    got3 = spark.read.format("pyiceberg").load(t2)
+    assert got3.columns == ["doc_id", "text", "source", "score"]
+    assert all(r.score is None for r in got3.collect())
+    # equality-delete tables are the native path's job
+    I.delete_iceberg_keys(
+        spark, t2, spark.createDataFrame([(1,)], "doc_id long"))
+    with pytest.raises(PySparkException):
+        spark.read.format("pyiceberg").load(t2).collect()
+    # read-only front door
+    with pytest.raises(PySparkException):
+        (df.write.format("pyiceberg").mode("overwrite")
+         .save(tdir + "_w"))
