@@ -589,3 +589,14 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     # the probe relation never shuffles into a sort-merge join.
     plan = plan_of(spark, "contamination_bloom", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_iceberg_v2_delete_antijoins_broadcast(spark, sf_dir):
+    """The merge-on-read anti-joins must BROADCAST their delete side
+    (the metadata-known counts at any test scale are far below the
+    10M-row threshold) — a SortMergeJoin here would shuffle the whole
+    table to subtract a tiny delete set."""
+    for name in ("iceberg_v2_delete_docs", "iceberg_v2_upsert_docs"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, name
+        assert "SortMergeJoin" not in plan, name
