@@ -675,3 +675,23 @@ def test_pyiceberg_datasource_front_door(spark, tdir):
     with pytest.raises(PySparkException):
         (df.write.format("pyiceberg").mode("overwrite")
          .save(tdir + "_w"))
+
+
+def test_hostile_string_partition_values_roundtrip(spark, tdir):
+    """Partition values containing Hive-escaped characters ('=', '/',
+    '%', ':', spaces, unicode, a literal '%41') must round-trip through
+    the staging directory name exactly — write escape (Spark's
+    escapePathName) and read unescape (unquote) must compose to
+    identity."""
+    vals = ["a=b", "x/y", "100%", "a:b", "two words", "naïve-café",
+            "%41", "dot.dot", "tab\tchar"]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    I.create_iceberg(df, tdir, partition_by="source")
+    assert I.iceberg_count(tdir) == len(vals)
+    got = {(r.doc_id, r.source)
+           for r in I.read_iceberg(spark, tdir).collect()}
+    assert got == set(rows)
+    for i, v in enumerate(vals):
+        one = I.read_iceberg(spark, tdir, partition_filter={"source": v})
+        assert [(r.doc_id, r.source) for r in one.collect()] == [(i, v)]
