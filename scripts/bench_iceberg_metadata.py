@@ -83,16 +83,22 @@ def timeit(fn, reps: int = 3) -> tuple[float, object]:
     return best, val
 
 
-def measure(table_dir: str, label: str) -> None:
+def measure(table_dir: str, label: str, spark=None) -> None:
     n = len(I.iceberg_plan_files(table_dir))
     t_count, total = timeit(lambda: I.iceberg_count(table_dir))
     t_plan, files = timeit(lambda: I.iceberg_plan_files(table_dir))
     t_prune, pruned = timeit(lambda: I.iceberg_plan_files(
         table_dir, partition_filter={"source": "s3"},
         predicates=[("doc_id", ">=", 0)]))
+    t_dist = float("nan")
+    if spark is not None:
+        t_dist, _ = timeit(lambda: I.iceberg_live_files_distributed(
+            spark, table_dir).write.format("noop").mode(
+                "overwrite").save())
     print(f"{label:>10}  files={n:>7}  rows={total:>11}  "
           f"count={t_count:7.3f}s  plan={t_plan:7.3f}s  "
-          f"pruned_plan={t_prune:7.3f}s  pruned_files={len(pruned)}",
+          f"pruned_plan={t_prune:7.3f}s  dist_walk={t_dist:7.3f}s  "
+          f"pruned_files={len(pruned)}",
           flush=True)
 
 
@@ -116,7 +122,7 @@ def main() -> None:
     for _ in range(4):
         I.append_iceberg(docs.repartition(100), real)
     print(f"real tier built in {time.time() - t0:.1f}s", flush=True)
-    measure(real, "real")
+    measure(real, "real", spark)
 
     # --- SYNTHETIC tier: same tree shape, fictional leaves -------------
     synth = os.path.join(root, "synth")
@@ -127,7 +133,7 @@ def main() -> None:
         while (I._load_metadata(synth)["current-snapshot-id"]
                <= total_snaps):
             synthetic_append(synth, files_per_snap)
-        measure(synth, f"{total_snaps}k-ish")
+        measure(synth, f"{total_snaps}k-ish", spark)
     spark.stop()
 
 

@@ -1258,6 +1258,61 @@ def iceberg_live_files(
               " file_size_bytes long, partition string")
 
 
+def iceberg_live_files_distributed(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """``iceberg_live_files`` for the MILLION-file regime: the manifest
+    LIST (one small row per manifest) still reads driver-side, but the
+    manifests themselves — the O(data files) part of the walk — decode
+    in EXECUTORS, one task per manifest batch, through the same
+    from-scratch Avro reader. This is how real engines plan giant
+    tables: at ~20k rows/s/core of pure-Python Avro decode, a 10M-file
+    table is ~500 driver-seconds but only seconds wide across a cluster.
+    Requires ``table_dir`` on storage the executors can read (the
+    tier-wide assumption). Same columns as ``iceberg_live_files``."""
+    import pandas as pd
+
+    meta = _load_metadata(table_dir)
+    snap = _resolve_snapshot(meta, snapshot_id, None)
+    manifests = [m for m in
+                 _read_manifest_list(table_dir, snap["manifest-list"])
+                 if m.get("content", 0) == 0]
+    cols = ["file_path", "record_count", "file_size_bytes", "partition"]
+    if not manifests:
+        return spark.createDataFrame(
+            [], "file_path string, record_count long,"
+                " file_size_bytes long, partition string")
+    paths = [(os.path.join(table_dir, m["manifest_path"]),)
+             for m in manifests]
+    mdf = spark.createDataFrame(paths, "path string").repartition(
+        min(len(paths), spark.sparkContext.defaultParallelism))
+    pfilter = dict(partition_filter or {})
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    _, rows = read_container(fh.read())
+                for status, _sid, data_file in rows:
+                    if status == 2:
+                        continue
+                    part = data_file["partition"]
+                    if pfilter and any(part.get(k) != v
+                                       for k, v in pfilter.items()):
+                        continue
+                    out.append((data_file["file_path"],
+                                data_file["record_count"],
+                                data_file["file_size_in_bytes"],
+                                json.dumps(part, sort_keys=True)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return mdf.mapInPandas(
+        decode, schema="file_path string, record_count long,"
+                       " file_size_bytes long, partition string")
+
+
 def iceberg_count(
     table_dir: str, snapshot_id: int | None = None,
     partition_filter: dict | None = None,

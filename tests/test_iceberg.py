@@ -695,3 +695,18 @@ def test_hostile_string_partition_values_roundtrip(spark, tdir):
     for i, v in enumerate(vals):
         one = I.read_iceberg(spark, tdir, partition_filter={"source": v})
         assert [(r.doc_id, r.source) for r in one.collect()] == [(i, v)]
+
+
+def test_distributed_live_files_matches_driver_walk(spark, tdir):
+    """The executor-side manifest decode returns exactly the driver
+    walk's rows (same pruning semantics), with task-level parallelism
+    across manifests."""
+    I.create_iceberg(_docs(spark, 0, 20, "a").union(
+        _docs(spark, 20, 30, "b")), tdir, partition_by="source")
+    I.append_iceberg(_docs(spark, 30, 40, "b"), tdir)
+    for pf in (None, {"source": "b"}):
+        drv = sorted(map(tuple, I.iceberg_live_files(
+            spark, tdir, partition_filter=pf).collect()))
+        dist = sorted(map(tuple, I.iceberg_live_files_distributed(
+            spark, tdir, partition_filter=pf).collect()))
+        assert dist == drv and drv
