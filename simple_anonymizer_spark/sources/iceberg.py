@@ -603,6 +603,89 @@ def create_iceberg(
     return meta["current-snapshot-id"]
 
 
+def migrate_delta_to_iceberg(
+    table_path: str, format_version: int = 1
+) -> int:
+    """In-place Delta -> Iceberg migration (the spec's ``migrate`` /
+    ``snapshot`` action shape): read the Delta log's CURRENT snapshot
+    and commit an Iceberg metadata tree NEXT TO ``_delta_log`` over the
+    SAME parquet files — zero data copied or moved; manifest rows point
+    at the existing files by their Delta-relative paths, with
+    record counts and min/max bounds harvested from the footers already
+    on disk. The result is a normal table of this tier: time travel
+    starts at the migration snapshot, range pruning works immediately,
+    and with ``format_version=2`` so do row-level deletes and upserts.
+
+    The Delta log is left intact as a frozen historical view — but after
+    migration the ICEBERG metadata owns the files: writing through the
+    Delta tier again, or expiring the migration snapshot after Iceberg
+    overwrites, invalidates the frozen Delta view (the same ownership
+    handoff real migrations make). Unpartitioned tables only (this
+    tier's Delta writer is unpartitioned). Returns the snapshot id."""
+    import pyarrow.parquet as pq
+
+    from .deltalog import PyDeltaLog
+
+    if format_version not in _FORMAT_VERSIONS:
+        raise IcebergError(f"unsupported format-version {format_version}")
+    if os.path.exists(_meta_dir(table_path)):
+        raise IcebergError(
+            f"{table_path} already has iceberg metadata")
+    snap = PyDeltaLog(table_path).snapshot()
+    if snap.version < 0 or snap.metadata is None:
+        raise IcebergError(f"no Delta table at {table_path}")
+    spark_schema = T.StructType.fromJson(
+        json.loads(snap.metadata["schemaString"]))
+    fields, ids = [], {}
+    for i, f in enumerate(spark_schema.fields, start=1):
+        t = f.dataType.typeName()
+        if t not in _SPARK_TO_ICE:
+            raise IcebergError(f"no iceberg mapping for spark type {t!r}")
+        fields.append({"id": i, "name": f.name,
+                       "required": not f.nullable,
+                       "type": _SPARK_TO_ICE[t]})
+        ids[f.name] = i
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    types = {f["name"]: f["type"] for f in fields}
+    bound_types = {c: t for c, t in types.items() if t in _BOUND_TYPES}
+    files = []
+    for add in snap.files:
+        p = os.path.join(table_path, add["path"])
+        md = pq.read_metadata(p)
+        files.append({
+            "file_path": add["path"],
+            "record_count": md.num_rows,
+            "file_size_in_bytes": os.path.getsize(p),
+            "partition": None,
+            "bounds": _file_bounds(md, bound_types),
+        })
+    os.makedirs(_meta_dir(table_path), exist_ok=True)
+    meta = {
+        "format-version": format_version,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
+                                     os.path.abspath(table_path))),
+        "location": os.path.abspath(table_path),
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": len(ids),
+        "schema": schema, "schemas": [schema], "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "_sa-partition-type": "string",
+        "current-snapshot-id": 0,
+        "snapshots": [], "snapshot-log": [],
+    }
+    if format_version >= 2:
+        meta["last-sequence-number"] = 0
+    manifest = _write_manifest(
+        table_path, 1, files, None, "string", ids, types,
+        format_version=format_version, content=0, sequence_number=1)
+    new_meta = _publish_snapshot(
+        table_path, meta, "append", [manifest], 1, 1)
+    _commit_metadata(table_path, new_meta, 1)
+    return 1
+
+
 def _current_manifests(table_dir: str, meta: dict) -> list[dict]:
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     cur = snaps.get(meta["current-snapshot-id"])
@@ -723,6 +806,7 @@ def delete_iceberg_rows(
     [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
     name = f"s{snap_id:05d}-delete-00000.parquet"
     dst = os.path.join(_data_dir(table_dir), name)
+    os.makedirs(_data_dir(table_dir), exist_ok=True)  # migrated tables
     shutil.move(part, dst)
     shutil.rmtree(staging, ignore_errors=True)
     md = pq.read_metadata(dst)

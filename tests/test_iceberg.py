@@ -710,3 +710,49 @@ def test_distributed_live_files_matches_driver_walk(spark, tdir):
         dist = sorted(map(tuple, I.iceberg_live_files_distributed(
             spark, tdir, partition_filter=pf).collect()))
         assert dist == drv and drv
+
+
+def test_migrate_delta_to_iceberg_shares_data_files(spark, tmp_path):
+    """In-place migration: the Iceberg tree lands next to _delta_log
+    over the SAME parquet files (none copied), contents match the Delta
+    read exactly, harvested bounds prune, and (v2) deletes/appends work
+    on the migrated table while the frozen Delta view still reads."""
+    from simple_anonymizer_spark.plans.on_conflict import OnConflict
+    from simple_anonymizer_spark.sources.deltalog import (
+        merge_deltalog, read_deltalog)
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"))
+    # two commits with disjoint key ranges -> at least two data files
+    # with disjoint doc_id bounds (what the pruning assertion needs)
+    merge_deltalog(spark, df.where(F.col("doc_id") < 20), path,
+                   ["doc_id"], OnConflict.do_update())
+    merge_deltalog(spark, df.where(F.col("doc_id") >= 20), path,
+                   ["doc_id"], OnConflict.do_update())
+    n_parquet = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert n_parquet >= 2
+    s = I.migrate_delta_to_iceberg(path, format_version=2)
+    # no data files were copied or added
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == n_parquet
+    assert sorted(map(tuple, I.read_iceberg(spark, path).collect())) \
+        == sorted(map(tuple, read_deltalog(spark, path).collect()))
+    assert I.iceberg_count(path) == 40
+    # harvested footer bounds drive range pruning
+    pruned = I.iceberg_plan_files(
+        path, predicates=[("doc_id", ">=", 35)])
+    assert len(pruned) < len(I.iceberg_plan_files(path))
+    # the migrated table is fully functional: v2 delete + append
+    I.delete_iceberg_rows(spark, path, "doc_id < 5")
+    I.append_iceberg(
+        df.where(F.col("doc_id") < 2).withColumn(
+            "text", F.lit("new")), path)
+    got = {r.doc_id: r.text for r in
+           I.read_iceberg(spark, path).collect()}
+    assert got[0] == "new" and 3 not in got and got[10] == "d10"
+    # the frozen Delta view still reads its own snapshot
+    assert read_deltalog(spark, path).count() == 40
+    # re-migration refused
+    with pytest.raises(I.IcebergError):
+        I.migrate_delta_to_iceberg(path)
