@@ -686,6 +686,45 @@ def migrate_delta_to_iceberg(
     return 1
 
 
+def migrate_iceberg_to_delta(table_path: str) -> int:
+    """The reverse handoff: commit a Delta log (version 0) next to the
+    Iceberg ``metadata/`` tree referencing the current snapshot's SAME
+    parquet files — zero data copied; Delta per-file stats are computed
+    from the footers on disk, so Delta-side stats pruning works
+    immediately. Refused under outstanding v2 delete debt (Delta add
+    actions cannot express merge-on-read deletes) — run
+    ``rewrite_iceberg_files`` first, which purges it. After migration
+    the DELTA log owns the files; the Iceberg metadata stays as a frozen
+    view with the mirror-image caveats of ``migrate_delta_to_iceberg``.
+    Returns the Delta version (0)."""
+    from .deltalog import PyDeltaLog, _file_stats
+
+    meta = _load_metadata(table_path)
+    snap = _resolve_snapshot(meta, None, None)
+    if (meta["format-version"] >= 2
+            and _live_delete_files(table_path, snap)):
+        raise IcebergError(
+            "outstanding v2 delete debt: run rewrite_iceberg_files "
+            "(compaction) first, then migrate")
+    log = PyDeltaLog(table_path)
+    if log.latest_version() >= 0:
+        raise IcebergError(f"{table_path} already has a Delta log")
+    spark_schema = _spark_struct(meta["schema"])
+    actions = log.create_actions(spark_schema)
+    for f in _live_files(table_path, snap):
+        p = os.path.join(table_path, f["file_path"])
+        st = os.stat(p)
+        actions.append({"add": {
+            "path": f["file_path"],
+            "partitionValues": {},
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+            "stats": _file_stats(p, spark_schema),
+        }})
+    return log.commit(actions, read_version=-1)
+
+
 def _current_manifests(table_dir: str, meta: dict) -> list[dict]:
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     cur = snaps.get(meta["current-snapshot-id"])

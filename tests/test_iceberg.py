@@ -756,3 +756,36 @@ def test_migrate_delta_to_iceberg_shares_data_files(spark, tmp_path):
     # re-migration refused
     with pytest.raises(I.IcebergError):
         I.migrate_delta_to_iceberg(path)
+
+
+def test_migrate_iceberg_to_delta_reverse_handoff(spark, tmp_path):
+    """Reverse migration: a Delta log lands next to metadata/ over the
+    same files; contents match; delete debt is refused until compaction;
+    Delta-side merges work after the handoff."""
+    from simple_anonymizer_spark.plans.on_conflict import OnConflict
+    from simple_anonymizer_spark.sources.deltalog import (
+        merge_deltalog, read_deltalog)
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+        F.lit("a").alias("source"))
+    I.create_iceberg(df, path, partition_by="source", format_version=2)
+    I.delete_iceberg_rows(spark, path, "doc_id >= 25")
+    with pytest.raises(I.IcebergError):
+        I.migrate_iceberg_to_delta(path)  # delete debt -> compact first
+    I.rewrite_iceberg_files(spark, path)
+    v = I.migrate_iceberg_to_delta(path)
+    assert v == 0
+    assert sorted(map(tuple, read_deltalog(spark, path).collect())) \
+        == sorted(map(tuple, I.read_iceberg(spark, path).collect()))
+    assert read_deltalog(spark, path).count() == 25
+    # Delta owns the files now: a Delta merge upserts on top
+    upd = df.where(F.col("doc_id") == 0).withColumn(
+        "text", F.lit("merged"))
+    merge_deltalog(spark, upd, path, ["doc_id"], OnConflict.do_update())
+    got = {r.doc_id: r.text for r in read_deltalog(spark, path).collect()}
+    assert got[0] == "merged" and got[10] == "d10" and len(got) == 25
+    with pytest.raises(I.IcebergError):
+        I.migrate_iceberg_to_delta(path)  # already has a Delta log
