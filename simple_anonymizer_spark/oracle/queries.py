@@ -7000,3 +7000,20 @@ SELECT doc_id,
        lang, source, n_chars
 FROM documents
 """
+
+# iceberg_compact_docs: Spark deletes a predicate's rows then compacts
+# (one REPLACE snapshot of the merge-on-read view, sorted) — compaction
+# must change LAYOUT only, so the oracle is the same negated-predicate
+# filter as before the rewrite.
+ORACLES["iceberg_compact_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id % 5 <> 2
+"""
+
+# iceberg_migrate_docs: documents -> Delta commit -> in-place Iceberg
+# migration over the same files -> v2 position delete -> metadata-walk
+# read; the oracle filters the source table by the negated predicate.
+ORACLES["iceberg_migrate_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id % 9 <> 4
+"""

@@ -4386,6 +4386,55 @@ def iceberg_v2_upsert_docs(spark, sf_dir):
     return read_iceberg(spark, out)
 
 
+@query("iceberg_compact_docs")
+def iceberg_compact_docs(spark, sf_dir):
+    """Iceberg compaction (rewriteDataFiles), driver-verifiable
+    end-to-end (sources/iceberg.py): a v2 table accumulates position-
+    delete debt, then ONE REPLACE snapshot materializes the merge-on-
+    read view sorted by doc_id — the deletes are physically purged (the
+    read plan has no anti-joins left) and the sorted layout re-tightens
+    per-file bounds. The oracle is the source table under the negated
+    predicate: a value-hash match proves compaction changed the LAYOUT
+    and nothing else."""
+    import tempfile
+
+    from .sources.iceberg import (create_iceberg, delete_iceberg_rows,
+                                  read_iceberg, rewrite_iceberg_files)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ice_cmp_") + "/tbl"
+    create_iceberg(docs, out, format_version=2)
+    delete_iceberg_rows(spark, out, "doc_id % 5 = 2")
+    rewrite_iceberg_files(spark, out, sort_by=["doc_id"],
+                          target_partitions=4)
+    return read_iceberg(spark, out)
+
+
+@query("iceberg_migrate_docs")
+def iceberg_migrate_docs(spark, sf_dir):
+    """In-place Delta -> Iceberg migration, driver-verifiable end-to-end
+    (sources/iceberg.py + sources/deltalog.py): documents is committed
+    as a Delta table, the Iceberg metadata tree is built NEXT TO the
+    Delta log over the SAME parquet files (zero data copied, bounds
+    harvested from the existing footers), and the migrated table
+    immediately supports v2 row-level deletes. The oracle is the source
+    table under the negated predicate, gating the whole
+    write/migrate/delete/read chain."""
+    import tempfile
+
+    from .plans.on_conflict import OnConflict
+    from .sources.deltalog import merge_deltalog
+    from .sources.iceberg import (delete_iceberg_rows,
+                                  migrate_delta_to_iceberg, read_iceberg)
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ice_mig_") + "/tbl"
+    merge_deltalog(spark, docs, path, ["doc_id"], OnConflict.do_update())
+    migrate_delta_to_iceberg(path, format_version=2)
+    delete_iceberg_rows(spark, path, "doc_id % 9 = 4")
+    return read_iceberg(spark, path)
+
+
 def _collision_urls(spark, sf_dir):
     """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
     the volatile parts (tracking params, fragment) key on doc_id — so

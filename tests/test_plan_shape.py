@@ -319,6 +319,12 @@ NATIVE_QUERIES = [
     # round-10: iceberg v2 upsert — equality-delete anti-join (null-safe
     # keys + broadcast file->seq lookup) over the same native scan.
     "iceberg_v2_upsert_docs",
+    # round-10: compaction result — ONE native parquet scan, delete debt
+    # physically purged so NO anti-join remains in the plan.
+    "iceberg_compact_docs",
+    # round-10: delta->iceberg migration + v2 delete — native scan plus
+    # the broadcast position-delete anti-join.
+    "iceberg_migrate_docs",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
@@ -600,3 +606,10 @@ def test_iceberg_v2_delete_antijoins_broadcast(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_iceberg_compaction_purges_antijoins_from_plan(spark, sf_dir):
+    """After rewriteDataFiles the read plan is ONE bare parquet scan —
+    the delete debt is physically gone, not re-filtered every read."""
+    plan = plan_of(spark, "iceberg_compact_docs", sf_dir)
+    assert "LeftAnti" not in plan and "Join" not in plan
