@@ -7017,3 +7017,40 @@ ORACLES["iceberg_migrate_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE doc_id % 9 <> 4
 """
+
+# pipeline_release_corpus: gopher keep -> grouped split by source ->
+# 5-gram decontamination of train against the released test split.
+# Composition oracle: embeds the gopher oracle whole, reuses the
+# grouped-split bucket and the contamination gram CTE shapes.
+ORACLES["pipeline_release_corpus"] = f"""
+WITH gf AS ({ORACLES['quality_gopher_flags']}),
+split_docs AS (
+  SELECT d.doc_id, d.source, d.text,
+         CASE WHEN {_GSPLIT_BUCKET} < 8000 THEN 'train'
+              WHEN {_GSPLIT_BUCKET} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d JOIN gf ON gf.doc_id = d.doc_id AND gf.keep
+),
+test_grams AS (
+  SELECT DISTINCT unnest({_doc_ngrams(5)}) AS gram
+  FROM split_docs WHERE split = 'test'
+),
+train_docs AS (
+  SELECT doc_id, {_doc_ngrams(5)} AS grams
+  FROM split_docs WHERE split = 'train'
+),
+train_hits AS (
+  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train_docs) tg
+  WHERE tg.gram IN (SELECT gram FROM test_grams)
+  GROUP BY tg.doc_id
+),
+flagged AS (
+  SELECT d.doc_id
+  FROM train_docs d LEFT JOIN train_hits h ON d.doc_id = h.doc_id
+  WHERE len(d.grams) > 0
+    AND 100 * coalesce(h.n_hit, 0) >= 20 * len(d.grams)
+)
+SELECT doc_id, source, split FROM split_docs
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+"""

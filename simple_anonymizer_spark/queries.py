@@ -3537,6 +3537,37 @@ def byte_bpe_fertility_langs(spark, sf_dir):
     )
 
 
+@query("pipeline_release_corpus")
+def pipeline_release_corpus(spark, sf_dir):
+    """The canonical pre-training RELEASE composite: Gopher quality gate
+    -> leakage-safe grouped split by source (near-dups can't straddle
+    splits) -> 5-gram decontamination of the TRAIN split against the
+    released TEST split (train docs sharing >=20% of their distinct
+    grams with the test corpus are dropped, the standard eval-hygiene
+    guard run in the train->test direction). Output: the released
+    assignment (doc_id, source, split). Composes three oracle-gated
+    operators; the driver hash gates the whole pipeline."""
+    from .operators import text_analysis
+    from .operators.contamination import contamination_report
+    from .operators.sampling import grouped_split
+
+    docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
+    kept = (text_analysis.gopher_quality_flags(docs)
+            .where(F.col("keep")).select("doc_id"))
+    base = docs.join(kept, "doc_id", "left_semi")
+    split = grouped_split(
+        base.select("doc_id", "source", "text"), "source")
+    # contamination_report(train=..., test=...) scores its SECOND arg's
+    # docs against the first's corpus: here the test split is the
+    # reference corpus and the train docs are the ones screened/dropped.
+    flagged = (contamination_report(
+        split.where(F.col("split") == "test"),
+        split.where(F.col("split") == "train"), n=5)
+        .where(F.col("flagged")).select("doc_id"))
+    released = split.join(flagged, "doc_id", "left_anti")
+    return released.select("doc_id", "source", "split")
+
+
 @query("corpus_scorecard_langs")
 def corpus_scorecard_langs(spark, sf_dir):
     """Per-language curation dashboard: Gopher keep rate, token volume,

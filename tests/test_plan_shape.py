@@ -325,6 +325,9 @@ NATIVE_QUERIES = [
     # round-10: delta->iceberg migration + v2 delete — native scan plus
     # the broadcast position-delete anti-join.
     "iceberg_migrate_docs",
+    # round-10: release composite — gopher gate (column algebra), hash
+    # split (map-side), gram semi-join + anti-join; no Python anywhere.
+    "pipeline_release_corpus",
     # multimodal_* stay OUT of this list: mapInPandas is their designed
     # (and allowed) Python slot.
 ]
