@@ -1564,8 +1564,15 @@ try:  # pragma: no cover - import surface depends on pyspark build
             files = _live_files(table_dir, snap)
             dels = [f["file_path"]
                     for f in _position_delete_entries(table_dir, snap)]
-            return IcebergScanReader(table_dir, files, dels,
-                                     self._struct())
+            # DSv2 filter pushdown is opt-in twice over: Spark gates it
+            # behind spark.sql.python.filterPushdown.enabled AND a reader
+            # that merely IMPLEMENTS pushFilters errors when that conf is
+            # off — so the pushdown reader is selected only when the
+            # caller asks (.option("pushdown", "true")).
+            cls = (IcebergPushdownScanReader
+                   if str(self.options.get("pushdown", "false")).lower()
+                   == "true" else IcebergScanReader)
+            return cls(table_dir, files, dels, self._struct())
 
         def writer(self, schema, overwrite: bool):
             raise ValueError(
@@ -1579,17 +1586,29 @@ try:  # pragma: no cover - import surface depends on pyspark build
             self.files = files
             self.delete_paths = delete_paths
             self.schema_struct = schema_struct
+            self.predicates: list[tuple] = []
 
         def partitions(self):
+            files = self.files
+            if self.predicates:
+                ids = {f["name"]: f["id"]
+                       for f in self.schema_struct["fields"]}
+                types = {f["name"]: f["type"]
+                         for f in self.schema_struct["fields"]}
+                files = [f for f in files if _survives_bounds(
+                    f, self.predicates, ids, types)]
             return [_IcebergScanPartition(self.table_dir, f["file_path"],
                                           self.delete_paths)
-                    for f in self.files]
+                    for f in files]
+
 
         def read(self, partition: "_IcebergScanPartition"):
             import numpy as np
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            if partition is None:  # everything pruned: empty scan
+                return iter(())
             tbl = pq.read_table(
                 os.path.join(partition.table_dir, partition.rel_path))
             if partition.delete_paths:
@@ -1613,6 +1632,36 @@ try:  # pragma: no cover - import surface depends on pyspark build
                                        target.field(name).type))
             tbl = tbl.select(target.names).cast(target)
             return iter(tbl.to_batches(max_chunksize=1 << 16))
+
+    class IcebergPushdownScanReader(IcebergScanReader):
+        """``IcebergScanReader`` plus Spark 4.1 DSv2 filter pushdown:
+        comparison filters on stats-bounded columns become manifest
+        min/max predicates that PRUNE INPUT PARTITIONS (whole files)
+        before any read task launches. Every filter is also returned as
+        residual — the pruning is file-level and advisory, rows inside
+        surviving files still need Spark's own filter (the same
+        prune-then-residual contract as ``read_iceberg``). Selected via
+        ``.option("pushdown", "true")``; also requires
+        ``spark.sql.python.filterPushdown.enabled=true``."""
+
+        def pushFilters(self, filters):
+            from pyspark.sql.datasource import (
+                EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                LessThanOrEqual,
+            )
+
+            ops = {EqualTo: "=", GreaterThan: ">",
+                   GreaterThanOrEqual: ">=", LessThan: "<",
+                   LessThanOrEqual: "<="}
+            types = {f["name"]: f["type"]
+                     for f in self.schema_struct["fields"]}
+            for f in filters:
+                op = ops.get(type(f))
+                if (op is not None and len(f.attribute) == 1
+                        and types.get(f.attribute[0]) in _BOUND_TYPES):
+                    self.predicates.append(
+                        (f.attribute[0], op, f.value))
+                yield f  # always residual: file-level pruning only
 
 except ImportError:  # pragma: no cover
     IcebergDataSource = None  # type: ignore[assignment]

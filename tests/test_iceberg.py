@@ -789,3 +789,42 @@ def test_migrate_iceberg_to_delta_reverse_handoff(spark, tmp_path):
     assert got[0] == "merged" and got[10] == "d10" and len(got) == 25
     with pytest.raises(I.IcebergError):
         I.migrate_iceberg_to_delta(path)  # already has a Delta log
+
+
+def test_pyiceberg_pushdown_prunes_input_partitions(spark, tdir):
+    """DSv2 filter pushdown: a range predicate on a stats-bounded column
+    prunes whole input partitions (files) at planning time, and the
+    residual Spark filter keeps results exact."""
+    from simple_anonymizer_spark.sources.iceberg import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    df = (spark.range(0, 100).repartitionByRange(4, "id")
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("t"), F.col("id")).alias("text")))
+    I.create_iceberg(df, tdir)
+    conf = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(conf, "true")
+    try:
+        full = (spark.read.format("pyiceberg")
+                .option("pushdown", "true").load(tdir))
+        n_all = full.rdd.getNumPartitions()
+        assert n_all == len(I.iceberg_plan_files(tdir)) > 1
+        hit = (spark.read.format("pyiceberg")
+               .option("pushdown", "true").load(tdir)
+               .where(F.col("doc_id") >= 75))
+        assert hit.rdd.getNumPartitions() < n_all  # pruned at planning
+        assert sorted(r.doc_id for r in hit.collect()) == \
+            list(range(75, 100))
+        # a filter that prunes everything: exact empty scan
+        none = (spark.read.format("pyiceberg")
+                .option("pushdown", "true").load(tdir)
+                .where(F.col("doc_id") > 10_000))
+        assert none.count() == 0
+    finally:
+        spark.conf.unset(conf)
+    # without the option the plain reader works even with pushdown
+    # disabled session-wide (implementing pushFilters would error)
+    plain = (spark.read.format("pyiceberg").load(tdir)
+             .where(F.col("doc_id") >= 75))
+    assert plain.rdd.getNumPartitions() == n_all
+    assert plain.count() == 25
