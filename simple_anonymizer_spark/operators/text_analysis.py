@@ -172,7 +172,8 @@ GOPHER_BULLETS: list[str] = ["•", "-", "*"]
 
 
 def gopher_quality_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_stopwords: int = 2,
 ) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021, public
     arXiv:2112.11446 §A1.1) as one native-expression pass — the standard
@@ -184,8 +185,9 @@ def gopher_quality_flags(
     word length in [3, 10]; '#' and ellipsis symbol-to-word ratios each
     <= 0.1; >= 80% of words contain an alphabetic character; <= 90% of
     lines start with a bullet; <= 30% of lines end with an ellipsis;
-    >= 2 of the 8 Gopher stop words present. ``keep`` is the AND of all
-    seven.
+    >= ``min_stopwords`` of the 8 Gopher stop words present (default 2,
+    the paper's threshold — Rae et al. tune it per corpus; synthetic or
+    non-English corpora gate on 1). ``keep`` is the AND of all seven.
 
     Every threshold compares exact integers cross-multiplied (``10 *
     hash_count <= n_words``), never a float ratio — the flags can't
@@ -237,7 +239,7 @@ def gopher_quality_flags(
         (5 * alpha_words >= 4 * n_words).alias("alpha_words_ok"),
         (10 * bullet_lines <= 9 * n_lines).alias("bullet_lines_ok"),
         (10 * ellipsis_lines <= 3 * n_lines).alias("ellipsis_lines_ok"),
-        (stop_present >= 2).alias("stopwords_ok"),
+        (stop_present >= min_stopwords).alias("stopwords_ok"),
         (
             (n_words >= 50) & (n_words <= 100000)
             & (total_len >= 3 * n_words) & (total_len <= 10 * n_words)
@@ -245,7 +247,7 @@ def gopher_quality_flags(
             & (5 * alpha_words >= 4 * n_words)
             & (10 * bullet_lines <= 9 * n_lines)
             & (10 * ellipsis_lines <= 3 * n_lines)
-            & (stop_present >= 2)
+            & (stop_present >= min_stopwords)
         ).alias("keep"),
     )
 

@@ -664,7 +664,12 @@ SELECT doc_id, {_norm_sql('text')} AS text,
 FROM documents
 """
 
-ORACLES["quality_gopher_flags"] = f"""
+def _gopher_flags_sql(min_stopwords: int = 2) -> str:
+    """Gopher-rule mirror, parameterized exactly like the operator's
+    ``min_stopwords`` (default 2 = the paper threshold; the release
+    composite pins 1 — the fixture corpus is synthetic word soup with at
+    most one of the 8 English stop words per doc)."""
+    return f"""
 WITH t AS (
   SELECT doc_id, text, {_tokens('text')} AS toks,
     string_split(text, chr(10)) AS lines
@@ -703,16 +708,19 @@ SELECT doc_id, n_words,
   (5 * alpha_words >= 4 * n_words) AS alpha_words_ok,
   (10 * bullet_lines <= 9 * n_lines) AS bullet_lines_ok,
   (10 * ellipsis_lines <= 3 * n_lines) AS ellipsis_lines_ok,
-  (stop_present >= 2) AS stopwords_ok,
+  (stop_present >= {min_stopwords}) AS stopwords_ok,
   (n_words >= 50 AND n_words <= 100000
    AND total_len >= 3 * n_words AND total_len <= 10 * n_words
    AND 10 * hash_cnt <= n_words AND 10 * ellipsis_cnt <= n_words
    AND 5 * alpha_words >= 4 * n_words
    AND 10 * bullet_lines <= 9 * n_lines
    AND 10 * ellipsis_lines <= 3 * n_lines
-   AND stop_present >= 2) AS keep
+   AND stop_present >= {min_stopwords}) AS keep
 FROM m
 """
+
+
+ORACLES["quality_gopher_flags"] = _gopher_flags_sql()
 
 
 def _lang_scores() -> tuple[str, str]:
@@ -790,14 +798,32 @@ _VB_NORM = f"sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i 
 # Banded hyperplane LSH mirror: 4 bands x 8 planes, plane family b uses
 # global plane indices [8b, 8b+8); candidate = same full bucket in ANY
 # band; oversize buckets (> 2000) dropped like the Spark side's cap.
+# The corpus mirrors the Spark side's deterministic near-dup salt: every
+# 25th vector re-emitted (id + 10M) as v + 0.125*reverse(v), elementwise
+# exact IEEE double ops (0.125 is a power of two). MATERIALIZED: the
+# bands UNION and the pair joins reference it 6 times (per-reference
+# CTE-inlining gotcha).
+_NEARDUP_CORPUS = f"""
+  SELECT vec_id, [CAST(embedding[k2] AS DOUBLE) for k2 in {_IDX}]
+    AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+    [CAST(embedding[k2] AS DOUBLE)
+     + 0.125 * CAST(embedding[{EMBEDDING_DIM} + 1 - k2] AS DOUBLE)
+     for k2 in {_IDX}] AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+"""
+
 _NEARDUP_BANDS = " UNION ALL ".join(
     f"SELECT vec_id, {b} AS band, {_bucket_sql('embedding', 8, offset=8 * b)} AS bucket"
-    " FROM embeddings"
+    " FROM corpus"
     for b in range(4)
 )
 
 ORACLES["embedding_neardup"] = f"""
-WITH bands AS ({_NEARDUP_BANDS}),
+WITH corpus AS MATERIALIZED ({_NEARDUP_CORPUS}),
+bands AS ({_NEARDUP_BANDS}),
 sizes AS (
   SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket
 ),
@@ -811,8 +837,8 @@ cand AS (
 pairs AS (
   SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb
   FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.id_a
-  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN corpus ea ON ea.vec_id = c.id_a
+  JOIN corpus eb ON eb.vec_id = c.id_b
 )
 SELECT id_a, id_b, {_PAIR_DOT} / ({_VA_NORM} * {_VB_NORM}) AS cosine
 FROM pairs
@@ -981,7 +1007,8 @@ ON e.user_id = s.user_id AND e.t > s.t
 
 ORACLES["join_anti_customers"] = """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 """
 
 ORACLES["multimodal_meta"] = f"""
@@ -1872,15 +1899,31 @@ UNION ALL SELECT 'fk_orphans', fk_orphans FROM orph
 """
 
 ORACLES["anomaly_orders_3sigma"] = """
-WITH a AS (
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(floor(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST('1.00' AS DECIMAL(4,2))
+                     - CAST(l_discount AS DECIMAL(4,2)))
+                  AS DECIMAL(38,4))) * 100) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+scored0 AS (
+  SELECT r.o_orderkey, o.o_orderstatus, r.rev_cents
+  FROM rev r JOIN orders o USING (o_orderkey)
+),
+a AS (
   SELECT o_orderstatus,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+         CAST(CAST(sum(CAST(rev_cents AS DECIMAL(12,2))) AS VARCHAR)
               AS DOUBLE) AS s,
-         CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
-                       * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4)))
+         -- operands widened to (19,2): DuckDB multiplies (12,2)x(12,2)
+         -- in int64 and rev_cents^2 overflows it; (19,2) forces the INT128
+         -- path. Values are exact integers either way — Spark's (12,2)^2
+         -- product in moments is the same number.
+         CAST(CAST(sum(CAST(CAST(rev_cents AS DECIMAL(19,2))
+                       * CAST(rev_cents AS DECIMAL(19,2)) AS DECIMAL(38,4)))
               AS VARCHAR) AS DOUBLE) AS s2
-  FROM orders GROUP BY o_orderstatus
+  FROM scored0 GROUP BY o_orderstatus
 ),
 m AS (
   SELECT o_orderstatus,
@@ -1893,9 +1936,9 @@ m AS (
 ),
 rows_scored AS (
   SELECT o.o_orderkey, o.o_orderstatus,
-         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS value,
+         CAST(CAST(o.rev_cents AS DECIMAL(12,2)) AS DOUBLE) AS value,
          m.mean_v, m.stddev_v
-  FROM orders o JOIN m USING (o_orderstatus)
+  FROM scored0 o JOIN m USING (o_orderstatus)
 )
 SELECT o_orderkey, o_orderstatus, value, mean_v,
        (value - mean_v) * (value - mean_v) AS dev_sq
@@ -7020,10 +7063,13 @@ WHERE doc_id % 9 <> 4
 
 # pipeline_release_corpus: gopher keep -> grouped split by source ->
 # 5-gram decontamination of train against the released test split.
-# Composition oracle: embeds the gopher oracle whole, reuses the
+# Composition oracle: embeds the gopher oracle whole (min_stopwords=1,
+# pinned on BOTH sides — the fixture corpus carries at most one of the 8
+# English stop words per doc, so the paper default of 2 empties the
+# pipeline at stage 1 and the gate proves nothing), reuses the
 # grouped-split bucket and the contamination gram CTE shapes.
 ORACLES["pipeline_release_corpus"] = f"""
-WITH gf AS ({ORACLES['quality_gopher_flags']}),
+WITH gf AS ({_gopher_flags_sql(min_stopwords=1)}),
 split_docs AS (
   SELECT d.doc_id, d.source, d.text,
          CASE WHEN {_GSPLIT_BUCKET} < 8000 THEN 'train'

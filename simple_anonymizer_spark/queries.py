@@ -1030,10 +1030,30 @@ def embedding_topk(spark, sf_dir):
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, banded hyperplane-LSH
     candidates (4 bands x 8 planes — OR over bands keeps recall while each
-    band's 256 buckets keep the within-bucket join near-linear)."""
-    e = dedup.ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    band's 256 buckets keep the within-bucket join near-linear).
+
+    The fixture embeddings are mutually far apart (max pair cosine ≈ 0.5
+    at sf0.01 — round-10 verdict: the 0.9 gate verified emptiness only),
+    so the corpus is salted with deterministic near-duplicates built from
+    the fixture itself: every 25th vector is re-emitted (id + 10M) as
+    ``v + 0.125·reverse(v)`` — cosine(v, v') ≈ 0.992, and 0.125 is a
+    power of two so the perturbed elements are single exact IEEE double
+    ops on both engines. The LSH candidate path, bucket cap, and exact
+    cosine verify then run on REAL near-dup structure at every scale
+    (20/20/80 seeded pairs at sf0.001/0.01/0.1)."""
+    e = dedup.ensure_parallelism(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = e.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(10000000).cast("long")).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.reverse(F.col("embedding")),
+            lambda x, y: x + F.lit(0.125) * y,
+        ).alias("embedding"),
+    )
     return similarity.embedding_neardup_pairs(
-        e, threshold=0.9, bands=4, planes_per_band=8
+        e.unionByName(seeds), threshold=0.9, bands=4, planes_per_band=8
     )
 
 
@@ -1111,9 +1131,19 @@ def events_asof_signup(spark, sf_dir):
 
 @query("join_anti_customers")
 def join_anti_customers(spark, sf_dir):
-    """Customers with no orders — left anti join."""
+    """Customers with no URGENT orders — left anti join against the
+    filtered fact side (filter pushed below the anti join, so the build
+    side shrinks 5x before the shuffle).
+
+    The unfiltered variant ("no orders at all") gates on emptiness at
+    the driver's sf0.01 — every fixture customer has at least one order
+    there (round-10 verdict); the priority slice leaves 18/203/1986
+    childless customers at sf0.001/0.01/0.1, so the anti-join semantics
+    are verified on real rows at every scale."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -1906,14 +1936,34 @@ def dq_audit_orders(spark, sf_dir):
 
 @query("anomaly_orders_3sigma")
 def anomaly_orders_3sigma(spark, sf_dir):
-    """Z-score outlier screen: orders more than 3 sample stddevs from
-    their status-group mean (squared comparison — no sqrt on the row
-    path)."""
+    """Z-score outlier screen at a REAL 3 sigma: orders whose lineitem
+    revenue is more than 3 sample stddevs from their status-group mean
+    (squared comparison — no sqrt on the row path).
+
+    Scored value: per-order Σ extprice·(1−discount) floored to whole
+    CENTS as BIGINT — the decimal sum is exact on both engines and the
+    positive-value floor is the same integer in both, so the scored
+    value never touches a float (the kmeans fixed-point pattern;
+    z-scores are scale-invariant). Cents, not the product's native 1e-4
+    units: e4 values reach ~1e10 at sf0.1 and overflow anomaly_flags'
+    DECIMAL(12,2) contract (Spark would NULL them silently). Why revenue
+    at all: o_totalprice is uniform in the fixture (max |z| ≈ 1.74 at
+    every SF — round-10 verdict measured the 3-sigma gate can NEVER fire
+    on it), while summed revenue is a varying-length convolution with
+    genuine tails: ~12/100/976 outliers at sf0.001/0.01/0.1."""
     from .operators.quality_audit import anomaly_flags
 
-    return anomaly_flags(
-        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice",
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.floor(F.sum(_rev_dec()) * 100).cast("long").alias("rev_cents"))
+    )
+    scored = rev.join(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
         "o_orderkey",
+    )
+    return anomaly_flags(
+        scored, ["o_orderstatus"], "rev_cents", "o_orderkey",
     )
 
 
@@ -3546,13 +3596,20 @@ def pipeline_release_corpus(spark, sf_dir):
     grams with the test corpus are dropped, the standard eval-hygiene
     guard run in the train->test direction). Output: the released
     assignment (doc_id, source, split). Composes three oracle-gated
-    operators; the driver hash gates the whole pipeline."""
+    operators; the driver hash gates the whole pipeline.
+
+    ``min_stopwords=1`` is pinned on BOTH engines: the synthetic fixture
+    corpus carries at most ONE of the 8 English Gopher stop words per
+    doc, so the paper default of 2 keeps zero documents at every fixture
+    scale and the gate would prove only that both engines emit an empty
+    table (round-10 verdict). With 1, ~180 of 500 docs survive at sf0.01
+    and every downstream stage processes real rows."""
     from .operators import text_analysis
     from .operators.contamination import contamination_report
     from .operators.sampling import grouped_split
 
     docs = dedup.ensure_parallelism(_t(spark, sf_dir, "documents"))
-    kept = (text_analysis.gopher_quality_flags(docs)
+    kept = (text_analysis.gopher_quality_flags(docs, min_stopwords=1)
             .where(F.col("keep")).select("doc_id"))
     base = docs.join(kept, "doc_id", "left_semi")
     split = grouped_split(

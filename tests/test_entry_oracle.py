@@ -55,6 +55,17 @@ def _normalize(rows, columns):
 # booleans (each engine checks its own sketch) instead of raw sketch values.
 NO_ORACLE: set[str] = set()
 
+# Queries allowed to return ZERO rows at the suite SF, each with a reason.
+# Everything else must emit >= 1 row — a 0 == 0 parity match proves only
+# that both engines produce an empty table (round-10 verdict found four
+# such vacuous gates; this screen keeps new ones out).
+EMPTY_OK: dict[str, str] = {
+    "q7_nation_volume": (
+        "nation-pair x shipdate-year filter leaves no qualifying lineitem "
+        "at sf0.001; the driver's sf0.01 run carries 4 rows (green r10)"
+    ),
+}
+
 
 def test_all_queries_have_oracles():
     missing = sorted(set(QUERIES) - set(ORACLES) - NO_ORACLE)
@@ -156,6 +167,12 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
+    if name not in EMPTY_OK:
+        assert spark_rows, (
+            f"{name}: 0 rows at {SF_DIR} — the parity gate is vacuous "
+            "(0 == 0 proves nothing). Make the query emit rows at the "
+            "suite SF or add an EMPTY_OK entry with a reason."
+        )
     key = sorted(cols)
     s_norm = _normalize(spark_rows, key)
     d_norm = _normalize(duck_rows, key)
