@@ -44,7 +44,7 @@ def _fake_files(snap_id: int, n: int) -> list[dict]:
             "file_path": f"data/fake-s{snap_id:05d}-{i:05d}.parquet",
             "record_count": 1000,
             "file_size_in_bytes": 1 << 20,
-            "partition": f"s{i % N_PARTS}",
+            "partition": {"source": f"s{i % N_PARTS}"},
             "bounds": {"doc_id": (lo, lo + 999)},
         })
     return out
@@ -59,7 +59,7 @@ def synthetic_append(table_dir: str, n_files: int) -> None:
     snap_id = meta["current-snapshot-id"] + 1
     files = _fake_files(snap_id, n_files)
     manifest = I._write_manifest(
-        table_dir, snap_id, files, "source", "string", ids, types)
+        table_dir, snap_id, files, I._resolve_spec(meta), ids, types)
     prior = I._current_manifests(table_dir, meta)
     mlist = I._write_manifest_list(table_dir, snap_id, prior + [manifest])
     now = int(time.time() * 1000)

@@ -681,9 +681,24 @@ BYTE_BPE_SYMBOLS: str = _gpt2_byte_symbols()
 #: as in GPT-2 — both engines are leftmost-first) are in; only the
 #: trailing-whitespace lookahead ``\s+(?!\S)`` is dropped (RE2 has no
 #: lookaround), so an inner whitespace run keeps ALL its spaces in one
-#: pre-token instead of donating the last one to the next word. Still a
-#: PARTITION of the input (every char is \s, \p{L}, \p{N}, or other), so
-#: losslessness is unaffected. SQL embedders must double the apostrophes
+#: pre-token instead of donating the last one to the next word.
+#:
+#: DECISION (round 11, permanent): the lookahead stays out. The
+#: partition property is what the engine's contracts rest on — every
+#: char is \s, \p{L}, \p{N}, or other, so the concatenation of
+#: pre-tokens is exactly the input and encode->decode losslessness
+#: (driver-gated in byte_bpe_roundtrip_docs) holds with or without the
+#: lookahead. What the lookahead changes is only WHERE a multi-space
+#: run splits, i.e. which merge statistics a trained vocabulary sees —
+#: a tokenization-quality preference of GPT-2's corpus, not a
+#: correctness property. Emulating it with a post-split step would add
+#: a second regex pass over every document on both engines to buy
+#: byte-identical GPT-2 token boundaries ONLY for multi-space runs,
+#: which the fixture and any cleaned pre-training corpus barely
+#: contain. Not worth a hot-path pass; revisit only if a consumer needs
+#: drop-in GPT-2 vocabulary compatibility.
+#:
+#: SQL embedders must double the apostrophes
 #: (see oracle/queries.py); backslashes stay verbatim (RE2 raw strings).
 BYTE_BPE_PRETOKEN_RE: str = (
     r"'s|'t|'re|'ve|'m|'ll|'d"

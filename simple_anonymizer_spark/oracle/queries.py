@@ -7100,3 +7100,25 @@ flagged AS (
 SELECT doc_id, source, split FROM split_docs
 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
 """
+
+# iceberg_transforms_orders: orders -> multi-field transformed Iceberg
+# spec (month x bucket[8]) -> transform-pruned read. The pruning is an
+# optimization the residual filter makes exact, so the oracle is the
+# plain filtered source table; timestamps cross the gate as epoch-micro
+# bigints per the house rule.
+ORACLES["iceberg_transforms_orders"] = """
+SELECT o_orderkey, o_custkey,
+  epoch_us(o_orderdate) AS o_orderdate_us,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-06-01' AND o_custkey = 14
+"""
+
+# iceberg_rename_docs: commit half -> rename n_chars -> len_chars
+# (metadata-only) -> append the rest under the new name -> v2 position
+# delete ON the renamed column -> name-mapping read. The oracle is the
+# aliased source under the negated predicate.
+ORACLES["iceberg_rename_docs"] = """
+SELECT doc_id, text, lang, source, n_chars AS len_chars
+FROM documents WHERE n_chars % 5 <> 1
+"""

@@ -4523,6 +4523,73 @@ def iceberg_migrate_docs(spark, sf_dir):
     return read_iceberg(spark, path)
 
 
+@query("iceberg_transforms_orders")
+def iceberg_transforms_orders(spark, sf_dir):
+    """Iceberg PARTITION TRANSFORMS driver-verifiable end-to-end
+    (sources/iceberg.py): orders is committed under a multi-field
+    transformed spec — ``month(o_orderdate)`` (the date-binned layout
+    every real 100 TB table uses) x ``bucket[8](o_custkey)`` (the
+    spec's Murmur3 hash) — in ONE partitionBy job, then read back
+    through transform-aware inclusive-projection pruning: the month
+    field prunes the date range and the bucket field prunes the customer
+    equality BEFORE any data IO, with the residual filter making the
+    result exact. The oracle is the plain filtered source table, so the
+    driver hash gates write-path transform values, metadata recording,
+    projection pruning, and the residual in one gate (14/11/3 rows at
+    sf0.001/0.01/0.1 — never empty)."""
+    import datetime
+    import tempfile
+
+    from .sources.iceberg import create_iceberg, read_iceberg
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    out = tempfile.mkdtemp(prefix="ice_tf_") + "/tbl"
+    create_iceberg(
+        orders, out,
+        partition_by=[("o_orderdate", "month"), ("o_custkey", "bucket[8]")])
+    got = read_iceberg(
+        spark, out,
+        predicates=[("o_orderdate", ">=", datetime.datetime(1996, 6, 1)),
+                    ("o_custkey", "=", 14)])
+    return got.select(
+        "o_orderkey", "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("o_orderdate_us"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+        .alias("total_price"),
+    )
+
+
+@query("iceberg_rename_docs")
+def iceberg_rename_docs(spark, sf_dir):
+    """Iceberg RENAME schema evolution driver-verifiable end-to-end
+    (sources/iceberg.py): half of documents is committed, ``n_chars`` is
+    renamed to ``len_chars`` in a metadata-only commit (field-id kept,
+    name-mapping recorded), the other half appends under the NEW name,
+    and a v2 position delete predicated ON the renamed column screens
+    both generations — so the read must resolve pre-rename files through
+    the name history (coalesce scan), apply the delete to both, and emit
+    the current schema. The oracle is the source table with the column
+    aliased and the delete predicate negated."""
+    import tempfile
+
+    from .sources.iceberg import (append_iceberg, create_iceberg,
+                                  delete_iceberg_rows, read_iceberg,
+                                  rename_iceberg_column)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ice_rn_") + "/tbl"
+    create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
+                   format_version=2)
+    rename_iceberg_column(out, "n_chars", "len_chars")
+    append_iceberg(
+        docs.where(F.col("doc_id") % 2 != 0)
+            .withColumnRenamed("n_chars", "len_chars"), out)
+    delete_iceberg_rows(spark, out, "len_chars % 5 = 1")
+    return read_iceberg(spark, out)
+
+
 def _collision_urls(spark, sf_dir):
     """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
     the volatile parts (tracking params, fragment) key on doc_id — so

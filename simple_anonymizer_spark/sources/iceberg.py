@@ -60,20 +60,26 @@ container — the honest claim is round-trip + independent-decoder
 verification (tests/test_iceberg.py).
 
 Deliberate scope bounds: delete-file paths manifest-relative like every
-other path this tier writes, upserts as two commits (single-commit
-delta writes are a real-runtime feature), and a single identity
-partition column. An
-EMPTY-STRING string partition value collapses to null on write — the
-Hive directory layout cannot distinguish them (Spark routes both to the
-default-partition directory), the classic Hive-metastore semantics.
+other path this tier writes, and upserts as two commits (single-commit
+delta writes are a real-runtime feature). Partition specs support
+multiple fields and the spec's transforms — identity, ``bucket[N]``
+(int/long sources via the spec's Murmur3 hash; string/decimal/date
+bucketing remains out of scope), ``truncate[W]`` (int/long/string),
+``year``/``month``/``day``/``hour`` — with transform-aware inclusive
+projection pruning at plan time. An EMPTY-STRING string partition value
+collapses to null on write — the Hive directory layout cannot
+distinguish them (Spark routes both to the default-partition
+directory), the classic Hive-metastore semantics.
 """
 
 from __future__ import annotations
 
+import datetime
 import glob
 import io
 import json
 import os
+import re
 import shutil
 import struct
 import time
@@ -92,6 +98,16 @@ _BLOCK_SIZE = 67108864  # deprecated-but-required v1 field
 #: record_counts, no data IO) the delete set is broadcast; above it the
 #: anti-join shuffles both sides.
 _DELETE_BROADCAST_ROWS = 10_000_000
+
+#: Metadata-driven planning strategy: above this many live data files
+#: (estimated from the manifest list's ``added_data_files_count``
+#: sums — no manifest is opened to decide) ``iceberg_plan_files`` /
+#: ``read_iceberg`` decode manifests in EXECUTORS instead of the driver
+#: loop. Measured (SCALE.md round 10): the driver walk is ~2 s at 100k
+#: files and O(files) beyond; the distributed walk is flat ~0.7 s across
+#: the decade — the crossover sits safely below this threshold, and
+#: below it the driver loop avoids a Spark job entirely.
+_DISTRIBUTED_PLAN_FILES = 100_000
 
 _SPARK_TO_ICE = {
     "long": "long", "integer": "int", "string": "string",
@@ -226,17 +242,77 @@ def _kv_bounds_field(name: str, fid: int, key_id: int, val_id: int) -> dict:
                     ]}}]}
 
 
-def _manifest_schema(
-    partition_by: str | None, ptype: str, format_version: int = 1
-) -> dict:
+def _normalize_partition_spec(partition_by, df: DataFrame,
+                              ids: dict[str, int]) -> list[dict]:
+    """User-facing ``partition_by`` -> resolved spec fields. Accepts
+    None, a bare column name (identity — the historical form), or a list
+    whose entries are a column name or a ``(column, transform)`` pair:
+    ``[("o_orderdate", "day"), ("o_custkey", "bucket[8]")]``. Validation
+    (unknown column, unsupported transform/source-type pairing) happens
+    HERE, before any directory exists."""
+    if partition_by is None:
+        return []
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    stypes = {}
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        stypes[f.name] = _SPARK_TO_ICE.get(t, t)
+    fields, seen = [], set()
+    for i, entry in enumerate(partition_by):
+        col, tstr = (entry, "identity") if isinstance(entry, str) else entry
+        if col not in ids:
+            raise IcebergError(f"unknown partition column {col!r}")
+        kind, param = _parse_transform(tstr)
+        ptype = _transform_result_type(kind, stypes[col])
+        name = _partition_field_name(col, kind)
+        if name in seen:
+            raise IcebergError(f"duplicate partition field {name!r}")
+        seen.add(name)
+        fields.append({
+            "name": name, "transform": tstr, "source-id": ids[col],
+            "field-id": 1000 + i,
+            # runtime-resolved extras (not persisted to metadata):
+            "source": col, "kind": kind, "param": param,
+            "stype": stypes[col], "ptype": ptype,
+        })
+    return fields
+
+
+def _resolve_spec(meta: dict) -> list[dict]:
+    """The table's default partition spec with runtime-resolved source
+    column names/types and transform kinds — re-derived from the
+    persisted spec-standard keys (name/transform/source-id/field-id), so
+    the metadata stores nothing beyond what the spec defines."""
+    by_id = {f["id"]: f for f in _schema_fields(meta)}
+    spec_id = meta.get("default-spec-id", 0)
+    for s in meta.get("partition-specs", []):
+        if s.get("spec-id") == spec_id:
+            raw = s["fields"]
+            break
+    else:
+        raw = []
+    out = []
+    for pf in raw:
+        src = by_id[pf["source-id"]]
+        kind, param = _parse_transform(pf["transform"])
+        out.append({
+            **pf, "source": src["name"], "kind": kind, "param": param,
+            "stype": src["type"],
+            "ptype": _transform_result_type(kind, src["type"]),
+        })
+    return out
+
+
+def _manifest_schema(spec: list[dict], format_version: int = 1) -> dict:
     pfields = []
-    if partition_by is not None:
-        avro_t = _PARTITION_AVRO.get(ptype)
+    for i, f in enumerate(spec):
+        avro_t = _PARTITION_AVRO.get(f["ptype"])
         if avro_t is None:
             raise IcebergError(
-                f"unsupported identity partition type {ptype!r}")
-        pfields.append({"name": partition_by, "type": ["null", avro_t],
-                        "field-id": 1000})
+                f"unsupported partition value type {f['ptype']!r}")
+        pfields.append({"name": f["name"], "type": ["null", avro_t],
+                        "field-id": 1000 + i})
     dfields = [
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
@@ -291,7 +367,7 @@ def _manifest_list_schema(format_version: int = 1) -> dict:
 
 def _parse_partition_dirname(dirname: str, ptype: str):
     """Recover the typed partition value from a Hive-style staging
-    directory name (``__sa_ice_part=<escaped-value>``)."""
+    directory name (``__sa_ice_part0=<escaped-value>``)."""
     raw = dirname.split("=", 1)[1]
     s = urllib.parse.unquote(raw)
     if s == _HIVE_NULL:
@@ -304,7 +380,277 @@ def _parse_partition_dirname(dirname: str, ptype: str):
         return float(s)
     if ptype == "boolean":
         return s == "true"
-    raise IcebergError(f"unsupported identity partition type {ptype!r}")
+    raise IcebergError(f"unsupported partition value type {ptype!r}")
+
+
+# ---------------------------------------------------------------------------
+# Partition transforms (spec v1/v2 "Partition Transforms" section).
+#
+# Supported: identity; bucket[N] on int/long sources (the spec's
+# Murmur3-of-little-endian-long hash — Appendix B; string/decimal/date
+# bucketing is a documented scope bound); truncate[W] on int/long
+# (floor-to-multiple) and string (first W chars); year/month/day on
+# date/timestamp/timestamptz and hour on timestamps. Each transform has
+# THREE aligned implementations that must stay in lockstep: the Spark
+# column (write path), the Python value (predicate projection for
+# pruning), and the result type. Time transforms on timestamptz bin in
+# UTC per the spec; on timestamp (ntz) they bin the wall clock with no
+# timezone anywhere in the pipeline.
+# ---------------------------------------------------------------------------
+
+_TIME_TRANSFORMS = ("year", "month", "day", "hour")
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_DAY_MICROS = 86_400_000_000
+_HOUR_MICROS = 3_600_000_000
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    """``"bucket[16]"`` -> ``("bucket", 16)``; bare names pass through."""
+    m = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        n = int(m.group(1))
+        if n < 1:
+            raise IcebergError(f"bucket count must be >= 1: {t!r}")
+        return "bucket", n
+    m = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if m:
+        w = int(m.group(1))
+        if w < 1:
+            raise IcebergError(f"truncate width must be >= 1: {t!r}")
+        return "truncate", w
+    if t == "identity" or t in _TIME_TRANSFORMS:
+        return t, None
+    raise IcebergError(f"unsupported partition transform {t!r}")
+
+
+def _transform_result_type(kind: str, stype: str) -> str:
+    """Iceberg type of the PARTITION VALUE a transform emits, validating
+    the source type. Raised errors happen at create time, before any
+    directory exists."""
+    if kind == "identity":
+        if stype not in _PARTITION_AVRO:
+            raise IcebergError(
+                f"unsupported identity partition type {stype!r}")
+        return stype
+    if kind == "bucket":
+        if stype not in ("int", "long"):
+            raise IcebergError(
+                f"bucket[N] supports int/long source columns, got "
+                f"{stype!r} (string/date/decimal bucketing is a "
+                "documented scope bound)")
+        return "int"
+    if kind == "truncate":
+        if stype not in ("int", "long", "string"):
+            raise IcebergError(
+                f"truncate[W] supports int/long/string sources, got "
+                f"{stype!r}")
+        return stype
+    if kind in _TIME_TRANSFORMS:
+        if stype == "date":
+            if kind == "hour":
+                raise IcebergError(
+                    "hour transform needs a timestamp source, got date")
+            return "int"
+        if stype in ("timestamp", "timestamptz"):
+            return "int"
+        raise IcebergError(
+            f"{kind} transform needs a date/timestamp source, got "
+            f"{stype!r}")
+    raise IcebergError(f"unsupported partition transform {kind!r}")
+
+
+def _partition_field_name(source: str, kind: str) -> str:
+    """Spec-conventional partition field names: identity keeps the
+    column name; transforms suffix it (``o_orderdate_day``,
+    ``doc_id_bucket``, ``text_trunc``)."""
+    if kind == "identity":
+        return source
+    return f"{source}_{'trunc' if kind == 'truncate' else kind}"
+
+
+def _murmur3_32_long(v: int) -> int:
+    """32-bit Murmur3 (x86) of the value's 8-byte little-endian form,
+    seed 0 — the spec's bucket hash for int AND long sources (Appendix
+    B: ints hash as longs, so buckets survive an int->long type
+    promotion). Returns the UNSIGNED 32-bit result; bucket() masks to 31
+    bits so the sign convention never matters."""
+    M = 0xFFFFFFFF
+    v &= 0xFFFFFFFFFFFFFFFF
+    h = 0
+    for k in (v & M, (v >> 32) & M):
+        k = (k * 0xCC9E2D51) & M
+        k = ((k << 15) | (k >> 17)) & M
+        k = (k * 0x1B873593) & M
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & M
+        h = (h * 5 + 0xE6546B64) & M
+    h ^= 8  # total byte length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(v: int, n: int) -> int:
+    return (_murmur3_32_long(v) & 0x7FFFFFFF) % n
+
+
+_M32 = 0xFFFFFFFF
+
+
+def _mul32_col(c, const: int):
+    """``(c * const) mod 2**32`` without 64-bit overflow (ANSI-safe):
+    split ``c`` (< 2**32, held in a long) into 16-bit halves — each
+    partial product stays under 2**49, and only the low 16 bits of the
+    high half contribute below bit 32."""
+    lo = c.bitwiseAND(F.lit(0xFFFF)) * F.lit(const)
+    hi = (F.shiftright(c, 16).bitwiseAND(F.lit(0xFFFF)) * F.lit(const)
+          ).bitwiseAND(F.lit(0xFFFF))
+    return (lo + F.shiftleft(hi, 16)).bitwiseAND(F.lit(_M32))
+
+
+def _rotl32_col(c, r: int):
+    # bitwiseOR, not `|` — PySpark's `|` on columns is the LOGICAL or
+    return F.shiftleft(c, r).bitwiseAND(F.lit(_M32)).bitwiseOR(
+        F.shiftright(c, 32 - r))
+
+
+def _murmur3_32_long_col(c):
+    """Column mirror of ``_murmur3_32_long`` — pure 64-bit-safe integer
+    column algebra (whole-stage codegen, no UDF). Input is cast to long;
+    output is the unsigned 32-bit hash held in a long."""
+    v = c.cast("long")
+    blocks = (v.bitwiseAND(F.lit(_M32)),
+              F.shiftright(v, 32).bitwiseAND(F.lit(_M32)))
+    h = F.lit(0).cast("long")
+    for blk in blocks:
+        k = _mul32_col(blk, 0xCC9E2D51)
+        k = _rotl32_col(k, 15)
+        k = _mul32_col(k, 0x1B873593)
+        h = h.bitwiseXOR(k)
+        h = _rotl32_col(h, 13)
+        h = (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
+    h = h.bitwiseXOR(F.lit(8))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mul32_col(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mul32_col(h, 0xC2B2AE35)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    return h
+
+
+def _floordiv_col(c, unit: int):
+    """Exact floor division of a long column: subtract the positive
+    remainder, then divide. The double division is exact — both operands
+    are exactly representable (< 2**53) and the quotient is an integer."""
+    return ((c - F.pmod(c, F.lit(unit))) / F.lit(unit)).cast("long")
+
+
+def _transform_col(kind: str, param: int | None, source: str, stype: str):
+    """The Spark column computing a partition value from its source
+    column — the write path's throwaway ``partitionBy`` key. NULL
+    sources propagate to NULL partition values through every branch."""
+    c = F.col(source)
+    if kind == "identity":
+        return c
+    if kind == "bucket":
+        return (_murmur3_32_long_col(c).bitwiseAND(F.lit(0x7FFFFFFF))
+                % F.lit(param)).cast("int")
+    if kind == "truncate":
+        if stype == "string":
+            return F.substring(c, 1, param)
+        out = c - F.pmod(c, F.lit(param))
+        return out.cast("int" if stype == "int" else "long")
+    # time transforms -> int
+    if stype == "date":
+        d = c
+    elif stype == "timestamp":  # ntz: wall clock, no timezone anywhere
+        if kind == "hour":
+            days = F.datediff(F.to_date(c), F.lit("1970-01-01"))
+            return (days * 24 + F.hour(c)).cast("int")
+        d = F.to_date(c)
+    else:  # timestamptz: UTC micros per the spec
+        micros = F.unix_micros(c)
+        if kind == "hour":
+            return _floordiv_col(micros, _HOUR_MICROS).cast("int")
+        days = _floordiv_col(micros, _DAY_MICROS)
+        if kind == "day":
+            return days.cast("int")
+        d = F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int"))
+    if kind == "day":
+        return F.datediff(d, F.lit("1970-01-01")).cast("int")
+    if kind == "month":
+        return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+    if kind == "year":
+        return (F.year(d) - 1970).cast("int")
+    raise IcebergError(f"unsupported partition transform {kind!r}")
+
+
+def _as_datetime(v, stype: str):
+    """Coerce a predicate literal to the datetime/date a time transform
+    needs: datetime/date objects pass through, ISO strings parse.
+    timestamptz: naive inputs are treated as UTC, aware inputs are
+    converted to UTC (the spec bins in UTC)."""
+    if isinstance(v, str):
+        v = (datetime.date.fromisoformat(v) if stype == "date"
+             else datetime.datetime.fromisoformat(v))
+    if stype == "date":
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        return v
+    if not isinstance(v, datetime.datetime):
+        raise IcebergError(
+            f"cannot project a {type(v).__name__} literal through a "
+            f"time transform on a {stype} column")
+    if stype == "timestamptz":
+        if v.tzinfo is None:
+            return v.replace(tzinfo=datetime.timezone.utc)
+        return v.astimezone(datetime.timezone.utc)
+    return v.replace(tzinfo=None) if v.tzinfo else v
+
+
+def _transform_value(kind: str, param: int | None, v, stype: str):
+    """Python mirror of ``_transform_col`` for driver-side predicate
+    projection. Returns None when the literal can't be projected (the
+    caller keeps the file — pruning stays sound)."""
+    if v is None:
+        return None
+    if kind == "identity":
+        return v
+    if kind == "bucket":
+        return _bucket_of(int(v), param)
+    if kind == "truncate":
+        if stype == "string":
+            return v[:param]
+        return v - (v % param)  # Python % is a floor mod
+    try:
+        t = _as_datetime(v, stype)
+    except (ValueError, IcebergError):
+        return None
+    if stype == "date":
+        days = (t - _EPOCH_DATE).days
+        d = t
+    elif stype == "timestamptz":
+        td = t - _EPOCH_UTC
+        days = td.days
+        if kind == "hour":
+            return days * 24 + td.seconds // 3600
+        d = (_EPOCH_DATE + datetime.timedelta(days=days))
+    else:  # ntz wall clock
+        days = (t.date() - _EPOCH_DATE).days
+        if kind == "hour":
+            return days * 24 + t.hour
+        d = t.date()
+    if kind == "day":
+        return days
+    if kind == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if kind == "year":
+        return d.year - 1970
+    return None
 
 
 def _file_bounds(md, bound_types: dict[str, str]) -> dict[str, tuple]:
@@ -341,36 +687,48 @@ def _file_bounds(md, bound_types: dict[str, str]) -> dict[str, tuple]:
 
 
 def _write_data_files(
-    df: DataFrame, table_dir: str, tag: str, partition_by: str | None,
-    ptype: str, bound_types: dict[str, str],
+    df: DataFrame, table_dir: str, tag: str, spec: list[dict],
+    bound_types: dict[str, str],
 ) -> list[dict]:
     """Write parquet data files in ONE Spark job and return one dict per
     file: file_path (relative), record_count, file_size_in_bytes,
-    partition value, per-column (min, max) bounds. Identity partitioning
-    goes through ``partitionBy`` on a throwaway duplicate column
-    (``_PART_TMP``) so the real column stays inside the data files; the
-    partition value is recovered from the Hive-style staging directory
-    name and the stats from the parquet footers — no per-value
-    ``.where`` re-scan of the input, however many partition values there
-    are. (Callers who want one-file-per-partition layout can
-    ``df.repartition(partition_col)`` first; we do not force it — that
-    would serialize large partitions onto single tasks.)"""
+    partition values (dict keyed by partition field name), per-column
+    (min, max) bounds. Partitioning goes through ``partitionBy`` on
+    throwaway TRANSFORMED columns (``__sa_ice_part0..k`` — identity is
+    just the trivial transform) so every real column stays inside the
+    data files; partition values are recovered from the Hive-style
+    staging directory names and the stats from the parquet footers — no
+    per-value ``.where`` re-scan of the input, however many partition
+    tuples there are. (Callers who want one-file-per-partition layout
+    can ``df.repartition(...)`` first; we do not force it — that would
+    serialize large partitions onto single tasks.)"""
     import pyarrow.parquet as pq
 
     os.makedirs(_data_dir(table_dir), exist_ok=True)
     staging = os.path.join(table_dir, f"_staging-{tag}")
     found: list[tuple[object, str]] = []
-    if partition_by is None:
+    if not spec:
         df.write.mode("overwrite").parquet(staging)
         found = [(None, p) for p in
                  sorted(glob.glob(os.path.join(staging, "part-*.parquet")))]
     else:
-        (df.withColumn(_PART_TMP, F.col(partition_by))
-           .write.mode("overwrite").partitionBy(_PART_TMP).parquet(staging))
-        for d in sorted(glob.glob(os.path.join(staging, f"{_PART_TMP}=*"))):
-            pval = _parse_partition_dirname(os.path.basename(d), ptype)
-            for p in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
-                found.append((pval, p))
+        tmp_cols = [f"{_PART_TMP}{i}" for i in range(len(spec))]
+        out = df
+        for tc, f in zip(tmp_cols, spec):
+            out = out.withColumn(
+                tc, _transform_col(f["kind"], f["param"], f["source"],
+                                   f["stype"]))
+        (out.write.mode("overwrite").partitionBy(*tmp_cols)
+            .parquet(staging))
+        pattern = os.path.join(
+            staging, *[f"{tc}=*" for tc in tmp_cols], "part-*.parquet")
+        for p in sorted(glob.glob(pattern)):
+            segs = os.path.relpath(p, staging).split(os.sep)[:-1]
+            pvals = {
+                f["name"]: _parse_partition_dirname(seg, f["ptype"])
+                for seg, f in zip(segs, spec)
+            }
+            found.append((pvals, p))
     files: list[dict] = []
     for seq, (pval, src) in enumerate(found):
         name = f"{tag}-{seq:05d}.parquet"
@@ -390,12 +748,12 @@ def _write_data_files(
 
 def _write_manifest(
     table_dir: str, snapshot_id: int, files: list[dict],
-    partition_by: str | None, ptype: str,
+    spec: list[dict],
     ids: dict[str, int], types: dict[str, str],
     format_version: int = 1, content: int = 0,
     sequence_number: int = 0,
 ) -> dict:
-    schema = _manifest_schema(partition_by, ptype, format_version)
+    schema = _manifest_schema(spec, format_version)
     # uuid suffix per the spec's writers: two racing commits must never
     # share a manifest filename (the metadata.json O_EXCL check decides
     # the winner; the loser's orphan Avro files are harmless).
@@ -403,8 +761,8 @@ def _write_manifest(
     path = os.path.join(_meta_dir(table_dir), name)
     rows = []
     for f in files:
-        part = ({} if partition_by is None
-                else {partition_by: f.get("partition")})
+        fpart = f.get("partition") or {}
+        part = {pf["name"]: fpart.get(pf["name"]) for pf in spec}
         lower = [{"key": ids[c], "value": _bound_bytes(types[c], lo)}
                  for c, (lo, _) in sorted(f["bounds"].items())]
         upper = [{"key": ids[c], "value": _bound_bytes(types[c], hi)}
@@ -527,9 +885,7 @@ def _new_snapshot(
     prior_manifests: list[dict],
 ) -> dict:
     fv = meta["format-version"]
-    pspec = meta["partition-specs"][0]["fields"]
-    partition_by = pspec[0]["name"] if pspec else None
-    ptype = meta.get("_sa-partition-type", "string")
+    spec = _resolve_spec(meta)
     names = [f["name"] for f in _schema_fields(meta)]
     if sorted(df.columns) != sorted(names):
         raise IcebergError(
@@ -543,9 +899,9 @@ def _new_snapshot(
     snap_id = meta["current-snapshot-id"] + 1
     seq = meta.get("last-sequence-number", 0) + 1
     files = _write_data_files(
-        df, table_dir, f"s{snap_id:05d}", partition_by, ptype, bound_types)
+        df, table_dir, f"s{snap_id:05d}", spec, bound_types)
     manifest = _write_manifest(
-        table_dir, snap_id, files, partition_by, ptype, ids, types,
+        table_dir, snap_id, files, spec, ids, types,
         format_version=fv, content=0, sequence_number=seq)
     return _publish_snapshot(
         table_dir, meta, operation, prior_manifests + [manifest],
@@ -553,33 +909,35 @@ def _new_snapshot(
 
 
 def create_iceberg(
-    df: DataFrame, table_dir: str, partition_by: str | None = None,
+    df: DataFrame, table_dir: str, partition_by=None,
     format_version: int = 1,
 ) -> int:
     """Create a new Iceberg table from ``df``; returns the snapshot id.
-    ``partition_by`` records identity partition values on every manifest
-    row (the pruning key). ``format_version=2`` enables sequence-number
+
+    ``partition_by`` records partition values on every manifest row (the
+    pruning key): a bare column name partitions by identity; a list of
+    names and/or ``(column, transform)`` pairs builds a multi-field
+    transformed spec per the Iceberg spec's partition-transform table,
+    e.g. ``[("o_orderdate", "day"), ("o_custkey", "bucket[8]")]``.
+    Supported transforms: ``identity``, ``bucket[N]`` (int/long sources,
+    the spec's Murmur3 hash), ``truncate[W]`` (int/long/string),
+    ``year``/``month``/``day`` (date/timestamp sources) and ``hour``
+    (timestamp sources). ``format_version=2`` enables sequence-number
     tracking and row-level position deletes (``delete_iceberg_rows``)."""
     if format_version not in _FORMAT_VERSIONS:
         raise IcebergError(f"unsupported format-version {format_version}")
     if os.path.exists(_meta_dir(table_dir)):
         raise IcebergError(f"table already exists at {table_dir}")
     schema, ids = _ice_schema(df)
-    ptype = "string"
-    if partition_by is not None:
-        if partition_by not in ids:
-            raise IcebergError(f"unknown partition column {partition_by!r}")
-        ptype = dict(
-            (f.name, f.dataType.typeName()) for f in df.schema.fields
-        )[partition_by]
-        ptype = {"long": "long", "integer": "int"}.get(ptype, ptype)
-        # validate BEFORE any directory or data file exists: an
-        # unsupported type must not leave a half-built table behind.
-        _manifest_schema(partition_by, ptype)
-    spec_fields = [] if partition_by is None else [{
-        "name": partition_by, "transform": "identity",
-        "source-id": ids[partition_by], "field-id": 1000,
-    }]
+    # validate BEFORE any directory or data file exists: an unsupported
+    # type/transform must not leave a half-built table behind.
+    resolved = _normalize_partition_spec(partition_by, df, ids)
+    _manifest_schema(resolved)
+    spec_fields = [
+        {"name": f["name"], "transform": f["transform"],
+         "source-id": f["source-id"], "field-id": f["field-id"]}
+        for f in resolved
+    ]
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     meta = {
         "format-version": format_version,
@@ -592,7 +950,6 @@ def create_iceberg(
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "_sa-partition-type": ptype,
         "current-snapshot-id": 0,
         "snapshots": [], "snapshot-log": [],
     }
@@ -671,14 +1028,13 @@ def migrate_delta_to_iceberg(
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
-        "_sa-partition-type": "string",
         "current-snapshot-id": 0,
         "snapshots": [], "snapshot-log": [],
     }
     if format_version >= 2:
         meta["last-sequence-number"] = 0
     manifest = _write_manifest(
-        table_path, 1, files, None, "string", ids, types,
+        table_path, 1, files, [], ids, types,
         format_version=format_version, content=0, sequence_number=1)
     new_meta = _publish_snapshot(
         table_path, meta, "append", [manifest], 1, 1)
@@ -706,6 +1062,13 @@ def migrate_iceberg_to_delta(table_path: str) -> int:
         raise IcebergError(
             "outstanding v2 delete debt: run rewrite_iceberg_files "
             "(compaction) first, then migrate")
+    if _files_need_mapping(meta, meta["schema"],
+                           _live_files(table_path, snap)):
+        raise IcebergError(
+            "renamed columns outstanding: Delta resolves columns by "
+            "physical name and pre-rename files still store the old "
+            "one — run rewrite_iceberg_files (compaction bakes the "
+            "current names into the data), then migrate")
     log = PyDeltaLog(table_path)
     if log.latest_version() >= 0:
         raise IcebergError(f"{table_path} already has a Delta log")
@@ -821,17 +1184,16 @@ def delete_iceberg_rows(
     files = _live_files(table_dir, snap)
     if not files:
         return meta["current-snapshot-id"]
-    prefix = _delete_path_prefix(table_dir)
     paths = [os.path.join(table_dir, f["file_path"]) for f in files]
-    # explicit current schema: pre-evolution files lack added columns
-    # and must read null-filled so the predicate can reference them
+    # name-mapping scan: pre-evolution files lack added columns (null-
+    # filled) and pre-RENAME files store old physical names (coalesced),
+    # so the predicate always references the current schema
     hits = (
-        spark.read.schema(_spark_struct(meta["schema"])).parquet(*paths)
+        _mapped_scan(spark, table_dir, meta, meta["schema"], paths)
         .where(F.expr(predicate))
         .select(
-            F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")
-            .alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col("__sa_fp").alias("file_path"),
+            F.col("__sa_pos").alias("pos"),
         ))
     prior, _n = _position_deletes_df(spark, table_dir, snap)
     if prior is not None:
@@ -852,9 +1214,7 @@ def delete_iceberg_rows(
     if md.num_rows == 0:
         os.remove(dst)
         return meta["current-snapshot-id"]
-    pspec = meta["partition-specs"][0]["fields"]
-    partition_by = pspec[0]["name"] if pspec else None
-    ptype = meta.get("_sa-partition-type", "string")
+    spec = _resolve_spec(meta)
     ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
     types = {f["name"]: f["type"] for f in _schema_fields(meta)}
     manifest = _write_manifest(
@@ -863,7 +1223,7 @@ def delete_iceberg_rows(
           "record_count": md.num_rows,
           "file_size_in_bytes": os.path.getsize(dst),
           "partition": None, "bounds": {}}],
-        partition_by, ptype, ids, types,
+        spec, ids, types,
         format_version=2, content=1, sequence_number=seq)
     prior_manifests = _current_manifests(table_dir, meta)
     new_meta = _publish_snapshot(
@@ -911,9 +1271,7 @@ def delete_iceberg_keys(
     if md.num_rows == 0:
         os.remove(dst)
         return meta["current-snapshot-id"]
-    pspec = meta["partition-specs"][0]["fields"]
-    partition_by = pspec[0]["name"] if pspec else None
-    ptype = meta.get("_sa-partition-type", "string")
+    spec = _resolve_spec(meta)
     types = {f["name"]: f["type"] for f in _schema_fields(meta)}
     manifest = _write_manifest(
         table_dir, snap_id,
@@ -922,7 +1280,7 @@ def delete_iceberg_keys(
           "file_size_in_bytes": os.path.getsize(dst),
           "partition": None, "bounds": {},
           "equality_ids": [ids[c] for c in keys_df.columns]}],
-        partition_by, ptype, ids, types,
+        spec, ids, types,
         format_version=2, content=2, sequence_number=seq)
     prior_manifests = _current_manifests(table_dir, meta)
     new_meta = _publish_snapshot(
@@ -1015,6 +1373,56 @@ def _survives_bounds(
     return True
 
 
+def _survives_partition(
+    data_file: dict, predicates: list[tuple], spec: list[dict],
+) -> bool:
+    """Transform-aware partition pruning: project each predicate on a
+    SOURCE column through the partition transforms that consume it (the
+    spec's inclusive projection) and compare against the file's recorded
+    partition value. Monotonic transforms (identity, truncate,
+    year/month/day/hour) project ranges; bucket projects equality only.
+    Missing/null partition values and unprojectable literals keep the
+    file — pruning must only ever be an optimization (the residual
+    filter re-applies the exact predicate row-level)."""
+    part = data_file.get("partition") or {}
+    for colname, op, v in predicates:
+        if v is None:
+            continue
+        for f in spec:
+            if f["source"] != colname:
+                continue
+            pv = part.get(f["name"])
+            if pv is None:
+                continue
+            if f["kind"] == "bucket":
+                if op in ("=", "=="):
+                    try:
+                        if pv != _transform_value(
+                                "bucket", f["param"], v, f["stype"]):
+                            return False
+                    except (TypeError, ValueError):
+                        continue
+                continue
+            if f["kind"] == "identity":
+                # every row in the file carries exactly pv
+                keep = {"<": pv < v, "<=": pv <= v, ">": pv > v,
+                        ">=": pv >= v, "=": pv == v, "==": pv == v,
+                        "!=": True}[op]
+                if not keep:
+                    return False
+                continue
+            tv = _transform_value(f["kind"], f["param"], v, f["stype"])
+            if tv is None:
+                continue
+            if op in ("=", "==") and pv != tv:
+                return False
+            if op in (">", ">=") and pv < tv:
+                return False
+            if op in ("<", "<=") and pv > tv:
+                return False
+    return True
+
+
 def _live_entries(
     table_dir: str, snapshot: dict, content: int,
     partition_filter: dict | None = None,
@@ -1055,18 +1463,94 @@ def _live_delete_files(table_dir: str, snapshot: dict) -> list[dict]:
     return _live_entries(table_dir, snapshot, 1)
 
 
+def _plan_files_distributed(
+    spark: SparkSession, table_dir: str, meta: dict, snap: dict,
+    partition_filter: dict | None, predicates: list[tuple] | None,
+) -> list[dict]:
+    """The manifest-decode stage of ``iceberg_plan_files`` run in
+    EXECUTORS — one task per manifest batch, partition/bounds/transform
+    pruning applied WHERE the manifest rows are decoded so only the
+    surviving (usually tiny) file list crosses back to the driver. Same
+    entries as the driver walk minus the bounds payloads, which pruning
+    has already consumed (``read_iceberg`` uses only file_path and
+    ``_seq`` downstream)."""
+    import pandas as pd
+
+    manifests = [m for m in
+                 _read_manifest_list(table_dir, snap["manifest-list"])
+                 if m.get("content", 0) == 0]
+    if not manifests:
+        return []
+    ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+    types = {f["name"]: f["type"] for f in _schema_fields(meta)}
+    spec = _resolve_spec(meta)
+    preds = list(predicates or [])
+    pfilter = dict(partition_filter or {})
+    rows = [(os.path.join(table_dir, m["manifest_path"]),
+             m.get("sequence_number", 0)) for m in manifests]
+    mdf = spark.createDataFrame(rows, "path string, seq long").repartition(
+        min(len(rows), spark.sparkContext.defaultParallelism))
+    cols = ["file_path", "record_count", "file_size_in_bytes", "_seq",
+            "partition", "snapshot_id"]
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for path, seq in zip(pdf["path"], pdf["seq"]):
+                with open(path, "rb") as fh:
+                    _, entries = read_container(fh.read())
+                for status, snap_id, data_file in entries:
+                    if status == 2:
+                        continue
+                    part = data_file["partition"]
+                    if pfilter and any(part.get(k) != v
+                                       for k, v in pfilter.items()):
+                        continue
+                    if preds and not _survives_bounds(
+                            data_file, preds, ids, types):
+                        continue
+                    if preds and spec and not _survives_partition(
+                            data_file, preds, spec):
+                        continue
+                    out.append((data_file["file_path"],
+                                data_file["record_count"],
+                                data_file["file_size_in_bytes"],
+                                int(seq),
+                                json.dumps(part, sort_keys=True),
+                                snap_id))
+            yield pd.DataFrame(out, columns=cols)
+
+    got = mdf.mapInPandas(
+        decode,
+        schema="file_path string, record_count long,"
+               " file_size_in_bytes long, _seq long, partition string,"
+               " snapshot_id long").collect()
+    return [{"file_path": r["file_path"],
+             "record_count": r["record_count"],
+             "file_size_in_bytes": r["file_size_in_bytes"],
+             "_seq": r["_seq"],
+             "partition": json.loads(r["partition"]),
+             "snapshot_id": r["snapshot_id"]} for r in got]
+
+
 def iceberg_plan_files(
     table_dir: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partition_filter: dict | None = None,
     predicates: list[tuple] | None = None,
+    spark: SparkSession | None = None,
 ) -> list[dict]:
     """The planning walk ``read_iceberg`` runs, exposed: resolve the
-    snapshot, walk manifest list -> manifests, prune by identity
-    partition AND per-file min/max bounds. Pure metadata — no parquet
-    file is ever opened. ``predicates`` is a list of
-    ``(column, op, value)`` with op in <, <=, >, >=, =, !=."""
+    snapshot, walk manifest list -> manifests, prune by partition values
+    (identity AND transformed, via inclusive projection) and per-file
+    min/max bounds. Pure metadata — no parquet file is ever opened.
+    ``predicates`` is a list of ``(column, op, value)`` with op in <,
+    <=, >, >=, =, !=. When ``spark`` is given and the manifest list's
+    ``added_data_files_count`` sums past ``_DISTRIBUTED_PLAN_FILES``
+    (metadata-known, like the delete-broadcast switch), the manifest
+    decode runs in executors instead of the driver loop — flat planning
+    time into the million-file regime."""
     meta = _load_metadata(table_dir)
     for colname, op, _v in predicates or []:
         if op not in _PRUNE_OPS:
@@ -1074,12 +1558,24 @@ def iceberg_plan_files(
         if colname not in {f["name"] for f in _schema_fields(meta)}:
             raise IcebergError(f"unknown predicate column {colname!r}")
     snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
+    if spark is not None:
+        est = sum(m.get("added_data_files_count", 0)
+                  for m in _read_manifest_list(
+                      table_dir, snap["manifest-list"])
+                  if m.get("content", 0) == 0)
+        if est > _DISTRIBUTED_PLAN_FILES:
+            return _plan_files_distributed(
+                spark, table_dir, meta, snap, partition_filter, predicates)
     files = _live_files(table_dir, snap, partition_filter)
     if predicates:
         ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
         types = {f["name"]: f["type"] for f in _schema_fields(meta)}
         files = [f for f in files
                  if _survives_bounds(f, predicates, ids, types)]
+        spec = _resolve_spec(meta)
+        if spec:
+            files = [f for f in files
+                     if _survives_partition(f, predicates, spec)]
     return files
 
 
@@ -1090,6 +1586,63 @@ def _residual_filter(df: DataFrame, predicates: list[tuple]) -> DataFrame:
                 "=": c == v, "==": c == v, "!=": c != v}[op]
         df = df.where(cond)
     return df
+
+
+def _files_need_mapping(meta: dict, struct: dict,
+                        files: list[dict]) -> bool:
+    """True when some live data file may physically store a column under
+    a name that differs from the target schema — i.e. it was added under
+    a snapshot whose schema names any shared field differently. Decided
+    from metadata the planner already holds (each entry's adding
+    snapshot -> its schema-id), zero extra IO; compaction rewrites every
+    live file under the current schema, so it flips this back to False
+    and restores the plain single-schema scan."""
+    cur = {f["id"]: f["name"] for f in struct["fields"]}
+    sid_of = {s["snapshot-id"]: s.get("schema-id", 0)
+              for s in meta.get("snapshots", [])}
+    structs = {s.get("schema-id", 0): s
+               for s in meta.get("schemas", [meta["schema"]])}
+    for schema_id in {sid_of.get(f.get("snapshot_id")) for f in files}:
+        st = structs.get(schema_id)
+        if st is None:
+            return True  # unknown provenance: resolve conservatively
+        names = {fl["id"]: fl["name"] for fl in st["fields"]}
+        if any(names.get(i) not in (None, n) for i, n in cur.items()):
+            return True
+    return False
+
+
+def _mapped_scan(
+    spark: SparkSession, table_dir: str, meta: dict, struct: dict,
+    paths: list[str],
+) -> DataFrame:
+    """One parquet scan of ``paths`` under the target schema with
+    NAME-MAPPING resolution: the scan schema is widened with every
+    field's historical aliases (typed like the field, nullable — at most
+    one is physically present per file, the rest null-fill) and each
+    current column is the coalesce over its name history. Exposes
+    ``__sa_fp``/``__sa_pos`` helper columns, derived from ``_metadata``
+    BEFORE the coalesce projection (file-source metadata does not
+    survive a select) — callers drop them when done."""
+    schema = _spark_struct(struct)
+    aliases = _historical_aliases(meta, struct)
+    by_id = {f["id"]: f for f in struct["fields"]}
+    scan_fields = list(schema.fields)
+    for fid, old_names in aliases.items():
+        t = _ICE_TO_SPARK_TYPE[by_id[fid]["type"]]()
+        scan_fields += [T.StructField(n, t, True) for n in old_names]
+    df = spark.read.schema(T.StructType(scan_fields)).parquet(*paths)
+    sel = []
+    for f in struct["fields"]:
+        olds = aliases[f["id"]]
+        c = (F.coalesce(F.col(f["name"]), *[F.col(n) for n in olds])
+             if olds else F.col(f["name"]))
+        sel.append(c.alias(f["name"]))
+    prefix = _delete_path_prefix(table_dir)
+    return (df.withColumn("__sa_fp", F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})"))
+              .withColumn("__sa_pos", F.col("_metadata.row_index"))
+              .select(*sel, "__sa_fp", "__sa_pos"))
 
 
 def read_iceberg(
@@ -1112,9 +1665,16 @@ def read_iceberg(
     On v2 tables with position deletes, deleted rows are filtered
     MERGE-ON-READ: an anti-join against the snapshot's delete files on
     (file path, ``_metadata.row_index``) — broadcast when the
-    metadata-known delete row count is small, shuffled otherwise."""
+    metadata-known delete row count is small, shuffled otherwise.
+
+    On RENAMED tables (``rename_iceberg_column``) the scan schema is
+    widened with each field's historical aliases and the current value
+    is their coalesce — files written before a rename store the column
+    under its old name, which the rename guard keeps unambiguous (the
+    spec's name-mapping resolution, in one scan)."""
     files = iceberg_plan_files(
-        table_dir, snapshot_id, as_of_ms, partition_filter, predicates)
+        table_dir, snapshot_id, as_of_ms, partition_filter, predicates,
+        spark=spark)
     meta = _load_metadata(table_dir)
     snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
     # current reads use the CURRENT table schema (an add-column is
@@ -1127,9 +1687,14 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_dir, f["file_path"]) for f in files]
-    df = spark.read.schema(schema).parquet(*paths)
+    if _files_need_mapping(meta, struct, files):
+        df = _mapped_scan(spark, table_dir, meta, struct, paths)
+    else:
+        df = spark.read.schema(schema).parquet(*paths)
     if meta["format-version"] >= 2:
         df = _apply_v2_deletes(spark, table_dir, meta, snap, df, files)
+    if "__sa_fp" in df.columns:
+        df = df.drop("__sa_fp", "__sa_pos")
     if predicates:
         df = _residual_filter(df, predicates)
     return df
@@ -1152,10 +1717,11 @@ def _apply_v2_deletes(
         return df
     prefix = _delete_path_prefix(table_dir)
     cols = df.columns
-    df = (
-        df.withColumn("__sa_fp", F.expr(
-            f"substring(_metadata.file_path, {len(prefix) + 1})"))
-        .withColumn("__sa_pos", F.col("_metadata.row_index")))
+    if "__sa_fp" not in df.columns:  # rename-aware reads pre-derive them
+        df = (
+            df.withColumn("__sa_fp", F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})"))
+            .withColumn("__sa_pos", F.col("_metadata.row_index")))
     if pos is not None:
         if n_pos <= _DELETE_BROADCAST_ROWS:
             pos = F.broadcast(pos)
@@ -1173,6 +1739,7 @@ def _apply_v2_deletes(
                       "left")
               .drop(seq_df["file_path"]))
         names = {f["id"]: f["name"] for f in _schema_fields(meta)}
+        aliases = _historical_aliases(meta, meta["schema"])
         groups: dict[tuple, list[dict]] = {}
         for e in eqs:
             groups.setdefault(tuple(sorted(e["equality_ids"])),
@@ -1181,9 +1748,18 @@ def _apply_v2_deletes(
             key_cols = [names[i] for i in id_tuple]
             dels = None
             for e in entries:
-                one = (spark.read.parquet(
-                        os.path.join(table_dir, e["file_path"]))
-                       .select(*key_cols)
+                one = spark.read.parquet(
+                    os.path.join(table_dir, e["file_path"]))
+                # a delete file committed BEFORE a rename stores its key
+                # columns under the then-current names — resolve through
+                # the same history the data scan uses
+                sel = []
+                for i in id_tuple:
+                    phys = names[i] if names[i] in one.columns else next(
+                        n for n in aliases.get(i, ())
+                        if n in one.columns)
+                    sel.append(F.col(phys).alias(names[i]))
+                one = (one.select(*sel)
                        .withColumn("__del_seq",
                                    F.lit(e.get("_seq", 0)).cast("long")))
                 dels = one if dels is None else dels.unionByName(one)
@@ -1197,6 +1773,131 @@ def _apply_v2_deletes(
     return df.select(*cols)
 
 
+def _all_schema_names(meta: dict) -> dict[str, set[int]]:
+    """Every column name that has EVER existed, mapped to the field-ids
+    it named across the table's schema history — the collision oracle
+    for rename/add guards (a name that once meant a different field
+    would make by-name file resolution ambiguous)."""
+    out: dict[str, set[int]] = {}
+    for s in meta.get("schemas", [meta["schema"]]):
+        for f in s["fields"]:
+            out.setdefault(f["name"], set()).add(f["id"])
+    return out
+
+
+def _historical_aliases(meta: dict, struct: dict) -> dict[int, list[str]]:
+    """For each field-id in the target read schema, the OTHER names the
+    field has carried across the schema history (name-mapping
+    resolution: files written before a rename store the field under its
+    then-current name, and carry no field-ids — the spec's
+    ``schema.name-mapping.default`` case). Empty lists when no rename
+    ever happened (the fast path)."""
+    current = {f["id"]: f["name"] for f in struct["fields"]}
+    out: dict[int, list[str]] = {fid: [] for fid in current}
+    for s in meta.get("schemas", [meta["schema"]]):
+        for f in s["fields"]:
+            fid = f["id"]
+            if fid in out and f["name"] != current[fid] \
+                    and f["name"] not in out[fid]:
+                out[fid].append(f["name"])
+    return out
+
+
+def _name_mapping(meta: dict) -> list[dict]:
+    """The spec's ``schema.name-mapping.default`` value: every name each
+    field-id has carried, so an external field-id-aware reader can
+    resolve this tier's id-less parquet files."""
+    names: dict[int, list[str]] = {}
+    for s in meta.get("schemas", [meta["schema"]]):
+        for f in s["fields"]:
+            ns = names.setdefault(f["id"], [])
+            if f["name"] not in ns:
+                ns.append(f["name"])
+    return [{"field-id": fid, "names": ns}
+            for fid, ns in sorted(names.items())]
+
+
+def _evolve_schema(meta: dict, new_fields: list[dict]) -> dict:
+    """Shared tail of every metadata-only schema commit: a new schema
+    struct (schema-id + 1) becomes current, history is appended, and the
+    name-mapping property is refreshed."""
+    new_schema = {
+        "type": "struct",
+        "schema-id": meta["current-schema-id"] + 1,
+        "fields": new_fields,
+    }
+    meta = dict(meta)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["schema"] = new_schema
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    props = dict(meta.get("properties", {}))
+    props["schema.name-mapping.default"] = json.dumps(
+        _name_mapping(meta), sort_keys=True)
+    meta["properties"] = props
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    return meta
+
+
+def rename_iceberg_column(table_dir: str, old: str, new: str) -> int:
+    """Schema evolution RENAME: the field keeps its field-id and gets a
+    new name in a metadata-only commit — no snapshot, no data file
+    touched. Files written before the rename still store the column
+    under the old name (this tier's parquet carries no field-ids), so
+    reads resolve it through the schema history — the spec's
+    name-mapping mechanism, recorded in ``schema.name-mapping.default``
+    for external readers too. Bounds, partition specs, and equality
+    deletes are all field-id-keyed, so pruning and merge-on-read survive
+    the rename untouched. The new name must never have named a DIFFERENT
+    field in any historical schema (by-name file resolution would turn
+    ambiguous). Returns the new schema-id."""
+    meta = _load_metadata(table_dir)
+    fields = _schema_fields(meta)
+    by_name = {f["name"]: f for f in fields}
+    if old not in by_name:
+        raise IcebergError(f"unknown column {old!r}")
+    if new in by_name:
+        raise IcebergError(f"column {new!r} already exists")
+    fid = by_name[old]["id"]
+    for name, fids in _all_schema_names(meta).items():
+        if name == new and fids != {fid}:
+            raise IcebergError(
+                f"{new!r} historically named field(s) {sorted(fids)} — "
+                "reusing it for a different field would make by-name "
+                "file resolution ambiguous")
+    version = _next_version(table_dir)
+    new_fields = [dict(f, name=new) if f["id"] == fid else f
+                  for f in fields]
+    meta = _evolve_schema(meta, new_fields)
+    _commit_metadata(table_dir, meta, version)
+    return meta["current-schema-id"]
+
+
+def drop_iceberg_column(table_dir: str, name: str) -> int:
+    """Schema evolution DROP: the field leaves the current schema in a
+    metadata-only commit — values stay in the data files (time travel to
+    older snapshots still reads them) but current reads project them
+    away and writers must stop supplying the column. Partition-spec
+    source columns cannot be dropped. The field-id is retired, never
+    reused — re-adding the same NAME is refused (``add_iceberg_column``
+    guard), so dropped values can never silently resurrect under a new
+    field. Returns the new schema-id."""
+    meta = _load_metadata(table_dir)
+    fields = _schema_fields(meta)
+    if name not in {f["name"] for f in fields}:
+        raise IcebergError(f"unknown column {name!r}")
+    if len(fields) == 1:
+        raise IcebergError("cannot drop the only column")
+    for pf in _resolve_spec(meta):
+        if pf["source"] == name:
+            raise IcebergError(
+                f"{name!r} is a partition-spec source column")
+    version = _next_version(table_dir)
+    meta = _evolve_schema(
+        meta, [f for f in fields if f["name"] != name])
+    _commit_metadata(table_dir, meta, version)
+    return meta["current-schema-id"]
+
+
 def add_iceberg_column(
     table_dir: str, name: str, ice_type: str,
 ) -> int:
@@ -1207,16 +1908,22 @@ def add_iceberg_column(
     and read back as null (the explicit-schema scan fills it); snapshots
     committed before the add keep their old schema-id, so time travel
     does not show the column retroactively. After the add, writers must
-    supply the column (``_new_snapshot`` validates). Renames/drops/type
-    promotion are out of scope — field-id-based column resolution inside
-    parquet files needs writer-side field-id metadata, a real-runtime
-    feature. Returns the new column's field-id."""
+    supply the column (``_new_snapshot`` validates). The name must never
+    have named ANOTHER field in the schema history (files store columns
+    by name, so a recycled name would resurrect old values under the new
+    field-id). Type promotion stays out of scope. Returns the new
+    column's field-id."""
     if ice_type not in _ICE_TO_SPARK_TYPE:
         raise IcebergError(f"unknown iceberg type {ice_type!r}")
     meta = _load_metadata(table_dir)
     fields = _schema_fields(meta)
     if name in {f["name"] for f in fields}:
         raise IcebergError(f"column {name!r} already exists")
+    if name in _all_schema_names(meta):
+        raise IcebergError(
+            f"{name!r} named a different field in a historical schema — "
+            "recycling it would resurrect old file values under the new "
+            "field-id")
     version = _next_version(table_dir)
     fid = meta["last-column-id"] + 1
     new_schema = {
@@ -1562,6 +2269,12 @@ try:  # pragma: no cover - import surface depends on pyspark build
                     "pyiceberg cannot apply equality deletes; use "
                     "read_iceberg (the native path)")
             files = _live_files(table_dir, snap)
+            if _files_need_mapping(meta, self._struct(), files):
+                raise ValueError(
+                    "pyiceberg resolves columns by physical name and "
+                    "live files predate a column rename; use "
+                    "read_iceberg (name-mapping resolution) or compact "
+                    "first")
             dels = [f["file_path"]
                     for f in _position_delete_entries(table_dir, snap)]
             # DSv2 filter pushdown is opt-in twice over: Spark gates it

@@ -1,0 +1,364 @@
+"""Iceberg partition transforms (sources/iceberg.py): bucket[N] with the
+spec's Murmur3 hash, truncate[W], year/month/day/hour, multi-field
+specs — write-path partition values, metadata recording, and
+transform-aware inclusive-projection pruning with zero data IO."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_anonymizer_spark.sources import iceberg as I
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _docs(spark, lo, hi, src="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        F.lit(src).alias("source"),
+    )
+
+
+def _ts_docs(spark, n=40):
+    """One row every 7 hours from 2023-03-01T00:00Z: spans ~12 distinct
+    UTC days and 2 months — enough partition values to prune."""
+    base = 1677628800  # 2023-03-01T00:00:00Z
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.timestamp_seconds(F.col("id") * 25200 + base).alias("ts"),
+    )
+
+
+def _rows(df, *cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+# ---------------------------------------------------------------------------
+# Hash kernel
+# ---------------------------------------------------------------------------
+
+def test_murmur3_matches_spec_golden():
+    """Spec Appendix B: hash of int/long 34 is 2017239379."""
+    h = I._murmur3_32_long(34)
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    assert signed == 2017239379
+
+
+def test_murmur3_column_matches_python(spark):
+    vals = [0, 1, -1, 34, 2**31 - 1, -(2**31), 2**62, -(2**62), 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", I._murmur3_32_long_col(F.col("v")).alias("h"),
+    )
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert got == {v: I._murmur3_32_long(v) for v in vals}
+
+
+def test_bucket_of_range():
+    for v in (-5, 0, 7, 2**40):
+        assert 0 <= I._bucket_of(v, 16) < 16
+
+
+# ---------------------------------------------------------------------------
+# Write path + metadata recording
+# ---------------------------------------------------------------------------
+
+def test_bucket_partitioned_roundtrip_and_pruning(spark, tdir):
+    df = _docs(spark, 0, 60)
+    I.create_iceberg(df, tdir, partition_by=[("doc_id", "bucket[4]")])
+    got = I.read_iceberg(spark, tdir)
+    assert _rows(got, "doc_id", "text") == _rows(df, "doc_id", "text")
+    # the spec records the transform, not identity
+    meta = I._load_metadata(tdir)
+    [pf] = meta["partition-specs"][0]["fields"]
+    assert pf["transform"] == "bucket[4]"
+    assert pf["name"] == "doc_id_bucket"
+    # every manifest partition value is the Python-side bucket
+    files = I.iceberg_plan_files(tdir)
+    assert files and all(
+        0 <= f["partition"]["doc_id_bucket"] < 4 for f in files)
+    # equality predicate prunes to the one bucket's files, result exact
+    all_n = len(files)
+    pruned = I.iceberg_plan_files(tdir, predicates=[("doc_id", "=", 17)])
+    want_bucket = I._bucket_of(17, 4)
+    assert 0 < len(pruned) < all_n
+    assert all(f["partition"]["doc_id_bucket"] == want_bucket
+               for f in pruned)
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", "=", 17)])
+    assert _rows(got, "doc_id", "text") == _rows(
+        df.where(F.col("doc_id") == 17), "doc_id", "text")
+    # range predicates never consult the bucket (hash order != value
+    # order) but stay correct through bounds + residual
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", ">=", 55)])
+    assert got.count() == 5
+
+
+def test_truncate_long_and_string(spark, tdir):
+    df = _docs(spark, 0, 40)
+    I.create_iceberg(
+        df, tdir,
+        partition_by=[("doc_id", "truncate[10]"), ("text", "truncate[6]")])
+    files = I.iceberg_plan_files(tdir)
+    for f in files:
+        p = f["partition"]
+        assert p["doc_id_trunc"] % 10 == 0
+        assert len(p["text_trunc"]) <= 6 and p["text_trunc"].startswith(
+            "text-")
+    # truncate is order-preserving on ints: >= prunes lower groups
+    pruned = I.iceberg_plan_files(tdir, predicates=[("doc_id", ">=", 30)])
+    assert {f["partition"]["doc_id_trunc"] for f in pruned} == {30}
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", ">=", 30)])
+    assert _rows(got, "doc_id") == _rows(
+        df.where(F.col("doc_id") >= 30), "doc_id")
+    # string truncate: equality on a text value hits one prefix group
+    pruned = I.iceberg_plan_files(
+        tdir, predicates=[("text", "=", "text-7")])
+    assert {f["partition"]["text_trunc"] for f in pruned} == {"text-7"}
+
+
+def test_day_transform_predicate_prunes_files(spark, tdir):
+    df = _ts_docs(spark)
+    I.create_iceberg(df, tdir, partition_by=[("ts", "day")])
+    all_files = I.iceberg_plan_files(tdir)
+    days = {f["partition"]["ts_day"] for f in all_files}
+    assert len(days) > 5  # genuinely multi-day layout
+    cut = datetime.datetime(2023, 3, 7, tzinfo=datetime.timezone.utc)
+    pruned = I.iceberg_plan_files(tdir, predicates=[("ts", ">=", cut)])
+    cut_day = (cut.date() - datetime.date(1970, 1, 1)).days
+    assert 0 < len(pruned) < len(all_files)
+    assert all(f["partition"]["ts_day"] >= cut_day for f in pruned)
+    got = I.read_iceberg(spark, tdir, predicates=[("ts", ">=", cut)])
+    want = df.where(F.col("ts") >= cut)
+    assert _rows(got, "doc_id") == _rows(want, "doc_id")
+    assert got.count() > 0
+    # equality on a timestamp prunes to exactly one day's files
+    point = datetime.datetime(2023, 3, 2, 4, 0,
+                              tzinfo=datetime.timezone.utc)
+    one = I.iceberg_plan_files(tdir, predicates=[("ts", "=", point)])
+    assert {f["partition"]["ts_day"] for f in one} == {
+        (point.date() - datetime.date(1970, 1, 1)).days}
+
+
+def test_month_year_hour_partition_values(spark, tdir):
+    df = _ts_docs(spark)
+    I.create_iceberg(
+        df, str(tdir) + "_m",
+        partition_by=[("ts", "month"), ("ts", "year"), ("ts", "hour")])
+    rows = df.select(
+        "doc_id", F.col("ts").cast("long").alias("secs")).collect()
+    # expected transforms computed independently in Python (UTC)
+    expect = set()
+    for r in rows:
+        t = datetime.datetime.fromtimestamp(
+            r["secs"], tz=datetime.timezone.utc)
+        expect.add(((t.year - 1970) * 12 + t.month - 1,
+                    t.year - 1970,
+                    (t - datetime.datetime(
+                        1970, 1, 1,
+                        tzinfo=datetime.timezone.utc)) //
+                    datetime.timedelta(hours=1)))
+    got = set()
+    for f in I.iceberg_plan_files(str(tdir) + "_m"):
+        p = f["partition"]
+        got.add((p["ts_month"], p["ts_year"], p["ts_hour"]))
+    assert got == expect
+
+
+def test_ntz_day_transform_is_wall_clock(spark, tdir):
+    df = spark.createDataFrame(
+        [(1, "2023-05-01 23:30:00"), (2, "2023-05-02 00:30:00")],
+        "doc_id long, s string",
+    ).select("doc_id", F.to_timestamp_ntz("s").alias("ts"))
+    I.create_iceberg(df, tdir, partition_by=[("ts", "day")])
+    days = {f["partition"]["ts_day"] for f in I.iceberg_plan_files(tdir)}
+    d0 = (datetime.date(2023, 5, 1) - datetime.date(1970, 1, 1)).days
+    assert days == {d0, d0 + 1}
+    got = I.read_iceberg(
+        spark, tdir,
+        predicates=[("ts", ">=", datetime.datetime(2023, 5, 2))])
+    assert [r["doc_id"] for r in got.collect()] == [2]
+
+
+def test_date_source_transforms(spark, tdir):
+    df = spark.createDataFrame(
+        [(1, datetime.date(2021, 1, 15)), (2, datetime.date(2021, 2, 15)),
+         (3, datetime.date(2022, 1, 15))],
+        "doc_id long, d date")
+    I.create_iceberg(df, tdir, partition_by=[("d", "month")])
+    months = {f["partition"]["d_month"] for f in I.iceberg_plan_files(tdir)}
+    assert months == {51 * 12, 51 * 12 + 1, 52 * 12}
+    pruned = I.iceberg_plan_files(
+        tdir, predicates=[("d", ">=", datetime.date(2021, 6, 1))])
+    assert {f["partition"]["d_month"] for f in pruned} == {52 * 12}
+
+
+def test_multi_field_spec_and_partition_filter(spark, tdir):
+    df = _docs(spark, 0, 30, "a").union(_docs(spark, 30, 60, "b"))
+    I.create_iceberg(
+        df, tdir, partition_by=["source", ("doc_id", "bucket[4]")])
+    meta = I._load_metadata(tdir)
+    fields = meta["partition-specs"][0]["fields"]
+    assert [f["name"] for f in fields] == ["source", "doc_id_bucket"]
+    assert [f["field-id"] for f in fields] == [1000, 1001]
+    # partition_filter keys on partition FIELD names, both fields at once
+    b = I._bucket_of(7, 4)
+    got = I.read_iceberg(
+        spark, tdir,
+        partition_filter={"source": "a", "doc_id_bucket": b})
+    rows = got.collect()
+    assert rows and all(r["source"] == "a" for r in rows)
+    assert all(I._bucket_of(r["doc_id"], 4) == b for r in rows)
+    assert any(r["doc_id"] == 7 for r in rows)
+    # identity field still prunes through predicates alongside bucket
+    pruned = I.iceberg_plan_files(
+        tdir, predicates=[("source", "=", "b"), ("doc_id", "=", 40)])
+    assert pruned and all(
+        f["partition"]["source"] == "b"
+        and f["partition"]["doc_id_bucket"] == I._bucket_of(40, 4)
+        for f in pruned)
+
+
+def test_transform_write_is_one_spark_job(spark, tdir):
+    """The ONE-partitionBy-job invariant survives transforms: writing a
+    multi-field transformed table must not re-scan per value."""
+    df = _ts_docs(spark, 48).withColumn("k", F.col("doc_id") % 12)
+    I.create_iceberg(df.where(F.lit(False)), tdir,
+                     partition_by=[("ts", "day"), ("k", "bucket[4]")])
+    sc = spark.sparkContext
+    sc.setJobGroup("ice-transform-jobcount", "transform write job count")
+    try:
+        I.append_iceberg(df, tdir)
+        jobs = sc.statusTracker().getJobIdsForGroup(
+            "ice-transform-jobcount")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert 1 <= len(jobs) <= 2, jobs
+    assert I.read_iceberg(spark, tdir).count() == 48
+
+
+def test_null_source_values_roundtrip(spark, tdir):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "doc_id long, k long")
+    I.create_iceberg(df, tdir, partition_by=[("k", "bucket[4]")])
+    files = I.iceberg_plan_files(tdir)
+    assert any(f["partition"]["k_bucket"] is None for f in files)
+    got = I.read_iceberg(spark, tdir)
+    assert sorted((r["doc_id"], r["k"]) for r in got.collect()) == [
+        (1, 10), (2, None), (3, 30)]
+    # a predicate never prunes the null-partition file
+    pruned = I.iceberg_plan_files(tdir, predicates=[("k", "=", 10)])
+    assert any(f["partition"]["k_bucket"] is None for f in pruned)
+
+
+def test_invalid_specs_rejected_before_any_write(spark, tdir):
+    import os
+    df = _docs(spark, 0, 5)
+    for bad in (
+        [("text", "bucket[4]")],       # bucket needs int/long
+        [("doc_id", "day")],           # time transform needs date/ts
+        [("nope", "identity")],        # unknown column
+        [("doc_id", "bucket[0]")],     # bucket count >= 1
+        [("doc_id", "shuffle[3]")],    # unknown transform
+        [("doc_id", "bucket[4]"), ("doc_id", "bucket[4]")],  # dup name
+    ):
+        with pytest.raises(I.IcebergError):
+            I.create_iceberg(df, tdir, partition_by=bad)
+        assert not os.path.exists(tdir)  # nothing half-built
+    with pytest.raises(I.IcebergError):
+        ts = _ts_docs(spark, 3)
+        I.create_iceberg(
+            ts.select(F.to_date("ts").alias("d")), tdir,
+            partition_by=[("d", "hour")])  # hour needs a timestamp
+
+
+def test_v2_deletes_on_transformed_table(spark, tdir):
+    df = _docs(spark, 0, 40)
+    I.create_iceberg(df, tdir, partition_by=[("doc_id", "bucket[4]")],
+                     format_version=2)
+    I.delete_iceberg_rows(spark, tdir, "doc_id % 5 = 0")
+    got = I.read_iceberg(spark, tdir)
+    assert _rows(got, "doc_id") == _rows(
+        df.where(F.col("doc_id") % 5 != 0), "doc_id")
+    # pruned read composes with merge-on-read deletes
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", "=", 10)])
+    assert got.count() == 0
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", "=", 11)])
+    assert [r["doc_id"] for r in got.collect()] == [11]
+
+
+def test_distributed_plan_matches_driver_walk(spark, tdir, monkeypatch):
+    """Auto-selected executor-side manifest decode: forcing the
+    metadata-known threshold to 0 must route planning through
+    ``_plan_files_distributed`` and return the SAME pruned file set as
+    the driver loop — partition values, sequence numbers and all."""
+    df = _docs(spark, 0, 40)
+    I.create_iceberg(df, tdir, partition_by=[("doc_id", "bucket[4]")],
+                     format_version=2)
+    I.append_iceberg(_docs(spark, 40, 60), tdir)
+    I.delete_iceberg_rows(spark, tdir, "doc_id % 6 = 1")
+    preds = [("doc_id", ">=", 10)]
+
+    def canon(files):
+        return sorted(
+            (f["file_path"], f["record_count"], f["file_size_in_bytes"],
+             f.get("_seq", 0), tuple(sorted(f["partition"].items())))
+            for f in files)
+
+    driver = I.iceberg_plan_files(tdir, predicates=preds)
+    assert driver  # non-vacuous comparison
+    monkeypatch.setattr(I, "_DISTRIBUTED_PLAN_FILES", 0)
+    dist = I.iceberg_plan_files(tdir, predicates=preds, spark=spark)
+    assert canon(dist) == canon(driver)
+    # the full read composes: distributed planning + v2 merge-on-read
+    got = I.read_iceberg(spark, tdir, predicates=preds)
+    want = df.union(_docs(spark, 40, 60)).where(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") % 6 != 1))
+    assert _rows(got, "doc_id") == _rows(want, "doc_id")
+    # without a session the driver loop still answers (no Spark job)
+    assert canon(I.iceberg_plan_files(tdir, predicates=preds)) == canon(
+        driver)
+
+
+def test_transform_value_mirrors_transform_col(spark):
+    """Property alignment: for every supported (transform, source type),
+    the Python projection equals the Spark write-path column."""
+    base = 1677628800
+    df = spark.range(20).select(
+        F.col("id").alias("v"),
+        F.timestamp_seconds(F.col("id") * 90000 + base).alias("tz"),
+        F.to_timestamp_ntz(
+            F.timestamp_seconds(F.col("id") * 90000 + base)).alias("ntz"),
+        F.concat(F.lit("w-"), F.col("id")).alias("s"),
+    )
+    cases = [
+        ("bucket", 8, "v", "long"),
+        ("truncate", 7, "v", "long"),
+        ("truncate", 3, "s", "string"),
+        ("year", None, "tz", "timestamptz"),
+        ("month", None, "tz", "timestamptz"),
+        ("day", None, "tz", "timestamptz"),
+        ("hour", None, "tz", "timestamptz"),
+        ("year", None, "ntz", "timestamp"),
+        ("month", None, "ntz", "timestamp"),
+        ("day", None, "ntz", "timestamp"),
+        ("hour", None, "ntz", "timestamp"),
+    ]
+    sel = [F.col("v"), F.col("tz"), F.col("ntz"), F.col("s")]
+    names = []
+    for i, (kind, param, src, stype) in enumerate(cases):
+        sel.append(I._transform_col(kind, param, src, stype).alias(f"t{i}"))
+        names.append(f"t{i}")
+    for r in df.select(*sel).collect():
+        vals = {"v": r["v"], "s": r["s"], "tz": r["tz"], "ntz": r["ntz"]}
+        for i, (kind, param, src, stype) in enumerate(cases):
+            v = vals[src]
+            if stype == "timestamptz":
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            assert r[f"t{i}"] == I._transform_value(kind, param, v, stype), (
+                kind, param, src, v)

@@ -325,6 +325,15 @@ NATIVE_QUERIES = [
     # round-10: delta->iceberg migration + v2 delete — native scan plus
     # the broadcast position-delete anti-join.
     "iceberg_migrate_docs",
+    # round-11: partition-transform write + pruned read — the bucket
+    # hash is pure 64-bit-safe integer column algebra on the write path
+    # and the returned plan is ONE native scan over the pruned files
+    # plus the residual filter; no Python anywhere.
+    "iceberg_transforms_orders",
+    # round-11: rename evolution — ONE name-mapping scan (coalesce over
+    # the historical aliases) plus the position-delete anti-join; no
+    # Python anywhere.
+    "iceberg_rename_docs",
     # round-10: release composite — gopher gate (column algebra), hash
     # split (map-side), gram semi-join + anti-join; no Python anywhere.
     "pipeline_release_corpus",
