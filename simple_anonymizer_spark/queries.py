@@ -4542,12 +4542,17 @@ def iceberg_transforms_orders(spark, sf_dir):
 
     from .sources.iceberg import create_iceberg, read_iceberg
 
+    from .sources.iceberg import partition_transform_columns
+
+    spec = [("o_orderdate", "month"), ("o_custkey", "bucket[8]")]
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    # co-locate each partition tuple in one task: one data file per
+    # (month, bucket) tuple instead of (tasks x tuples) small files
+    orders = orders.repartition(
+        32, *partition_transform_columns(orders, spec))
     out = tempfile.mkdtemp(prefix="ice_tf_") + "/tbl"
-    create_iceberg(
-        orders, out,
-        partition_by=[("o_orderdate", "month"), ("o_custkey", "bucket[8]")])
+    create_iceberg(orders, out, partition_by=spec)
     got = read_iceberg(
         spark, out,
         predicates=[("o_orderdate", ">=", datetime.datetime(1996, 6, 1)),

@@ -521,25 +521,43 @@ def _rotl32_col(c, r: int):
 def _murmur3_32_long_col(c):
     """Column mirror of ``_murmur3_32_long`` — pure 64-bit-safe integer
     column algebra (whole-stage codegen, no UDF). Input is cast to long;
-    output is the unsigned 32-bit hash held in a long."""
+    output is the unsigned 32-bit hash held in a long.
+
+    Built as ONE three-step ``F.aggregate`` fold (mix block 0, mix block
+    1, finalize) rather than an inlined chain: each mixing step
+    references its inputs several times, and with plain column chaining
+    every reference DUPLICATES the whole upstream subtree — the naive
+    inline form is ~10k expression nodes, which costs seconds of
+    Catalyst planning and megabytes of task serialization per query (the
+    CLAUDE.md expression-count lesson). Inside the fold the accumulator
+    is a lambda-variable LEAF, so the body stays a few hundred nodes
+    regardless of chain depth. NULL inputs propagate to NULL through the
+    block arithmetic."""
     v = c.cast("long")
-    blocks = (v.bitwiseAND(F.lit(_M32)),
-              F.shiftright(v, 32).bitwiseAND(F.lit(_M32)))
-    h = F.lit(0).cast("long")
-    for blk in blocks:
+    M = F.lit(_M32)
+
+    def mix(h, blk):
         k = _mul32_col(blk, 0xCC9E2D51)
         k = _rotl32_col(k, 15)
         k = _mul32_col(k, 0x1B873593)
-        h = h.bitwiseXOR(k)
-        h = _rotl32_col(h, 13)
-        h = (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_M32))
-    h = h.bitwiseXOR(F.lit(8))
-    h = h.bitwiseXOR(F.shiftright(h, 16))
-    h = _mul32_col(h, 0x85EBCA6B)
-    h = h.bitwiseXOR(F.shiftright(h, 13))
-    h = _mul32_col(h, 0xC2B2AE35)
-    h = h.bitwiseXOR(F.shiftright(h, 16))
-    return h
+        h = _rotl32_col(h.bitwiseXOR(k), 13)
+        return (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(M)
+
+    def fmix(h):
+        h = h.bitwiseXOR(F.lit(8))  # total byte length
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = _mul32_col(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = _mul32_col(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    def step(h, i):
+        blk = F.when(i == 0, v.bitwiseAND(M)).otherwise(
+            F.shiftright(v, 32).bitwiseAND(M))
+        return F.when(i == 2, fmix(h)).otherwise(mix(h, blk))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(2)), F.lit(0).cast("long"), step)
 
 
 def _floordiv_col(c, unit: int):
@@ -906,6 +924,22 @@ def _new_snapshot(
     return _publish_snapshot(
         table_dir, meta, operation, prior_manifests + [manifest],
         snap_id, seq)
+
+
+def partition_transform_columns(df: DataFrame, partition_by) -> list:
+    """The transform Columns a ``partition_by`` spec computes at write
+    time, exposed so callers can co-locate rows BEFORE the write:
+    ``df.repartition(n, *partition_transform_columns(df, spec))`` lands
+    every partition tuple in exactly one task, so the one-job
+    ``partitionBy`` write emits one file per tuple instead of (tasks x
+    tuples) small files — the layout a real table wants, and it keeps
+    the driver-side footer harvest O(tuples). Optional: the write is
+    correct (just smaller-filed) without it."""
+    schema, ids = _ice_schema(df)
+    return [
+        _transform_col(f["kind"], f["param"], f["source"], f["stype"])
+        for f in _normalize_partition_spec(partition_by, df, ids)
+    ]
 
 
 def create_iceberg(
