@@ -63,7 +63,7 @@ Deliberate scope bounds: delete-file paths manifest-relative like every
 other path this tier writes, and upserts as two commits (single-commit
 delta writes are a real-runtime feature). Partition specs support
 multiple fields and the spec's transforms — identity, ``bucket[N]``
-(int/long sources via the spec's Murmur3 hash; string/decimal/date
+(int/long/string sources via the spec's Murmur3 hash; date/decimal
 bucketing remains out of scope), ``truncate[W]`` (int/long/string),
 ``year``/``month``/``day``/``hour`` — with transform-aware inclusive
 projection pruning at plan time. An EMPTY-STRING string partition value
@@ -387,8 +387,9 @@ def _parse_partition_dirname(dirname: str, ptype: str):
 # Partition transforms (spec v1/v2 "Partition Transforms" section).
 #
 # Supported: identity; bucket[N] on int/long sources (the spec's
-# Murmur3-of-little-endian-long hash — Appendix B; string/decimal/date
-# bucketing is a documented scope bound); truncate[W] on int/long
+# Murmur3-of-little-endian-long hash — Appendix B) and string sources
+# (Murmur3 over the UTF-8 bytes; date/decimal bucketing is a documented
+# scope bound); truncate[W] on int/long
 # (floor-to-multiple) and string (first W chars); year/month/day on
 # date/timestamp/timestamptz and hour on timestamps. Each transform has
 # THREE aligned implementations that must stay in lockstep: the Spark
@@ -434,11 +435,11 @@ def _transform_result_type(kind: str, stype: str) -> str:
                 f"unsupported identity partition type {stype!r}")
         return stype
     if kind == "bucket":
-        if stype not in ("int", "long"):
+        if stype not in ("int", "long", "string"):
             raise IcebergError(
-                f"bucket[N] supports int/long source columns, got "
-                f"{stype!r} (string/date/decimal bucketing is a "
-                "documented scope bound)")
+                f"bucket[N] supports int/long/string source columns, "
+                f"got {stype!r} (date/decimal bucketing is a documented "
+                "scope bound)")
         return "int"
     if kind == "truncate":
         if stype not in ("int", "long", "string"):
@@ -494,8 +495,41 @@ def _murmur3_32_long(v: int) -> int:
     return h
 
 
-def _bucket_of(v: int, n: int) -> int:
-    return (_murmur3_32_long(v) & 0x7FFFFFFF) % n
+def _murmur3_32_bytes(data: bytes) -> int:
+    """32-bit Murmur3 (x86) of arbitrary bytes, seed 0 — the spec's
+    bucket hash for string sources (UTF-8 bytes; Appendix B:
+    ``hash("iceberg") = 1210000089``). Unsigned result."""
+    M = 0xFFFFFFFF
+    n = len(data)
+    h = 0
+    for i in range(n // 4):
+        k = int.from_bytes(data[4 * i:4 * i + 4], "little")
+        k = (k * 0xCC9E2D51) & M
+        k = ((k << 15) | (k >> 17)) & M
+        k = (k * 0x1B873593) & M
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & M
+        h = (h * 5 + 0xE6546B64) & M
+    tail = data[4 * (n // 4):]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * 0xCC9E2D51) & M
+        k = ((k << 15) | (k >> 17)) & M
+        k = (k * 0x1B873593) & M
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & M
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & M
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of(v, n: int, stype: str = "long") -> int:
+    if stype == "string":
+        return (_murmur3_32_bytes(v.encode("utf-8")) & 0x7FFFFFFF) % n
+    return (_murmur3_32_long(int(v)) & 0x7FFFFFFF) % n
 
 
 _M32 = 0xFFFFFFFF
@@ -560,6 +594,70 @@ def _murmur3_32_long_col(c):
         F.sequence(F.lit(0), F.lit(2)), F.lit(0).cast("long"), step)
 
 
+def _murmur3_32_str_col(c):
+    """Column mirror of ``_murmur3_32_bytes`` over a STRING column's
+    UTF-8 bytes — the spec's bucket hash for string sources. The bytes
+    come through ``hex(encode(...))`` (two chars per byte) and the whole
+    variable-length block/tail/finalize pipeline is ONE ``F.aggregate``
+    fold over ``sequence(1, nblocks + 2)`` — steps 1..nblocks mix the
+    4-byte little-endian blocks, step nblocks+1 mixes the 1-3-byte tail
+    (identity when none), the last step finalizes. Same
+    lambda-leaf-accumulator shape as the long kernel (expression-count
+    lesson); NULL in -> NULL out."""
+    M = F.lit(_M32)
+    hx = F.hex(F.encode(c, "UTF-8"))
+    nbytes = (F.length(hx) / F.lit(2)).cast("long")
+    r = nbytes % F.lit(4)
+    nblocks = ((nbytes - r) / F.lit(4)).cast("long")
+
+    def pair(p):  # hex pair at 1-based char position p
+        return F.substr(hx, p, F.lit(2))
+
+    def mul32(x, const):
+        lo = x.bitwiseAND(F.lit(0xFFFF)) * F.lit(const)
+        hi = (F.shiftright(x, 16).bitwiseAND(F.lit(0xFFFF))
+              * F.lit(const)).bitwiseAND(F.lit(0xFFFF))
+        return (lo + F.shiftleft(hi, 16)).bitwiseAND(M)
+
+    def mixk(k):
+        k = mul32(k, 0xCC9E2D51)
+        k = _rotl32_col(k, 15)
+        return mul32(k, 0x1B873593)
+
+    def block_le(i):  # little-endian uint32 of block i (1-based)
+        p = (i - 1) * 8 + 1
+        return F.conv(F.concat(pair(p + 6), pair(p + 4), pair(p + 2),
+                               pair(p)), 16, 10).cast("long")
+
+    def tail_le():  # little-endian value of the 1-3 tail bytes
+        p = nblocks * 8 + 1
+        return F.conv(
+            F.when(r == 1, pair(p))
+            .when(r == 2, F.concat(pair(p + 2), pair(p)))
+            .otherwise(F.concat(pair(p + 4), pair(p + 2), pair(p))),
+            16, 10).cast("long")
+
+    def fmix(h):
+        h = h.bitwiseXOR(nbytes)
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = mul32(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = mul32(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    def step(h, i):
+        mixed = _rotl32_col(h.bitwiseXOR(mixk(block_le(i))), 13)
+        mixed = (mixed * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(M)
+        tailed = F.when(r > 0, h.bitwiseXOR(mixk(tail_le()))).otherwise(h)
+        return (F.when(i <= nblocks, mixed)
+                .when(i == nblocks + 1, tailed)
+                .otherwise(fmix(h)))
+
+    return F.aggregate(
+        F.sequence(F.lit(1).cast("long"), nblocks + 2),
+        F.lit(0).cast("long"), step)
+
+
 def _floordiv_col(c, unit: int):
     """Exact floor division of a long column: subtract the positive
     remainder, then divide. The double division is exact — both operands
@@ -575,8 +673,9 @@ def _transform_col(kind: str, param: int | None, source: str, stype: str):
     if kind == "identity":
         return c
     if kind == "bucket":
-        return (_murmur3_32_long_col(c).bitwiseAND(F.lit(0x7FFFFFFF))
-                % F.lit(param)).cast("int")
+        h = (_murmur3_32_str_col(c) if stype == "string"
+             else _murmur3_32_long_col(c))
+        return (h.bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(param)).cast("int")
     if kind == "truncate":
         if stype == "string":
             return F.substring(c, 1, param)
@@ -639,7 +738,7 @@ def _transform_value(kind: str, param: int | None, v, stype: str):
     if kind == "identity":
         return v
     if kind == "bucket":
-        return _bucket_of(int(v), param)
+        return _bucket_of(v, param, stype)
     if kind == "truncate":
         if stype == "string":
             return v[:param]
@@ -953,8 +1052,8 @@ def create_iceberg(
     names and/or ``(column, transform)`` pairs builds a multi-field
     transformed spec per the Iceberg spec's partition-transform table,
     e.g. ``[("o_orderdate", "day"), ("o_custkey", "bucket[8]")]``.
-    Supported transforms: ``identity``, ``bucket[N]`` (int/long sources,
-    the spec's Murmur3 hash), ``truncate[W]`` (int/long/string),
+    Supported transforms: ``identity``, ``bucket[N]`` (int/long/string
+    sources, the spec's Murmur3 hash), ``truncate[W]`` (int/long/string),
     ``year``/``month``/``day`` (date/timestamp sources) and ``hour``
     (timestamp sources). ``format_version=2`` enables sequence-number
     tracking and row-level position deletes (``delete_iceberg_rows``)."""

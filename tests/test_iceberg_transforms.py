@@ -65,6 +65,42 @@ def test_bucket_of_range():
         assert 0 <= I._bucket_of(v, 16) < 16
 
 
+def test_string_murmur3_matches_spec_golden():
+    """Spec Appendix B: hash of UTF-8 "iceberg" is 1210000089."""
+    h = I._murmur3_32_bytes(b"iceberg")
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    assert signed == 1210000089
+
+
+def test_string_murmur3_column_matches_python(spark):
+    """Every tail length (0-3 remaining bytes), the empty string, and
+    multi-byte UTF-8 — the column fold must equal the Python kernel."""
+    vals = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+            "abcdefgh", "iceberg", "héllo wörld", "嵌入式", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").select(
+        "v", I._murmur3_32_str_col(F.col("v")).alias("h"))
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert got == {
+        v: I._murmur3_32_bytes(v.encode("utf-8")) for v in vals}
+
+
+def test_string_bucket_roundtrip_and_pruning(spark, tdir):
+    df = _docs(spark, 0, 60).select(
+        "doc_id", "text", F.concat(F.lit("s"), F.col("doc_id") % 7)
+        .alias("source"))
+    I.create_iceberg(df, tdir, partition_by=[("source", "bucket[4]")])
+    files = I.iceberg_plan_files(tdir)
+    for f in files:
+        assert 0 <= f["partition"]["source_bucket"] < 4
+    pruned = I.iceberg_plan_files(tdir, predicates=[("source", "=", "s3")])
+    want = I._bucket_of("s3", 4, "string")
+    assert 0 < len(pruned) < len(files)
+    assert all(f["partition"]["source_bucket"] == want for f in pruned)
+    got = I.read_iceberg(spark, tdir, predicates=[("source", "=", "s3")])
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in df.where(F.col("source") == "s3").collect())
+
+
 # ---------------------------------------------------------------------------
 # Write path + metadata recording
 # ---------------------------------------------------------------------------
@@ -259,8 +295,8 @@ def test_null_source_values_roundtrip(spark, tdir):
 def test_invalid_specs_rejected_before_any_write(spark, tdir):
     import os
     df = _docs(spark, 0, 5)
+    ts = _ts_docs(spark, 3)
     for bad in (
-        [("text", "bucket[4]")],       # bucket needs int/long
         [("doc_id", "day")],           # time transform needs date/ts
         [("nope", "identity")],        # unknown column
         [("doc_id", "bucket[0]")],     # bucket count >= 1
@@ -271,10 +307,13 @@ def test_invalid_specs_rejected_before_any_write(spark, tdir):
             I.create_iceberg(df, tdir, partition_by=bad)
         assert not os.path.exists(tdir)  # nothing half-built
     with pytest.raises(I.IcebergError):
-        ts = _ts_docs(spark, 3)
         I.create_iceberg(
             ts.select(F.to_date("ts").alias("d")), tdir,
             partition_by=[("d", "hour")])  # hour needs a timestamp
+    with pytest.raises(I.IcebergError):
+        I.create_iceberg(
+            ts, tdir, partition_by=[("ts", "bucket[4]")]
+        )  # date/timestamp bucketing is the remaining scope bound
 
 
 def test_v2_deletes_on_transformed_table(spark, tdir):
