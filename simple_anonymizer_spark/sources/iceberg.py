@@ -2323,7 +2323,8 @@ def iceberg_count(
 
 try:  # pragma: no cover - import surface depends on pyspark build
     from pyspark.sql.datasource import (
-        DataSource, DataSourceReader, InputPartition,
+        DataSource, DataSourceReader, DataSourceWriter, InputPartition,
+        WriterCommitMessage,
     )
 
     _ICE_TO_ARROW = {
@@ -2359,10 +2360,12 @@ try:  # pragma: no cover - import surface depends on pyspark build
 
     class IcebergDataSource(DataSource):
         """``format("pyiceberg")`` — see the section comment. Options:
-        ``path`` (table dir, or use ``.load(dir)``), ``snapshot_id``,
-        ``as_of_ms`` (time travel). Read-only: writes must go through
-        the snapshot-committing API (``create_iceberg`` /
-        ``append_iceberg`` / ``upsert_iceberg``)."""
+        ``path`` (table dir, or use ``.load(dir)``/``.save(dir)``),
+        ``snapshot_id``, ``as_of_ms`` (time travel). Writes append or
+        overwrite EXISTING unpartitioned tables through the same
+        snapshot-commit machinery as ``append_iceberg`` (see
+        ``IcebergBatchWriter``); bootstrap and partitioned/transformed
+        commits stay with ``create_iceberg``/``append_iceberg``."""
 
         @classmethod
         def name(cls) -> str:
@@ -2421,9 +2424,28 @@ try:  # pragma: no cover - import surface depends on pyspark build
             return cls(table_dir, files, dels, self._struct())
 
         def writer(self, schema, overwrite: bool):
-            raise ValueError(
-                "pyiceberg is read-only: commit through create_iceberg/"
-                "append_iceberg/upsert_iceberg (snapshot semantics)")
+            table_dir = self._table_dir()
+            if not os.path.exists(_meta_dir(table_dir)):
+                raise ValueError(
+                    "no iceberg table at this path — create it first "
+                    "with create_iceberg (table bootstrap fixes the "
+                    "schema, format version, and partition spec; the "
+                    "DSv2 writer appends/overwrites EXISTING tables)")
+            meta = _load_metadata(table_dir)
+            if _resolve_spec(meta):
+                raise ValueError(
+                    "pyiceberg writes support unpartitioned tables "
+                    "only; partitioned commits need the transform "
+                    "write path — use append_iceberg/overwrite_iceberg")
+            want = {f["name"]: f["type"] for f in _schema_fields(meta)}
+            got = {f.name: _SPARK_TO_ICE.get(f.dataType.typeName())
+                   for f in schema.fields}
+            if got != want:
+                raise ValueError(
+                    f"dataframe schema {got} does not match the table "
+                    f"schema {want}")
+            return IcebergBatchWriter(table_dir, meta["schema"],
+                                      overwrite)
 
     class IcebergScanReader(DataSourceReader):
         def __init__(self, table_dir: str, files: list[dict],
@@ -2508,6 +2530,90 @@ try:  # pragma: no cover - import surface depends on pyspark build
                     self.predicates.append(
                         (f.attribute[0], op, f.value))
                 yield f  # always residual: file-level pruning only
+
+    class _IceWriteResult(WriterCommitMessage):
+        def __init__(self, files: list[str]):
+            self.files = files
+
+    class IcebergBatchWriter(DataSourceWriter):
+        """``df.write.format("pyiceberg").mode("append"|"overwrite")
+        .save(table_dir)`` — the DSv2 half of the snapshot-commit
+        protocol. Each task writes ONE parquet data file (arrow, never
+        row-at-a-time encoding) under a uuid name and reports it; the
+        driver-side ``commit`` harvests footer stats and publishes ONE
+        snapshot through the same manifest machinery as
+        ``append_iceberg`` — so a racing writer loses at the
+        metadata.json O_EXCL commit, exactly like the native path, and
+        its orphan files stay cleanable by ``remove_iceberg_orphans``.
+        ``abort`` removes the files reported by completed tasks."""
+
+        def __init__(self, table_dir: str, schema_struct: dict,
+                     overwrite: bool):
+            self.table_dir = table_dir
+            self.schema_struct = schema_struct
+            self.overwrite = overwrite
+
+        def write(self, iterator) -> "_IceWriteResult":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            names = [f["name"] for f in self.schema_struct["fields"]]
+            arrow = _arrow_schema(self.schema_struct)
+            rows = [{c: row[c] for c in names} for row in iterator]
+            if not rows:
+                return _IceWriteResult([])
+            table = pa.Table.from_pylist(rows, schema=arrow)
+            name = f"dsw-{uuid.uuid4().hex}.parquet"
+            os.makedirs(_data_dir(self.table_dir), exist_ok=True)
+            pq.write_table(
+                table, os.path.join(_data_dir(self.table_dir), name))
+            return _IceWriteResult([name])
+
+        def commit(self, messages) -> None:
+            import pyarrow.parquet as pq
+
+            names = [n for m in messages if m for n in m.files]
+            meta = _load_metadata(self.table_dir)
+            version = _next_version(self.table_dir)
+            ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+            types = {f["name"]: f["type"] for f in _schema_fields(meta)}
+            bound_types = {c: t for c, t in types.items()
+                           if t in _BOUND_TYPES}
+            entries = []
+            for name in sorted(names):
+                p = os.path.join(_data_dir(self.table_dir), name)
+                md = pq.read_metadata(p)
+                entries.append({
+                    "file_path": os.path.join("data", name),
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "partition": None,
+                    "bounds": _file_bounds(md, bound_types),
+                })
+            if not entries and not self.overwrite:
+                return  # empty append: no snapshot
+            fv = meta["format-version"]
+            snap_id = meta["current-snapshot-id"] + 1
+            seq = meta.get("last-sequence-number", 0) + 1
+            manifest = _write_manifest(
+                self.table_dir, snap_id, entries, [], ids, types,
+                format_version=fv, content=0, sequence_number=seq)
+            prior = ([] if self.overwrite
+                     else _current_manifests(self.table_dir, meta))
+            new_meta = _publish_snapshot(
+                self.table_dir, meta,
+                "overwrite" if self.overwrite else "append",
+                prior + [manifest], snap_id, seq)
+            _commit_metadata(self.table_dir, new_meta, version)
+
+        def abort(self, messages) -> None:
+            for m in messages or []:
+                for name in getattr(m, "files", []) if m else []:
+                    try:
+                        os.remove(os.path.join(
+                            _data_dir(self.table_dir), name))
+                    except OSError:
+                        pass
 
 except ImportError:  # pragma: no cover
     IcebergDataSource = None  # type: ignore[assignment]

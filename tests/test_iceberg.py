@@ -671,10 +671,62 @@ def test_pyiceberg_datasource_front_door(spark, tdir):
         spark, t2, spark.createDataFrame([(1,)], "doc_id long"))
     with pytest.raises(PySparkException):
         spark.read.format("pyiceberg").load(t2).collect()
-    # read-only front door
+    # writes need an EXISTING table (bootstrap fixes schema/spec/fv)
     with pytest.raises(PySparkException):
         (df.write.format("pyiceberg").mode("overwrite")
          .save(tdir + "_w"))
+
+
+def test_pyiceberg_datasource_write_path(spark, tdir):
+    """The DSv2 write half: mode("append")/mode("overwrite") commit
+    real snapshots through the same manifest machinery as
+    append_iceberg — history, time travel, metadata counts, and the
+    native reader all see them; partitioned tables and schema
+    mismatches are refused on the driver before any task runs."""
+    from pyspark.errors import PySparkException
+
+    from simple_anonymizer_spark.sources.iceberg import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    df = _docs(spark, 0, 10)
+    I.create_iceberg(df.where(F.lit(False)), tdir)
+    df.write.format("pyiceberg").mode("append").save(tdir)
+    assert _rows(I.read_iceberg(spark, tdir)) == _rows(df)
+    _docs(spark, 10, 15).write.format("pyiceberg").mode(
+        "append").save(tdir)
+    assert I.iceberg_count(tdir) == 15
+    _docs(spark, 100, 103).write.format("pyiceberg").mode(
+        "overwrite").save(tdir)
+    assert I.iceberg_count(tdir) == 3
+    snaps = I._load_metadata(tdir)["snapshots"]
+    assert [s["summary"]["operation"] for s in snaps] == [
+        "append", "append", "append", "overwrite"]
+    # pre-overwrite snapshots stay time-travelable
+    assert I.read_iceberg(
+        spark, tdir, snapshot_id=snaps[-2]["snapshot-id"]).count() == 15
+    # the DSv2 reader sees its writer's commits
+    assert spark.read.format("pyiceberg").load(tdir).count() == 3
+    # empty append: no snapshot published
+    spark.createDataFrame([], I.read_iceberg(spark, tdir).schema
+                          ).write.format("pyiceberg").mode(
+        "append").save(tdir)
+    assert len(I._load_metadata(tdir)["snapshots"]) == 4
+    # v2 interplay: DSv2 appends land with NEWER sequence numbers, so
+    # prior position deletes never touch them
+    t2 = tdir + "_v2"
+    I.create_iceberg(df, t2, format_version=2)
+    I.delete_iceberg_rows(spark, t2, "doc_id < 3")
+    _docs(spark, 0, 2).write.format("pyiceberg").mode("append").save(t2)
+    assert sorted(r.doc_id for r in I.read_iceberg(spark, t2).collect()
+                  ) == [0, 1] + list(range(3, 10))
+    # refusals: partitioned table, schema mismatch
+    p = tdir + "_p"
+    I.create_iceberg(df, p, partition_by="source")
+    with pytest.raises(PySparkException):
+        df.write.format("pyiceberg").mode("append").save(p)
+    with pytest.raises(PySparkException):
+        (df.withColumnRenamed("text", "t2").write.format("pyiceberg")
+         .mode("append").save(tdir))
 
 
 def test_hostile_string_partition_values_roundtrip(spark, tdir):
