@@ -242,22 +242,28 @@ def _kv_bounds_field(name: str, fid: int, key_id: int, val_id: int) -> dict:
                     ]}}]}
 
 
-def _normalize_partition_spec(partition_by, df: DataFrame,
-                              ids: dict[str, int]) -> list[dict]:
+def _df_ice_types(df: DataFrame) -> dict[str, str]:
+    return {f.name: _SPARK_TO_ICE.get(f.dataType.typeName(),
+                                      f.dataType.typeName())
+            for f in df.schema.fields}
+
+
+def _normalize_partition_spec(partition_by, stypes: dict[str, str],
+                              ids: dict[str, int],
+                              first_field_id: int = 1000) -> list[dict]:
     """User-facing ``partition_by`` -> resolved spec fields. Accepts
     None, a bare column name (identity — the historical form), or a list
     whose entries are a column name or a ``(column, transform)`` pair:
     ``[("o_orderdate", "day"), ("o_custkey", "bucket[8]")]``. Validation
     (unknown column, unsupported transform/source-type pairing) happens
-    HERE, before any directory exists."""
+    HERE, before any directory exists. ``stypes`` maps column name ->
+    ICEBERG type; ``first_field_id`` lets spec evolution keep partition
+    field-ids unique across every spec the table has ever had (the
+    spec's ``last-partition-id`` rule)."""
     if partition_by is None:
         return []
     if isinstance(partition_by, str):
         partition_by = [partition_by]
-    stypes = {}
-    for f in df.schema.fields:
-        t = f.dataType.typeName()
-        stypes[f.name] = _SPARK_TO_ICE.get(t, t)
     fields, seen = [], set()
     for i, entry in enumerate(partition_by):
         col, tstr = (entry, "identity") if isinstance(entry, str) else entry
@@ -271,7 +277,7 @@ def _normalize_partition_spec(partition_by, df: DataFrame,
         seen.add(name)
         fields.append({
             "name": name, "transform": tstr, "source-id": ids[col],
-            "field-id": 1000 + i,
+            "field-id": first_field_id + i,
             # runtime-resolved extras (not persisted to metadata):
             "source": col, "kind": kind, "param": param,
             "stype": stypes[col], "ptype": ptype,
@@ -279,19 +285,8 @@ def _normalize_partition_spec(partition_by, df: DataFrame,
     return fields
 
 
-def _resolve_spec(meta: dict) -> list[dict]:
-    """The table's default partition spec with runtime-resolved source
-    column names/types and transform kinds — re-derived from the
-    persisted spec-standard keys (name/transform/source-id/field-id), so
-    the metadata stores nothing beyond what the spec defines."""
+def _resolve_spec_fields(meta: dict, raw: list[dict]) -> list[dict]:
     by_id = {f["id"]: f for f in _schema_fields(meta)}
-    spec_id = meta.get("default-spec-id", 0)
-    for s in meta.get("partition-specs", []):
-        if s.get("spec-id") == spec_id:
-            raw = s["fields"]
-            break
-    else:
-        raw = []
     out = []
     for pf in raw:
         src = by_id[pf["source-id"]]
@@ -302,6 +297,31 @@ def _resolve_spec(meta: dict) -> list[dict]:
             "ptype": _transform_result_type(kind, src["type"]),
         })
     return out
+
+
+def _resolve_spec(meta: dict, spec_id: int | None = None) -> list[dict]:
+    """A partition spec (the DEFAULT one unless ``spec_id`` is given)
+    with runtime-resolved source column names/types and transform kinds
+    — re-derived from the persisted spec-standard keys
+    (name/transform/source-id/field-id), so the metadata stores nothing
+    beyond what the spec defines."""
+    if spec_id is None:
+        spec_id = meta.get("default-spec-id", 0)
+    for s in meta.get("partition-specs", []):
+        if s.get("spec-id") == spec_id:
+            raw = s["fields"]
+            break
+    else:
+        raw = []
+    return _resolve_spec_fields(meta, raw)
+
+
+def _resolve_all_specs(meta: dict) -> dict[int, list[dict]]:
+    """Every spec the table has ever had, resolved — per-file pruning on
+    a spec-evolved table must use the spec each file was WRITTEN under
+    (its manifest's ``partition_spec_id``), not the current default."""
+    return {s.get("spec-id", 0): _resolve_spec_fields(meta, s["fields"])
+            for s in meta.get("partition-specs", [])}
 
 
 def _manifest_schema(spec: list[dict], format_version: int = 1) -> dict:
@@ -868,7 +888,7 @@ def _write_manifest(
     spec: list[dict],
     ids: dict[str, int], types: dict[str, str],
     format_version: int = 1, content: int = 0,
-    sequence_number: int = 0,
+    sequence_number: int = 0, spec_id: int = 0,
 ) -> dict:
     schema = _manifest_schema(spec, format_version)
     # uuid suffix per the spec's writers: two racing commits must never
@@ -905,7 +925,7 @@ def _write_manifest(
     out = {
         "manifest_path": os.path.join("metadata", name),
         "manifest_length": len(buf.getvalue()),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(files),
         "added_rows_count": sum(f["record_count"] for f in files),
@@ -1003,6 +1023,7 @@ def _new_snapshot(
 ) -> dict:
     fv = meta["format-version"]
     spec = _resolve_spec(meta)
+    spec_id = meta.get("default-spec-id", 0)
     names = [f["name"] for f in _schema_fields(meta)]
     if sorted(df.columns) != sorted(names):
         raise IcebergError(
@@ -1019,7 +1040,8 @@ def _new_snapshot(
         df, table_dir, f"s{snap_id:05d}", spec, bound_types)
     manifest = _write_manifest(
         table_dir, snap_id, files, spec, ids, types,
-        format_version=fv, content=0, sequence_number=seq)
+        format_version=fv, content=0, sequence_number=seq,
+        spec_id=spec_id)
     return _publish_snapshot(
         table_dir, meta, operation, prior_manifests + [manifest],
         snap_id, seq)
@@ -1037,7 +1059,8 @@ def partition_transform_columns(df: DataFrame, partition_by) -> list:
     schema, ids = _ice_schema(df)
     return [
         _transform_col(f["kind"], f["param"], f["source"], f["stype"])
-        for f in _normalize_partition_spec(partition_by, df, ids)
+        for f in _normalize_partition_spec(
+            partition_by, _df_ice_types(df), ids)
     ]
 
 
@@ -1064,7 +1087,8 @@ def create_iceberg(
     schema, ids = _ice_schema(df)
     # validate BEFORE any directory or data file exists: an unsupported
     # type/transform must not leave a half-built table behind.
-    resolved = _normalize_partition_spec(partition_by, df, ids)
+    resolved = _normalize_partition_spec(
+        partition_by, _df_ice_types(df), ids)
     _manifest_schema(resolved)
     spec_fields = [
         {"name": f["name"], "transform": f["transform"],
@@ -1083,6 +1107,7 @@ def create_iceberg(
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
         "current-snapshot-id": 0,
         "snapshots": [], "snapshot-log": [],
     }
@@ -1091,6 +1116,50 @@ def create_iceberg(
     meta = _new_snapshot(df, table_dir, meta, "append", [])
     _commit_metadata(table_dir, meta, 1)
     return meta["current-snapshot-id"]
+
+
+def update_iceberg_partition_spec(table_dir: str, partition_by) -> int:
+    """PARTITION SPEC EVOLUTION (spec §Partition Evolution): change how
+    FUTURE writes are partitioned in a metadata-only commit — no
+    snapshot, no data file touched. The new spec (same ``partition_by``
+    forms as ``create_iceberg``) becomes the default; every existing
+    file keeps the spec it was written under (its manifest's
+    ``partition_spec_id``), and plan-time pruning projects predicates
+    through each file's OWN spec — so a table that starts
+    identity-partitioned and evolves to ``[("ts", "day"), ("k",
+    "bucket[16]")]`` still prunes its old files by the old field and its
+    new files by the new ones. Partition field-ids stay unique across
+    every spec the table ever had (``last-partition-id``).
+
+    ``partition_filter`` (exact match on recorded partition values)
+    only prunes files whose spec records the field; files of other
+    specs are KEPT — use ``predicates`` for exact cross-spec filtering,
+    and metadata-only counts refuse mixed-spec partition filters.
+    Returns the new spec-id."""
+    meta = _load_metadata(table_dir)
+    ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
+    stypes = {f["name"]: f["type"] for f in _schema_fields(meta)}
+    last_pid = meta.get("last-partition-id", 999)
+    resolved = _normalize_partition_spec(
+        partition_by, stypes, ids, first_field_id=last_pid + 1)
+    _manifest_schema(resolved)  # validate before committing anything
+    version = _next_version(table_dir)
+    spec_id = 1 + max(s.get("spec-id", 0)
+                      for s in meta["partition-specs"])
+    spec_fields = [
+        {"name": f["name"], "transform": f["transform"],
+         "source-id": f["source-id"], "field-id": f["field-id"]}
+        for f in resolved
+    ]
+    meta = dict(meta)
+    meta["partition-specs"] = meta["partition-specs"] + [
+        {"spec-id": spec_id, "fields": spec_fields}]
+    meta["default-spec-id"] = spec_id
+    meta["partition-spec"] = spec_fields  # v1 legacy mirror
+    meta["last-partition-id"] = last_pid + len(spec_fields)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table_dir, meta, version)
+    return spec_id
 
 
 def migrate_delta_to_iceberg(
@@ -1161,6 +1230,7 @@ def migrate_delta_to_iceberg(
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
+        "last-partition-id": 999,
         "current-snapshot-id": 0,
         "snapshots": [], "snapshot-log": [],
     }
@@ -1575,12 +1645,17 @@ def _live_entries(
             if status == 2:  # DELETED
                 continue
             part = data_file["partition"]
+            # prune only on fields the file's OWN spec records: a
+            # spec-evolved table has files whose partition structs lack
+            # the filtered field — those stay (conservative)
             if content == 0 and partition_filter and any(
-                part.get(k) != v for k, v in partition_filter.items()
+                k in part and part[k] != v
+                for k, v in partition_filter.items()
             ):
                 continue
             out.append({"snapshot_id": snap_id,
                         "_seq": m.get("sequence_number", 0),
+                        "_spec_id": m.get("partition_spec_id", 0),
                         **data_file})
     return out
 
@@ -1616,12 +1691,14 @@ def _plan_files_distributed(
         return []
     ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
     types = {f["name"]: f["type"] for f in _schema_fields(meta)}
-    spec = _resolve_spec(meta)
+    specs = _resolve_all_specs(meta)
     preds = list(predicates or [])
     pfilter = dict(partition_filter or {})
     rows = [(os.path.join(table_dir, m["manifest_path"]),
-             m.get("sequence_number", 0)) for m in manifests]
-    mdf = spark.createDataFrame(rows, "path string, seq long").repartition(
+             m.get("sequence_number", 0),
+             m.get("partition_spec_id", 0)) for m in manifests]
+    mdf = spark.createDataFrame(
+        rows, "path string, seq long, spec_id int").repartition(
         min(len(rows), spark.sparkContext.defaultParallelism))
     cols = ["file_path", "record_count", "file_size_in_bytes", "_seq",
             "partition", "snapshot_id"]
@@ -1629,21 +1706,23 @@ def _plan_files_distributed(
     def decode(batches):
         for pdf in batches:
             out = []
-            for path, seq in zip(pdf["path"], pdf["seq"]):
+            for path, seq, spec_id in zip(pdf["path"], pdf["seq"],
+                                          pdf["spec_id"]):
+                sp = specs.get(int(spec_id), [])
                 with open(path, "rb") as fh:
                     _, entries = read_container(fh.read())
                 for status, snap_id, data_file in entries:
                     if status == 2:
                         continue
                     part = data_file["partition"]
-                    if pfilter and any(part.get(k) != v
+                    if pfilter and any(k in part and part[k] != v
                                        for k, v in pfilter.items()):
                         continue
                     if preds and not _survives_bounds(
                             data_file, preds, ids, types):
                         continue
-                    if preds and spec and not _survives_partition(
-                            data_file, preds, spec):
+                    if preds and sp and not _survives_partition(
+                            data_file, preds, sp):
                         continue
                     out.append((data_file["file_path"],
                                 data_file["record_count"],
@@ -1705,10 +1784,14 @@ def iceberg_plan_files(
         types = {f["name"]: f["type"] for f in _schema_fields(meta)}
         files = [f for f in files
                  if _survives_bounds(f, predicates, ids, types)]
-        spec = _resolve_spec(meta)
-        if spec:
+        # per-file spec: a spec-evolved table prunes each file through
+        # the spec it was WRITTEN under (manifest partition_spec_id)
+        specs = _resolve_all_specs(meta)
+        if any(specs.values()):
             files = [f for f in files
-                     if _survives_partition(f, predicates, spec)]
+                     if _survives_partition(
+                         f, predicates,
+                         specs.get(f.get("_spec_id", 0), []))]
     return files
 
 
@@ -2288,8 +2371,16 @@ def iceberg_count(
     count on a table with deletes must go through ``read_iceberg``."""
     meta = _load_metadata(table_dir)
     snap = _resolve_snapshot(meta, snapshot_id, None)
-    n = sum(f["record_count"]
-            for f in _live_files(table_dir, snap, partition_filter))
+    live = _live_files(table_dir, snap, partition_filter)
+    if partition_filter and any(
+            k not in f["partition"] for f in live
+            for k in partition_filter):
+        raise IcebergError(
+            "partition-filtered metadata count is not exact across a "
+            "partition-spec evolution (files written under another "
+            "spec do not record the filtered field); use "
+            "read_iceberg(...).count()")
+    n = sum(f["record_count"] for f in live)
     if meta["format-version"] >= 2:
         if _equality_delete_entries(table_dir, snap):
             raise IcebergError(

@@ -364,6 +364,85 @@ def test_distributed_plan_matches_driver_walk(spark, tdir, monkeypatch):
         driver)
 
 
+def test_partition_spec_evolution(spark, tdir, monkeypatch):
+    """Spec evolution: future writes use the new spec, old files keep
+    theirs, and pruning projects each file through the spec it was
+    WRITTEN under."""
+    I.create_iceberg(
+        _docs(spark, 0, 30, "a").union(_docs(spark, 30, 60, "b")),
+        tdir, partition_by="source")
+    sid = I.update_iceberg_partition_spec(
+        tdir, [("doc_id", "bucket[4]")])
+    assert sid == 1
+    # new-generation rows span sources a AND c, so min/max bounds can't
+    # silently stand in for the partition check below
+    I.append_iceberg(
+        _docs(spark, 60, 90, "a").union(_docs(spark, 90, 120, "c")),
+        tdir)
+    meta = I._load_metadata(tdir)
+    assert meta["default-spec-id"] == 1
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    # partition field-ids stay unique ACROSS specs
+    assert specs[0][0]["field-id"] == 1000
+    assert specs[1][0]["field-id"] == 1001
+    files = I.iceberg_plan_files(tdir)
+    by_spec = {}
+    for f in files:
+        by_spec.setdefault(f["_spec_id"], []).append(f)
+    assert set(by_spec) == {0, 1}
+    assert all("source" in f["partition"] for f in by_spec[0])
+    assert all("doc_id_bucket" in f["partition"] for f in by_spec[1])
+
+    # old-spec files prune on the identity field; new-spec files whose
+    # bounds straddle the value are NOT partition-pruned (their spec
+    # never recorded the field) — and the read stays exact
+    pruned = I.iceberg_plan_files(tdir, predicates=[("source", "=", "a")])
+    assert all(f["partition"].get("source") != "b" for f in pruned)
+    straddling = [f for f in by_spec[1]
+                  if any(e["key"] == 3 for e in f["lower_bounds"] or [])]
+    assert any(f["_spec_id"] == 1 for f in pruned)
+    got = I.read_iceberg(spark, tdir, predicates=[("source", "=", "a")])
+    assert sorted(r["doc_id"] for r in got.collect()) == (
+        list(range(0, 30)) + list(range(60, 90)))
+    assert straddling  # the guard above actually exercised new files
+    # new-spec files prune on the bucket; old files fall to their bounds
+    pruned = I.iceberg_plan_files(tdir, predicates=[("doc_id", "=", 70)])
+    want_b = I._bucket_of(70, 4)
+    assert all(f["partition"]["doc_id_bucket"] == want_b
+               for f in pruned if f["_spec_id"] == 1)
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", "=", 70)])
+    assert [r["doc_id"] for r in got.collect()] == [70]
+    assert I.read_iceberg(spark, tdir).count() == 120
+
+    # partition_filter only matches files whose spec records the field;
+    # other-spec files stay (documented conservative semantics)
+    got = I.read_iceberg(spark, tdir, partition_filter={"source": "a"})
+    assert got.count() == 30 + 60  # spec-0 'a' files + every spec-1 file
+    # ...which is exactly why the metadata-only count refuses it
+    with pytest.raises(I.IcebergError):
+        I.iceberg_count(tdir, partition_filter={"source": "a"})
+    assert I.iceberg_count(tdir) == 120
+
+    # the distributed planning walk prunes per-spec identically
+    driver = I.iceberg_plan_files(tdir, predicates=[("doc_id", "=", 70)])
+    monkeypatch.setattr(I, "_DISTRIBUTED_PLAN_FILES", 0)
+    dist = I.iceberg_plan_files(
+        tdir, predicates=[("doc_id", "=", 70)], spark=spark)
+    assert sorted(f["file_path"] for f in dist) == sorted(
+        f["file_path"] for f in driver)
+
+
+def test_spec_evolution_v2_interplay(spark, tdir):
+    I.create_iceberg(_docs(spark, 0, 20, "a"), tdir,
+                     partition_by="source", format_version=2)
+    I.update_iceberg_partition_spec(tdir, [("doc_id", "bucket[2]")])
+    I.append_iceberg(_docs(spark, 20, 40, "b"), tdir)
+    I.delete_iceberg_rows(spark, tdir, "doc_id % 10 = 3")
+    got = I.read_iceberg(spark, tdir)
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(40) if i % 10 != 3]
+
+
 def test_transform_value_mirrors_transform_col(spark):
     """Property alignment: for every supported (transform, source type),
     the Python projection equals the Spark write-path column."""
