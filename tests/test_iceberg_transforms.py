@@ -443,6 +443,36 @@ def test_spec_evolution_v2_interplay(spark, tdir):
         i for i in range(40) if i % 10 != 3]
 
 
+def test_distributed_stats_harvest_matches_driver_loop(
+        spark, tmp_path, monkeypatch):
+    """Write-side twin of the distributed planning walk: forcing the
+    file-count threshold to 0 must produce byte-identical manifest
+    entries (counts, sizes, partition values, min/max bounds) to the
+    serial driver harvest."""
+    df = _docs(spark, 0, 50)
+    a = str(tmp_path / "driver")
+    I.create_iceberg(df, a, partition_by=[("doc_id", "bucket[4]")])
+    monkeypatch.setattr(I, "_DISTRIBUTED_STATS_FILES", 0)
+    b = str(tmp_path / "dist")
+    I.create_iceberg(df, b, partition_by=[("doc_id", "bucket[4]")])
+
+    def canon(tdir):
+        return sorted(
+            (f["file_path"].rsplit("-", 1)[-1], f["record_count"],
+             tuple(sorted(f["partition"].items())),
+             tuple(sorted((e["key"], e["value"]) for e in
+                          f["lower_bounds"] or [])),
+             tuple(sorted((e["key"], e["value"]) for e in
+                          f["upper_bounds"] or [])))
+            for f in I.iceberg_plan_files(tdir))
+
+    assert canon(a) == canon(b)
+    # the distributed-harvest table reads back exactly and prunes
+    got = I.read_iceberg(spark, b, predicates=[("doc_id", ">=", 40)])
+    assert sorted(r["doc_id"] for r in got.collect()) == list(
+        range(40, 50))
+
+
 def test_transform_value_mirrors_transform_col(spark):
     """Property alignment: for every supported (transform, source type),
     the Python projection equals the Spark write-path column."""
