@@ -63,8 +63,9 @@ Deliberate scope bounds: delete-file paths manifest-relative like every
 other path this tier writes, and upserts as two commits (single-commit
 delta writes are a real-runtime feature). Partition specs support
 multiple fields and the spec's transforms — identity, ``bucket[N]``
-(int/long/string sources via the spec's Murmur3 hash; date/decimal
-bucketing remains out of scope), ``truncate[W]`` (int/long/string),
+(int/long/string/date/timestamp sources via the spec's Murmur3 hash;
+decimal bucketing remains out of scope), ``truncate[W]``
+(int/long/string),
 ``year``/``month``/``day``/``hour`` — with transform-aware inclusive
 projection pruning at plan time. An EMPTY-STRING string partition value
 collapses to null on write — the Hive directory layout cannot
@@ -412,9 +413,10 @@ def _parse_partition_dirname(dirname: str, ptype: str):
 # Partition transforms (spec v1/v2 "Partition Transforms" section).
 #
 # Supported: identity; bucket[N] on int/long sources (the spec's
-# Murmur3-of-little-endian-long hash — Appendix B) and string sources
-# (Murmur3 over the UTF-8 bytes; date/decimal bucketing is a documented
-# scope bound); truncate[W] on int/long
+# Murmur3-of-little-endian-long hash — Appendix B), string sources
+# (Murmur3 over the UTF-8 bytes), and date/timestamp sources (int days /
+# long micros hashed as longs; decimal bucketing is a documented scope
+# bound); truncate[W] on int/long
 # (floor-to-multiple) and string (first W chars); year/month/day on
 # date/timestamp/timestamptz and hour on timestamps. Each transform has
 # THREE aligned implementations that must stay in lockstep: the Spark
@@ -460,11 +462,12 @@ def _transform_result_type(kind: str, stype: str) -> str:
                 f"unsupported identity partition type {stype!r}")
         return stype
     if kind == "bucket":
-        if stype not in ("int", "long", "string"):
+        if stype not in ("int", "long", "string", "date", "timestamp",
+                         "timestamptz"):
             raise IcebergError(
-                f"bucket[N] supports int/long/string source columns, "
-                f"got {stype!r} (date/decimal bucketing is a documented "
-                "scope bound)")
+                f"bucket[N] supports int/long/string/date/timestamp "
+                f"source columns, got {stype!r} (decimal bucketing is a "
+                "documented scope bound)")
         return "int"
     if kind == "truncate":
         if stype not in ("int", "long", "string"):
@@ -554,6 +557,16 @@ def _murmur3_32_bytes(data: bytes) -> int:
 def _bucket_of(v, n: int, stype: str = "long") -> int:
     if stype == "string":
         return (_murmur3_32_bytes(v.encode("utf-8")) & 0x7FFFFFFF) % n
+    if stype == "date":
+        d = _as_datetime(v, "date")
+        v = (d - _EPOCH_DATE).days  # dates hash as int days (Appendix B)
+    elif stype in ("timestamp", "timestamptz"):
+        t = _as_datetime(v, stype)
+        td = (t - _EPOCH_UTC if stype == "timestamptz"
+              else t - datetime.datetime(1970, 1, 1))
+        # timestamps hash as long micros-from-epoch (Appendix B)
+        v = ((td.days * 86400 + td.seconds) * 1_000_000
+             + td.microseconds)
     return (_murmur3_32_long(int(v)) & 0x7FFFFFFF) % n
 
 
@@ -698,8 +711,28 @@ def _transform_col(kind: str, param: int | None, source: str, stype: str):
     if kind == "identity":
         return c
     if kind == "bucket":
-        h = (_murmur3_32_str_col(c) if stype == "string"
-             else _murmur3_32_long_col(c))
+        if stype == "string":
+            h = _murmur3_32_str_col(c)
+        elif stype == "date":
+            # dates hash as their int days-from-epoch (Appendix B)
+            h = _murmur3_32_long_col(
+                F.datediff(c, F.lit("1970-01-01")).cast("long"))
+        elif stype == "timestamptz":
+            h = _murmur3_32_long_col(F.unix_micros(c))
+        elif stype == "timestamp":
+            # ntz: exact wall-clock micros-from-epoch, no timezone
+            # anywhere (date_part SECOND is a DECIMAL with the exact
+            # fractional micros; *1e6 is exact decimal arithmetic)
+            days = F.datediff(F.to_date(c),
+                              F.lit("1970-01-01")).cast("long")
+            micros = (days * F.lit(86_400_000_000)
+                      + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                      + F.minute(c).cast("long") * F.lit(60_000_000)
+                      + (F.date_part(F.lit("SECOND"), c)
+                         * F.lit(1_000_000)).cast("long"))
+            h = _murmur3_32_long_col(micros)
+        else:
+            h = _murmur3_32_long_col(c)
         return (h.bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(param)).cast("int")
     if kind == "truncate":
         if stype == "string":
@@ -1129,8 +1162,9 @@ def create_iceberg(
     names and/or ``(column, transform)`` pairs builds a multi-field
     transformed spec per the Iceberg spec's partition-transform table,
     e.g. ``[("o_orderdate", "day"), ("o_custkey", "bucket[8]")]``.
-    Supported transforms: ``identity``, ``bucket[N]`` (int/long/string
-    sources, the spec's Murmur3 hash), ``truncate[W]`` (int/long/string),
+    Supported transforms: ``identity``, ``bucket[N]``
+    (int/long/string/date/timestamp sources, the spec's Murmur3 hash),
+    ``truncate[W]`` (int/long/string),
     ``year``/``month``/``day`` (date/timestamp sources) and ``hour``
     (timestamp sources). ``format_version=2`` enables sequence-number
     tracking and row-level position deletes (``delete_iceberg_rows``)."""

@@ -84,6 +84,55 @@ def test_string_murmur3_column_matches_python(spark):
         v: I._murmur3_32_bytes(v.encode("utf-8")) for v in vals}
 
 
+def test_temporal_bucket_goldens_and_column_parity(spark, tdir):
+    """Spec Appendix B: date 2017-11-16 hashes to -653330422 (int days
+    as long) and timestamp 2017-11-16T22:31:08 to -2047944441 (long
+    micros) — and the write-path columns must agree with the Python
+    mirror for date, ntz, and tz sources."""
+    import datetime as dt
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert signed(I._murmur3_32_long(days)) == -653330422
+    micros = 1510871468000000
+    assert signed(I._murmur3_32_long(micros)) == -2047944441
+
+    base = 1677628800
+    df = spark.range(12).select(
+        F.col("id"),
+        F.timestamp_seconds(F.col("id") * 90061 + base).alias("tz"),
+        F.to_timestamp_ntz(
+            F.timestamp_seconds(F.col("id") * 90061 + base)).alias("ntz"),
+        F.to_date(
+            F.timestamp_seconds(F.col("id") * 90061 + base)).alias("d"),
+    )
+    sel = [
+        # session-tz-proof: reconstruct the tz instant from epoch secs
+        F.col("tz").cast("long").alias("secs"), "ntz", "d",
+        I._transform_col("bucket", 16, "tz", "timestamptz").alias("btz"),
+        I._transform_col("bucket", 16, "ntz", "timestamp").alias("bntz"),
+        I._transform_col("bucket", 16, "d", "date").alias("bd"),
+    ]
+    for r in df.select(*sel).collect():
+        tzv = dt.datetime.fromtimestamp(r["secs"], tz=dt.timezone.utc)
+        assert r["btz"] == I._bucket_of(tzv, 16, "timestamptz")
+        assert r["bntz"] == I._bucket_of(r["ntz"], 16, "timestamp")
+        assert r["bd"] == I._bucket_of(r["d"], 16, "date")
+    # equality pruning through a date bucket
+    tbl = tdir + "_db"
+    I.create_iceberg(df.select("id", "d"), tbl,
+                     partition_by=[("d", "bucket[4]")])
+    target = dt.date(2023, 3, 4)
+    pruned = I.iceberg_plan_files(tbl, predicates=[("d", "=", target)])
+    assert pruned and all(
+        f["partition"]["d_bucket"] == I._bucket_of(target, 4, "date")
+        for f in pruned)
+    got = I.read_iceberg(spark, tbl, predicates=[("d", "=", target)])
+    assert got.count() == df.where(F.col("d") == target).count() > 0
+
+
 def test_string_bucket_roundtrip_and_pruning(spark, tdir):
     df = _docs(spark, 0, 60).select(
         "doc_id", "text", F.concat(F.lit("s"), F.col("doc_id") % 7)
@@ -312,8 +361,10 @@ def test_invalid_specs_rejected_before_any_write(spark, tdir):
             partition_by=[("d", "hour")])  # hour needs a timestamp
     with pytest.raises(I.IcebergError):
         I.create_iceberg(
-            ts, tdir, partition_by=[("ts", "bucket[4]")]
-        )  # date/timestamp bucketing is the remaining scope bound
+            df.select("doc_id",
+                      (F.col("doc_id") * 1.5).alias("x")), tdir,
+            partition_by=[("x", "bucket[4]")]
+        )  # float/double sources have no spec bucket hash
 
 
 def test_v2_deletes_on_transformed_table(spark, tdir):
