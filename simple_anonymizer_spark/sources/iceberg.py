@@ -1651,16 +1651,19 @@ def _survives_bounds(
         if fid not in lower or fid not in upper:
             continue
         lo, hi = _bound_value(t, lower[fid]), _bound_value(t, upper[fid])
-        if op == ">=" and hi < v:
-            return False
-        if op == ">" and hi <= v:
-            return False
-        if op == "<=" and lo > v:
-            return False
-        if op == "<" and lo >= v:
-            return False
-        if op in ("=", "==") and (v < lo or v > hi):
-            return False
+        try:
+            if op == ">=" and hi < v:
+                return False
+            if op == ">" and hi <= v:
+                return False
+            if op == "<=" and lo > v:
+                return False
+            if op == "<" and lo >= v:
+                return False
+            if op in ("=", "==") and (v < lo or v > hi):
+                return False
+        except TypeError:
+            continue  # incomparable literal: keep the file
     return True
 
 
@@ -1691,18 +1694,24 @@ def _survives_partition(
                         if pv != _transform_value(
                                 "bucket", f["param"], v, f["stype"]):
                             return False
-                    except (TypeError, ValueError):
+                    except (TypeError, ValueError, AttributeError):
                         continue
                 continue
             if f["kind"] == "identity":
                 # every row in the file carries exactly pv
-                keep = {"<": pv < v, "<=": pv <= v, ">": pv > v,
-                        ">=": pv >= v, "=": pv == v, "==": pv == v,
-                        "!=": True}[op]
+                try:
+                    keep = {"<": pv < v, "<=": pv <= v, ">": pv > v,
+                            ">=": pv >= v, "=": pv == v, "==": pv == v,
+                            "!=": True}[op]
+                except TypeError:
+                    continue  # incomparable literal: keep the file
                 if not keep:
                     return False
                 continue
-            tv = _transform_value(f["kind"], f["param"], v, f["stype"])
+            try:
+                tv = _transform_value(f["kind"], f["param"], v, f["stype"])
+            except (TypeError, ValueError, AttributeError):
+                continue  # unprojectable literal: keep the file
             if tv is None:
                 continue
             if op in ("=", "==") and pv != tv:

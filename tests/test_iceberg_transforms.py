@@ -524,6 +524,23 @@ def test_distributed_stats_harvest_matches_driver_loop(
         range(40, 50))
 
 
+def test_unprojectable_literals_keep_files(spark, tdir):
+    """Pruning is an optimization: a predicate literal that cannot be
+    projected through a transform (type mismatch) must keep every file,
+    never raise — the residual filter owns exactness."""
+    df = _docs(spark, 0, 20)
+    I.create_iceberg(
+        df, tdir,
+        partition_by=["source", ("doc_id", "truncate[10]"),
+                      ("text", "bucket[4]")])
+    n_all = len(I.iceberg_plan_files(tdir))
+    # int literal against the string identity/bucket fields; string
+    # literal against the long truncate field
+    for preds in ([("source", "<", 5)], [("text", "=", 99)],
+                  [("doc_id", ">=", "zzz")]):
+        assert len(I.iceberg_plan_files(tdir, predicates=preds)) == n_all
+
+
 def test_transform_value_mirrors_transform_col(spark):
     """Property alignment: for every supported (transform, source type),
     the Python projection equals the Spark write-path column."""
