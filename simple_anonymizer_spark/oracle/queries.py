@@ -7122,3 +7122,12 @@ ORACLES["iceberg_rename_docs"] = """
 SELECT doc_id, text, lang, source, n_chars AS len_chars
 FROM documents WHERE n_chars % 5 <> 1
 """
+
+# iceberg_evolution_docs: identity-on-lang spec -> evolve default to
+# bucket[4](source) -> append under the new spec -> v2 position delete
+# across both generations -> lang-predicated read (per-file-spec
+# pruning + residual). Oracle: plain filter minus the deleted slice.
+ORACLES["iceberg_evolution_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE lang = 'en' AND doc_id % 6 <> 3
+"""

@@ -4595,6 +4595,34 @@ def iceberg_rename_docs(spark, sf_dir):
     return read_iceberg(spark, out)
 
 
+@query("iceberg_evolution_docs")
+def iceberg_evolution_docs(spark, sf_dir):
+    """Iceberg PARTITION SPEC EVOLUTION driver-verifiable end-to-end
+    (sources/iceberg.py): half of documents is committed under an
+    identity-on-lang spec, the default spec then evolves to
+    ``bucket[4](source)`` in a metadata-only commit, the other half
+    appends under the NEW spec, a v2 position delete screens both
+    generations, and the read predicates on ``lang`` — so plan-time
+    pruning must project the predicate through each file's OWN spec
+    (generation-1 files prune on their identity field, generation-2
+    files fall through to bounds + the residual). The oracle is the
+    plain filtered source table minus the deleted slice."""
+    import tempfile
+
+    from .sources.iceberg import (append_iceberg, create_iceberg,
+                                  delete_iceberg_rows, read_iceberg,
+                                  update_iceberg_partition_spec)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ice_ev_") + "/tbl"
+    create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
+                   partition_by="lang", format_version=2)
+    update_iceberg_partition_spec(out, [("source", "bucket[4]")])
+    append_iceberg(docs.where(F.col("doc_id") % 2 != 0), out)
+    delete_iceberg_rows(spark, out, "doc_id % 6 = 3")
+    return read_iceberg(spark, out, predicates=[("lang", "=", "en")])
+
+
 def _collision_urls(spark, sf_dir):
     """documents -> (doc_id, url) where the PATH keys on doc_id % 50 and
     the volatile parts (tracking params, fragment) key on doc_id — so

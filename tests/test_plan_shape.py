@@ -334,6 +334,9 @@ NATIVE_QUERIES = [
     # the historical aliases) plus the position-delete anti-join; no
     # Python anywhere.
     "iceberg_rename_docs",
+    # round-11: partition spec evolution — native scan over per-spec
+    # pruned files plus the position-delete anti-join and residual.
+    "iceberg_evolution_docs",
     # round-10: release composite — gopher gate (column algebra), hash
     # split (map-side), gram semi-join + anti-join; no Python anywhere.
     "pipeline_release_corpus",
