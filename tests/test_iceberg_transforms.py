@@ -524,6 +524,41 @@ def test_distributed_stats_harvest_matches_driver_loop(
         range(40, 50))
 
 
+def test_hostile_strings_under_transformed_specs(spark, tdir):
+    """Hive-escaped characters must round-trip through TRANSFORMED
+    staging directory names too: truncate[W] prefixes keep their
+    escapes, string buckets of hostile values stay consistent with the
+    Python kernel, and the empty-string truncate collapses to the null
+    partition (the documented Hive-layout contract)."""
+    vals = ["a=b", "x/y", "100%", "a:b", "two words", "naïve-café",
+            "%41", "tab\tchar", ""]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, s string")
+    I.create_iceberg(df, tdir,
+                     partition_by=[("s", "truncate[4]"),
+                                   ("s", "bucket[8]")])
+    got = {(r["doc_id"], r["s"])
+           for r in I.read_iceberg(spark, tdir).collect()}
+    assert got == {(i, v) for i, v in enumerate(vals)}
+    parts = {f["partition"]["s_trunc"]: f["partition"]["s_bucket"]
+             for f in I.iceberg_plan_files(tdir)}
+    for v in vals:
+        if v == "":
+            assert None in parts  # empty string -> null partition
+            continue
+        assert parts[v[:4]] == I._bucket_of(v, 8, "string")
+    # equality predicates prune through BOTH hostile-value transforms
+    for v in ("a=b", "naïve-café", "tab\tchar"):
+        pruned = I.iceberg_plan_files(tdir, predicates=[("s", "=", v)])
+        assert pruned and all(
+            f["partition"]["s_trunc"] == v[:4]
+            and f["partition"]["s_bucket"] == I._bucket_of(v, 8, "string")
+            for f in pruned)
+        rows = I.read_iceberg(
+            spark, tdir, predicates=[("s", "=", v)]).collect()
+        assert [r["s"] for r in rows] == [v]
+
+
 def test_unprojectable_literals_keep_files(spark, tdir):
     """Pruning is an optimization: a predicate literal that cannot be
     projected through a transform (type mismatch) must keep every file,
