@@ -45,7 +45,8 @@ from simple_anonymizer_spark.queries import QUERIES  # noqa: E402
 
 STATE_PAT = re.compile(
     r"_DRIVER_VERIFIED_ROUND:\s*dict\[str,\s*int\]\s*=\s*\{.*?\}\n"
-    r".*?_DEFERRED_TO_NEXT_ROUND:\s*set\[str\]\s*=\s*(?:\{.*?\}|set\(\))\n",
+    r".*?_DEFERRED_TO_NEXT_ROUND:\s*set\[str\]\s*=\s*(?:\{.*?\}|set\(\))\n"
+    r".*?_CHANGED_SINCE_VERIFIED:\s*set\[str\]\s*=\s*(?:\{.*?\}|set\(\))\n",
     re.DOTALL,
 )
 
@@ -58,10 +59,27 @@ def latest_correctness() -> tuple[str, dict]:
     return path, json.load(open(path, encoding="utf-8"))
 
 
-def render_state(verified_round: dict[str, int], deferred: set[str]) -> str:
+def _render_set(name: str, values: set[str]) -> list[str]:
+    if not values:
+        return [f"{name}: set[str] = set()"]
+    lines = [f"{name}: set[str] = {{"]
+    row: list[str] = []
+    for n in sorted(values):
+        row.append(f'"{n}"')
+        if sum(len(x) + 2 for x in row) > 60:
+            lines.append("    " + ", ".join(row) + ",")
+            row = []
+    if row:
+        lines.append("    " + ", ".join(row) + ",")
+    lines.append("}")
+    return lines
+
+
+def render_state(verified_round: dict[str, int], deferred: set[str],
+                 changed: set[str]) -> str:
     """Render the full rotation-state block as it appears in
     __spark_entry__.py: a round-grouped dict literal plus the deferral
-    set (``set()`` when empty, never ``{}``)."""
+    and changed-since-verified sets (``set()`` when empty, never ``{}``)."""
     lines = ["_DRIVER_VERIFIED_ROUND: dict[str, int] = {"]
     for rnd in sorted(set(verified_round.values())):
         names = sorted(n for n, r in verified_round.items() if r == rnd)
@@ -76,19 +94,14 @@ def render_state(verified_round: dict[str, int], deferred: set[str]) -> str:
             lines.append("    " + ", ".join(row) + ",")
     lines.append("}")
     lines.append("_DRIVER_VERIFIED: set[str] = set(_DRIVER_VERIFIED_ROUND)")
-    if not deferred:
-        lines.append("_DEFERRED_TO_NEXT_ROUND: set[str] = set()")
-    else:
-        lines.append("_DEFERRED_TO_NEXT_ROUND: set[str] = {")
-        row = []
-        for n in sorted(deferred):
-            row.append(f'"{n}"')
-            if sum(len(x) + 2 for x in row) > 60:
-                lines.append("    " + ", ".join(row) + ",")
-                row = []
-        if row:
-            lines.append("    " + ", ".join(row) + ",")
-        lines.append("}")
+    lines.extend(_render_set("_DEFERRED_TO_NEXT_ROUND", deferred))
+    lines.append("# Names whose SEMANTICS were rewritten after their last green driver row")
+    lines.append("# (the row was earned by the old form, so stalest-first would not surface")
+    lines.append("# the new form for several rounds). They rank immediately after the")
+    lines.append("# never-verified block. Maintained by hand when a query's semantics")
+    lines.append("# change; update_rotation.py auto-drops a name once a fold records a")
+    lines.append("# fresh green row for it.")
+    lines.extend(_render_set("_CHANGED_SINCE_VERIFIED", changed))
     return "\n".join(lines) + "\n"
 
 
@@ -114,16 +127,22 @@ def main() -> None:
     for n in green:
         verified_round[n] = rnd
     deferred = {n for n in entry._DEFERRED_TO_NEXT_ROUND if n not in green}
+    # a fresh green row re-verifies the rewritten semantics — drop the flag
+    changed = {n for n in entry._CHANGED_SINCE_VERIFIED if n not in green}
 
     unverified_after = [n for n in QUERIES if n not in verified_round]
     print(f"{os.path.basename(path)}: {len(green)} green, {len(red)} red"
           f" ({red if red else 'none'})")
     print(f"newly verified: {len(new_names)}; round-stamp refreshed: "
           f"{len(refreshed)}; unverified after update: {len(unverified_after)}")
+    if changed:
+        print(f"changed-since-verified (still pending re-verification): "
+              f"{sorted(changed)}")
     if len(unverified_after) > 50:
         print("NOTE: still exceeds the 50-entry window — rerank "
               "_DEFERRED_TO_NEXT_ROUND by hand (lowest-risk last 12+).")
-    if verified_round == old and deferred == entry._DEFERRED_TO_NEXT_ROUND:
+    if (verified_round == old and deferred == entry._DEFERRED_TO_NEXT_ROUND
+            and changed == entry._CHANGED_SINCE_VERIFIED):
         print("nothing to do")
         return
     if not apply:
@@ -135,7 +154,7 @@ def main() -> None:
     m = STATE_PAT.search(src)
     if not m:
         raise SystemExit("could not locate the rotation-state block")
-    src = src[: m.start()] + render_state(verified_round, deferred) + src[m.end():]
+    src = src[: m.start()] + render_state(verified_round, deferred, changed) + src[m.end():]
     open(src_path, "w", encoding="utf-8").write(src)
     print(f"rewrote {src_path}; run the window-pin test to confirm:")
     print("  python -m pytest tests/test_entry_oracle.py::"

@@ -92,9 +92,21 @@ def test_driver_window_fronts_unverified_queries():
         f"{len(unverified)} unverified ones — run "
         f"scripts/update_rotation.py --apply: {sorted(stale)[:8]}..."
     )
+    # changed-since-verified names rank immediately after the unverified
+    # block: their green rows were earned by pre-rewrite semantics, so
+    # stalest-first alone would not re-verify the new form for rounds
+    changed = [n for n in names if n in entrymod._CHANGED_SINCE_VERIFIED
+               and n in entrymod._DRIVER_VERIFIED]
+    n_changed = len(changed)
+    assert names[len(unverified):len(unverified) + n_changed] == changed, (
+        "changed-since-verified names must front the verified tail"
+    )
+    assert set(changed) <= set(names[:50]) or len(unverified) >= 50, (
+        "changed-since-verified names fell out of the 50-entry window"
+    )
     # verified tail: stalest round first (non-decreasing round stamps)
     tail_rounds = [entrymod._DRIVER_VERIFIED_ROUND[n]
-                   for n in names[len(unverified):]]
+                   for n in names[len(unverified) + n_changed:]]
     assert tail_rounds == sorted(tail_rounds), (
         "verified names are not ordered oldest-verified-round first"
     )
@@ -124,6 +136,7 @@ def test_round8_window_previews_stalest_reverification(monkeypatch):
     monkeypatch.setattr(entrymod, "_DRIVER_VERIFIED_ROUND", simulated)
     monkeypatch.setattr(entrymod, "_DRIVER_VERIFIED", set(simulated))
     monkeypatch.setattr(entrymod, "_DEFERRED_TO_NEXT_ROUND", set())
+    monkeypatch.setattr(entrymod, "_CHANGED_SINCE_VERIFIED", set())
 
     window = list(entrymod.queries())[:50]
     round1 = {n for n, r in simulated.items() if r == 1}

@@ -25,22 +25,25 @@ def _load_script():
 
 def test_render_state_round_trips_through_exec():
     mod = _load_script()
-    src = mod.render_state({"q_a": 1, "q_b": 2, "q_c": 2}, {"q_d"})
+    src = mod.render_state({"q_a": 1, "q_b": 2, "q_c": 2}, {"q_d"}, {"q_b"})
     ns: dict = {}
     exec(src, ns)  # the rendered block must BE valid module code
     assert ns["_DRIVER_VERIFIED_ROUND"] == {"q_a": 1, "q_b": 2, "q_c": 2}
     assert ns["_DRIVER_VERIFIED"] == {"q_a", "q_b", "q_c"}
     assert ns["_DEFERRED_TO_NEXT_ROUND"] == {"q_d"}
+    assert ns["_CHANGED_SINCE_VERIFIED"] == {"q_b"}
 
 
 def test_render_state_empty_deferral_is_a_set_not_a_dict():
     mod = _load_script()
-    src = mod.render_state({"q_a": 3}, set())
+    src = mod.render_state({"q_a": 3}, set(), set())
     assert "_DEFERRED_TO_NEXT_ROUND: set[str] = set()" in src
     ns: dict = {}
     exec(src, ns)
     assert ns["_DEFERRED_TO_NEXT_ROUND"] == set()
     assert isinstance(ns["_DEFERRED_TO_NEXT_ROUND"], set)
+    assert ns["_CHANGED_SINCE_VERIFIED"] == set()
+    assert isinstance(ns["_CHANGED_SINCE_VERIFIED"], set)
 
 
 def test_rewrite_regex_matches_live_entry_module():
@@ -79,3 +82,8 @@ def test_fold_semantics_refresh_and_prune():
     deferred = {n for n in {"new_green", "held_back"} if n not in green}
     assert verified == {"old_green_again": 6, "red": 4, "new_green": 6}
     assert deferred == {"held_back"}
+    # changed-since-verified names drop only when the fold records a
+    # fresh green row for them; red/absent names stay flagged
+    changed = {n for n in {"old_green_again", "red", "never_ran"}
+               if n not in green}
+    assert changed == {"red", "never_ran"}
