@@ -7131,3 +7131,19 @@ ORACLES["iceberg_evolution_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 WHERE lang = 'en' AND doc_id % 6 <> 3
 """
+
+# iceberg_decimal_orders: exact decimal(12,2) price (integer cents via
+# floor(x*100) — identical IEEE ops both engines) -> Iceberg spec
+# truncate[2000000] x bucket[8] on the DECIMAL source -> range-pruned
+# read. Pruning is an optimization the residual makes exact, so the
+# oracle is the integer-cents filter; the DOUBLE exit is exact both
+# ways (cents < 2^53, one correctly-rounded divide).
+ORACLES["iceberg_decimal_orders"] = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, cents / 100.0 AS price_d
+FROM c WHERE cents >= 35000000 AND cents < 36000000
+"""

@@ -58,6 +58,19 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return ensure_parallelism(read_sf_table(spark, sf_dir, name))
 
 
+def _scratch(prefix: str) -> str:
+    """A per-process temp dir for the table-writing queries, removed at
+    interpreter exit — every driver/bench/oracle run used to leak one
+    table copy per invocation into /tmp (round-11 advice)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # Anonymizers (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -1217,11 +1230,10 @@ def avro_roundtrip_docs(spark, sf_dir):
     from-scratch reader; the oracle is simply the source table, so the
     driver's value hash gates BOTH sides of the codec. One container
     file per partition (executor-side IO), one decode task per file."""
-    import tempfile
 
     from .sources.avro import read_avro, write_avro
 
-    out = tempfile.mkdtemp(prefix="avro_rt_")
+    out = _scratch("avro_rt_")
     write_avro(_t(spark, sf_dir, "documents"), out)
     return read_avro(spark, out)
 
@@ -1237,14 +1249,13 @@ def warc_roundtrip_docs(spark, sf_dir):
     fields, so the oracle is simply the source table and the driver's
     value hash gates BOTH codec directions. One archive per partition
     (executor-side IO), one decode task per file."""
-    import tempfile
 
     from .sources.warc import read_warc, write_warc
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "uri", F.concat(F.lit("corpus://"), F.col("source"), F.lit("/"),
                         F.col("doc_id")))
-    out = tempfile.mkdtemp(prefix="warc_rt_")
+    out = _scratch("warc_rt_")
     write_warc(docs, out, uri_col="uri", payload_col="text",
                meta_cols=("doc_id", "lang", "source", "n_chars"))
     back = read_warc(spark, out)
@@ -4397,11 +4408,10 @@ def orc_roundtrip_docs(spark, sf_dir):
     oracle is simply the source table, so the driver's value hash gates
     the full write/read cycle (the avro/warc roundtrip gate shape,
     DuckDB never needs to read ORC itself)."""
-    import tempfile
 
     from .sources.orc import orc_writer, read_orc_table
 
-    out = tempfile.mkdtemp(prefix="orc_rt_")
+    out = _scratch("orc_rt_")
     orc_writer(spark, out)("documents", _t(spark, sf_dir, "documents"))
     return read_orc_table(spark, out + "/documents")
 
@@ -4416,12 +4426,11 @@ def iceberg_roundtrip_docs(spark, sf_dir):
     Avro -> exactly the live parquet files, no directory listing. The
     oracle is the source table, so the driver's value hash gates the
     whole commit/plan/read cycle (the orc/avro/warc roundtrip shape)."""
-    import tempfile
 
     from .sources.iceberg import append_iceberg, create_iceberg, read_iceberg
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ice_rt_") + "/tbl"
+    out = _scratch("ice_rt_") + "/tbl"
     create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
                    partition_by="source")
     append_iceberg(docs.where(F.col("doc_id") % 2 != 0), out)
@@ -4438,13 +4447,12 @@ def iceberg_v2_delete_docs(spark, sf_dir):
     anti-join applied. The oracle is the source table under the negated
     predicate, so the driver's value hash gates the whole v2
     sequence-number/delete-manifest/anti-join cycle."""
-    import tempfile
 
     from .sources.iceberg import (create_iceberg, delete_iceberg_rows,
                                   read_iceberg)
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ice_v2_") + "/tbl"
+    out = _scratch("ice_v2_") + "/tbl"
     create_iceberg(docs, out, partition_by="source", format_version=2)
     delete_iceberg_rows(spark, out, "doc_id % 7 = 0 OR lang = 'de'")
     return read_iceberg(spark, out)
@@ -4460,13 +4468,12 @@ def iceberg_v2_upsert_docs(spark, sf_dir):
     append, the spec's CDC pattern, no data file rewritten. The oracle
     is the source table with the same rows amended, so the driver's
     value hash gates last-write-wins semantics exactly."""
-    import tempfile
 
     from .sources.iceberg import (create_iceberg, read_iceberg,
                                   upsert_iceberg)
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ice_v2u_") + "/tbl"
+    out = _scratch("ice_v2u_") + "/tbl"
     create_iceberg(docs, out, format_version=2)
     upd = (docs.where(F.col("doc_id") % 10 == 0)
            .withColumn("text", F.concat(F.col("text"), F.lit(" [v2]"))))
@@ -4484,13 +4491,12 @@ def iceberg_compact_docs(spark, sf_dir):
     per-file bounds. The oracle is the source table under the negated
     predicate: a value-hash match proves compaction changed the LAYOUT
     and nothing else."""
-    import tempfile
 
     from .sources.iceberg import (create_iceberg, delete_iceberg_rows,
                                   read_iceberg, rewrite_iceberg_files)
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ice_cmp_") + "/tbl"
+    out = _scratch("ice_cmp_") + "/tbl"
     create_iceberg(docs, out, format_version=2)
     delete_iceberg_rows(spark, out, "doc_id % 5 = 2")
     rewrite_iceberg_files(spark, out, sort_by=["doc_id"],
@@ -4508,7 +4514,6 @@ def iceberg_migrate_docs(spark, sf_dir):
     immediately supports v2 row-level deletes. The oracle is the source
     table under the negated predicate, gating the whole
     write/migrate/delete/read chain."""
-    import tempfile
 
     from .plans.on_conflict import OnConflict
     from .sources.deltalog import merge_deltalog
@@ -4516,7 +4521,7 @@ def iceberg_migrate_docs(spark, sf_dir):
                                   migrate_delta_to_iceberg, read_iceberg)
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="ice_mig_") + "/tbl"
+    path = _scratch("ice_mig_") + "/tbl"
     merge_deltalog(spark, docs, path, ["doc_id"], OnConflict.do_update())
     migrate_delta_to_iceberg(path, format_version=2)
     delete_iceberg_rows(spark, path, "doc_id % 9 = 4")
@@ -4538,7 +4543,6 @@ def iceberg_transforms_orders(spark, sf_dir):
     projection pruning, and the residual in one gate (14/11/3 rows at
     sf0.001/0.01/0.1 — never empty)."""
     import datetime
-    import tempfile
 
     from .sources.iceberg import create_iceberg, read_iceberg
 
@@ -4551,7 +4555,7 @@ def iceberg_transforms_orders(spark, sf_dir):
     # (month, bucket) tuple instead of (tasks x tuples) small files
     orders = orders.repartition(
         32, *partition_transform_columns(orders, spec))
-    out = tempfile.mkdtemp(prefix="ice_tf_") + "/tbl"
+    out = _scratch("ice_tf_") + "/tbl"
     create_iceberg(orders, out, partition_by=spec)
     got = read_iceberg(
         spark, out,
@@ -4566,6 +4570,45 @@ def iceberg_transforms_orders(spark, sf_dir):
     )
 
 
+@query("iceberg_decimal_orders")
+def iceberg_decimal_orders(spark, sf_dir):
+    """Iceberg DECIMAL partition transforms driver-verifiable end-to-end
+    (sources/iceberg.py): orders' price becomes an EXACT decimal(12,2)
+    (integer cents via ``floor(x*100)`` — the same IEEE ops both
+    engines, so the cross-engine row set is bit-stable), committed under
+    ``truncate[2000000](price)`` (20000.00-wide unscaled bins, the
+    spec's decimal truncate) x ``bucket[8](price)`` (Appendix B: Murmur3
+    of the minimal-bytes two's-complement big-endian unscaled value),
+    then range-read back — the truncate field prunes the price range at
+    plan time through inclusive projection, decimal partition values
+    round-trip the manifest Avro as the decimal logical type, and the
+    residual filter makes the result exact. Oracle: the integer-cents
+    filter on the source table (30/326 rows at sf0.001/0.01)."""
+    import decimal
+
+    from .sources.iceberg import (create_iceberg,
+                                  partition_transform_columns,
+                                  read_iceberg)
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    price = (cents.cast("decimal(20,0)")
+             / F.lit(100).cast("decimal(3,0)")).cast("decimal(12,2)")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", price.alias("price"))
+    spec = [("price", "truncate[2000000]"), ("price", "bucket[8]")]
+    orders = orders.repartition(
+        8, *partition_transform_columns(orders, spec))
+    out = _scratch("ice_dec_") + "/tbl"
+    create_iceberg(orders, out, partition_by=spec)
+    got = read_iceberg(
+        spark, out,
+        predicates=[("price", ">=", decimal.Decimal("350000.00")),
+                    ("price", "<", decimal.Decimal("360000.00"))])
+    return got.select(
+        "o_orderkey", "o_custkey",
+        F.col("price").cast("double").alias("price_d"))
+
+
 @query("iceberg_rename_docs")
 def iceberg_rename_docs(spark, sf_dir):
     """Iceberg RENAME schema evolution driver-verifiable end-to-end
@@ -4577,14 +4620,13 @@ def iceberg_rename_docs(spark, sf_dir):
     the name history (coalesce scan), apply the delete to both, and emit
     the current schema. The oracle is the source table with the column
     aliased and the delete predicate negated."""
-    import tempfile
 
     from .sources.iceberg import (append_iceberg, create_iceberg,
                                   delete_iceberg_rows, read_iceberg,
                                   rename_iceberg_column)
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ice_rn_") + "/tbl"
+    out = _scratch("ice_rn_") + "/tbl"
     create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
                    format_version=2)
     rename_iceberg_column(out, "n_chars", "len_chars")
@@ -4607,14 +4649,13 @@ def iceberg_evolution_docs(spark, sf_dir):
     (generation-1 files prune on their identity field, generation-2
     files fall through to bounds + the residual). The oracle is the
     plain filtered source table minus the deleted slice."""
-    import tempfile
 
     from .sources.iceberg import (append_iceberg, create_iceberg,
                                   delete_iceberg_rows, read_iceberg,
                                   update_iceberg_partition_spec)
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ice_ev_") + "/tbl"
+    out = _scratch("ice_ev_") + "/tbl"
     create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
                    partition_by="lang", format_version=2)
     update_iceberg_partition_spec(out, [("source", "bucket[4]")])

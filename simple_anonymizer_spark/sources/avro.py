@@ -14,9 +14,12 @@ double, bytes, string``, plus ``array``, ``map`` (string keys, per the
 spec), nested ``record``, and nullability anywhere via the idiomatic
 ``["null", T]`` union. That covers every fixture table including
 ``embeddings`` (``array<float>``) and arbitrary struct/map payload
-columns. Not implemented (nothing here produces them): ``enum``,
-``fixed``, non-null multi-branch unions, logical-type annotations
-(read as their underlying primitive).
+columns, and the ``decimal`` logical type over ``bytes`` (the Avro
+spec's minimal two's-complement big-endian unscaled encoding —
+``decimal.Decimal`` in, ``decimal.Decimal`` out; Iceberg manifests use
+it for decimal partition values). Not implemented (nothing here
+produces them): ``enum``, ``fixed``, non-null multi-branch unions,
+other logical-type annotations (read as their underlying primitive).
 
 Distribution (100 TB): the sink writes ONE container file per Spark
 partition from inside a ``mapInPandas`` stage (executor-side IO, the
@@ -32,6 +35,7 @@ first, with the native Parquet path remaining the performance format.
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import io
 import json
@@ -130,7 +134,17 @@ def _decode_value(atype: str, buf: bytes, pos: int):
 #
 # Normalized type nodes (the recursive algebra the codec walks):
 #   ("prim", name) | ("opt", inner) | ("array", item) | ("map", value)
-#   | ("record", [(field_name, node), ...])
+#   | ("record", [(field_name, node), ...]) | ("dec", precision, scale)
+
+
+def min_twos_complement(u: int) -> bytes:
+    """The MINIMAL two's-complement big-endian byte form of a signed
+    integer — the Avro decimal value encoding (and, identically, the
+    Iceberg spec's Appendix B/D byte form for decimal unscaled values:
+    ``decimal(14.20)`` -> ``05 8C``)."""
+    n = (max(1, (u.bit_length() + 8) // 8) if u >= 0
+         else max(1, ((-u - 1).bit_length() + 8) // 8))
+    return u.to_bytes(n, "big", signed=True)
 
 
 def _norm_type(t):
@@ -147,6 +161,11 @@ def _norm_type(t):
         raise ValueError(f"unsupported avro type {t!r}")
     if isinstance(t, dict):
         tt = t.get("type")
+        if tt == "bytes" and t.get("logicalType") == "decimal":
+            p, s = int(t["precision"]), int(t.get("scale", 0))
+            if p < 1 or s < 0 or s > p:
+                raise ValueError(f"bad decimal logical type {t!r}")
+            return ("dec", p, s)
         if tt == "array" and "items" in t:
             return ("array", _norm_type(t["items"]))
         if tt == "map" and "values" in t:
@@ -190,6 +209,9 @@ def _avro_type_of(dt) -> object:
     name = dt.typeName()
     if name in _SPARK_TO_AVRO:
         return _SPARK_TO_AVRO[name]
+    if isinstance(dt, T.DecimalType):
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
     if isinstance(dt, T.ArrayType):
         item = _avro_type_of(dt.elementType)
         if dt.containsNull:
@@ -238,6 +260,8 @@ def _spark_type_of(node):
         return inner, True
     if node[0] == "prim":
         return _SPARK_T[node[1]](), False
+    if node[0] == "dec":
+        return T.DecimalType(node[1], node[2]), False
     if node[0] == "array":
         item, item_null = _spark_type_of(node[1])
         return T.ArrayType(item, item_null), False
@@ -283,6 +307,17 @@ def _enc(node, v, out: list, where: str) -> None:
             raise ValueError(f"null (NaN) in non-nullable field {where!r}")
         out.append(_encode_value(node[1], v))
         return
+    if kind == "dec":
+        _p, s = node[1], node[2]
+        d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(v)
+        try:
+            u = int(d.scaleb(s).to_integral_exact(
+                context=decimal.Context(traps=[decimal.Inexact])))
+        except decimal.Inexact:
+            raise ValueError(
+                f"decimal value {v} does not fit scale {s} in {where!r}")
+        out.append(_encode_value("bytes", min_twos_complement(u)))
+        return
     if kind == "array":
         items = list(v)
         if items:
@@ -325,6 +360,10 @@ def _dec(node, buf: bytes, pos: int):
         return _dec(node[1], buf, pos)
     if kind == "prim":
         return _decode_value(node[1], buf, pos)
+    if kind == "dec":
+        b, pos = _decode_value("bytes", buf, pos)
+        u = int.from_bytes(b, "big", signed=True)
+        return decimal.Decimal(u).scaleb(-node[2]), pos
     if kind in ("array", "map"):
         out = [] if kind == "array" else {}
         while True:

@@ -63,9 +63,10 @@ Deliberate scope bounds: delete-file paths manifest-relative like every
 other path this tier writes, and upserts as two commits (single-commit
 delta writes are a real-runtime feature). Partition specs support
 multiple fields and the spec's transforms — identity, ``bucket[N]``
-(int/long/string/date/timestamp sources via the spec's Murmur3 hash;
-decimal bucketing remains out of scope), ``truncate[W]``
-(int/long/string),
+(int/long/string/date/timestamp and decimal(<=18) sources via the
+spec's Murmur3 hash; decimal precision > 18 would need an int128
+unscaled kernel and stays an explicit refusal), ``truncate[W]``
+(int/long/string/decimal(<=18)),
 ``year``/``month``/``day``/``hour`` — with transform-aware inclusive
 projection pruning at plan time. An EMPTY-STRING string partition value
 collapses to null on write — the Hive directory layout cannot
@@ -76,6 +77,7 @@ directory), the classic Hive-metastore semantics.
 from __future__ import annotations
 
 import datetime
+import decimal
 import glob
 import io
 import json
@@ -89,7 +91,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .avro import read_container, write_container
+from .avro import min_twos_complement, read_container, write_container
 
 _FORMAT_VERSIONS = (1, 2)
 _BLOCK_SIZE = 67108864  # deprecated-but-required v1 field
@@ -129,6 +131,36 @@ _ICE_TO_SPARK_TYPE = {
     "timestamptz": T.TimestampType, "timestamp": T.TimestampNTZType,
 }
 
+_DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+
+
+def _decimal_ps(itype: str) -> tuple[int, int] | None:
+    """``"decimal(12,2)"`` -> ``(12, 2)``; None for non-decimal types."""
+    m = _DECIMAL_RE.fullmatch(itype)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _ice_type_of(dt) -> str:
+    """Spark DataType -> Iceberg type string (decimal keeps P/S —
+    ``typeName()`` alone would collapse every decimal to 'decimal')."""
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    t = dt.typeName()
+    if t not in _SPARK_TO_ICE:
+        raise IcebergError(f"no iceberg mapping for spark type {t!r}")
+    return _SPARK_TO_ICE[t]
+
+
+def _spark_type_for(itype: str):
+    """Iceberg type string -> Spark DataType INSTANCE (parameterized
+    decimals included)."""
+    ps = _decimal_ps(itype)
+    if ps:
+        return T.DecimalType(*ps)
+    if itype not in _ICE_TO_SPARK_TYPE:
+        raise IcebergError(f"unknown iceberg type {itype!r}")
+    return _ICE_TO_SPARK_TYPE[itype]()
+
 #: Iceberg types whose min/max can be harvested from parquet footers and
 #: serialized with the spec's single-value binary form (Appendix D).
 _BOUND_TYPES = {"long", "int", "string", "double", "float", "boolean"}
@@ -137,6 +169,18 @@ _BOUND_TYPES = {"long", "int", "string", "double", "float", "boolean"}
 _PARTITION_AVRO = {"long": "long", "int": "int", "string": "string",
                    "double": "double", "float": "float",
                    "boolean": "boolean"}
+
+
+def _partition_avro_type(ptype: str):
+    """Avro schema fragment for one partition value type — decimals map
+    to the Avro decimal logical type (bytes, minimal two's-complement
+    big-endian unscaled value; round-tripped as ``decimal.Decimal`` by
+    the codec), everything else to its plain primitive."""
+    ps = _decimal_ps(ptype)
+    if ps:
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": ps[0], "scale": ps[1]}
+    return _PARTITION_AVRO.get(ptype)
 
 #: Temp column duplicating the partition key for the one-job
 #: ``partitionBy`` write: Hive layout drops the partitioned column from
@@ -163,12 +207,9 @@ def _ice_schema(df: DataFrame) -> tuple[dict, dict[str, int]]:
     """Spark schema -> Iceberg schema struct + name->field-id map."""
     fields, ids = [], {}
     for i, f in enumerate(df.schema.fields, start=1):
-        t = f.dataType.typeName()
-        if t not in _SPARK_TO_ICE:
-            raise IcebergError(f"no iceberg mapping for spark type {t!r}")
         fields.append({
             "id": i, "name": f.name, "required": not f.nullable,
-            "type": _SPARK_TO_ICE[t],
+            "type": _ice_type_of(f.dataType),
         })
         ids[f.name] = i
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids
@@ -195,7 +236,7 @@ def _spark_struct(schema_struct: dict) -> T.StructType:
     lack the new field, and the explicit schema makes Spark fill it with
     null instead of failing schema inference."""
     return T.StructType([
-        T.StructField(f["name"], _ICE_TO_SPARK_TYPE[f["type"]](),
+        T.StructField(f["name"], _spark_type_for(f["type"]),
                       not f["required"])
         for f in schema_struct["fields"]])
 
@@ -249,9 +290,15 @@ def _kv_bounds_field(name: str, fid: int, key_id: int, val_id: int) -> dict:
 
 
 def _df_ice_types(df: DataFrame) -> dict[str, str]:
-    return {f.name: _SPARK_TO_ICE.get(f.dataType.typeName(),
-                                      f.dataType.typeName())
-            for f in df.schema.fields}
+    out = {}
+    for f in df.schema.fields:
+        try:
+            out[f.name] = _ice_type_of(f.dataType)
+        except IcebergError:
+            # unmapped types pass through by name; the partition-spec
+            # validator rejects them with the full context later
+            out[f.name] = f.dataType.typeName()
+    return out
 
 
 def _normalize_partition_spec(partition_by, stypes: dict[str, str],
@@ -333,7 +380,7 @@ def _resolve_all_specs(meta: dict) -> dict[int, list[dict]]:
 def _manifest_schema(spec: list[dict], format_version: int = 1) -> dict:
     pfields = []
     for i, f in enumerate(spec):
-        avro_t = _PARTITION_AVRO.get(f["ptype"])
+        avro_t = _partition_avro_type(f["ptype"])
         if avro_t is None:
             raise IcebergError(
                 f"unsupported partition value type {f['ptype']!r}")
@@ -406,6 +453,13 @@ def _parse_partition_dirname(dirname: str, ptype: str):
         return float(s)
     if ptype == "boolean":
         return s == "true"
+    ps = _decimal_ps(ptype)
+    if ps:
+        # Spark's dir names carry the plain string form at full scale
+        # ("10.50"); quantize pins the Decimal's exponent to the type's
+        # scale either way (exact — the value has <= scale digits)
+        return decimal.Decimal(s).quantize(
+            decimal.Decimal(1).scaleb(-ps[1]))
     raise IcebergError(f"unsupported partition value type {ptype!r}")
 
 
@@ -414,10 +468,15 @@ def _parse_partition_dirname(dirname: str, ptype: str):
 #
 # Supported: identity; bucket[N] on int/long sources (the spec's
 # Murmur3-of-little-endian-long hash — Appendix B), string sources
-# (Murmur3 over the UTF-8 bytes), and date/timestamp sources (int days /
-# long micros hashed as longs; decimal bucketing is a documented scope
-# bound); truncate[W] on int/long
-# (floor-to-multiple) and string (first W chars); year/month/day on
+# (Murmur3 over the UTF-8 bytes), date/timestamp sources (int days /
+# long micros hashed as longs), and decimal sources up to precision 18
+# (Appendix B: hash the minimal-bytes two's-complement BIG-endian
+# unscaled value — ``hash(decimal(14.20)) = -500754589``; precision > 18
+# needs an int128 unscaled kernel and stays a documented refusal);
+# truncate[W] on int/long
+# (floor-to-multiple), string (first W chars), and decimal (unscaled
+# value floored to a multiple of W, spec table: truncate(50, d) of
+# 10.65 at scale 2 -> 10.50); year/month/day on
 # date/timestamp/timestamptz and hour on timestamps. Each transform has
 # THREE aligned implementations that must stay in lockstep: the Spark
 # column (write path), the Python value (predicate projection for
@@ -456,24 +515,40 @@ def _transform_result_type(kind: str, stype: str) -> str:
     """Iceberg type of the PARTITION VALUE a transform emits, validating
     the source type. Raised errors happen at create time, before any
     directory exists."""
+    dec = _decimal_ps(stype)
     if kind == "identity":
-        if stype not in _PARTITION_AVRO:
+        if stype not in _PARTITION_AVRO and not dec:
             raise IcebergError(
                 f"unsupported identity partition type {stype!r}")
         return stype
     if kind == "bucket":
+        if dec:
+            if dec[0] > 18:
+                raise IcebergError(
+                    f"bucket[N] on {stype!r}: precision > 18 needs an "
+                    "int128 unscaled hash kernel (documented refusal); "
+                    "use precision <= 18")
+            return "int"
         if stype not in ("int", "long", "string", "date", "timestamp",
                          "timestamptz"):
             raise IcebergError(
-                f"bucket[N] supports int/long/string/date/timestamp "
-                f"source columns, got {stype!r} (decimal bucketing is a "
-                "documented scope bound)")
+                f"bucket[N] supports int/long/string/date/timestamp/"
+                f"decimal(<=18) source columns, got {stype!r}")
         return "int"
     if kind == "truncate":
+        if dec:
+            if dec[0] > 18:
+                raise IcebergError(
+                    f"truncate[W] on {stype!r}: precision > 18 needs an "
+                    "int128 unscaled kernel (documented refusal); use "
+                    "precision <= 18")
+            # one extra digit: flooring the minimum P-digit unscaled
+            # value to a multiple of W can round DOWN past -10^P
+            return f"decimal({dec[0] + 1},{dec[1]})"
         if stype not in ("int", "long", "string"):
             raise IcebergError(
-                f"truncate[W] supports int/long/string sources, got "
-                f"{stype!r}")
+                f"truncate[W] supports int/long/string/decimal(<=18) "
+                f"sources, got {stype!r}")
         return stype
     if kind in _TIME_TRANSFORMS:
         if stype == "date":
@@ -554,7 +629,27 @@ def _murmur3_32_bytes(data: bytes) -> int:
     return h
 
 
+def _decimal_unscaled(v, scale: int) -> int:
+    """Exact unscaled value of a decimal literal at the SOURCE column's
+    scale; ValueError when the literal has more fractional digits than
+    the scale (it then equals no column value — callers keep the file)."""
+    d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+    try:
+        return int(d.scaleb(scale).to_integral_exact(
+            context=decimal.Context(traps=[decimal.Inexact])))
+    except decimal.Inexact:
+        raise ValueError(
+            f"literal {v} has more fractional digits than scale {scale}")
+
+
 def _bucket_of(v, n: int, stype: str = "long") -> int:
+    ps = _decimal_ps(stype)
+    if ps:
+        # Appendix B: hash the minimal-bytes two's-complement
+        # BIG-endian unscaled value (hash(decimal(14.20)) = -500754589)
+        u = _decimal_unscaled(v, ps[1])
+        return (_murmur3_32_bytes(min_twos_complement(u))
+                & 0x7FFFFFFF) % n
     if stype == "string":
         return (_murmur3_32_bytes(v.encode("utf-8")) & 0x7FFFFFFF) % n
     if stype == "date":
@@ -632,18 +727,28 @@ def _murmur3_32_long_col(c):
         F.sequence(F.lit(0), F.lit(2)), F.lit(0).cast("long"), step)
 
 
-def _murmur3_32_str_col(c):
-    """Column mirror of ``_murmur3_32_bytes`` over a STRING column's
-    UTF-8 bytes — the spec's bucket hash for string sources. The bytes
-    come through ``hex(encode(...))`` (two chars per byte) and the whole
-    variable-length block/tail/finalize pipeline is ONE ``F.aggregate``
-    fold over ``sequence(1, nblocks + 2)`` — steps 1..nblocks mix the
-    4-byte little-endian blocks, step nblocks+1 mixes the 1-3-byte tail
-    (identity when none), the last step finalizes. Same
-    lambda-leaf-accumulator shape as the long kernel (expression-count
-    lesson); NULL in -> NULL out."""
+def _murmur3_32_hex_col(hx_expr):
+    """Column mirror of ``_murmur3_32_bytes`` over a variable-length
+    byte buffer given as its HEX form (two chars per byte, buffer
+    order). The whole block/tail/finalize pipeline is ONE
+    ``F.aggregate`` fold over ``sequence(1, nblocks + 2)`` — steps
+    1..nblocks mix the 4-byte little-endian blocks, step nblocks+1
+    mixes the 1-3-byte tail (identity when none), the last step
+    finalizes. The fold body references the hex buffer dozens of times,
+    so ``hx_expr`` is first bound to a lambda-variable LEAF via an outer
+    one-element-array fold — otherwise every reference would duplicate
+    the caller's whole upstream subtree (the expression-count lesson;
+    the decimal kernel's minimal-bytes hex is ~250 nodes, and 30
+    duplicates of it under a repartition clause is an OOM, not a
+    slowdown). NULL in -> NULL out through the array element."""
+    return F.aggregate(
+        F.array(hx_expr), F.lit(0).cast("long"), _murmur3_32_hex_fold)
+
+
+def _murmur3_32_hex_fold(acc, hx):
+    """The fold body of ``_murmur3_32_hex_col`` — ``hx`` is a
+    lambda-variable leaf here, free to reference."""
     M = F.lit(_M32)
-    hx = F.hex(F.encode(c, "UTF-8"))
     nbytes = (F.length(hx) / F.lit(2)).cast("long")
     r = nbytes % F.lit(4)
     nblocks = ((nbytes - r) / F.lit(4)).cast("long")
@@ -692,8 +797,40 @@ def _murmur3_32_str_col(c):
                 .otherwise(fmix(h)))
 
     return F.aggregate(
-        F.sequence(F.lit(1).cast("long"), nblocks + 2),
-        F.lit(0).cast("long"), step)
+        F.sequence(F.lit(1).cast("long"), nblocks + 2), acc, step)
+
+
+def _murmur3_32_str_col(c):
+    """The spec's bucket hash for string sources: ``_murmur3_32_hex_col``
+    over the UTF-8 bytes."""
+    return _murmur3_32_hex_col(F.hex(F.encode(c, "UTF-8")))
+
+
+def _unscaled_long_col(c, precision: int, scale: int):
+    """Exact unscaled value of a decimal(<=18) column as a long:
+    ``c * 10^scale`` in decimal arithmetic (result precision
+    P+S+2 <= 38, exact) then an exact long cast."""
+    return (c * F.lit(10 ** scale).cast(f"decimal({scale + 1},0)")
+            ).cast("long")
+
+
+def _murmur3_32_decimal_col(c, precision: int, scale: int):
+    """The spec's bucket hash for decimal sources (Appendix B): Murmur3
+    of the MINIMAL two's-complement big-endian byte form of the
+    unscaled value — note big-endian and variable length, unlike the
+    fixed 8-byte little-endian long hash. The minimal byte length is
+    1 + (count of 8-bit widths the value overflows); the bytes are the
+    low ``2L`` chars of the zero-padded 16-char hex of the long (a
+    long's hex IS its two's-complement big-endian form)."""
+    u = _unscaled_long_col(c, precision, scale)
+    nbytes = F.lit(1)
+    for k in range(1, 8):
+        t = 1 << (8 * k - 1)
+        nbytes = nbytes + F.when((u >= t) | (u < -t), 1).otherwise(0)
+    hex16 = F.lpad(F.hex(u), 16, "0")
+    hx = F.substr(hex16, F.lit(17) - nbytes * 2,
+                  (nbytes * 2).cast("int"))
+    return _murmur3_32_hex_col(hx)
 
 
 def _floordiv_col(c, unit: int):
@@ -708,10 +845,13 @@ def _transform_col(kind: str, param: int | None, source: str, stype: str):
     column — the write path's throwaway ``partitionBy`` key. NULL
     sources propagate to NULL partition values through every branch."""
     c = F.col(source)
+    dec = _decimal_ps(stype)
     if kind == "identity":
         return c
     if kind == "bucket":
-        if stype == "string":
+        if dec:
+            h = _murmur3_32_decimal_col(c, *dec)
+        elif stype == "string":
             h = _murmur3_32_str_col(c)
         elif stype == "date":
             # dates hash as their int days-from-epoch (Appendix B)
@@ -737,6 +877,20 @@ def _transform_col(kind: str, param: int | None, source: str, stype: str):
     if kind == "truncate":
         if stype == "string":
             return F.substring(c, 1, param)
+        if dec:
+            # floor the UNSCALED value to a multiple of W, then rebuild
+            # the decimal: exact decimal division by 10^S (the quotient
+            # has <= S fractional digits, so the adjusted result scale
+            # always holds it), then an exact cast to decimal(P+1,S) —
+            # one digit wider than the source, because flooring the
+            # minimum P-digit value can pass -10^P (ANSI would throw on
+            # a same-precision cast)
+            p, s = dec
+            u = _unscaled_long_col(c, p, s)
+            ut = u - F.pmod(u, F.lit(param))
+            return (ut.cast("decimal(20,0)")
+                    / F.lit(10 ** s).cast(f"decimal({s + 1},0)")
+                    ).cast(f"decimal({p + 1},{s})")
         out = c - F.pmod(c, F.lit(param))
         return out.cast("int" if stype == "int" else "long")
     # time transforms -> int
@@ -800,6 +954,10 @@ def _transform_value(kind: str, param: int | None, v, stype: str):
     if kind == "truncate":
         if stype == "string":
             return v[:param]
+        ps = _decimal_ps(stype)
+        if ps:
+            u = _decimal_unscaled(v, ps[1])
+            return decimal.Decimal(u - (u % param)).scaleb(-ps[1])
         return v - (v % param)  # Python % is a floor mod
     try:
         t = _as_datetime(v, stype)
@@ -1163,8 +1321,8 @@ def create_iceberg(
     transformed spec per the Iceberg spec's partition-transform table,
     e.g. ``[("o_orderdate", "day"), ("o_custkey", "bucket[8]")]``.
     Supported transforms: ``identity``, ``bucket[N]``
-    (int/long/string/date/timestamp sources, the spec's Murmur3 hash),
-    ``truncate[W]`` (int/long/string),
+    (int/long/string/date/timestamp/decimal(<=18) sources, the spec's
+    Murmur3 hash), ``truncate[W]`` (int/long/string/decimal(<=18)),
     ``year``/``month``/``day`` (date/timestamp sources) and ``hour``
     (timestamp sources). ``format_version=2`` enables sequence-number
     tracking and row-level position deletes (``delete_iceberg_rows``)."""
@@ -1825,7 +1983,11 @@ def _plan_files_distributed(
                                 data_file["record_count"],
                                 data_file["file_size_in_bytes"],
                                 int(seq),
-                                json.dumps(part, sort_keys=True),
+                                # default=str: decimal partition values
+                                # cross back as display strings (pruning
+                                # already consumed the typed form here)
+                                json.dumps(part, sort_keys=True,
+                                           default=str),
                                 snap_id))
             yield pd.DataFrame(out, columns=cols)
 
@@ -1942,7 +2104,7 @@ def _mapped_scan(
     by_id = {f["id"]: f for f in struct["fields"]}
     scan_fields = list(schema.fields)
     for fid, old_names in aliases.items():
-        t = _ICE_TO_SPARK_TYPE[by_id[fid]["type"]]()
+        t = _spark_type_for(by_id[fid]["type"])
         scan_fields += [T.StructField(n, t, True) for n in old_names]
     df = spark.read.schema(T.StructType(scan_fields)).parquet(*paths)
     sel = []
@@ -2226,8 +2388,7 @@ def add_iceberg_column(
     by name, so a recycled name would resurrect old values under the new
     field-id). Type promotion stays out of scope. Returns the new
     column's field-id."""
-    if ice_type not in _ICE_TO_SPARK_TYPE:
-        raise IcebergError(f"unknown iceberg type {ice_type!r}")
+    _spark_type_for(ice_type)  # raises on unknown types
     meta = _load_metadata(table_dir)
     fields = _schema_fields(meta)
     if name in {f["name"] for f in fields}:
@@ -2394,7 +2555,7 @@ def iceberg_live_files(
     meta = _load_metadata(table_dir)
     snap = _resolve_snapshot(meta, snapshot_id, None)
     rows = [(f["file_path"], f["record_count"], f["file_size_in_bytes"],
-             json.dumps(f["partition"], sort_keys=True))
+             json.dumps(f["partition"], sort_keys=True, default=str))
             for f in _live_files(table_dir, snap, partition_filter)]
     return spark.createDataFrame(
         rows, "file_path string, record_count long,"
@@ -2448,7 +2609,8 @@ def iceberg_live_files_distributed(
                     out.append((data_file["file_path"],
                                 data_file["record_count"],
                                 data_file["file_size_in_bytes"],
-                                json.dumps(part, sort_keys=True)))
+                                json.dumps(part, sort_keys=True,
+                                           default=str)))
             yield pd.DataFrame(out, columns=cols)
 
     return mdf.mapInPandas(
@@ -2467,6 +2629,18 @@ def iceberg_count(
     deletes); they are not partition-attributed, so a partition-filtered
     count on a table with deletes must go through ``read_iceberg``."""
     meta = _load_metadata(table_dir)
+    if partition_filter:
+        # a name NO spec ever recorded is a caller error (typo, filter
+        # on an unpartitioned table) — distinct from the evolution case
+        # below, where the field exists but not in every file's spec
+        known = {f["name"] for spec in _resolve_all_specs(meta).values()
+                 for f in spec}
+        unknown = sorted(set(partition_filter) - known)
+        if unknown:
+            raise IcebergError(
+                f"unknown partition field(s) {unknown}: no partition "
+                f"spec of this table records them (known: "
+                f"{sorted(known) or 'none — table is unpartitioned'})")
     snap = _resolve_snapshot(meta, snapshot_id, None)
     live = _live_files(table_dir, snap, partition_filter)
     if partition_filter and any(
@@ -2742,19 +2916,39 @@ try:  # pragma: no cover - import surface depends on pyspark build
             self.overwrite = overwrite
 
         def write(self, iterator) -> "_IceWriteResult":
+            import itertools
+
             import pyarrow as pa
             import pyarrow.parquet as pq
 
             names = [f["name"] for f in self.schema_struct["fields"]]
             arrow = _arrow_schema(self.schema_struct)
-            rows = [{c: row[c] for c in names} for row in iterator]
-            if not rows:
-                return _IceWriteResult([])
-            table = pa.Table.from_pylist(rows, schema=arrow)
+            # consume the task iterator in bounded chunks into
+            # successive record batches through ONE ParquetWriter (one
+            # output file per task) — never a whole-partition Python
+            # list, whose O(rows) object memory defeats the arrow-batch
+            # contract for large appends
             name = f"dsw-{uuid.uuid4().hex}.parquet"
-            os.makedirs(_data_dir(self.table_dir), exist_ok=True)
-            pq.write_table(
-                table, os.path.join(_data_dir(self.table_dir), name))
+            path = os.path.join(_data_dir(self.table_dir), name)
+            writer = None
+            try:
+                while True:
+                    chunk = list(itertools.islice(iterator, 65536))
+                    if not chunk:
+                        break
+                    batch = pa.RecordBatch.from_pylist(
+                        [{c: row[c] for c in names} for row in chunk],
+                        schema=arrow)
+                    if writer is None:
+                        os.makedirs(_data_dir(self.table_dir),
+                                    exist_ok=True)
+                        writer = pq.ParquetWriter(path, arrow)
+                    writer.write_batch(batch)
+            finally:
+                if writer is not None:
+                    writer.close()
+            if writer is None:
+                return _IceWriteResult([])
             return _IceWriteResult([name])
 
         def commit(self, messages) -> None:

@@ -242,3 +242,32 @@ def test_spark_schema_mapping_roundtrip(spark):
     src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     sch = A.avro_schema_for(src)
     assert A.spark_struct_for(sch) == src.schema
+
+
+def test_decimal_logical_type_roundtrip():
+    """Avro decimal logical type (bytes, minimal two's-complement
+    big-endian unscaled): Decimal in -> Decimal out at the schema's
+    scale, nullable, spec golden byte form (14.20 -> 05 8C), and a
+    literal with too many fractional digits is refused."""
+    import decimal
+    D = decimal.Decimal
+
+    dec_t = {"type": "bytes", "logicalType": "decimal",
+             "precision": 12, "scale": 2}
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": ["null", dec_t]},
+    ]}
+    rows = [(1, D("14.20")), (2, None), (3, D("-0.05")),
+            (4, D("99999999.99")), (5, D("0.00"))]
+    buf = io.BytesIO()
+    A.write_container(buf, schema, iter(rows))
+    _, got = A.read_container(buf.getvalue())
+    assert got == rows
+    assert A.min_twos_complement(1420) == b"\x05\x8c"
+    assert A.min_twos_complement(0) == b"\x00"
+    assert A.min_twos_complement(-1) == b"\xff"
+    assert A.min_twos_complement(128) == b"\x00\x80"
+    assert A.min_twos_complement(-129) == b"\xff\x7f"
+    with pytest.raises(ValueError, match="scale"):
+        A.write_container(io.BytesIO(), schema, iter([(9, D("1.005"))]))

@@ -613,3 +613,151 @@ def test_transform_value_mirrors_transform_col(spark):
                 v = v.replace(tzinfo=datetime.timezone.utc)
             assert r[f"t{i}"] == I._transform_value(kind, param, v, stype), (
                 kind, param, src, v)
+
+
+# ---------------------------------------------------------------------------
+# Decimal sources (spec Appendix B: hash the minimal-bytes
+# two's-complement BIG-endian unscaled value; truncate floors the
+# unscaled value to a multiple of W)
+# ---------------------------------------------------------------------------
+
+def test_decimal_bucket_matches_spec_golden():
+    """Appendix B golden: hash(decimal(14.20)) = -500754589."""
+    import decimal
+
+    h = I._murmur3_32_bytes(
+        I.min_twos_complement(
+            I._decimal_unscaled(decimal.Decimal("14.20"), 2)))
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    assert signed == -500754589
+    # the same value through the public bucket mirror
+    n = 1 << 31
+    assert I._bucket_of(decimal.Decimal("14.20"), n, "decimal(9,2)") == \
+        (-500754589 & 0x7FFFFFFF) % n
+
+
+def test_decimal_truncate_matches_spec_table():
+    """Spec transform table: truncate[50] of decimal 10.65 (scale 2,
+    unscaled 1065 -> 1050) is 10.50; negatives floor toward -inf."""
+    import decimal
+    D = decimal.Decimal
+
+    assert I._transform_value("truncate", 50, D("10.65"),
+                              "decimal(9,2)") == D("10.50")
+    assert I._transform_value("truncate", 50, D("-0.01"),
+                              "decimal(9,2)") == D("-0.50")
+
+
+def test_decimal_column_kernels_match_python(spark):
+    """The Spark column forms (write path) are bit-identical to the
+    Python mirrors (pruning projection) across signs, magnitudes and
+    minimal-byte lengths 1..8 — and NULL propagates."""
+    import decimal
+    D = decimal.Decimal
+
+    vals = [D("0.00"), D("14.20"), D("10.65"), D("-0.01"), D("-128.00"),
+            D("1.27"), D("1.28"), D("-1.29"), D("327.67"), D("655.36"),
+            D("99999999999999.99"), D("-99999999999999.99"), None]
+    df = spark.createDataFrame([(v,) for v in vals], "d decimal(16,2)")
+    out = df.select(
+        "d",
+        I._transform_col("bucket", 16, "d", "decimal(16,2)").alias("b"),
+        I._transform_col("truncate", 50, "d", "decimal(16,2)").alias("t"),
+    ).collect()
+    for r in out:
+        if r["d"] is None:
+            assert r["b"] is None and r["t"] is None
+            continue
+        assert r["b"] == I._bucket_of(r["d"], 16, "decimal(16,2)")
+        assert r["t"] == I._transform_value(
+            "truncate", 50, r["d"], "decimal(16,2)")
+
+
+def test_decimal_partitioned_roundtrip_and_pruning(spark, tdir):
+    """A decimal truncate x bucket spec writes decimal partition values
+    through the manifest Avro decimal logical type, prunes an equality
+    predicate through BOTH fields, and reads back exactly."""
+    import decimal
+    D = decimal.Decimal
+
+    rows = [(i, D(str((i * 37) % 500)).scaleb(-2).quantize(D("0.01")))
+            for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, price decimal(12,2)")
+    I.create_iceberg(
+        df, tdir,
+        partition_by=[("price", "truncate[100]"), ("price", "bucket[4]")])
+    back = I.read_iceberg(spark, tdir)
+    assert _rows(back, "id", "price") == sorted(rows)
+    target = rows[41][1]
+    pruned = I.iceberg_plan_files(tdir, predicates=[("price", "=", target)])
+    everything = I.iceberg_plan_files(tdir)
+    assert 0 < len(pruned) < len(everything)
+    got = I.read_iceberg(spark, tdir, predicates=[("price", "=", target)])
+    assert _rows(got, "id", "price") == sorted(
+        r for r in rows if r[1] == target)
+    # range predicates project through the monotonic truncate field
+    lo, hi = D("1.00"), D("2.00")
+    got = I.read_iceberg(spark, tdir, predicates=[
+        ("price", ">=", lo), ("price", "<", hi)])
+    assert _rows(got, "id", "price") == sorted(
+        r for r in rows if lo <= r[1] < hi)
+
+
+def test_decimal_identity_partition_and_filter(spark, tdir):
+    """Identity partitioning on a decimal column: dir-name parse,
+    manifest round-trip, and exact-match partition_filter counts."""
+    import decimal
+    D = decimal.Decimal
+
+    rows = [(i, D(str(i % 3)).quantize(D("0.01"))) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, amt decimal(6,2)")
+    I.create_iceberg(df, tdir, partition_by="amt")
+    assert I.iceberg_count(tdir, partition_filter={"amt": D("1.00")}) == 10
+    back = I.read_iceberg(spark, tdir)
+    assert _rows(back, "id", "amt") == sorted(rows)
+
+
+def test_decimal_precision_over_18_refused_before_any_write(spark, tdir):
+    """decimal(>18) needs an int128 unscaled kernel — explicit refusal
+    at create time, no directory left behind."""
+    import os
+
+    df = spark.createDataFrame([(1,)], "id long").select(
+        "id", F.lit("1.5").cast("decimal(20,2)").alias("d"))
+    for t in ("bucket[8]", "truncate[10]"):
+        with pytest.raises(I.IcebergError, match="int128|precision"):
+            I.create_iceberg(df, tdir, partition_by=[("d", t)])
+        assert not os.path.exists(tdir)
+
+
+def test_decimal_inexact_literal_keeps_files(spark, tdir):
+    """A predicate literal with more fractional digits than the scale
+    equals no partition value — projection must keep the file (sound),
+    and the residual filter returns the exact empty result."""
+    import decimal
+    D = decimal.Decimal
+
+    df = spark.createDataFrame(
+        [(1, D("10.00")), (2, D("20.00"))], "id long, p decimal(8,2)")
+    I.create_iceberg(df, tdir, partition_by=[("p", "bucket[4]")])
+    files = I.iceberg_plan_files(
+        tdir, predicates=[("p", "=", D("10.005"))])
+    assert len(files) == len(I.iceberg_plan_files(tdir))
+    got = I.read_iceberg(spark, tdir,
+                         predicates=[("p", "=", D("10.005"))])
+    assert got.count() == 0
+
+
+def test_count_unknown_partition_field_names_the_real_problem(spark, tdir):
+    """A partition_filter key NO spec ever recorded (typo, or a filter
+    on an unpartitioned table) must say 'unknown partition field' — not
+    blame partition-spec evolution (round-11 advice)."""
+    I.create_iceberg(_docs(spark, 0, 10), tdir,
+                     partition_by="source")
+    with pytest.raises(I.IcebergError, match="unknown partition field"):
+        I.iceberg_count(tdir, partition_filter={"sorce": "a"})
+    # unpartitioned table, any filter key -> same caller-error message
+    tdir2 = tdir + "2"
+    I.create_iceberg(_docs(spark, 0, 10), tdir2)
+    with pytest.raises(I.IcebergError, match="unknown partition field"):
+        I.iceberg_count(tdir2, partition_filter={"source": "a"})
