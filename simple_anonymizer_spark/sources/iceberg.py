@@ -1364,6 +1364,69 @@ def create_iceberg(
     return meta["current-snapshot-id"]
 
 
+def create_iceberg_staged(
+    table_dir: str, schema_struct: dict, partition_by=None,
+    format_version: int = 1,
+) -> None:
+    """Metadata-only CREATE from an Iceberg wire schema struct (the REST
+    catalog's create-table route): commits ``v1.metadata.json`` with the
+    schema and partition spec but NO snapshot — data arrives through the
+    normal snapshot-committing writers (``append_iceberg`` et al.).
+    Until then the table reads as empty (``read_iceberg`` /
+    ``iceberg_count`` / ``iceberg_plan_files`` all handle the
+    zero-snapshot state). ``schema_struct`` is the spec's
+    ``{"type": "struct", "fields": [{id, name, required, type}, ...]}``
+    shape; field-ids must be unique and types known to the tier."""
+    if format_version not in _FORMAT_VERSIONS:
+        raise IcebergError(f"unsupported format-version {format_version}")
+    if os.path.exists(_meta_dir(table_dir)):
+        raise IcebergError(f"table already exists at {table_dir}")
+    fields = schema_struct.get("fields") or []
+    if not fields:
+        raise IcebergError("schema has no fields")
+    ids, stypes = {}, {}
+    for f in fields:
+        if not all(k in f for k in ("id", "name", "type")):
+            raise IcebergError(f"malformed schema field {f!r}")
+        _spark_type_for(f["type"])  # raises on unknown types
+        if f["name"] in ids:
+            raise IcebergError(f"duplicate field name {f['name']!r}")
+        if f["id"] in set(ids.values()):
+            raise IcebergError(f"duplicate field id {f['id']}")
+        ids[f["name"]] = f["id"]
+        stypes[f["name"]] = f["type"]
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": f["id"], "name": f["name"],
+                          "required": bool(f.get("required", False)),
+                          "type": f["type"]} for f in fields]}
+    resolved = _normalize_partition_spec(partition_by, stypes, ids)
+    _manifest_schema(resolved)  # validate before committing anything
+    spec_fields = [
+        {"name": f["name"], "transform": f["transform"],
+         "source-id": f["source-id"], "field-id": f["field-id"]}
+        for f in resolved
+    ]
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    meta = {
+        "format-version": format_version,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
+                                     os.path.abspath(table_dir))),
+        "location": os.path.abspath(table_dir),
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": max(ids.values()),
+        "schema": schema, "schemas": [schema], "current-schema-id": 0,
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "current-snapshot-id": 0,
+        "snapshots": [], "snapshot-log": [],
+    }
+    if format_version >= 2:
+        meta["last-sequence-number"] = 0
+    _commit_metadata(table_dir, meta, 1)
+
+
 def update_iceberg_partition_spec(table_dir: str, partition_by) -> int:
     """PARTITION SPEC EVOLUTION (spec §Partition Evolution): change how
     FUTURE writes are partitioned in a metadata-only commit — no
@@ -2028,6 +2091,8 @@ def iceberg_plan_files(
             raise IcebergError(f"unsupported predicate op {op!r}")
         if colname not in {f["name"] for f in _schema_fields(meta)}:
             raise IcebergError(f"unknown predicate column {colname!r}")
+    if not meta["snapshots"] and snapshot_id is None and as_of_ms is None:
+        return []  # staged create: no snapshot, nothing to plan
     snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
     if spark is not None:
         est = sum(m.get("added_data_files_count", 0)
@@ -2147,10 +2212,14 @@ def read_iceberg(
     is their coalesce — files written before a rename store the column
     under its old name, which the rename guard keeps unambiguous (the
     spec's name-mapping resolution, in one scan)."""
+    meta = _load_metadata(table_dir)
+    if not meta["snapshots"] and snapshot_id is None and as_of_ms is None:
+        # staged create (create_iceberg_staged): no snapshot yet, the
+        # table reads as empty under its declared schema
+        return spark.createDataFrame([], _spark_struct(meta["schema"]))
     files = iceberg_plan_files(
         table_dir, snapshot_id, as_of_ms, partition_filter, predicates,
         spark=spark)
-    meta = _load_metadata(table_dir)
     snap = _resolve_snapshot(meta, snapshot_id, as_of_ms)
     # current reads use the CURRENT table schema (an add-column is
     # metadata-only, no snapshot); explicit time travel reads with the
@@ -2641,6 +2710,8 @@ def iceberg_count(
                 f"unknown partition field(s) {unknown}: no partition "
                 f"spec of this table records them (known: "
                 f"{sorted(known) or 'none — table is unpartitioned'})")
+    if not meta["snapshots"] and snapshot_id is None:
+        return 0  # staged create: no snapshot, no rows
     snap = _resolve_snapshot(meta, snapshot_id, None)
     live = _live_files(table_dir, snap, partition_filter)
     if partition_filter and any(

@@ -42,9 +42,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .iceberg import (
     IcebergError,
+    _commit_metadata,
     _load_metadata,
     _meta_dir,
+    _next_version,
     create_iceberg,
+    create_iceberg_staged,
     read_iceberg,
 )
 
@@ -174,6 +177,26 @@ class RestShapedCatalog:
                        format_version=format_version)
         return self.load_table(namespace, name)
 
+    def create_table_staged(self, namespace: list[str], name: str,
+                            schema_struct: dict, partition_by=None,
+                            format_version: int = 1) -> dict:
+        """The REST create-table route's true semantics: a metadata-only
+        commit from the WIRE schema shape (``{"type": "struct",
+        "fields": [{id, name, required, type}, ...]}``) with no
+        snapshot — data arrives later through the snapshot-committing
+        writers; until then the table reads as empty. This is the route
+        the HTTP frontend serves (``icecatalog_http``)."""
+        if not self.namespace_exists(namespace):
+            raise IcebergError(f"no such namespace: {namespace}")
+        tdir = self._table_dir(namespace, name)
+        if self.table_exists(namespace, name):
+            raise IcebergError(
+                f"table already exists: {'.'.join(namespace)}.{name}")
+        create_iceberg_staged(tdir, schema_struct,
+                              partition_by=partition_by,
+                              format_version=format_version)
+        return self.load_table(namespace, name)
+
     def load_table(self, namespace: list[str], name: str) -> dict:
         tdir = self._table_dir(namespace, name)
         if not self.table_exists(namespace, name):
@@ -203,6 +226,13 @@ class RestShapedCatalog:
         if os.path.exists(dst):
             raise IcebergError(f"table already exists: {destination}")
         os.rename(src, dst)
+        # the moved tree's metadata still records the OLD location —
+        # commit a metadata-only version with the new one (metadata
+        # files are immutable versions, so this is an update, not an
+        # edit; all tier paths are table-relative, nothing else moves)
+        meta = dict(_load_metadata(dst))
+        meta["location"] = os.path.abspath(dst)
+        _commit_metadata(dst, meta, _next_version(dst))
 
     def drop_table(self, namespace: list[str], name: str,
                    purge: bool = False) -> None:

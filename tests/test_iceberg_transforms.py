@@ -761,3 +761,66 @@ def test_count_unknown_partition_field_names_the_real_problem(spark, tdir):
     I.create_iceberg(_docs(spark, 0, 10), tdir2)
     with pytest.raises(I.IcebergError, match="unknown partition field"):
         I.iceberg_count(tdir2, partition_filter={"source": "a"})
+
+
+def test_evolution_rename_delete_compact_expire_composite(spark, tdir):
+    """Spec-evolution x maintenance interplay (round-11 ask #7): a table
+    that EVOLVES its partition spec, RENAMES a column, takes a v2
+    position delete, is COMPACTED, then EXPIRED and orphan-swept — every
+    surviving snapshot must stay readable with the right rows, because
+    expiry's reachability walk keys on file paths across ALL historical
+    specs and the rename keeps field-ids stable."""
+    docs = _docs(spark, 0, 30, src="a")
+
+    # s1: identity-on-source spec
+    I.create_iceberg(docs, tdir, partition_by="source", format_version=2)
+    # evolve the default spec (metadata-only, no snapshot)
+    I.update_iceberg_partition_spec(tdir, [("doc_id", "bucket[4]")])
+    # s2: append under the NEW spec
+    I.append_iceberg(_docs(spark, 30, 60, src="b"), tdir)
+    # rename across both generations (metadata-only)
+    I.rename_iceberg_column(tdir, "source", "origin")
+    # s3: append under the renamed schema
+    I.append_iceberg(
+        _docs(spark, 60, 90, src="c").withColumnRenamed(
+            "source", "origin"), tdir)
+    # s4: v2 position delete screening all three generations
+    I.delete_iceberg_rows(spark, tdir, "doc_id % 10 = 7")
+    # s5: compaction rewrites the live view under the CURRENT schema
+    # and spec, purging delete debt
+    I.rewrite_iceberg_files(spark, tdir, sort_by=["doc_id"])
+
+    meta = I._load_metadata(tdir)
+    snap_ids = [s["snapshot-id"] for s in meta["snapshots"]]
+    assert len(snap_ids) == 5
+
+    def ids_at(sid):
+        return sorted(r["doc_id"] for r in I.read_iceberg(
+            spark, tdir, snapshot_id=sid).collect())
+
+    alive = [i for i in range(90) if i % 10 != 7]
+    # pre-expiry: every snapshot time-travels correctly across the
+    # spec evolution and the rename
+    assert ids_at(snap_ids[0]) == list(range(30))
+    assert ids_at(snap_ids[1]) == list(range(60))
+    assert ids_at(snap_ids[2]) == list(range(90))
+    assert ids_at(snap_ids[3]) == alive
+    assert ids_at(snap_ids[4]) == alive
+
+    # expire everything but the delete + compaction snapshots; sweep
+    # orphans; both retained snapshots must still read exactly
+    out = I.expire_iceberg_snapshots(tdir, keep_last=2)
+    assert out["expired_snapshots"] == 3 and out["deleted_files"] > 0
+    I.remove_iceberg_orphans(tdir)
+    assert ids_at(snap_ids[3]) == alive
+    assert ids_at(snap_ids[4]) == alive
+    assert sorted(r["doc_id"] for r in I.read_iceberg(
+        spark, tdir).collect()) == alive
+    # the compacted current snapshot is delete-debt-free: the
+    # metadata-only count is exact again
+    assert I.iceberg_count(tdir) == len(alive)
+    # expired snapshots are gone from the history
+    with pytest.raises(I.IcebergError, match="no snapshot"):
+        I.read_iceberg(spark, tdir, snapshot_id=snap_ids[0])
+    # the renamed column reads under its new name everywhere
+    assert "origin" in I.read_iceberg(spark, tdir).columns
