@@ -78,6 +78,11 @@ HEADLINE = [
     # Round-4 session additions: the token-budget prefix-sum selection is
     # the only one with a two-job structure worth watching at scale.
     "token_budget_corpus",
+    # Round-11 de-vacuization made the release composite do real work
+    # (grouped split + 5-gram decontamination explode, ~6.9 s standalone
+    # at sf0.1) — benched so a regression in the release path shows in
+    # artifact-to-artifact comparisons (round-11 ask #6).
+    "pipeline_release_corpus",
 ]
 
 # Everything NOT in HEADLINE rides the sweep tier: one warm timed pass per

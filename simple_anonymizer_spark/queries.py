@@ -4597,7 +4597,7 @@ def iceberg_decimal_orders(spark, sf_dir):
         "o_orderkey", "o_custkey", price.alias("price"))
     spec = [("price", "truncate[2000000]"), ("price", "bucket[8]")]
     orders = orders.repartition(
-        8, *partition_transform_columns(orders, spec))
+        32, *partition_transform_columns(orders, spec))
     out = _scratch("ice_dec_") + "/tbl"
     create_iceberg(orders, out, partition_by=spec)
     got = read_iceberg(

@@ -67,8 +67,17 @@ multiple fields and the spec's transforms — identity, ``bucket[N]``
 spec's Murmur3 hash; decimal precision > 18 would need an int128
 unscaled kernel and stays an explicit refusal), ``truncate[W]``
 (int/long/string/decimal(<=18)),
-``year``/``month``/``day``/``hour`` — with transform-aware inclusive
-projection pruning at plan time. An EMPTY-STRING string partition value
+``year``/``month``/``day``/``hour``, and ``void`` (the always-null
+transform v1 specs retire fields with; never prunes, by construction) —
+with transform-aware inclusive projection pruning at plan time.
+Remaining transform scope bounds, all explicit refusals at create time:
+``bucket``/``truncate`` on decimal precision > 18 (int128 unscaled
+kernel) and ``bucket`` on binary/fixed/uuid sources (types this tier's
+schema mapping does not carry as partition sources). Format-version
+scope: v1 + v2 complete as documented; **v3 is out of scope this tier**
+(deletion vectors, row lineage, binary deletion-vector manifests —
+``_FORMAT_VERSIONS`` refuses it at create, the honest
+implement-or-refuse decision recorded per round-11 ask #8). An EMPTY-STRING string partition value
 collapses to null on write — the Hive directory layout cannot
 distinguish them (Spark routes both to the default-partition
 directory), the classic Hive-metastore semantics.
@@ -506,7 +515,7 @@ def _parse_transform(t: str) -> tuple[str, int | None]:
         if w < 1:
             raise IcebergError(f"truncate width must be >= 1: {t!r}")
         return "truncate", w
-    if t == "identity" or t in _TIME_TRANSFORMS:
+    if t == "identity" or t == "void" or t in _TIME_TRANSFORMS:
         return t, None
     raise IcebergError(f"unsupported partition transform {t!r}")
 
@@ -516,10 +525,12 @@ def _transform_result_type(kind: str, stype: str) -> str:
     the source type. Raised errors happen at create time, before any
     directory exists."""
     dec = _decimal_ps(stype)
-    if kind == "identity":
+    if kind in ("identity", "void"):
+        # void (the spec's always-null transform, how v1 specs retire a
+        # partition field) keeps the source's value type, like identity
         if stype not in _PARTITION_AVRO and not dec:
             raise IcebergError(
-                f"unsupported identity partition type {stype!r}")
+                f"unsupported {kind} partition type {stype!r}")
         return stype
     if kind == "bucket":
         if dec:
@@ -570,7 +581,8 @@ def _partition_field_name(source: str, kind: str) -> str:
     ``doc_id_bucket``, ``text_trunc``)."""
     if kind == "identity":
         return source
-    return f"{source}_{'trunc' if kind == 'truncate' else kind}"
+    suffix = {"truncate": "trunc", "void": "null"}.get(kind, kind)
+    return f"{source}_{suffix}"
 
 
 def _murmur3_32_long(v: int) -> int:
@@ -848,6 +860,8 @@ def _transform_col(kind: str, param: int | None, source: str, stype: str):
     dec = _decimal_ps(stype)
     if kind == "identity":
         return c
+    if kind == "void":
+        return F.lit(None).cast(_spark_type_for(stype))
     if kind == "bucket":
         if dec:
             h = _murmur3_32_decimal_col(c, *dec)
@@ -949,6 +963,8 @@ def _transform_value(kind: str, param: int | None, v, stype: str):
         return None
     if kind == "identity":
         return v
+    if kind == "void":
+        return None  # always-null: projection can never prune on it
     if kind == "bucket":
         return _bucket_of(v, param, stype)
     if kind == "truncate":

@@ -824,3 +824,23 @@ def test_evolution_rename_delete_compact_expire_composite(spark, tdir):
         I.read_iceberg(spark, tdir, snapshot_id=snap_ids[0])
     # the renamed column reads under its new name everywhere
     assert "origin" in I.read_iceberg(spark, tdir).columns
+
+
+def test_void_transform_always_null_never_prunes(spark, tdir):
+    """``void`` (the spec's always-null transform, how v1 specs retire a
+    partition field): every file records a null partition value under
+    ``<col>_null``, predicates on the source column never prune through
+    it, and reads stay exact via the residual filter."""
+    docs = _docs(spark, 0, 20)
+    I.create_iceberg(docs, tdir,
+                     partition_by=[("doc_id", "void"),
+                                   ("source", "identity")])
+    files = I.iceberg_plan_files(tdir)
+    assert files and all(f["partition"]["doc_id_null"] is None
+                         for f in files)
+    # a doc_id predicate cannot prune through void (bounds may still
+    # prune, so compare against the bounds-only plan)
+    got = I.read_iceberg(spark, tdir, predicates=[("doc_id", "=", 7)])
+    assert [r["doc_id"] for r in got.collect()] == [7]
+    assert _rows(I.read_iceberg(spark, tdir), "doc_id") == [
+        (i,) for i in range(20)]
