@@ -172,7 +172,16 @@ def _spark_type_for(itype: str):
 
 #: Iceberg types whose min/max can be harvested from parquet footers and
 #: serialized with the spec's single-value binary form (Appendix D).
+#: Decimals qualify too (``_is_bound_type``): their footer stats decode
+#: from the RAW physical values (int32/int64/FLBA unscaled) and their
+#: Appendix D form is the minimal two's-complement big-endian unscaled
+#: bytes — the same byte form the partition transforms hash.
 _BOUND_TYPES = {"long", "int", "string", "double", "float", "boolean"}
+
+
+def _is_bound_type(t: str | None) -> bool:
+    return t in _BOUND_TYPES or (t is not None
+                                 and _decimal_ps(t) is not None)
 
 #: Identity-partition types representable in the manifest Avro schema.
 _PARTITION_AVRO = {"long": "long", "int": "int", "string": "string",
@@ -264,6 +273,10 @@ def _bound_bytes(ice_t: str, v) -> bytes:
         return struct.pack("<d", v)
     if ice_t == "string":
         return v.encode("utf-8")
+    ps = _decimal_ps(ice_t)
+    if ps:
+        # Appendix D: unscaled value, minimal two's-complement big-endian
+        return min_twos_complement(_decimal_unscaled(v, ps[1]))
     raise IcebergError(f"no single-value serialization for {ice_t!r}")
 
 
@@ -280,6 +293,10 @@ def _bound_value(ice_t: str, b: bytes):
         return struct.unpack("<d", b)[0]
     if ice_t == "string":
         return b.decode("utf-8")
+    ps = _decimal_ps(ice_t)
+    if ps:
+        return decimal.Decimal(
+            int.from_bytes(b, "big", signed=True)).scaleb(-ps[1])
     raise IcebergError(f"no single-value serialization for {ice_t!r}")
 
 
@@ -1002,6 +1019,18 @@ def _transform_value(kind: str, param: int | None, v, stype: str):
     return None
 
 
+def _raw_unscaled_decimal(raw, scale: int):
+    """A parquet footer's RAW decimal statistic -> exact Decimal:
+    int32/int64 physicals report the unscaled int, FLBA physicals the
+    two's-complement big-endian unscaled bytes."""
+    if isinstance(raw, int):
+        return decimal.Decimal(raw).scaleb(-scale)
+    if isinstance(raw, bytes) and raw:
+        return decimal.Decimal(
+            int.from_bytes(raw, "big", signed=True)).scaleb(-scale)
+    return None
+
+
 def _file_bounds(md, bound_types: dict[str, str]) -> dict[str, tuple]:
     """Per-column (min, max) for one parquet file, from its footer
     row-group statistics. A column drops out if ANY row group lacks
@@ -1024,7 +1053,19 @@ def _file_bounds(md, bound_types: dict[str, str]) -> dict[str, tuple]:
                 dead.add(name)
                 acc.pop(name, None)
                 continue
-            lo, hi = st.min, st.max
+            ps = _decimal_ps(bound_types[name])
+            if ps:
+                # pyarrow cannot logically cast decimal stats — decode
+                # the RAW physical values (int32/int64 unscaled, or
+                # FLBA two's-complement big-endian unscaled) exactly
+                lo = _raw_unscaled_decimal(st.min_raw, ps[1])
+                hi = _raw_unscaled_decimal(st.max_raw, ps[1])
+                if lo is None or hi is None:
+                    dead.add(name)
+                    acc.pop(name, None)
+                    continue
+            else:
+                lo, hi = st.min, st.max
             if isinstance(lo, float) and (lo != lo or hi != hi):
                 dead.add(name)
                 acc.pop(name, None)
@@ -1115,8 +1156,9 @@ def _harvest_stats_distributed(
     the distributed planning walk. The driver loop costs ~3 ms per
     footer, serial: fine at hundreds of files, minutes at the 100k-file
     writes a real ingest produces, so past ``_DISTRIBUTED_STATS_FILES``
-    the footers decode where executors already are. Bound values are
-    JSON-safe by construction (the ``_BOUND_TYPES`` whitelist)."""
+    the footers decode where executors already are. Bound values cross
+    as JSON — Decimal bounds go through their exact string form
+    (``default=str``) and rehydrate by the column's declared type."""
     import pandas as pd
 
     mdf = spark.createDataFrame(
@@ -1131,15 +1173,22 @@ def _harvest_stats_distributed(
             for p in pdf["path"]:
                 md = pq.read_metadata(p)
                 out.append((p, md.num_rows,
-                            json.dumps(_file_bounds(md, bound_types))))
+                            json.dumps(_file_bounds(md, bound_types),
+                                       default=str)))
             yield pd.DataFrame(
                 out, columns=["path", "n_rows", "bounds"])
 
     rows = mdf.mapInPandas(
         harvest, schema="path string, n_rows long, bounds string"
     ).collect()
+
+    def rehydrate(c, v):
+        if _decimal_ps(bound_types[c]):
+            return (decimal.Decimal(v[0]), decimal.Decimal(v[1]))
+        return tuple(v)
+
     return {r["path"]: (r["n_rows"],
-                        {c: tuple(v) for c, v in
+                        {c: rehydrate(c, v) for c, v in
                          json.loads(r["bounds"]).items()})
             for r in rows}
 
@@ -1294,7 +1343,7 @@ def _new_snapshot(
     df = df.select(*names)  # schema order; data files carry every column
     ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
     types = {f["name"]: f["type"] for f in _schema_fields(meta)}
-    bound_types = {c: t for c, t in types.items() if t in _BOUND_TYPES}
+    bound_types = {c: t for c, t in types.items() if _is_bound_type(t)}
     snap_id = meta["current-snapshot-id"] + 1
     seq = meta.get("last-sequence-number", 0) + 1
     files = _write_data_files(
@@ -1531,7 +1580,7 @@ def migrate_delta_to_iceberg(
         ids[f.name] = i
     schema = {"type": "struct", "schema-id": 0, "fields": fields}
     types = {f["name"]: f["type"] for f in fields}
-    bound_types = {c: t for c, t in types.items() if t in _BOUND_TYPES}
+    bound_types = {c: t for c, t in types.items() if _is_bound_type(t)}
     files = []
     for add in snap.files:
         p = os.path.join(table_path, add["path"])
@@ -1883,7 +1932,7 @@ def _survives_bounds(
     for colname, op, v in predicates:
         fid = ids.get(colname)
         t = types.get(colname)
-        if fid is None or t not in _BOUND_TYPES:
+        if fid is None or not _is_bound_type(t):
             continue
         if fid not in lower or fid not in upper:
             continue
@@ -2870,7 +2919,8 @@ try:  # pragma: no cover - import surface depends on pyspark build
             cls = (IcebergPushdownScanReader
                    if str(self.options.get("pushdown", "false")).lower()
                    == "true" else IcebergScanReader)
-            return cls(table_dir, files, dels, self._struct())
+            return cls(table_dir, files, dels, self._struct(),
+                       _resolve_all_specs(meta))
 
         def writer(self, schema, overwrite: bool):
             table_dir = self._table_dir()
@@ -2898,11 +2948,13 @@ try:  # pragma: no cover - import surface depends on pyspark build
 
     class IcebergScanReader(DataSourceReader):
         def __init__(self, table_dir: str, files: list[dict],
-                     delete_paths: list[str], schema_struct: dict):
+                     delete_paths: list[str], schema_struct: dict,
+                     specs: dict[int, list[dict]] | None = None):
             self.table_dir = table_dir
             self.files = files
             self.delete_paths = delete_paths
             self.schema_struct = schema_struct
+            self.specs = specs or {}
             self.predicates: list[tuple] = []
 
         def partitions(self):
@@ -2914,6 +2966,12 @@ try:  # pragma: no cover - import surface depends on pyspark build
                          for f in self.schema_struct["fields"]}
                 files = [f for f in files if _survives_bounds(
                     f, self.predicates, ids, types)]
+                if any(self.specs.values()):
+                    # transform-aware inclusive projection, per-file
+                    # spec — same rule as read_iceberg's planner
+                    files = [f for f in files if _survives_partition(
+                        f, self.predicates,
+                        self.specs.get(f.get("_spec_id", 0), []))]
             return [_IcebergScanPartition(self.table_dir, f["file_path"],
                                           self.delete_paths)
                     for f in files]
@@ -2953,13 +3011,15 @@ try:  # pragma: no cover - import surface depends on pyspark build
     class IcebergPushdownScanReader(IcebergScanReader):
         """``IcebergScanReader`` plus Spark 4.1 DSv2 filter pushdown:
         comparison filters on stats-bounded columns become manifest
-        min/max predicates that PRUNE INPUT PARTITIONS (whole files)
-        before any read task launches. Every filter is also returned as
-        residual — the pruning is file-level and advisory, rows inside
-        surviving files still need Spark's own filter (the same
-        prune-then-residual contract as ``read_iceberg``). Selected via
-        ``.option("pushdown", "true")``; also requires
-        ``spark.sql.python.filterPushdown.enabled=true``."""
+        min/max predicates, and filters on PARTITION-TRANSFORM source
+        columns additionally project through each file's own spec
+        (bucket equality, monotonic ranges) — both PRUNE INPUT
+        PARTITIONS (whole files) before any read task launches. Every
+        filter is also returned as residual — the pruning is file-level
+        and advisory, rows inside surviving files still need Spark's
+        own filter (the same prune-then-residual contract as
+        ``read_iceberg``). Selected via ``.option("pushdown", "true")``;
+        also requires ``spark.sql.python.filterPushdown.enabled=true``."""
 
         def pushFilters(self, filters):
             from pyspark.sql.datasource import (
@@ -2972,10 +3032,13 @@ try:  # pragma: no cover - import surface depends on pyspark build
                    LessThanOrEqual: "<="}
             types = {f["name"]: f["type"]
                      for f in self.schema_struct["fields"]}
+            spec_sources = {pf["source"] for sp in self.specs.values()
+                            for pf in sp}
             for f in filters:
                 op = ops.get(type(f))
                 if (op is not None and len(f.attribute) == 1
-                        and types.get(f.attribute[0]) in _BOUND_TYPES):
+                        and (_is_bound_type(types.get(f.attribute[0]))
+                             or f.attribute[0] in spec_sources)):
                     self.predicates.append(
                         (f.attribute[0], op, f.value))
                 yield f  # always residual: file-level pruning only
@@ -3047,7 +3110,7 @@ try:  # pragma: no cover - import surface depends on pyspark build
             ids = {f["name"]: f["id"] for f in _schema_fields(meta)}
             types = {f["name"]: f["type"] for f in _schema_fields(meta)}
             bound_types = {c: t for c, t in types.items()
-                           if t in _BOUND_TYPES}
+                           if _is_bound_type(t)}
             entries = []
             for name in sorted(names):
                 p = os.path.join(_data_dir(self.table_dir), name)

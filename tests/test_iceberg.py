@@ -880,3 +880,33 @@ def test_pyiceberg_pushdown_prunes_input_partitions(spark, tdir):
              .where(F.col("doc_id") >= 75))
     assert plain.rdd.getNumPartitions() == n_all
     assert plain.count() == 25
+
+
+def test_pyiceberg_pushdown_projects_through_transforms(spark, tdir):
+    """DSv2 pushdown is now partition-transform-aware (round-11 ask #8):
+    a bucket-equality filter prunes input partitions through each
+    file's OWN spec (inclusive projection) even when min/max bounds
+    cannot help, and results stay exact via Spark's residual filter."""
+    from simple_anonymizer_spark.sources.iceberg import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    df = (spark.range(0, 200)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("t"), F.col("id")).alias("text")))
+    spec = [("doc_id", "bucket[8]")]
+    df = df.repartition(8, *I.partition_transform_columns(df, spec))
+    I.create_iceberg(df, tdir, partition_by=spec)
+    n_files = len(I.iceberg_plan_files(tdir))
+    assert n_files == 8
+    conf = "spark.sql.python.filterPushdown.enabled"
+    spark.conf.set(conf, "true")
+    try:
+        hit = (spark.read.format("pyiceberg")
+               .option("pushdown", "true").load(tdir)
+               .where(F.col("doc_id") == 123))
+        # bucket equality keeps exactly the one matching bucket file
+        # (bounds would also prune here, so pin the stronger bound)
+        assert hit.rdd.getNumPartitions() == 1
+        assert [r.doc_id for r in hit.collect()] == [123]
+    finally:
+        spark.conf.unset(conf)
