@@ -330,6 +330,10 @@ NATIVE_QUERIES = [
     # and the returned plan is ONE native scan over the pruned files
     # plus the residual filter; no Python anywhere.
     "iceberg_transforms_orders",
+    # round-12: decimal transforms — exact integer-cents decimal build,
+    # minimal-bytes murmur3 as hex-buffer folds (lambda-leaf bound),
+    # pruned native read-back plus residual; no Python anywhere.
+    "iceberg_decimal_orders",
     # round-11: rename evolution — ONE name-mapping scan (coalesce over
     # the historical aliases) plus the position-delete anti-join; no
     # Python anywhere.
