@@ -732,17 +732,29 @@ def test_decimal_precision_over_18_refused_before_any_write(spark, tdir):
 
 def test_decimal_inexact_literal_keeps_files(spark, tdir):
     """A predicate literal with more fractional digits than the scale
-    equals no partition value — projection must keep the file (sound),
-    and the residual filter returns the exact empty result."""
+    equals no partition value — bucket PROJECTION must keep the file
+    (sound; only the min/max bounds may prune it, and here the literal
+    sits inside the file's range), and the residual filter returns the
+    exact empty result."""
     import decimal
     D = decimal.Decimal
 
     df = spark.createDataFrame(
-        [(1, D("10.00")), (2, D("20.00"))], "id long, p decimal(8,2)")
-    I.create_iceberg(df, tdir, partition_by=[("p", "bucket[4]")])
+        [(1, D("10.00")), (2, D("20.00"))],
+        "id long, p decimal(8,2)").coalesce(1)
+    I.create_iceberg(df, tdir, partition_by=[("p", "void")])
+    # bucket projection of the inexact literal: keep (the direct check,
+    # no bounds in the way)
+    spec = [{"name": "p_bucket", "source": "p", "kind": "bucket",
+             "param": 4, "stype": "decimal(8,2)", "ptype": "int"}]
+    assert I._survives_partition(
+        {"partition": {"p_bucket": 2}},
+        [("p", "=", D("10.005"))], spec)
+    # end-to-end: 10.005 is inside the file's [10.00, 20.00] bounds, so
+    # the file survives planning and the residual returns exactly empty
     files = I.iceberg_plan_files(
         tdir, predicates=[("p", "=", D("10.005"))])
-    assert len(files) == len(I.iceberg_plan_files(tdir))
+    assert len(files) == len(I.iceberg_plan_files(tdir)) == 1
     got = I.read_iceberg(spark, tdir,
                          predicates=[("p", "=", D("10.005"))])
     assert got.count() == 0
