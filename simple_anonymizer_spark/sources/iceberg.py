@@ -2257,6 +2257,7 @@ def read_iceberg(
     as_of_ms: int | None = None,
     partition_filter: dict | None = None,
     predicates: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read a snapshot through the metadata tree: one native parquet
     scan over exactly the files the manifests say are live (pruned by
@@ -2278,6 +2279,10 @@ def read_iceberg(
     under its old name, which the rename guard keeps unambiguous (the
     spec's name-mapping resolution, in one scan)."""
     meta = _load_metadata(table_dir)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError("pass snapshot_id OR ref, not both")
+        snapshot_id = _ref_snapshot_id(meta, ref)
     if not meta["snapshots"] and snapshot_id is None and as_of_ms is None:
         # staged create (create_iceberg_staged): no snapshot yet, the
         # table reads as empty under its declared schema
@@ -2593,6 +2598,76 @@ def _reachable_paths(table_dir: str, snapshots: list[dict]) -> set[str]:
     return out
 
 
+def _ref_snapshot_id(meta: dict, ref: str) -> int:
+    """Resolve a named ref (spec v2 ``refs`` map) to its snapshot id.
+    ``main`` is the implicit branch at the current snapshot."""
+    if ref == "main":
+        return meta["current-snapshot-id"]
+    entry = meta.get("refs", {}).get(ref)
+    if entry is None:
+        raise IcebergError(
+            f"no such ref {ref!r} (known: "
+            f"{sorted(meta.get('refs', {})) or 'none'})")
+    return entry["snapshot-id"]
+
+
+def set_iceberg_ref(table_dir: str, name: str,
+                    snapshot_id: int | None = None,
+                    kind: str = "tag") -> int:
+    """Create or move a named snapshot ref (the spec's v2 ``refs``
+    map): ``kind="tag"`` is an immutable-history bookmark, ``"branch"``
+    a movable head — both retain their snapshot through
+    ``expire_iceberg_snapshots`` until the ref is dropped. Defaults to
+    the current snapshot. Metadata-only commit; ``main`` is reserved
+    (it IS ``current-snapshot-id``). Commits in this tier always go to
+    main — a branch ref can be moved (fast-forwarded) with this
+    function, but branch-targeted WRITES are out of scope (documented:
+    the reference runtime surface has no branch writes either).
+    Returns the ref's snapshot id."""
+    if kind not in ("tag", "branch"):
+        raise IcebergError(f"ref kind must be tag|branch, got {kind!r}")
+    if name == "main":
+        raise IcebergError("'main' is the implicit current-snapshot ref")
+    meta = _load_metadata(table_dir)
+    sid = (meta["current-snapshot-id"] if snapshot_id is None
+           else snapshot_id)
+    if sid not in {s["snapshot-id"] for s in meta["snapshots"]}:
+        raise IcebergError(f"no snapshot {sid}")
+    existing = meta.get("refs", {}).get(name)
+    if existing is not None and existing.get("type") == "tag":
+        raise IcebergError(
+            f"tag {name!r} already exists (tags are immutable — drop it "
+            "first or use a branch)")
+    version = _next_version(table_dir)
+    meta = dict(meta)
+    meta["refs"] = {**meta.get("refs", {}),
+                    name: {"snapshot-id": sid, "type": kind}}
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table_dir, meta, version)
+    return sid
+
+
+def drop_iceberg_ref(table_dir: str, name: str) -> None:
+    """Remove a named ref (metadata-only commit). The snapshot itself
+    stays until expiry stops retaining it."""
+    meta = _load_metadata(table_dir)
+    if name not in meta.get("refs", {}):
+        raise IcebergError(f"no such ref {name!r}")
+    version = _next_version(table_dir)
+    meta = dict(meta)
+    meta["refs"] = {k: v for k, v in meta["refs"].items() if k != name}
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _commit_metadata(table_dir, meta, version)
+
+
+def iceberg_refs(table_dir: str) -> dict[str, dict]:
+    """The refs map, ``main`` included."""
+    meta = _load_metadata(table_dir)
+    return {"main": {"snapshot-id": meta["current-snapshot-id"],
+                     "type": "branch"},
+            **meta.get("refs", {})}
+
+
 def expire_iceberg_snapshots(
     table_dir: str, keep_last: int | None = None,
     older_than_ms: int | None = None,
@@ -2613,6 +2688,8 @@ def expire_iceberg_snapshots(
     version = _next_version(table_dir)
     snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
     keep_ids = {meta["current-snapshot-id"]}
+    # named refs (tags/branches) retain their snapshots until dropped
+    keep_ids.update(r["snapshot-id"] for r in meta.get("refs", {}).values())
     if keep_last is not None:
         keep_ids.update(s["snapshot-id"] for s in snaps[-keep_last:])
     if older_than_ms is not None:
@@ -2755,6 +2832,7 @@ def iceberg_live_files_distributed(
 def iceberg_count(
     table_dir: str, snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    ref: str | None = None,
 ) -> int:
     """Metadata-only COUNT(*): sums manifest ``record_count`` — zero
     data-file IO, the planning-economy property the format exists for.
@@ -2763,6 +2841,10 @@ def iceberg_count(
     deletes); they are not partition-attributed, so a partition-filtered
     count on a table with deletes must go through ``read_iceberg``."""
     meta = _load_metadata(table_dir)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError("pass snapshot_id OR ref, not both")
+        snapshot_id = _ref_snapshot_id(meta, ref)
     if partition_filter:
         # a name NO spec ever recorded is a caller error (typo, filter
         # on an unpartitioned table) — distinct from the evolution case

@@ -920,3 +920,43 @@ def test_distributed_stats_harvest_carries_decimal_bounds(
     assert canon(a) == canon(b)
     pruned = I.iceberg_plan_files(b, predicates=[("p", "<", D("0.20"))])
     assert 0 < len(pruned) < 3
+
+
+def test_snapshot_refs_tags_branches_and_expiry_retention(spark, tdir):
+    """Spec v2 ``refs``: tags are immutable bookmarks, branches movable
+    heads; reads resolve by ref name, expiry RETAINS ref'd snapshots
+    until the ref is dropped, and 'main' mirrors the current snapshot."""
+    I.create_iceberg(_docs(spark, 0, 10), tdir)          # s1
+    s1 = I._load_metadata(tdir)["current-snapshot-id"]
+    I.set_iceberg_ref(tdir, "v1.0", kind="tag")
+    I.append_iceberg(_docs(spark, 10, 20), tdir)         # s2
+    I.append_iceberg(_docs(spark, 20, 30), tdir)         # s3
+
+    assert I.iceberg_count(tdir, ref="v1.0") == 10
+    assert I.iceberg_count(tdir, ref="main") == 30
+    assert sorted(r["doc_id"] for r in I.read_iceberg(
+        spark, tdir, ref="v1.0").collect()) == list(range(10))
+
+    # tags are immutable; branches fast-forward
+    with pytest.raises(I.IcebergError, match="immutable"):
+        I.set_iceberg_ref(tdir, "v1.0")
+    I.set_iceberg_ref(tdir, "audit", snapshot_id=s1, kind="branch")
+    I.set_iceberg_ref(tdir, "audit", kind="branch")  # -> current
+    assert I.iceberg_refs(tdir)["audit"]["snapshot-id"] == \
+        I._load_metadata(tdir)["current-snapshot-id"]
+    with pytest.raises(I.IcebergError, match="main"):
+        I.set_iceberg_ref(tdir, "main")
+    with pytest.raises(I.IcebergError, match="no such ref"):
+        I.read_iceberg(spark, tdir, ref="nope")
+
+    # expiry retains the tagged snapshot even though keep_last=1
+    out = I.expire_iceberg_snapshots(tdir, keep_last=1)
+    assert out["expired_snapshots"] == 1  # only s2 goes (s1 tagged)
+    assert I.iceberg_count(tdir, ref="v1.0") == 10
+    # drop the tag: the snapshot loses its retention and expires
+    I.drop_iceberg_ref(tdir, "v1.0")
+    out = I.expire_iceberg_snapshots(tdir, keep_last=1)
+    assert out["expired_snapshots"] == 1
+    with pytest.raises(I.IcebergError, match="no such ref"):
+        I.iceberg_count(tdir, ref="v1.0")
+    assert I.iceberg_count(tdir) == 30
