@@ -847,19 +847,95 @@ def _murmur3_32_decimal_col(c, precision: int, scale: int):
     """The spec's bucket hash for decimal sources (Appendix B): Murmur3
     of the MINIMAL two's-complement big-endian byte form of the
     unscaled value — note big-endian and variable length, unlike the
-    fixed 8-byte little-endian long hash. The minimal byte length is
-    1 + (count of 8-bit widths the value overflows); the bytes are the
-    low ``2L`` chars of the zero-padded 16-char hex of the long (a
-    long's hex IS its two's-complement big-endian form)."""
+    fixed 8-byte little-endian long hash.
+
+    Pure integer column algebra, no strings: the minimal L-byte buffer
+    is the low 8L bits of the long's two's-complement pattern, so its
+    murmur blocks derive arithmetically — block 1 (bytes 0..3, present
+    when L >= 4) is the byte-reverse of ``(u >> (8L-32)) & 0xFFFFFFFF``,
+    block 2 (L == 8) the byte-reverse of ``u & 0xFFFFFFFF``, and the
+    1-3-byte tail is the byte-reverse of the LOW ``L % 4`` bytes
+    (independent of the block count). At most 2 blocks + tail +
+    finalize = one fixed 4-step ``F.aggregate`` fold with the
+    accumulator AND the derived pieces as lambda leaves (an earlier
+    hex-string form paid interpreted conv/substr per block: 52 s vs
+    34.6 s for the sf1 gate; inlining the pieces into the fold body
+    instead of leaf-binding them was 10x WORSE than the hex form —
+    77 s at sf0.1 — because mix() duplicates its block ~8x per step).
+    NULL in -> NULL out."""
     u = _unscaled_long_col(c, precision, scale)
-    nbytes = F.lit(1)
+    M = F.lit(_M32)
+    nbytes = F.lit(1).cast("long")
     for k in range(1, 8):
         t = 1 << (8 * k - 1)
         nbytes = nbytes + F.when((u >= t) | (u < -t), 1).otherwise(0)
-    hex16 = F.lpad(F.hex(u), 16, "0")
-    hx = F.substr(hex16, F.lit(17) - nbytes * 2,
-                  (nbytes * 2).cast("int"))
-    return _murmur3_32_hex_col(hx)
+    r = nbytes % 4
+
+    def byte(x, shift_bits):  # literal shift
+        return F.shiftright(x, shift_bits).bitwiseAND(F.lit(0xFF))
+
+    def rev32(x):
+        return (F.shiftleft(x.bitwiseAND(F.lit(0xFF)), 24)
+                + F.shiftleft(byte(x, 8), 16)
+                + F.shiftleft(byte(x, 16), 8)
+                + byte(x, 24))
+
+    # top 4 buffer bytes: bits [8L-32, 8L) of the 64-bit pattern
+    # (column shift amount -> SQL function form, F.shiftright is
+    # literal-only)
+    top4 = F.call_function(
+        "shiftright", u, (nbytes * 8 - 32).cast("int")).bitwiseAND(M)
+    k1 = rev32(top4)
+    k2 = rev32(u.bitwiseAND(M))
+    tail = (F.when(r == 1, u.bitwiseAND(F.lit(0xFF)))
+            .when(r == 2, F.shiftleft(u.bitwiseAND(F.lit(0xFF)), 8)
+                  + byte(u, 8))
+            .when(r == 3, F.shiftleft(u.bitwiseAND(F.lit(0xFF)), 16)
+                  + F.shiftleft(byte(u, 8), 8) + byte(u, 16))
+            .otherwise(F.lit(0).cast("long")))
+
+    def mixk(k):
+        k = _mul32_col(k, 0xCC9E2D51)
+        k = _rotl32_col(k, 15)
+        return _mul32_col(k, 0x1B873593)
+
+    def mix(h, k):
+        h = _rotl32_col(h.bitwiseXOR(mixk(k)), 13)
+        return (h * F.lit(5) + F.lit(0xE6546B64)).bitwiseAND(M)
+
+    def fmix_n(h, n):
+        h = h.bitwiseXOR(n)
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = _mul32_col(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = _mul32_col(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    # Bind the derived pieces to ONE struct lambda-leaf before the
+    # mixing fold: mix()/mixk() reference their block ~8x through the
+    # 16-bit-split multiplies, and k1/tail are themselves ~100-node
+    # trees over u and nbytes — inlining them into the fold body made
+    # the per-row interpreted tree ~10x slower than the hex form it
+    # replaced (77 s vs 7 s at sf0.1), while leaf-field references
+    # cost nothing to duplicate.
+    parts = F.struct(nbytes.alias("n"), r.alias("r"), k1.alias("k1"),
+                     k2.alias("k2"), tail.alias("t"))
+
+    def fold(acc, p):
+        def step(h, i):
+            return (F.when(i == 1, F.when(p["n"] >= 4, mix(h, p["k1"]))
+                           .otherwise(h))
+                    .when(i == 2, F.when(p["n"] == 8, mix(h, p["k2"]))
+                          .otherwise(h))
+                    .when(i == 3,
+                          F.when(p["r"] > 0,
+                                 h.bitwiseXOR(mixk(p["t"])))
+                          .otherwise(h))
+                    .otherwise(fmix_n(h, p["n"])))
+
+        return F.aggregate(F.sequence(F.lit(1), F.lit(4)), acc, step)
+
+    return F.aggregate(F.array(parts), F.lit(0).cast("long"), fold)
 
 
 def _floordiv_col(c, unit: int):
