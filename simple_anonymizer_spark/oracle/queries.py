@@ -7147,3 +7147,12 @@ WITH c AS (
 SELECT o_orderkey, o_custkey, cents / 100.0 AS price_d
 FROM c WHERE cents >= 35000000 AND cents < 36000000
 """
+
+# iceberg_tag_docs: commit half -> tag v1 -> append rest -> v2 position
+# delete on the head -> expire to keep_last=1 -> read ref="v1". The tag
+# pins its snapshot through the later commits AND the expiry (refs
+# retain), so the oracle is the plain pre-append, pre-delete half.
+ORACLES["iceberg_tag_docs"] = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 2 = 0
+"""

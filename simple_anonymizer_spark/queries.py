@@ -4609,6 +4609,33 @@ def iceberg_decimal_orders(spark, sf_dir):
         F.col("price").cast("double").alias("price_d"))
 
 
+@query("iceberg_tag_docs")
+def iceberg_tag_docs(spark, sf_dir):
+    """Iceberg snapshot REFS driver-verifiable end-to-end
+    (sources/iceberg.py): half of documents is committed and TAGGED
+    ``v1``, the other half appends, a v2 position delete screens the
+    current head, snapshots are EXPIRED down to the head — and the read
+    resolves ``ref="v1"``, which must still see exactly the pre-append,
+    pre-delete first half because the tag retains its snapshot through
+    expiry. The oracle is the plain first-half source table, so the
+    driver hash gates ref resolution, tag immutability through
+    later commits, and expiry retention in one gate."""
+    from .sources.iceberg import (append_iceberg, create_iceberg,
+                                  delete_iceberg_rows,
+                                  expire_iceberg_snapshots, read_iceberg,
+                                  set_iceberg_ref)
+
+    docs = _t(spark, sf_dir, "documents")
+    out = _scratch("ice_tag_") + "/tbl"
+    create_iceberg(docs.where(F.col("doc_id") % 2 == 0), out,
+                   format_version=2)
+    set_iceberg_ref(out, "v1", kind="tag")
+    append_iceberg(docs.where(F.col("doc_id") % 2 != 0), out)
+    delete_iceberg_rows(spark, out, "doc_id % 5 = 1")
+    expire_iceberg_snapshots(out, keep_last=1)
+    return read_iceberg(spark, out, ref="v1")
+
+
 @query("iceberg_rename_docs")
 def iceberg_rename_docs(spark, sf_dir):
     """Iceberg RENAME schema evolution driver-verifiable end-to-end

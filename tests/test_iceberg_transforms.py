@@ -658,19 +658,31 @@ def test_decimal_column_kernels_match_python(spark):
     vals = [D("0.00"), D("14.20"), D("10.65"), D("-0.01"), D("-128.00"),
             D("1.27"), D("1.28"), D("-1.29"), D("327.67"), D("655.36"),
             D("99999999999999.99"), D("-99999999999999.99"), None]
-    df = spark.createDataFrame([(v,) for v in vals], "d decimal(16,2)")
+    # every minimal-byte-length transition: unscaled = +-2^(8k-1) -+ 1
+    for k in range(1, 8):
+        for u in (2 ** (8 * k - 1) - 1, 2 ** (8 * k - 1),
+                  -(2 ** (8 * k - 1)), -(2 ** (8 * k - 1)) - 1):
+            vals.append(D(u).scaleb(-2))
+    df = spark.createDataFrame([(v,) for v in vals], "d decimal(18,2)")
     out = df.select(
         "d",
-        I._transform_col("bucket", 16, "d", "decimal(16,2)").alias("b"),
-        I._transform_col("truncate", 50, "d", "decimal(16,2)").alias("t"),
+        I._transform_col("bucket", 16, "d", "decimal(18,2)").alias("b"),
+        I._transform_col("truncate", 50, "d", "decimal(18,2)").alias("t"),
     ).collect()
     for r in out:
         if r["d"] is None:
             assert r["b"] is None and r["t"] is None
             continue
-        assert r["b"] == I._bucket_of(r["d"], 16, "decimal(16,2)")
+        assert r["b"] == I._bucket_of(r["d"], 16, "decimal(18,2)")
         assert r["t"] == I._transform_value(
-            "truncate", 50, r["d"], "decimal(16,2)")
+            "truncate", 50, r["d"], "decimal(18,2)")
+    # decimal(18,0) extremes: the full 8-byte long-unscaled range edges
+    ex = [D(10 ** 18 - 1), D(-(10 ** 18 - 1)), D(1), D(-1)]
+    df = spark.createDataFrame([(v,) for v in ex], "d decimal(18,0)")
+    for r in df.select(
+            "d", I._transform_col("bucket", 32, "d",
+                                  "decimal(18,0)").alias("b")).collect():
+        assert r["b"] == I._bucket_of(r["d"], 32, "decimal(18,0)")
 
 
 def test_decimal_partitioned_roundtrip_and_pruning(spark, tdir):

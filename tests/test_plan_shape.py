@@ -334,6 +334,9 @@ NATIVE_QUERIES = [
     # minimal-bytes murmur3 as hex-buffer folds (lambda-leaf bound),
     # pruned native read-back plus residual; no Python anywhere.
     "iceberg_decimal_orders",
+    # round-12: snapshot refs — tag-pinned native scan of the retained
+    # first-generation files; no Python anywhere.
+    "iceberg_tag_docs",
     # round-11: rename evolution — ONE name-mapping scan (coalesce over
     # the historical aliases) plus the position-delete anti-join; no
     # Python anywhere.
