@@ -3037,6 +3037,12 @@ try:  # pragma: no cover - import surface depends on pyspark build
         def _snap_args(self) -> tuple[int | None, int | None]:
             sid = self.options.get("snapshot_id")
             ts = self.options.get("as_of_ms")
+            ref = self.options.get("ref")
+            if ref is not None:
+                if sid is not None:
+                    raise ValueError("pass snapshot_id OR ref, not both")
+                sid = _ref_snapshot_id(
+                    _load_metadata(self._table_dir()), ref)
             return (int(sid) if sid is not None else None,
                     int(ts) if ts is not None else None)
 

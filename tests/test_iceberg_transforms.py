@@ -972,3 +972,36 @@ def test_snapshot_refs_tags_branches_and_expiry_retention(spark, tdir):
     with pytest.raises(I.IcebergError, match="no such ref"):
         I.iceberg_count(tdir, ref="v1.0")
     assert I.iceberg_count(tdir) == 30
+
+
+def test_negative_decimal_partition_values_roundtrip(spark, tdir):
+    """Negative decimal truncate partition values survive the
+    dir-name/manifest round trip (Hive dir '-0.50', avro minimal
+    two's-complement bytes) and prune equality predicates."""
+    import decimal
+    D = decimal.Decimal
+
+    rows = [(i, D(i - 10).scaleb(-2)) for i in range(20)]  # -0.10..0.09
+    df = spark.createDataFrame(rows, "id long, p decimal(8,2)")
+    I.create_iceberg(df, tdir, partition_by=[("p", "truncate[5]")])
+    files = I.iceberg_plan_files(tdir)
+    pvals = {f["partition"]["p_trunc"] for f in files}
+    assert D("-0.10") in pvals and D("0.05") in pvals
+    got = I.read_iceberg(spark, tdir,
+                         predicates=[("p", "=", D("-0.07"))])
+    assert [(r["id"], r["p"]) for r in got.collect()] == [(3, D("-0.07"))]
+    assert _rows(I.read_iceberg(spark, tdir), "id", "p") == sorted(rows)
+
+
+def test_pyiceberg_reader_ref_option(spark, tdir):
+    """format('pyiceberg').option('ref', name) resolves refs like
+    read_iceberg(ref=)."""
+    from simple_anonymizer_spark.sources.iceberg import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    I.create_iceberg(_docs(spark, 0, 10), tdir, format_version=1)
+    I.set_iceberg_ref(tdir, "v1", kind="tag")
+    I.append_iceberg(_docs(spark, 10, 30), tdir)
+    got = (spark.read.format("pyiceberg").option("ref", "v1").load(tdir))
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))
+    assert spark.read.format("pyiceberg").load(tdir).count() == 30
