@@ -7156,3 +7156,23 @@ ORACLES["iceberg_tag_docs"] = """
 SELECT doc_id, text, lang, source, n_chars
 FROM documents WHERE doc_id % 2 = 0
 """
+
+# iceberg_partitions_orders: orders under month x truncate[5000000]
+# (exact integer cents) -> the partitions METADATA table's per-tuple
+# row counts. Oracle: the same binning as a plain GROUP BY — month
+# index is months-since-1970 (wall clock, both engines), the truncate
+# bin is the cents floored to a multiple of 5e6, exact in DOUBLE
+# (integer dollar multiples of 50000).
+ORACLES["iceberg_partitions_orders"] = """
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders
+)
+SELECT CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+            AS INTEGER) AS month_idx,
+       CAST(cents - cents % 5000000 AS DOUBLE) / 100 AS price_bin,
+       COUNT(*) AS n_rows
+FROM c
+GROUP BY 1, 2
+"""

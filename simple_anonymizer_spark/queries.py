@@ -4609,6 +4609,40 @@ def iceberg_decimal_orders(spark, sf_dir):
         F.col("price").cast("double").alias("price_d"))
 
 
+@query("iceberg_partitions_orders")
+def iceberg_partitions_orders(spark, sf_dir):
+    """Iceberg ``partitions`` METADATA TABLE driver-verifiable
+    end-to-end (sources/iceberg.py): orders is committed under a
+    ``month(o_orderdate)`` x ``truncate[5000000](price)`` spec (exact
+    integer-cents decimal — both transforms SQL-expressible, unlike
+    bucket), and the gate returns the metadata-only per-partition-tuple
+    row counts — zero data IO on the read side. The oracle is the plain
+    GROUP BY of the same binning on the source table, so the driver
+    hash gates write-path partition values AND the metadata rollup in
+    one gate."""
+    from .sources.iceberg import (create_iceberg, iceberg_partitions,
+                                  partition_transform_columns)
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    price = (cents.cast("decimal(20,0)")
+             / F.lit(100).cast("decimal(3,0)")).cast("decimal(12,2)")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", price.alias("price"))
+    spec = [("o_orderdate", "month"), ("price", "truncate[5000000]")]
+    orders = orders.repartition(
+        32, *partition_transform_columns(orders, spec))
+    out = _scratch("ice_parts_") + "/tbl"
+    create_iceberg(orders, out, partition_by=spec)
+    parts = iceberg_partitions(spark, out)
+    return parts.select(
+        F.get_json_object("partition", "$.o_orderdate_month")
+        .cast("int").alias("month_idx"),
+        F.get_json_object("partition", "$.price_trunc")
+        .cast("decimal(13,2)").cast("double").alias("price_bin"),
+        F.col("record_count").alias("n_rows"),
+    )
+
+
 @query("iceberg_tag_docs")
 def iceberg_tag_docs(spark, sf_dir):
     """Iceberg snapshot REFS driver-verifiable end-to-end

@@ -2823,6 +2823,79 @@ def remove_iceberg_orphans(table_dir: str) -> list[str]:
     return removed
 
 
+def iceberg_partitions(
+    spark: SparkSession, table_dir: str,
+    snapshot_id: int | None = None, ref: str | None = None,
+) -> DataFrame:
+    """The spec's ``partitions`` metadata table: one row per partition
+    tuple with ``record_count`` (sum of data-file record counts —
+    NOT delete-adjusted, same as real Iceberg's table) and
+    ``file_count``. Pure metadata walk, zero data IO. The partition
+    tuple is emitted as a sorted-key JSON string (``partition``) so
+    tuples from DIFFERENT specs of an evolved table coexist in one
+    column; callers project typed fields back out with
+    ``get_json_object``. Decimal partition values serialize as their
+    exact plain string form."""
+    meta = _load_metadata(table_dir)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError("pass snapshot_id OR ref, not both")
+        snapshot_id = _ref_snapshot_id(meta, ref)
+    schema = ("partition string, record_count long, file_count long")
+    if not meta["snapshots"] and snapshot_id is None:
+        return spark.createDataFrame([], schema)
+    snap = _resolve_snapshot(meta, snapshot_id, None)
+    agg: dict[str, list[int]] = {}
+    for f in _live_files(table_dir, snap):
+        key = json.dumps(f["partition"] or {}, sort_keys=True,
+                         default=str)
+        cur = agg.setdefault(key, [0, 0])
+        cur[0] += f["record_count"]
+        cur[1] += 1
+    rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The spec's ``history`` metadata table: the snapshot log with an
+    ``is_current_ancestor`` flag (this tier's history is linear, so
+    every retained log entry is an ancestor of the current head)."""
+    meta = _load_metadata(table_dir)
+    current = meta["current-snapshot-id"]
+    retained = {s["snapshot-id"] for s in meta["snapshots"]}
+    rows = [(e["timestamp-ms"], e["snapshot-id"],
+             e["snapshot-id"] in retained and e["snapshot-id"] <= current)
+            for e in meta["snapshot-log"]]
+    return spark.createDataFrame(
+        rows, "made_current_at_ms long, snapshot_id long,"
+              " is_current_ancestor boolean")
+
+
+def iceberg_manifests(
+    spark: SparkSession, table_dir: str,
+    snapshot_id: int | None = None, ref: str | None = None,
+) -> DataFrame:
+    """The spec's ``manifests`` metadata table for one snapshot: path,
+    length, spec id, content kind, added counts — straight from the
+    manifest list, zero manifest decode."""
+    meta = _load_metadata(table_dir)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError("pass snapshot_id OR ref, not both")
+        snapshot_id = _ref_snapshot_id(meta, ref)
+    schema = ("path string, length long, partition_spec_id int,"
+              " content int, added_data_files_count int,"
+              " added_rows_count long")
+    if not meta["snapshots"] and snapshot_id is None:
+        return spark.createDataFrame([], schema)
+    snap = _resolve_snapshot(meta, snapshot_id, None)
+    rows = [(m["manifest_path"], m["manifest_length"],
+             m["partition_spec_id"], m.get("content", 0),
+             m["added_data_files_count"], m["added_rows_count"])
+            for m in _read_manifest_list(table_dir, snap["manifest-list"])]
+    return spark.createDataFrame(rows, schema)
+
+
 def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
     """The snapshot-history metadata table."""
     meta = _load_metadata(table_dir)

@@ -1005,3 +1005,39 @@ def test_pyiceberg_reader_ref_option(spark, tdir):
     got = (spark.read.format("pyiceberg").option("ref", "v1").load(tdir))
     assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))
     assert spark.read.format("pyiceberg").load(tdir).count() == 30
+
+
+def test_metadata_tables_partitions_history_manifests(spark, tdir):
+    """The partitions/history/manifests metadata tables: pure-metadata
+    rollups, spec-evolution-safe (tuples of different specs coexist as
+    distinct JSON keys), ref-resolvable, empty on staged tables."""
+    I.create_iceberg(_docs(spark, 0, 20), tdir, partition_by="source",
+                     format_version=2)
+    I.set_iceberg_ref(tdir, "v1", kind="tag")
+    I.update_iceberg_partition_spec(tdir, [("doc_id", "bucket[2]")])
+    I.append_iceberg(_docs(spark, 20, 40, src="b"), tdir)
+
+    parts = {r["partition"]: (r["record_count"], r["file_count"])
+             for r in I.iceberg_partitions(spark, tdir).collect()}
+    assert parts['{"source": "a"}'][0] == 20
+    assert sum(v[0] for k, v in parts.items()
+               if "doc_id_bucket" in k) == 20
+    # ref-resolved: only the first generation
+    parts_v1 = {r["partition"]: r["record_count"] for r in
+                I.iceberg_partitions(spark, tdir, ref="v1").collect()}
+    assert parts_v1 == {'{"source": "a"}': 20}
+
+    hist = I.iceberg_history(spark, tdir).collect()
+    assert len(hist) == 2 and all(r["is_current_ancestor"] for r in hist)
+
+    mans = I.iceberg_manifests(spark, tdir).collect()
+    assert {m["partition_spec_id"] for m in mans} == {0, 1}
+    assert sum(m["added_rows_count"] for m in mans) == 40
+
+    # staged table: all three read empty/minimal
+    tdir2 = tdir + "2"
+    I.create_iceberg_staged(
+        tdir2, {"type": "struct", "fields": [
+            {"id": 1, "name": "k", "type": "long"}]})
+    assert I.iceberg_partitions(spark, tdir2).count() == 0
+    assert I.iceberg_manifests(spark, tdir2).count() == 0

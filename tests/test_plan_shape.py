@@ -337,6 +337,10 @@ NATIVE_QUERIES = [
     # round-12: snapshot refs — tag-pinned native scan of the retained
     # first-generation files; no Python anywhere.
     "iceberg_tag_docs",
+    # round-12: partitions metadata table — the write is native column
+    # algebra and the read side is a metadata-only driver rollup
+    # surfaced as a local DataFrame; no Python UDF anywhere.
+    "iceberg_partitions_orders",
     # round-11: rename evolution — ONE name-mapping scan (coalesce over
     # the historical aliases) plus the position-delete anti-join; no
     # Python anywhere.
