@@ -396,12 +396,14 @@ def stream_iceberg_append(
     table_dir: str,
     checkpoint: str,
     schema=None,
-    partition_by: str | None = None,
+    partition_by=None,
 ):
     """Continuously maintain an Iceberg table from a stream — the
     lakehouse face of the maintainer family: each micro-batch commits
     exactly ONE append snapshot through ``sources/iceberg.py`` (the
-    first batch creates the table, ``partition_by`` included), so the
+    first batch creates the table; ``partition_by`` takes every form
+    ``create_iceberg`` does, transformed specs included, and every
+    subsequent append partitions by the table's recorded spec), so the
     table's snapshot history IS the batch history and every historical
     batch boundary stays time-travelable.
 

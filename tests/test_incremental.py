@@ -448,3 +448,51 @@ def test_stream_iceberg_upsert_last_write_wins(spark, sf_dir, tmp_path):
     run_once()  # no new files: unchanged
     assert sorted(map(tuple, ice.read_iceberg(spark, table).collect())) \
         == want
+
+
+def test_stream_iceberg_append_transformed_spec(spark, sf_dir, tmp_path):
+    """Streamed maintenance under a TRANSFORMED partition spec: the
+    first batch creates bucket[4](doc_id), later appends partition by
+    the table's recorded spec, and bucket-equality pruning works on the
+    streamed table exactly as on a batch-built one."""
+    import glob
+    import shutil
+
+    from simple_anonymizer_spark.sources import iceberg as ice
+
+    docs = read_sf_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def deliver(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+
+    def run_once():
+        q = (INC.stream_iceberg_append(
+                spark, str(src), table, ckpt, schema=docs.schema,
+                partition_by=[("doc_id", "bucket[4]")])
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+
+    deliver(halves[0], "part1.parquet")
+    run_once()
+    deliver(halves[1], "part2.parquet")
+    run_once()
+
+    assert ice.iceberg_count(table) == docs.count()
+    files = ice.iceberg_plan_files(table)
+    assert all(0 <= f["partition"]["doc_id_bucket"] < 4 for f in files)
+    target = halves[1].select("doc_id").first()[0]
+    pruned = ice.iceberg_plan_files(
+        table, predicates=[("doc_id", "=", int(target))])
+    assert 0 < len(pruned) < len(files)
+    got = ice.read_iceberg(spark, table,
+                           predicates=[("doc_id", "=", int(target))])
+    assert [r["doc_id"] for r in got.collect()] == [target]
