@@ -137,6 +137,12 @@ def _decode_value(atype: str, buf: bytes, pos: int):
 #   | ("record", [(field_name, node), ...]) | ("dec", precision, scale)
 
 
+#: Working precision for decimal logical-type arithmetic — must exceed
+#: the 38 digits Spark/Iceberg decimals carry (Python's DEFAULT context
+#: rounds at 28 significant digits).
+_DEC_PREC = 50
+
+
 def min_twos_complement(u: int) -> bytes:
     """The MINIMAL two's-complement big-endian byte form of a signed
     integer — the Avro decimal value encoding (and, identically, the
@@ -310,9 +316,12 @@ def _enc(node, v, out: list, where: str) -> None:
     if kind == "dec":
         _p, s = node[1], node[2]
         d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(v)
+        # prec must exceed 38: the DEFAULT context rounds at 28
+        # significant digits, silently corrupting wide decimals
+        ctx = decimal.Context(prec=_DEC_PREC, traps=[decimal.Inexact])
         try:
-            u = int(d.scaleb(s).to_integral_exact(
-                context=decimal.Context(traps=[decimal.Inexact])))
+            u = int(d.scaleb(s, context=ctx).to_integral_exact(
+                context=ctx))
         except decimal.Inexact:
             raise ValueError(
                 f"decimal value {v} does not fit scale {s} in {where!r}")
@@ -363,7 +372,8 @@ def _dec(node, buf: bytes, pos: int):
     if kind == "dec":
         b, pos = _decode_value("bytes", buf, pos)
         u = int.from_bytes(b, "big", signed=True)
-        return decimal.Decimal(u).scaleb(-node[2]), pos
+        return decimal.Decimal(u).scaleb(
+            -node[2], context=decimal.Context(prec=_DEC_PREC)), pos
     if kind in ("array", "map"):
         out = [] if kind == "array" else {}
         while True:

@@ -142,6 +142,18 @@ _ICE_TO_SPARK_TYPE = {
 
 _DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
 
+#: Working context for decimal VALUE arithmetic (bounds decode, dirname
+#: parse, unscaled extraction): precision must exceed the 38 digits an
+#: Iceberg decimal can carry — Python's DEFAULT context silently ROUNDS
+#: at 28 significant digits, which would corrupt wide bounds and make
+#: _survives_bounds prune files that contain matching rows.
+_DEC_CTX = decimal.Context(prec=50)
+
+
+def _unscaled_to_decimal(u: int, scale: int) -> decimal.Decimal:
+    """Exact ``u * 10^-scale`` at full 38-digit width."""
+    return decimal.Decimal(u).scaleb(-scale, context=_DEC_CTX)
+
 
 def _decimal_ps(itype: str) -> tuple[int, int] | None:
     """``"decimal(12,2)"`` -> ``(12, 2)``; None for non-decimal types."""
@@ -295,8 +307,8 @@ def _bound_value(ice_t: str, b: bytes):
         return b.decode("utf-8")
     ps = _decimal_ps(ice_t)
     if ps:
-        return decimal.Decimal(
-            int.from_bytes(b, "big", signed=True)).scaleb(-ps[1])
+        return _unscaled_to_decimal(
+            int.from_bytes(b, "big", signed=True), ps[1])
     raise IcebergError(f"no single-value serialization for {ice_t!r}")
 
 
@@ -485,7 +497,8 @@ def _parse_partition_dirname(dirname: str, ptype: str):
         # ("10.50"); quantize pins the Decimal's exponent to the type's
         # scale either way (exact — the value has <= scale digits)
         return decimal.Decimal(s).quantize(
-            decimal.Decimal(1).scaleb(-ps[1]))
+            decimal.Decimal(1).scaleb(-ps[1], context=_DEC_CTX),
+            context=_DEC_CTX)
     raise IcebergError(f"unsupported partition value type {ptype!r}")
 
 
@@ -663,9 +676,10 @@ def _decimal_unscaled(v, scale: int) -> int:
     scale; ValueError when the literal has more fractional digits than
     the scale (it then equals no column value — callers keep the file)."""
     d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+    ctx = decimal.Context(prec=50, traps=[decimal.Inexact])
     try:
-        return int(d.scaleb(scale).to_integral_exact(
-            context=decimal.Context(traps=[decimal.Inexact])))
+        return int(d.scaleb(scale, context=ctx).to_integral_exact(
+            context=ctx))
     except decimal.Inexact:
         raise ValueError(
             f"literal {v} has more fractional digits than scale {scale}")
@@ -1100,10 +1114,10 @@ def _raw_unscaled_decimal(raw, scale: int):
     int32/int64 physicals report the unscaled int, FLBA physicals the
     two's-complement big-endian unscaled bytes."""
     if isinstance(raw, int):
-        return decimal.Decimal(raw).scaleb(-scale)
+        return _unscaled_to_decimal(raw, scale)
     if isinstance(raw, bytes) and raw:
-        return decimal.Decimal(
-            int.from_bytes(raw, "big", signed=True)).scaleb(-scale)
+        return _unscaled_to_decimal(
+            int.from_bytes(raw, "big", signed=True), scale)
     return None
 
 
@@ -1450,6 +1464,32 @@ def partition_transform_columns(df: DataFrame, partition_by) -> list:
     ]
 
 
+def _new_table_meta(table_dir: str, schema: dict,
+                    spec_fields: list[dict], format_version: int,
+                    last_column_id: int) -> dict:
+    """The table-bootstrap metadata shape shared by ``create_iceberg``
+    and ``create_iceberg_staged`` — ONE definition so the two create
+    paths can never drift."""
+    meta = {
+        "format-version": format_version,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
+                                     os.path.abspath(table_dir))),
+        "location": os.path.abspath(table_dir),
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_column_id,
+        "schema": schema, "schemas": [schema], "current-schema-id": 0,
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "current-snapshot-id": 0,
+        "snapshots": [], "snapshot-log": [],
+    }
+    if format_version >= 2:
+        meta["last-sequence-number"] = 0
+    return meta
+
+
 def create_iceberg(
     df: DataFrame, table_dir: str, partition_by=None,
     format_version: int = 1,
@@ -1483,23 +1523,8 @@ def create_iceberg(
         for f in resolved
     ]
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    meta = {
-        "format-version": format_version,
-        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
-                                     os.path.abspath(table_dir))),
-        "location": os.path.abspath(table_dir),
-        "last-updated-ms": int(time.time() * 1000),
-        "last-column-id": len(ids),
-        "schema": schema, "schemas": [schema], "current-schema-id": 0,
-        "partition-spec": spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
-        "last-partition-id": 999 + len(spec_fields),
-        "current-snapshot-id": 0,
-        "snapshots": [], "snapshot-log": [],
-    }
-    if format_version >= 2:
-        meta["last-sequence-number"] = 0
+    meta = _new_table_meta(table_dir, schema, spec_fields,
+                           format_version, len(ids))
     meta = _new_snapshot(df, table_dir, meta, "append", [])
     _commit_metadata(table_dir, meta, 1)
     return meta["current-snapshot-id"]
@@ -1548,23 +1573,8 @@ def create_iceberg_staged(
         for f in resolved
     ]
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    meta = {
-        "format-version": format_version,
-        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
-                                     os.path.abspath(table_dir))),
-        "location": os.path.abspath(table_dir),
-        "last-updated-ms": int(time.time() * 1000),
-        "last-column-id": max(ids.values()),
-        "schema": schema, "schemas": [schema], "current-schema-id": 0,
-        "partition-spec": spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
-        "last-partition-id": 999 + len(spec_fields),
-        "current-snapshot-id": 0,
-        "snapshots": [], "snapshot-log": [],
-    }
-    if format_version >= 2:
-        meta["last-sequence-number"] = 0
+    meta = _new_table_meta(table_dir, schema, spec_fields,
+                           format_version, max(ids.values()))
     _commit_metadata(table_dir, meta, 1)
 
 
@@ -2160,7 +2170,7 @@ def _plan_files_distributed(
         rows, "path string, seq long, spec_id int").repartition(
         min(len(rows), spark.sparkContext.defaultParallelism))
     cols = ["file_path", "record_count", "file_size_in_bytes", "_seq",
-            "partition", "snapshot_id"]
+            "_spec_id", "partition", "snapshot_id"]
 
     def decode(batches):
         for pdf in batches:
@@ -2186,10 +2196,11 @@ def _plan_files_distributed(
                     out.append((data_file["file_path"],
                                 data_file["record_count"],
                                 data_file["file_size_in_bytes"],
-                                int(seq),
+                                int(seq), int(spec_id),
                                 # default=str: decimal partition values
-                                # cross back as display strings (pruning
-                                # already consumed the typed form here)
+                                # cross as exact strings, rehydrated by
+                                # ptype on the driver below so both
+                                # planning regimes return the same shape
                                 json.dumps(part, sort_keys=True,
                                            default=str),
                                 snap_id))
@@ -2198,13 +2209,26 @@ def _plan_files_distributed(
     got = mdf.mapInPandas(
         decode,
         schema="file_path string, record_count long,"
-               " file_size_in_bytes long, _seq long, partition string,"
-               " snapshot_id long").collect()
+               " file_size_in_bytes long, _seq long, _spec_id int,"
+               " partition string, snapshot_id long").collect()
+    ptypes = {sid: {f["name"]: f["ptype"] for f in sp}
+              for sid, sp in specs.items()}
+
+    def rehydrate(spec_id: int, part: dict) -> dict:
+        out = {}
+        for k, v in part.items():
+            ps = _decimal_ps(ptypes.get(spec_id, {}).get(k, ""))
+            out[k] = (decimal.Decimal(v)
+                      if ps and isinstance(v, str) else v)
+        return out
+
     return [{"file_path": r["file_path"],
              "record_count": r["record_count"],
              "file_size_in_bytes": r["file_size_in_bytes"],
              "_seq": r["_seq"],
-             "partition": json.loads(r["partition"]),
+             "_spec_id": r["_spec_id"],
+             "partition": rehydrate(r["_spec_id"],
+                                    json.loads(r["partition"])),
              "snapshot_id": r["snapshot_id"]} for r in got]
 
 
@@ -2356,8 +2380,9 @@ def read_iceberg(
     spec's name-mapping resolution, in one scan)."""
     meta = _load_metadata(table_dir)
     if ref is not None:
-        if snapshot_id is not None:
-            raise IcebergError("pass snapshot_id OR ref, not both")
+        if snapshot_id is not None or as_of_ms is not None:
+            raise IcebergError(
+                "pass ONE of snapshot_id / as_of_ms / ref")
         snapshot_id = _ref_snapshot_id(meta, ref)
     if not meta["snapshots"] and snapshot_id is None and as_of_ms is None:
         # staged create (create_iceberg_staged): no snapshot yet, the
@@ -3068,12 +3093,15 @@ try:  # pragma: no cover - import surface depends on pyspark build
         fields = []
         for f in schema_struct["fields"]:
             t = f["type"]
+            ps = _decimal_ps(t)
             if t == "timestamptz":
                 at = pa.timestamp("us", tz="UTC")
             elif t == "timestamp":
                 at = pa.timestamp("us")
             elif t == "date":
                 at = pa.date32()
+            elif ps:
+                at = pa.decimal128(*ps)
             else:
                 at = getattr(pa, _ICE_TO_ARROW[t])()
             fields.append(pa.field(f["name"], at,
@@ -3112,8 +3140,9 @@ try:  # pragma: no cover - import surface depends on pyspark build
             ts = self.options.get("as_of_ms")
             ref = self.options.get("ref")
             if ref is not None:
-                if sid is not None:
-                    raise ValueError("pass snapshot_id OR ref, not both")
+                if sid is not None or ts is not None:
+                    raise ValueError(
+                        "pass ONE of snapshot_id / as_of_ms / ref")
                 sid = _ref_snapshot_id(
                     _load_metadata(self._table_dir()), ref)
             return (int(sid) if sid is not None else None,
@@ -3174,8 +3203,14 @@ try:  # pragma: no cover - import surface depends on pyspark build
                     "only; partitioned commits need the transform "
                     "write path — use append_iceberg/overwrite_iceberg")
             want = {f["name"]: f["type"] for f in _schema_fields(meta)}
-            got = {f.name: _SPARK_TO_ICE.get(f.dataType.typeName())
-                   for f in schema.fields}
+
+            def ice_t(dt):
+                try:
+                    return _ice_type_of(dt)  # decimals keep (P,S)
+                except IcebergError:
+                    return None
+
+            got = {f.name: ice_t(f.dataType) for f in schema.fields}
             if got != want:
                 raise ValueError(
                     f"dataframe schema {got} does not match the table "

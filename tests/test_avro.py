@@ -271,3 +271,23 @@ def test_decimal_logical_type_roundtrip():
     assert A.min_twos_complement(-129) == b"\xff\x7f"
     with pytest.raises(ValueError, match="scale"):
         A.write_container(io.BytesIO(), schema, iter([(9, D("1.005"))]))
+
+
+def test_decimal_logical_type_full_38_digit_width():
+    """Wide decimals (>28 significant digits) must round-trip exactly —
+    the default decimal context rounds at 28 digits and used to corrupt
+    them silently."""
+    import decimal
+    D = decimal.Decimal
+
+    dec_t = {"type": "bytes", "logicalType": "decimal",
+             "precision": 38, "scale": 2}
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": dec_t}]}
+    vals = [D("111111111111111111111111111111111111.55"),
+            D("-999999999999999999999999999999999999.99"),
+            D("0.01")]
+    buf = io.BytesIO()
+    A.write_container(buf, schema, iter([(v,) for v in vals]))
+    _, got = A.read_container(buf.getvalue())
+    assert [r[0] for r in got] == vals

@@ -1041,3 +1041,84 @@ def test_metadata_tables_partitions_history_manifests(spark, tdir):
             {"id": 1, "name": "k", "type": "long"}]})
     assert I.iceberg_partitions(spark, tdir2).count() == 0
     assert I.iceberg_manifests(spark, tdir2).count() == 0
+
+
+def test_wide_decimal_38_digit_exactness(spark, tdir):
+    """decimal(38,2): Python's DEFAULT 28-digit context must never
+    touch bounds/dirname/avro values — a wide-decimal equality
+    predicate has to find its row (a rounding bug here silently pruned
+    the file), and identity partitioning on wide decimals round-trips
+    the Hive dir name."""
+    import decimal
+    D = decimal.Decimal
+
+    big = D("111111111111111111111111111111111111.55")
+    rows = [(1, big), (2, big + 1), (3, D("-0.01"))]
+    df = spark.createDataFrame(rows, "id long, p decimal(38,2)")
+    I.create_iceberg(df.repartitionByRange(2, "id"), tdir)
+    got = I.read_iceberg(spark, tdir, predicates=[("p", "=", big)])
+    assert [(r["id"], r["p"]) for r in got.collect()] == [(1, big)]
+    # Appendix D byte form round-trips at full width
+    b = I._bound_bytes("decimal(38,2)", big)
+    assert I._bound_value("decimal(38,2)", b) == big
+    # identity partitioning on the wide decimal: dir-name parse exact
+    tdir2 = tdir + "2"
+    I.create_iceberg(df, tdir2, partition_by="p")
+    assert I.iceberg_count(tdir2, partition_filter={"p": big}) == 1
+    assert _rows(I.read_iceberg(spark, tdir2), "id", "p") == sorted(rows)
+
+
+def test_ref_with_as_of_rejected(spark, tdir):
+    I.create_iceberg(_docs(spark, 0, 5), tdir)
+    I.set_iceberg_ref(tdir, "v1", kind="tag")
+    with pytest.raises(I.IcebergError, match="ONE of"):
+        I.read_iceberg(spark, tdir, ref="v1", as_of_ms=1)
+    with pytest.raises(I.IcebergError, match="ONE of"):
+        I.read_iceberg(spark, tdir, ref="v1", snapshot_id=1)
+
+
+def test_pyiceberg_datasource_decimal_roundtrip(spark, tdir):
+    """The DSv2 front door on a decimal table: arrow schema carries
+    decimal128, reads return exact Decimals, and the writer's schema
+    gate accepts a matching decimal dataframe (it used to compare
+    None != 'decimal(12,2)' and refuse)."""
+    import decimal
+    D = decimal.Decimal
+
+    from simple_anonymizer_spark.sources.iceberg import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    rows = [(i, D(i).scaleb(-2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, p decimal(12,2)")
+    I.create_iceberg(df, tdir)
+    got = spark.read.format("pyiceberg").load(tdir)
+    assert sorted((r["id"], r["p"]) for r in got.collect()) == rows
+    more = spark.createDataFrame(
+        [(100, D("9.99"))], "id long, p decimal(12,2)")
+    more.write.format("pyiceberg").mode("append").save(tdir)
+    assert I.iceberg_count(tdir) == 21
+
+
+def test_distributed_plan_rehydrates_decimal_partitions(
+        spark, tdir, monkeypatch):
+    """Both planning regimes must return the SAME shape: typed decimal
+    partition values and the _spec_id key (the distributed path used to
+    hand decimals back as JSON strings and drop _spec_id)."""
+    import decimal
+    D = decimal.Decimal
+
+    rows = [(i, D(i).scaleb(-2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, p decimal(10,2)")
+    I.create_iceberg(df, tdir, partition_by=[("p", "truncate[10]")])
+    serial = I.iceberg_plan_files(tdir)
+    monkeypatch.setattr(I, "_DISTRIBUTED_PLAN_FILES", 0)
+    dist = I.iceberg_plan_files(tdir, predicates=[("id", ">=", 0)],
+                                spark=spark)
+
+    def canon(files):
+        return sorted((f["file_path"], f.get("_spec_id", 0),
+                       tuple(sorted(f["partition"].items())))
+                      for f in files)
+
+    assert canon(serial) == canon(dist)
+    assert all(isinstance(f["partition"]["p_trunc"], D) for f in dist)
