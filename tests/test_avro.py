@@ -291,3 +291,21 @@ def test_decimal_logical_type_full_38_digit_width():
     A.write_container(buf, schema, iter([(v,) for v in vals]))
     _, got = A.read_container(buf.getvalue())
     assert [r[0] for r in got] == vals
+
+
+def test_min_twos_complement_properties():
+    """Property: min_twos_complement is the SHORTEST signed big-endian
+    form and inverts exactly through int.from_bytes — across the full
+    int64 range and the 38-digit unscaled range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(10 ** 38) + 1, max_value=10 ** 38 - 1))
+    def check(u):
+        b = A.min_twos_complement(u)
+        assert int.from_bytes(b, "big", signed=True) == u
+        if len(b) > 1:  # shortest: dropping the top byte changes value
+            assert int.from_bytes(b[1:], "big", signed=True) != u
+
+    check()
