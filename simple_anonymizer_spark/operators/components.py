@@ -37,30 +37,67 @@ def connected_components(
     they come back as singleton components. Output: ``node, component``.
     Raises if the propagation has not converged after ``max_iterations``
     (diameter larger than the bound — raise it)."""
+    # r12 plan shape (guide §2.4 "remove shuffles outright"): the edge
+    # set and the label table are hash-partitioned on their join keys
+    # with the SAME explicit partition count and pre-sorted, then
+    # localCheckpoint-ed — LogicalRDD preserves partitioning+ordering,
+    # so the per-round label join is a sort-merge join with ZERO
+    # exchange and ZERO sort on both standing sides. Before: every round
+    # re-broadcast (or re-shuffled) the label table AND the edge set —
+    # 2 broadcast-build jobs per round at bench scale, a full edge-set
+    # re-shuffle per round at 100 TB. The merge hint pins the strategy:
+    # broadcast would be legal at toy scale but re-introduces a
+    # per-round broadcast build, and at scale the label side is
+    # node-count-sized anyway (never broadcastable).
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .repartition(n_part, "a")
+        .sortWithinPartitions("a")
         # Materialize ONCE: every round joins against `und`, and without
         # this the edge-producing upstream (e.g. the whole MinHash pair
         # pipeline) would re-execute per iteration.
         .localCheckpoint()
     )
-    endpoints = und.select(F.col("a").alias("node")).distinct()
-    if nodes is not None:
-        endpoints = (
-            nodes.select(F.col(node_col).alias("node")).union(endpoints).distinct()
+    # Propagation runs over edge-ENDPOINT nodes only: an isolated node
+    # has no neighbors, so its label can never change — carrying it
+    # through every round (the pre-r12 form) shuffles node-count rows
+    # per round for nothing. Isolated nodes re-attach at the end as
+    # singleton components (guide §2.3: shuffle fewer bytes).
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .repartition(n_part, "node")
+        .sortWithinPartitions("node")
+        .localCheckpoint()
+    )
+
+    def finish(endpoint_labels: DataFrame) -> DataFrame:
+        if nodes is None:
+            return endpoint_labels
+        allnodes = (
+            nodes.select(F.col(node_col).alias("node"))
+            .union(und.select(F.col("a").alias("node")))
+            .distinct()
         )
-    labels = endpoints.withColumn("component", F.col("node")).localCheckpoint()
+        return allnodes.join(endpoint_labels, "node", "left").select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
 
     for _ in range(max_iterations):
         neighbor_min = (
-            und.join(labels, und.a == labels.node)
+            und.join(labels.hint("merge"), und.a == labels.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("__nmin"))
         )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            labels.join(neighbor_min.hint("merge"), "node", "left")
             .select(
                 "node",
                 F.least(
@@ -73,7 +110,7 @@ def connected_components(
         changed = updated.filter("__changed").limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
-            return labels
+            return finish(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )

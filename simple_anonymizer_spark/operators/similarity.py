@@ -14,6 +14,8 @@ reproduce the exact IEEE sum.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.textops import salted_hash
@@ -336,18 +338,40 @@ def pq_codebooks(
     ]
 
 
-def _pq_subdot(vec: Column, j: int, centroid: list[float], sub_dim: int) -> Column:
-    """Dot product of subspace ``j`` of ``vec`` with a literal centroid.
+def _pq_subdot_sql(
+    vec_sql: str, j: int, centroid: list[float], sub_dim: int
+) -> str:
+    """Dot product of subspace ``j`` of the column named ``vec_sql`` with
+    a literal centroid, as SQL text.
 
     FLAT left-associated arithmetic, not a higher-order fold: Spark
     evaluates lambda HOFs interpreted (outside whole-stage codegen), and
-    the previous zip_with+aggregate form cost ~2 ms/row across the 64
+    the original zip_with+aggregate form cost ~2 ms/row across the 64
     (subspace, centroid) pairs — measured 6x slower end-to-end than this
     codegen chain. The addition order (t1+t2)+t3... is exactly the fold's
     after the 0.0+t1 identity, so scores stay bit-identical to the
-    DuckDB oracle's sequential list_sum."""
+    DuckDB oracle's sequential list_sum.
+
+    SQL TEXT rather than Column builders (r12): the PQ expressions
+    multiply out to m x k x sub_dim terms — ~4,500 py4j round-trips per
+    fresh plan built the Column way, which made pq_topk's CONSTRUCTION
+    (8-20 s of driver time, swinging with JVM state) dwarf its 2-3 s
+    execution. One JVM-side parse of the same text is ~50 ms, and SQL's
+    left-associative ``+`` produces the identical analyzed tree."""
+    return " + ".join(
+        f"CAST(element_at({vec_sql}, {j * sub_dim + i + 1}) AS DOUBLE)"
+        f" * {_sql_double(float(centroid[i]))}"
+        for i in range(sub_dim)
+    )
+
+
+def _pq_subdot_col(
+    vec: Column, j: int, centroid: list[float], sub_dim: int
+) -> Column:
+    """Column-builder twin of ``_pq_subdot_sql`` (identical tree)."""
     terms = [
-        F.element_at(vec, j * sub_dim + i + 1).cast("double") * F.lit(centroid[i])
+        F.element_at(vec, j * sub_dim + i + 1).cast("double")
+        * F.lit(float(centroid[i]))
         for i in range(sub_dim)
     ]
     acc = terms[0]
@@ -357,22 +381,43 @@ def _pq_subdot(vec: Column, j: int, centroid: list[float], sub_dim: int) -> Colu
 
 
 def pq_encode(
-    vec: Column, codebooks: list[list[list[float]]], sub_dim: int = 8
+    vec: Column | str, codebooks: list[list[list[float]]], sub_dim: int = 8
 ) -> Column:
     """PQ code array: per subspace, the argmax-dot centroid index (ties ->
     lowest code, mirroring the oracle's ``ORDER BY d DESC, cidx ASC``).
     Pure map-side expression — a 64-dim float32 vector (256 B) compresses
     to ``m`` small ints, the property that lets a 100 TB embedding corpus
-    fit scan-able storage; assignment never shuffles."""
+    fit scan-able storage; assignment never shuffles.
+
+    Pass ``vec`` as a COLUMN NAME to get the cheap JVM-parsed
+    construction (see ``_pq_subdot_sql``); a Column object also works
+    (wrapped in a one-row select alias) for expression inputs."""
+    if not isinstance(vec, str):
+        # Column input: same tree via Column builders (py4j-priced; fine
+        # for tests/one-off expression inputs — hot callers pass names).
+        codes_c = []
+        for j in range(len(codebooks)):
+            dots_c = F.array(*[
+                _pq_subdot_col(vec, j, c, sub_dim) for c in codebooks[j]
+            ])
+            codes_c.append(
+                (F.array_position(dots_c, F.array_max(dots_c)) - 1)
+                .cast("int")
+            )
+        return F.array(*codes_c)
     codes = []
     for j in range(len(codebooks)):
-        dots = F.array(
-            *[_pq_subdot(vec, j, c, sub_dim) for c in codebooks[j]]
+        dots = (
+            "array("
+            + ",".join(
+                _pq_subdot_sql(vec, j, c, sub_dim) for c in codebooks[j]
+            )
+            + ")"
         )
         codes.append(
-            (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+            f"CAST(array_position({dots}, array_max({dots})) - 1 AS INT)"
         )
-    return F.array(*codes)
+    return F.expr("array(" + ",".join(codes) + ")")
 
 
 def pq_topk(
@@ -409,16 +454,18 @@ def pq_topk(
     m = len(codebooks)
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_encode(F.col(vec_col), codebooks, sub_dim).alias("__codes"),
+        pq_encode(vec_col, codebooks, sub_dim).alias("__codes"),
     )
-    qtab = F.array(*[
-        F.array(*[
-            F.floor(_pq_subdot(F.col("__qv"), j, c, sub_dim)
-                    * F.lit(float(FP_SCALE))).cast("long")
+    # FLOOR(double) is already BIGINT in SQL — same analyzed tree as the
+    # old floor().cast("long") builder chain (the no-op cast folds away).
+    qtab = F.expr("array(" + ",".join(
+        "array(" + ",".join(
+            f"FLOOR(({_pq_subdot_sql('__qv', j, c, sub_dim)})"
+            f" * {float(FP_SCALE)!r}D)"
             for c in codebooks[j]
-        ])
+        ) + ")"
         for j in range(m)
-    ])
+    ) + ")")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -467,6 +514,17 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def _sql_double(x: float) -> str:
+    """A SQL double literal that parses to exactly ``x`` (Python repr is
+    the shortest round-tripping form; Spark's parser is correctly
+    rounded). Non-finite values go through a string cast."""
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return "CAST('%sInfinity' AS DOUBLE)" % ("-" if x < 0 else "")
+    return repr(float(x)) + "D"
+
+
 def _packed_centroids(centroids: list[list[float]]) -> Column:
     """The centroid table as ONE array<array<double>> literal node.
     Unrolling per-centroid literal arrays costs O(n_cells * dim)
@@ -474,8 +532,31 @@ def _packed_centroids(centroids: list[list[float]]) -> Column:
     every fresh plan (the random_projection lesson), which dominates
     fit/assign wall time once n_cells scales with the corpus. A single
     packed literal consumed by constant-size runtime folds keeps the
-    plan O(1) regardless of n_cells."""
-    return F.lit([[float(x) for x in c] for c in centroids])
+    plan O(1) regardless of n_cells.
+
+    Built as a JVM-parsed ``expr`` string, not ``F.lit(list_of_lists)``:
+    py4j converts nested Python lists one element-RPC at a time (~0.36 s
+    of driver time for an 8x64 grid, re-paid on EVERY fresh plan — each
+    k-means iteration, every assignment site), while one expr() parse of
+    the same 512 literals is ~1 ms."""
+    inner = ",".join(
+        "array(" + ",".join(_sql_double(float(x)) for x in c) + ")"
+        for c in centroids
+    )
+    return F.expr("array(" + inner + ")")
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side ||v||: same left-associative x*x accumulation and the
+    same correctly-rounded sqrt as the ``_norm_sq``/``F.sqrt`` column
+    form, so the result is bit-identical to computing it executor-side
+    (CPython floats are IEEE doubles; math.sqrt and JVM Math.sqrt are
+    both correctly rounded)."""
+    s = 0.0
+    for x in vec:
+        fx = float(x)
+        s += fx * fx
+    return math.sqrt(s)
 
 
 def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -485,13 +566,47 @@ def ivf_assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
     (assignment is O(dim * n_cells) per row inside codegen, and the cell id
     becomes the partition/bucket key of the stored index). The centroid
     grid is one packed literal (see ``_packed_centroids``), so the plan
-    stays constant-size as n_cells grows."""
-    cos_arr = F.transform(
-        _packed_centroids(centroids), lambda c: cosine(vec, c)
+    stays constant-size as n_cells grows.
+
+    Per-row work is one ||v|| fold plus n_cells dot folds. Three
+    r12-measured pitfalls shape the form below (5.3x less interpreted
+    work per row than the naive ``transform(packed, c -> cosine(v, c))``
+    + ``array_position(cos, array_max(cos))``):
+
+    * centroid norms are CONSTANTS — computed driver-side
+      (``_py_norm``, bit-identical) and shipped as one packed literal,
+      instead of a per-row per-cell ||c|| fold;
+    * ``||v||`` is shared by every cell — bound ONCE as a lambda leaf
+      through a one-element-array outer fold (the ``_murmur3_32_hex_col``
+      pattern), instead of re-folded per cell inside the transform body;
+    * the cosine array feeds BOTH array_position and array_max — bound
+      as a lambda leaf too, where referencing it twice in one
+      expression would duplicate the whole n_cells*dim subtree.
+    """
+    packed = _packed_centroids(centroids)
+    norms = F.expr(
+        "array(" + ",".join(_sql_double(_py_norm(c)) for c in centroids) + ")"
     )
-    # array_position returns the FIRST match (1-based) -> ties resolve to
-    # the lowest cell index, mirroring the oracle's (cos DESC, cell ASC).
-    return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+
+    def argmax_cell(_z: Column, cos_arr: Column) -> Column:
+        # array_position returns the FIRST match (1-based) -> ties
+        # resolve to the lowest cell index, mirroring the oracle's
+        # (cos DESC, cell ASC).
+        return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast(
+            "int"
+        )
+
+    def with_vnorm(_z: Column, vn: Column) -> Column:
+        cos_arr = F.zip_with(
+            packed, norms, lambda c, nc: _dot(vec, c) / (vn * nc)
+        )
+        return F.aggregate(
+            F.array(cos_arr), F.lit(0).cast("int"), argmax_cell
+        )
+
+    return F.aggregate(
+        F.array(F.sqrt(_norm_sq(vec))), F.lit(0).cast("int"), with_vnorm
+    )
 
 
 def ivf_topk(
