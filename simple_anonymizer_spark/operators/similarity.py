@@ -14,6 +14,7 @@ reproduce the exact IEEE sum.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -96,29 +97,59 @@ def brute_force_topk(
     ).select("query_id", "neighbor_id", "rank")
 
 
+_HYPERPLANE_MAX_DIM = 256
+
+
+@_functools.lru_cache(maxsize=None)
+def _plane_weight_lit(p: int, max_dim: int) -> Column:
+    """The plane-``p`` weight vector as a parsed literal Column, memoized
+    per process: the weights are pure constants, the Column wraps an
+    unresolved literal expression (session-independent, immutable), and
+    one 256-double array parse costs ~40 ms — re-paid per plane per
+    fresh plan without the memo, which dominated construction for the
+    4-band neardup scheme (32 parses ~1.3 s)."""
+    from ..functions.pyimpl import stable_hash as _py_stable_hash
+
+    w = [
+        _py_stable_hash(f"{i}_pl{p}") / float(0x7FFFFFFF) - 0.5
+        for i in range(max_dim)
+    ]
+    return F.expr("array(" + ",".join(_sql_double(x) for x in w) + ")")
+
+
 def hyperplane_bucket(
-    vec: Column, planes: int = 8, plane_offset: int = 0
+    vec: Column,
+    planes: int = 8,
+    plane_offset: int = 0,
+    max_dim: int = _HYPERPLANE_MAX_DIM,
 ) -> Column:
     """Sign-LSH bucket id: bit ``p`` is the sign of a pseudo-random
     projection whose weights derive from the deterministic hash kernel
     (``stable_hash(f"{i}_pl{plane_offset + p}") / INT_MAX - 0.5``).
     Reproducible across engines and runs — no RNG state. ``plane_offset``
     selects an independent plane family, so banded schemes can stack
-    disjoint hyperplane sets."""
-    def weight_fn(p: int):
-        return lambda v, i: v.cast("double") * (
-            salted_hash(i.cast("string"), f"_pl{p}").cast("double")
-            / F.lit(float(0x7FFFFFFF))
-            - F.lit(0.5)
-        )
+    disjoint hyperplane sets.
 
+    The weights depend only on ``(i, p)`` — they are CONSTANTS. The
+    pre-r12 form re-derived each one per element per row inside the
+    projection fold (an md5-kernel string hash: 2,048 hash evaluations
+    per row for a 4-band x 8-plane x 64-dim scheme, all interpreted).
+    They are now precomputed driver-side with the pure-Python hash
+    mirror — integer hash -> exact double, the same ``/ INT_MAX - 0.5``
+    IEEE ops in the same order, so every weight is bit-identical — and
+    shipped as one JVM-parsed literal array per plane, sliced to the
+    vector's length at runtime. ``max_dim`` bounds the precomputed
+    table (vectors longer than it would zip against missing weights and
+    null out — raise it for wider embeddings; the plan stays O(planes)
+    nodes either way)."""
     proj_bits = []
     for p in range(planes):
+        w_lit = _plane_weight_lit(plane_offset + p, max_dim)
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                weight_fn(plane_offset + p),
+                F.slice(w_lit, 1, F.size(vec)),
+                lambda x, wc: x.cast("double") * wc,
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
