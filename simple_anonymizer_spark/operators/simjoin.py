@@ -82,7 +82,21 @@ def jaccard_join(
     projection (``stats.global_ranks`` contract).
     """
     num, den = threshold
-    arrs = _sorted_token_arrays(df, text_col, id_col, cache_owner)
+    # r12: the rank-array projection feeds THREE plan subtrees (prefix
+    # explode + both verify joins); lazy, each reference re-runs the
+    # token explode, the vocabulary-rank shuffle join and the
+    # collect_list aggregation (the dominant cost — 17 parquet scans in
+    # the pre-change plan, arrs alone 2.3 s of the query's 11 s at
+    # sf0.1, x3). Materialize it ONCE via eager localCheckpoint; the
+    # pinned global_ranks range layout is only needed while that single
+    # computation runs, so the rank cache is released right after
+    # unless the caller took ownership.
+    own: list = []
+    arrs = _sorted_token_arrays(
+        df, text_col, id_col, cache_owner if cache_owner is not None else own
+    ).localCheckpoint(eager=True)
+    for pinned in own:
+        pinned.unpersist()
     n = F.size("__arr")
     # prefix length: n - ceil(n*num/den) + 1, integer ceil
     plen = n - F.floor((n * num + den - 1) / den).cast("int") + 1
