@@ -520,6 +520,12 @@ def bpe_train(
     )
 
 
+# Re-materialize the vocabulary every this-many merges: between
+# checkpoints the accumulated merges are re-applied inside each pair-count
+# job as a constant-shape fold, so this bounds that re-applied depth.
+_BPE_CHECKPOINT_EVERY = 16
+
+
 def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
     """The shared Sennrich merge loop over a ``__freq, __seq`` vocabulary
     state (word-level and byte-level trainers differ only in how the
@@ -530,8 +536,43 @@ def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
     iteration; sequences re-materialize via localCheckpoint so plan depth
     stays flat."""
     merges: list[tuple] = []
+    # r12: accumulated merges ride each iteration's pair-count job as a
+    # FOLD over a literal (pattern, replacement) array instead of an
+    # eager localCheckpoint per merge (2 jobs/iteration -> 1; at real
+    # scale that is one model-sized vocabulary materialization job saved
+    # PER MERGE). The fold body is one replace per element, so the count
+    # plan keeps the IDENTICAL expression shape every iteration — merge
+    # strings travel in the codegen references array, and the codegen
+    # cache keeps hitting across iterations and train calls (the naive
+    # lazy replace chain, which grows the compiled expression per
+    # iteration, measured 1.4-3.3x SLOWER — see OPTIMIZATION_r12.md).
+    # A checkpoint every _BPE_CHECKPOINT_EVERY merges bounds the
+    # re-applied work for large n_merges.
+    pats: list[str] = []
+    reps: list[str] = []
+
+    def seq_col() -> Column:
+        if not pats:
+            return F.col("__seq")
+        z = F.arrays_zip(F.lit(pats).alias("p"), F.lit(reps).alias("r"))
+
+        def step(acc: Column, m: Column) -> Column:
+            # double-space the sequence so every symbol owns its
+            # flanking spaces; literal replace is then greedy
+            # non-overlapping with no shared-boundary misses,
+            # identically in every engine (_apply_one_merge's form).
+            padded = F.concat(
+                F.lit(" "),
+                F.call_function("replace", acc, F.lit(" "), F.lit("  ")),
+                F.lit(" "),
+            )
+            replaced = F.call_function("replace", padded, m["p"], m["r"])
+            return F.trim(F.regexp_replace(replaced, " +", " "))
+
+        return F.aggregate(z, F.col("__seq"), step)
+
     for i in range(n_merges):
-        sym = F.split(F.col("__seq"), " ")
+        sym = F.split(seq_col(), " ")
         head = F.slice(sym, 1, F.size(sym) - 1)
         tail = F.slice(sym, 2, F.size(sym) - 1)
         pairs = F.when(
@@ -552,13 +593,13 @@ def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
         left, right = pair.split(" ")
         merged = left + right
         merges.append((i, left, right, merged, cnt))
-        # double-space the sequence so every symbol owns its flanking
-        # spaces; literal replace is then greedy non-overlapping with no
-        # shared-boundary misses, identically in every engine.
-        new_seq = _apply_one_merge(F.col("__seq"), pair, merged)
-        vocab = vocab.select(
-            "__freq", new_seq.alias("__seq")
-        ).localCheckpoint(eager=True)
+        pats.append(" " + pair.replace(" ", "  ") + " ")
+        reps.append(" " + merged + " ")
+        if len(pats) >= _BPE_CHECKPOINT_EVERY:
+            vocab = vocab.select(
+                "__freq", seq_col().alias("__seq")
+            ).localCheckpoint(eager=True)
+            pats, reps = [], []
     return merges
 
 
