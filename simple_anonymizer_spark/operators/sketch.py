@@ -438,17 +438,22 @@ def ams_sketch(
     depth: int = 5,
     width: int = 1024,
     salt: str = AMS_SALT,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """AMS (tug-of-war) sketch: per sketch row, each key adds a ±1 sign
     into one of ``width`` buckets — the UNBIASED join-size/F2 summary
     (Alon-Matias-Szegedy) next to CMS's always-over additive bound.
     Sign and bucket come from independently salted frozen hashes, so the
-    grid is deterministic and fully oracle-gatable. Output:
-    ``sketch_row int, bucket int, s long`` (signed sums, non-empty cells).
-    """
+    grid is deterministic and fully oracle-gatable. ``weight_col`` adds
+    ``w * sign`` per row instead of ``sign`` — bit-identical to ``w``
+    repeats of the key (the cms_sketch weighting contract), so callers
+    can pre-aggregate a heavy-duplicate key column and hash each
+    DISTINCT key once. Output: ``sketch_row int, bucket int, s long``
+    (signed sums, non-empty cells)."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     key = F.col(key_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = []
     for r in range(depth):
         bucket = (salted_hash(key, f"{salt}{r}|") % width).cast("int")
@@ -461,8 +466,8 @@ def ams_sketch(
         ))
     return (
         df.where(key.isNotNull() & (key != F.lit("")))
-        .select(F.explode(F.array(*cells)).alias("c"))
-        .select("c.sketch_row", "c.bucket", "c.sign")
+        .select(F.explode(F.array(*cells)).alias("c"), w.alias("__w"))
+        .select("c.sketch_row", "c.bucket", (F.col("c.sign") * F.col("__w")).alias("sign"))
         .groupBy("sketch_row", "bucket")
         .agg(F.sum("sign").cast("long").alias("s"))
     )

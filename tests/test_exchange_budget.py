@@ -41,7 +41,11 @@ BUDGETS = {
     "simjoin_exact_jaccard": (30, 9),
     "hll_overlap_halves": (6, 4),
     "kmv_overlap_halves": (9, 6),
-    "join_size_sketch_orders": (7, 6),
+    # r12: the lineitem side pre-aggregates to (key, count) before the
+    # hash grids (each distinct key hashed once, weighted adds) — the
+    # identical pre-agg subtree is declared under all three consumers
+    # (+3 plan-text exchanges) but executes once via exchange reuse.
+    "join_size_sketch_orders": (10, 6),
     "attribution_linear_events": (4, 2),
     # round-6 third-session sweep: the continuation batch's costliest
     # entries plus every newly added query, measured + 1 slack.
