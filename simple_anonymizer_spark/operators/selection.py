@@ -371,13 +371,10 @@ def lr_train(
     """
     if iters < 1 or num_buckets < 1:
         raise ValueError("iters and num_buckets must be >= 1")
-    # Pin the feature and label tables once: every iteration runs TWO jobs
-    # over fx (margins, gradients) — without the pin each job re-explodes
+    # Pin the feature and label tables once: every iteration runs its
+    # gradient job over them — without the pin each job re-explodes
     # and re-hashes the corpus, and the 2*iters re-executions dominated
     # the sweep (11 s -> ~3 s at sf0.1). Bounded: |docs| x num_buckets.
-    fx = lr_features(train, text_col, id_col, num_buckets).localCheckpoint(
-        eager=True
-    )
     labels = train.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("long").alias("__y"),
@@ -389,13 +386,17 @@ def lr_train(
     b = 0
     # Bias rides as pseudo-bucket -1 with x = 1 (exactly the oracle's
     # UNION ALL -1 row), so each iteration is ONE gradient job + collect.
-    fxb = fx.unionByName(
+    # r12: ONE materialization — the margin pass reads the feature rows
+    # back out of fxb (__b >= 0) instead of pinning a separate fx copy
+    # (2 eager checkpoint jobs -> 1, same rows scanned either way).
+    fxb = lr_features(train, text_col, id_col, num_buckets).unionByName(
         labels.select(
             "__id",
             F.lit(-1).cast("int").alias("__b"),
             F.lit(1).cast("long").alias("__x"),
         )
     ).localCheckpoint(eager=True)
+    fx = fxb.where(F.col("__b") >= 0)
     for _ in range(iters):
         m = _lr_margin(fx, labels, w, b)
         errs = m.select(

@@ -3623,8 +3623,13 @@ def pipeline_release_corpus(spark, sf_dir):
     kept = (text_analysis.gopher_quality_flags(docs, min_stopwords=1)
             .where(F.col("keep")).select("doc_id"))
     base = docs.join(kept, "doc_id", "left_semi")
+    # r12: the split assignment feeds FOUR subtrees (test corpus, train
+    # screen, and the released anti-join) — lazy, each re-ran the Gopher
+    # quality fold and the semi join over the full corpus (16 parquet
+    # scans in the declared plan). Materialize it once.
     split = grouped_split(
-        base.select("doc_id", "source", "text"), "source")
+        base.select("doc_id", "source", "text"), "source"
+    ).localCheckpoint(eager=True)
     # contamination_report(train=..., test=...) scores its SECOND arg's
     # docs against the first's corpus: here the test split is the
     # reference corpus and the train docs are the ones screened/dropped.
