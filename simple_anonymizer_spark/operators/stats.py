@@ -363,17 +363,27 @@ def grouped_quantiles(
         )
         # v_lo + (v_hi - v_lo) * frac; when rem == 0 only v_lo is selected
         # and frac is 0, so the quantile is that value exactly.
+        # r12: picked holds at most the rank-lo and rank-lo+1 rows per
+        # group (row_number is unique), so the bracket values fall out of
+        # CONDITIONAL min aggregates on plain doubles instead of
+        # min/max over (rank, value) structs — struct-typed aggregation
+        # buffers can't hash-aggregate and forced a SortAggregate
+        # fallback (partial+final, per quantile branch). Identical
+        # operands reach the interpolation, so results are bit-equal.
         rem_out = ((F.col("n_rows") - 1) * num) % den
+        v_lo = F.min(F.when(F.col("__i") == lo, F.col("__vd")))
+        v_hi = F.min(F.when(F.col("__i") == lo + 1, F.col("__vd")))
         q = picked.groupBy(*group_cols).agg(
-            F.min(F.struct("__i", "__vd")).alias("__lo"),
-            F.max(F.struct("__i", "__vd")).alias("__hi"),
+            v_lo.alias("__vlo"),
+            v_hi.alias("__vhi"),
             F.max("__n").cast("long").alias("n_rows"),
         ).select(
             *group_cols,
             F.lit(num * 100 // den).cast("long").alias("q_pct"),
             (
-                F.col("__lo.__vd")
-                + (F.col("__hi.__vd") - F.col("__lo.__vd"))
+                F.col("__vlo")
+                + (F.coalesce(F.col("__vhi"), F.col("__vlo"))
+                   - F.col("__vlo"))
                 * (rem_out.cast("double") / F.lit(float(den)))
             ).alias("quantile"),
             "n_rows",
