@@ -721,29 +721,43 @@ def quantize_int8(
     anywhere; at 100 TB this fuses into the corpus read.
     """
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(dv, F.abs))
 
-    def code(x: Column) -> Column:
-        return (
-            F.when(x < 0, F.lit(-1)).otherwise(F.lit(1))
-            * F.floor(F.abs(x) / scale * F.lit(127.0) + F.lit(0.5))
-        ).cast("int")
+    # The scale (an O(d) array_max) must be bound as a lambda-variable
+    # LEAF before the per-element lambdas reference it: Catalyst does not
+    # hoist loop-invariant subtrees out of higher-order-function bodies,
+    # so inlining it made codes/err O(d^2) per row (the CLAUDE.md
+    # expression-count trap, third form).
+    def quantized(s: Column) -> Column:
+        def code(x: Column) -> Column:
+            return (
+                F.when(x < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.floor(F.abs(x) / s * F.lit(127.0) + F.lit(0.5))
+            ).cast("int")
 
-    codes = F.when(
-        scale == 0,
-        F.transform(dv, lambda x: F.lit(0)),
-    ).otherwise(F.transform(dv, code))
-    err = F.when(scale == 0, F.lit(0.0)).otherwise(
-        F.array_max(F.transform(
-            dv,
-            lambda x: F.abs(x - (code(x).cast("double") * scale) / F.lit(127.0)),
-        ))
-    )
+        codes = F.when(
+            s == 0,
+            F.transform(dv, lambda x: F.lit(0)),
+        ).otherwise(F.transform(dv, code))
+        err = F.when(s == 0, F.lit(0.0)).otherwise(
+            F.array_max(F.transform(
+                dv,
+                lambda x: F.abs(x - (code(x).cast("double") * s) / F.lit(127.0)),
+            ))
+        )
+        return F.struct(
+            s.alias("scale"),
+            codes.alias("codes"),
+            err.alias("max_abs_err"),
+        )
+
+    packed = F.transform(
+        F.array(F.array_max(F.transform(dv, F.abs))), quantized
+    )[0]
     return df.select(
         F.col(id_col),
-        scale.alias("scale"),
-        codes.alias("codes"),
-        err.alias("max_abs_err"),
+        packed["scale"].alias("scale"),
+        packed["codes"].alias("codes"),
+        packed["max_abs_err"].alias("max_abs_err"),
     )
 
 
