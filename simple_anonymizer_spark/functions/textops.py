@@ -105,7 +105,15 @@ def simhash(token_hashes: Column, bits: int = 32) -> Column:
 
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two (distinct-element) arrays as a double.
-    Integer sizes divided — bit-identical across engines."""
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(a) + F.size(b) - inter
-    return inter.cast("double") / union.cast("double")
+    Integer sizes divided — bit-identical across engines.
+
+    The intersection size is bound as a lambda-variable LEAF: jaccard
+    lands in join conditions and filters, where the numerator/denominator
+    double reference would otherwise evaluate ``array_intersect`` (the
+    expensive part — O(|a|+|b|) with string hashing) twice per candidate
+    pair (join conditions get no codegen subexpression elimination)."""
+    total = F.size(a) + F.size(b)
+    return F.transform(
+        F.array(F.size(F.array_intersect(a, b))),
+        lambda i: i.cast("double") / (total - i).cast("double"),
+    )[0]
