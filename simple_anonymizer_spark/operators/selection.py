@@ -188,23 +188,27 @@ def nb_classify(
         F.col(label_col).alias("__cls"),
         F.explode(T.tokens(F.col(text_col))).alias("__w"),
     )
+    # ONE tokenize pass over the training corpus: the (class, token)
+    # count table is vocabulary-bounded and every other training
+    # statistic is exactly derivable from it (V = its distinct tokens,
+    # T_c = its per-class count sum) — the corpus previously paid three
+    # explode+aggregate passes for the same numbers (guide §2.2).
     counts = train_tok.groupBy("__cls", "__w").agg(
         F.count(F.lit(1)).cast("long").alias("__n_wc")
-    )
+    ).localCheckpoint(eager=True)
     vocab = counts.select("__w").distinct()
-    scalars = train_tok.agg(
+    ndc = train.groupBy(F.col(label_col).alias("__cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ndc")
+    )
+    scalars = counts.agg(
         F.countDistinct("__w").cast("long").alias("__v")
     ).crossJoin(
-        F.broadcast(train.agg(F.count(F.lit(1)).cast("long").alias("__n")))
+        F.broadcast(ndc.agg(F.sum("__ndc").cast("long").alias("__n")))
     )
     class_stats = (
-        train_tok.groupBy("__cls")
-        .agg(F.count(F.lit(1)).cast("long").alias("__tc"))
-        .join(
-            train.groupBy(F.col(label_col).alias("__cls"))
-            .agg(F.count(F.lit(1)).cast("long").alias("__ndc")),
-            "__cls",
-        )
+        counts.groupBy("__cls")
+        .agg(F.sum("__n_wc").cast("long").alias("__tc"))
+        .join(ndc, "__cls")
         .crossJoin(F.broadcast(scalars))
         .select(
             "__cls",
@@ -227,15 +231,30 @@ def nb_classify(
     score_tok = score.select(
         F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("__w")
     )
-    matched = (
-        score_tok.join(dense, "__w")
+    # ONE tokenize+probe pass over the scored corpus: a left-outer join
+    # against the dense table classifies every token occurrence in the
+    # same probe that costs it (in-vocabulary rows fan out per class,
+    # OOV rows surface as the NULL-class group), where the old
+    # inner-join + anti-join pair scanned and tokenized the corpus
+    # twice. dense covers vocab x classes, so "no match" == OOV exactly.
+    # dense is vocabulary x classes — model-sized by contract — so the
+    # probe is an explicit broadcast: the token stream never shuffles by
+    # token (a bounded, Zipf-hot key; the checkpointed source has no
+    # size stats, so Spark would otherwise draw a SortMergeJoin).
+    scored_groups = (
+        score_tok.join(F.broadcast(dense), "__w", "left_outer")
         .groupBy(id_col, "__cls")
-        .agg(F.sum("__cost_bits").cast("long").alias("__m_bits"))
+        .agg(
+            F.sum("__cost_bits").cast("long").alias("__m_bits"),
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+        )
+        .localCheckpoint(eager=True)
     )
-    oov = (
-        score_tok.join(vocab, "__w", "left_anti")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("__n_oov"))
+    matched = scored_groups.where(F.col("__cls").isNotNull()).select(
+        id_col, "__cls", "__m_bits"
+    )
+    oov = scored_groups.where(F.col("__cls").isNull()).select(
+        id_col, F.col("__cnt").alias("__n_oov")
     )
     base = score.select(id_col, label_col).crossJoin(
         F.broadcast(class_stats)
