@@ -964,12 +964,19 @@ def pipeline_web_corpus(spark, sf_dir):
     from .operators.textprep import normalize_text
 
     d = _t(spark, sf_dir, "documents")
-    norm = d.select(
-        "doc_id", "source", normalize_text(F.col("text")).alias("text")
-    )
-    canon = norm.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("source", F.col("doc_id")).alias("source"),
+    norm = d.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    # min_by(source, doc_id) kept a STRING aggregation buffer, which
+    # can't hash-aggregate — the whole canon dedup planned as
+    # SortAggregate pairs (x4: downstream referenced the subtree four
+    # times). doc_id is the PK, so the survivor's source comes from a
+    # plain PK join against the RAW table instead (identical rows,
+    # proved against the oracle), min(long) hash-aggregates, and the
+    # canon table materializes ONCE for the cap/split/summary passes.
+    canon = (
+        norm.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     capped = per_group_cap(canon, "source", 10, "doc_id")
     split = grouped_split(capped, "source")
@@ -1760,12 +1767,27 @@ def q4_order_priority(spark, sf_dir):
     counted by priority."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    slow = li.join(
-        o.select("o_orderkey", "o_orderdate"),
+    # Provably-redundant filter propagation (results identical, proved
+    # against the oracle): o_orderkey is the orders PK, so the inner
+    # join row that keeps an outer-filtered order IS that same order —
+    # its o_orderdate lies in the outer [1996, 1997) range, and
+    # l_shipdate > o_orderdate + 60d then implies l_shipdate >
+    # 1996-01-01 + 60d. Both predicates reach the parquet scans as
+    # pushed filters instead of joining the full tables (guide §3.4).
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    sixty = F.expr("INTERVAL 60 DAYS")
+    slow = li.where(
+        F.col("l_shipdate").cast("timestamp") > lo + sixty
+    ).join(
+        o.select("o_orderkey", "o_orderdate").where(
+            (F.col("o_orderdate").cast("timestamp") >= lo)
+            & (F.col("o_orderdate").cast("timestamp") < hi)
+        ),
         li.l_orderkey == F.col("o_orderkey"),
     ).where(
         F.col("l_shipdate").cast("timestamp")
-        > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+        > F.col("o_orderdate").cast("timestamp") + sixty
     ).select(F.col("l_orderkey").alias("o_orderkey")).distinct()
     return (
         o.join(slow, "o_orderkey", "left_semi")
