@@ -552,24 +552,11 @@ def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
     reps: list[str] = []
 
     def seq_col() -> Column:
-        if not pats:
-            return F.col("__seq")
-        z = F.arrays_zip(F.lit(pats).alias("p"), F.lit(reps).alias("r"))
-
-        def step(acc: Column, m: Column) -> Column:
-            # double-space the sequence so every symbol owns its
-            # flanking spaces; literal replace is then greedy
-            # non-overlapping with no shared-boundary misses,
-            # identically in every engine (_apply_one_merge's form).
-            padded = F.concat(
-                F.lit(" "),
-                F.call_function("replace", acc, F.lit(" "), F.lit("  ")),
-                F.lit(" "),
-            )
-            replaced = F.call_function("replace", padded, m["p"], m["r"])
-            return F.trim(F.regexp_replace(replaced, " +", " "))
-
-        return F.aggregate(z, F.col("__seq"), step)
+        # double-space the sequence so every symbol owns its flanking
+        # spaces; literal replace is then greedy non-overlapping with no
+        # shared-boundary misses, identically in every engine
+        # (_merge_fold's step form).
+        return _merge_fold(F.col("__seq"), pats, reps)
 
     for i in range(n_merges):
         sym = F.split(seq_col(), " ")
@@ -603,19 +590,45 @@ def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
     return merges
 
 
-def _apply_one_merge(seq: Column, pair: str, merged: str) -> Column:
-    """One double-spaced literal-replace merge rewrite of a
-    space-separated symbol sequence — the step both trainers and both
-    segmenters share, and the step the DuckDB oracle replays verbatim."""
-    padded = F.concat(
-        F.lit(" "),
-        F.call_function("replace", seq, F.lit(" "), F.lit("  ")),
-        F.lit(" "),
-    )
-    pat = " " + pair.replace(" ", "  ") + " "
-    rep = " " + merged + " "
-    replaced = F.call_function("replace", padded, F.lit(pat), F.lit(rep))
-    return F.trim(F.regexp_replace(replaced, " +", " "))
+def _apply_merges(seq: Column, merges: list[tuple]) -> Column:
+    """The whole trained merge list applied to a space-separated symbol
+    sequence as ONE constant-shape fold over a literal (pattern,
+    replacement) array — per element the double-spaced literal-replace
+    step both trainers and both segmenters share, and the step the
+    DuckDB oracle replays verbatim (in the same order).
+
+    The fold replaces the old one-chained-expression-per-merge form: a
+    production merge list is 30k+ entries, and the chain paid O(merges)
+    py4j round-trips, O(merges) expression-tree depth per fresh plan,
+    and a fresh codegen compile per merge count — the fold body is a
+    few nodes, merge strings travel in the codegen references array,
+    and the compiled source is identical for ANY merge list (the
+    ``_bpe_merge_loop`` codegen-cache insight, OPTIMIZATION_r12.md §5b).
+    """
+    pats = [" " + f"{r[1]} {r[2]}".replace(" ", "  ") + " " for r in merges]
+    reps = [" " + r[3] + " " for r in merges]
+    return _merge_fold(seq, pats, reps)
+
+
+def _merge_fold(seq: Column, pats: list[str], reps: list[str]) -> Column:
+    """Fold a pre-rendered (pattern, replacement) list over ``seq`` —
+    the constant-shape kernel shared by ``_apply_merges``, the BPE merge
+    loop, and the WordPiece merge loop. Patterns/replacements must
+    already carry the double-spaced padding."""
+    if not pats:
+        return seq
+    z = F.arrays_zip(F.lit(pats).alias("p"), F.lit(reps).alias("r"))
+
+    def step(acc: Column, m: Column) -> Column:
+        padded = F.concat(
+            F.lit(" "),
+            F.call_function("replace", acc, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        replaced = F.call_function("replace", padded, m["p"], m["r"])
+        return F.trim(F.regexp_replace(replaced, " +", " "))
+
+    return F.aggregate(z, seq, step)
 
 
 def bpe_segment(
@@ -634,9 +647,10 @@ def bpe_segment(
     pieces`` (space-joined subword symbols; word boundaries carry the
     ``</w>`` marker).
 
-    Scale (100 TB): the merge chain compiles to ``len(merges)`` nested
-    literal string rewrites per token — pure whole-stage codegen, no
-    joins, no state; the only shuffle is the per-document reassembly.
+    Scale (100 TB): the merge list applies as ONE constant-shape fold
+    over a literal (pattern, replacement) array (``_apply_merges``) —
+    pure whole-stage codegen, no joins, no state; the only shuffle is
+    the per-document reassembly.
     """
     from ..functions import textops as T
 
@@ -644,12 +658,12 @@ def bpe_segment(
         F.col(id_col),
         F.posexplode(T.tokens(F.col(text_col))).alias("__pos", "__w"),
     )
-    seq = F.concat(
-        F.array_join(F.split(F.col("__w"), ""), " "), F.lit(" </w>")
+    seq = _apply_merges(
+        F.concat(
+            F.array_join(F.split(F.col("__w"), ""), " "), F.lit(" </w>")
+        ),
+        merges,
     )
-    for row in merges:
-        left, right, merged = row[1], row[2], row[3]
-        seq = _apply_one_merge(seq, f"{left} {right}", merged)
     pieces = tok.select(id_col, "__pos", seq.alias("__seq"))
     return _reassemble_pieces(df, pieces, id_col)
 
@@ -824,17 +838,15 @@ def byte_bpe_segment(
     ``<id_col>, n_pieces long, pieces`` (space-joined byte-level
     symbols). ``byte_bpe_decode`` inverts it exactly.
 
-    Scale: ``len(merges)`` nested literal rewrites per pre-token — pure
-    whole-stage codegen, no joins; one per-document reassembly shuffle."""
+    Scale: the merge list applies as one constant-shape fold per
+    pre-token (``_apply_merges``) — pure whole-stage codegen, no joins;
+    one per-document reassembly shuffle."""
     tok = df.select(
         F.col(id_col),
         F.posexplode(byte_pretokens(F.col(text_col))).alias(
             "__pos", "__w"),
     )
-    seq = byte_symbol_seq(F.col("__w"))
-    for row in merges:
-        left, right, merged = row[1], row[2], row[3]
-        seq = _apply_one_merge(seq, f"{left} {right}", merged)
+    seq = _apply_merges(byte_symbol_seq(F.col("__w")), merges)
     pieces = tok.select(id_col, "__pos", seq.alias("__seq"))
     return _reassemble_pieces(df, pieces, id_col)
 
@@ -1449,9 +1461,16 @@ def wordpiece_train(
     def bits(c):
         return F.length(F.call_function("bin", c)).cast("long")
 
+    # Same lazy accumulated-merge fold as _bpe_merge_loop (and same
+    # rationale, OPTIMIZATION_r12.md §5b): the per-merge eager
+    # localCheckpoint job is gone — accumulated merges re-apply inside
+    # the count jobs as a constant-shape _merge_fold, re-materializing
+    # only every _BPE_CHECKPOINT_EVERY merges.
     merges: list[tuple] = []
+    pats: list[str] = []
+    reps: list[str] = []
     for i in range(n_merges):
-        sym = F.split(F.col("__seq"), " ")
+        sym = F.split(_merge_fold(F.col("__seq"), pats, reps), " ")
         head = F.slice(sym, 1, F.size(sym) - 1)
         tail = F.slice(sym, 2, F.size(sym) - 1)
         pair_arr = F.when(
@@ -1497,18 +1516,14 @@ def wordpiece_train(
                             best[0]["__score"])
         left, right = pair.split(" ")
         merges.append((i, left, right, left + right, cnt, score))
-        padded = F.concat(
-            F.lit(" "),
-            F.expr("replace(__seq, ' ', '  ')"),
-            F.lit(" "),
-        )
-        pat = " " + pair.replace(" ", "  ") + " "
-        rep = " " + left + right + " "
-        replaced = F.call_function("replace", padded, F.lit(pat), F.lit(rep))
-        new_seq = F.trim(F.regexp_replace(replaced, " +", " "))
-        vocab = vocab.select(
-            "__freq", new_seq.alias("__seq")
-        ).localCheckpoint(eager=True)
+        pats.append(" " + pair.replace(" ", "  ") + " ")
+        reps.append(" " + left + right + " ")
+        if len(pats) >= _BPE_CHECKPOINT_EVERY:
+            vocab = vocab.select(
+                "__freq",
+                _merge_fold(F.col("__seq"), pats, reps).alias("__seq"),
+            ).localCheckpoint(eager=True)
+            pats, reps = [], []
     return spark.createDataFrame(
         merges,
         "iteration long, left string, right string, merged string,"
