@@ -425,27 +425,75 @@ def running_distinct(
     part_col: str,
     entity_col: str,
     order_cols: Sequence[str],
+    partitions: int | None = None,
 ) -> DataFrame:
     """Running COUNT(DISTINCT entity) over an ordered stream — a window
     Spark has no native form for. Decomposed as first-occurrence flags
     (row_number == 1 per (partition, entity)) cumulatively summed over the
-    stream order; both windows share the same total order so the result is
-    deterministic. Two window passes over the same partitioning — one
-    shuffle. Emits the input rows plus ``n_distinct_so_far``.
+    stream order; both passes share the same total order so the result is
+    deterministic. Emits the input rows plus ``n_distinct_so_far``.
+
+    Scale (100 TB): ``part_col`` is typically a BOUNDED key (event type,
+    status), so a plain cumulative window over it would funnel one
+    group's ENTIRE history through a single window task. The cumulative
+    sum therefore runs as the engine's grouped two-pass prefix sum
+    (``global_ranks`` shape): range-repartition on ``(part, order)``,
+    windowed sum within each (partition-slice, group), per-slice flag
+    totals rolled into exclusive per-group bases by a window over the
+    TOTALS table (at most ``partitions`` rows per group — never the
+    data), broadcast back. Output-identical to the naive window by the
+    prefix-sum property; the entity first-occurrence window partitions
+    by (part, entity) — unbounded key space, never a funnel. The ranged
+    projection's cache is correctness-bearing while the returned plan is
+    alive (the ``global_ranks`` contract).
     """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
     order = [F.col(c) for c in order_cols]
     w_first = Window.partitionBy(part_col, entity_col).orderBy(*order)
-    w_cum = (
-        Window.partitionBy(part_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     flagged = df.withColumn(
         "__first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
     )
-    return flagged.withColumn(
-        "n_distinct_so_far", F.sum("__first").over(w_cum).cast("long")
-    ).drop("__first")
+    ranged = (
+        flagged.repartitionByRange(partitions, F.col(part_col), *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w_local = (
+        Window.partitionBy("__pid", part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__cum", F.sum("__first").over(w_local))
+    w_base = (
+        Window.partitionBy("__bg")
+        .orderBy("__bpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        ranged.groupBy(
+            F.col("__pid").alias("__bpid"), F.col(part_col).alias("__bg")
+        )
+        .agg(F.sum("__first").alias("__t"))
+        .select(
+            "__bpid",
+            "__bg",
+            F.coalesce(F.sum("__t").over(w_base), F.lit(0)).alias("__base"),
+        )
+    )
+    return (
+        local.join(
+            F.broadcast(bases),
+            (F.col("__pid") == F.col("__bpid"))
+            & F.col(part_col).eqNullSafe(F.col("__bg")),
+        )
+        .withColumn(
+            "n_distinct_so_far",
+            (F.col("__base") + F.col("__cum")).cast("long"),
+        )
+        .drop("__first", "__pid", "__cum", "__bpid", "__bg", "__base")
+    )
 
 
 def winsorize(

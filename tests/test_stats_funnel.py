@@ -291,6 +291,41 @@ def test_running_distinct_counts(spark):
                    ("t", 4): 2, ("t", 5): 3, ("x", 1): 1}
 
 
+def test_running_distinct_matches_naive_window(spark):
+    """The grouped two-pass prefix-sum decomposition must be
+    output-identical to the naive single-window form (the per_group_cap
+    / _per_query_topk invariant), including groups that straddle many
+    range partitions and a NULL group key."""
+    from pyspark.sql import Window
+
+    rows = [
+        Row(p=p, e=f"u{(i * 7) % 13}", o=i)
+        for p in ("a", "b", None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "p string, e string, o long")
+    got = {
+        (r.p, r.o): r.n_distinct_so_far
+        for r in stats.running_distinct(
+            df, "p", "e", ["o"], partitions=8
+        ).collect()
+    }
+    w_first = Window.partitionBy("p", "e").orderBy("o")
+    w_cum = (
+        Window.partitionBy("p").orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r.p, r.o): r.n
+        for r in df.withColumn(
+            "__f", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        )
+        .withColumn("n", F.sum("__f").over(w_cum).cast("long"))
+        .collect()
+    }
+    assert got == naive
+
+
 def test_contamination_hand_case(spark):
     from simple_anonymizer_spark.operators.contamination import (
         contamination_report,
