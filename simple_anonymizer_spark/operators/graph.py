@@ -142,7 +142,14 @@ def triangle_stats(
     exact integers; enumeration order is immaterial to the result, so the
     DuckDB oracle may use the simpler id-ordered 3-way self-join.
     """
-    und = undirected_canonical(edges, src_col, dst_col)
+    # The canonical edge set feeds the degree union (x2), the orientation
+    # join, and - through `oriented` - three more subtrees; without a pin
+    # every reference re-derives the caller's whole edge pipeline (for
+    # the trade graph: a 4-table join) - the simjoin/release multi-
+    # reference disease. Materialize each once.
+    und = undirected_canonical(edges, src_col, dst_col).localCheckpoint(
+        eager=True
+    )
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -163,7 +170,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
