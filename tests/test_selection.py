@@ -94,6 +94,28 @@ def test_nb_empty_doc_gets_prior_argmin(spark):
     assert row["pred_lang"] == "x" and row["is_correct"]
 
 
+def test_nb_oov_cost_exact(spark):
+    """Hand-computed posteriors with MIXED in-vocabulary and OOV tokens
+    — pins the single-probe scoring path where the NULL-class group of
+    the left-outer dense join carries the OOV count. x: 7*aa + bb
+    (T_x=8, V=3, tcv=11); y: aa + cc (T_y=2, tcv=5); priors are
+    bits(2)-bits(1)=1 each. Doc "aa zz zz": cost_x = 1 + (bits(11)-
+    bits(8)) + 2*bits(11) = 9; cost_y = 1 + (bits(5)-bits(2)) +
+    2*bits(5) = 8 -> y wins at exactly 8 bits."""
+    train = spark.createDataFrame(
+        [(1, "aa aa aa aa aa aa aa bb", "x"), (2, "aa cc", "y")],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(10, "aa zz zz", "y"), (11, "aa", "x")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in nb_classify(train, score).collect()}
+    assert (out[10]["pred_lang"], out[10]["total_bits"]) == ("y", 8)
+    # no-OOV doc: cost_x = 1 + (bits(11)-bits(8)) = 1, cost_y = 2
+    assert (out[11]["pred_lang"], out[11]["total_bits"]) == ("x", 1)
+
+
 def test_random_projection_preserves_cosine(spark, sf_dir):
     """JL distortion shrinks like 1/sqrt(out_dim): mean |cos error| over
     sampled pairs must be modest at 16 dims and halve again at 32
