@@ -426,14 +426,21 @@ def pq_encode(
     if not isinstance(vec, str):
         # Column input: same tree via Column builders (py4j-priced; fine
         # for tests/one-off expression inputs — hot callers pass names).
+        # Bind each subspace's dot array ONCE as a lambda leaf: the
+        # argmax form references it twice (array_position + array_max),
+        # and inlined that doubles the k x sub_dim multiply-adds per row
+        # (the quantize_int8 lesson).
         codes_c = []
         for j in range(len(codebooks)):
             dots_c = F.array(*[
                 _pq_subdot_col(vec, j, c, sub_dim) for c in codebooks[j]
             ])
             codes_c.append(
-                (F.array_position(dots_c, F.array_max(dots_c)) - 1)
-                .cast("int")
+                F.transform(
+                    F.array(dots_c),
+                    lambda d: (F.array_position(d, F.array_max(d)) - 1)
+                    .cast("int"),
+                )[0]
             )
         return F.array(*codes_c)
     codes = []
@@ -446,7 +453,8 @@ def pq_encode(
             + ")"
         )
         codes.append(
-            f"CAST(array_position({dots}, array_max({dots})) - 1 AS INT)"
+            f"transform(array({dots}), d ->"
+            f" CAST(array_position(d, array_max(d)) - 1 AS INT))[0]"
         )
     return F.expr("array(" + ",".join(codes) + ")")
 
