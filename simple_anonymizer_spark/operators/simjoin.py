@@ -135,13 +135,25 @@ def jaccard_join(
     )
     inter = F.size(F.array_intersect("__aa", "__ab"))
     union = F.size("__aa") + F.size("__ab") - inter
+    # The threshold test references the intersection twice (n_inter and
+    # inside n_union); Catalyst pushes it into the verify join where no
+    # subexpression elimination runs, so every candidate paid the
+    # O(|a|+|b|) intersect twice. Bind it once as a lambda leaf for the
+    # PREDICATE (evaluated per candidate); the output columns below
+    # compute only for survivors. Same integers reach the same test.
+    total = F.size("__aa") + F.size("__ab")
+    ok = F.transform(
+        F.array(F.size(F.array_intersect("__aa", "__ab"))),
+        lambda i: i.cast("long") * den
+        >= num * (total - i).cast("long"),
+    )[0]
     return (
-        verified.select(
+        verified.where(ok)
+        .select(
             "id_a", "id_b",
             inter.cast("long").alias("n_inter"),
             union.cast("long").alias("n_union"),
         )
-        .where(F.col("n_inter") * den >= num * F.col("n_union"))
         .select(
             "id_a", "id_b", "n_inter", "n_union",
             (F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
