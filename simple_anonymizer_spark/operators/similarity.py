@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools as _functools
 import math
+import re as _re
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -139,9 +140,12 @@ def hyperplane_bucket(
     IEEE ops in the same order, so every weight is bit-identical — and
     shipped as one JVM-parsed literal array per plane, sliced to the
     vector's length at runtime. ``max_dim`` bounds the precomputed
-    table (vectors longer than it would zip against missing weights and
-    null out — raise it for wider embeddings; the plan stays O(planes)
-    nodes either way)."""
+    table; vectors LONGER than it raise at execution time (r13: the
+    r12 form silently zip-padded the missing weights with null, so
+    every wide vector's projection nulled and landed in bucket 0 —
+    collapsing banded LSH into one quadratic bucket with no error).
+    Raise ``max_dim`` for wider embeddings; the plan stays O(planes)
+    nodes either way."""
     proj_bits = []
     for p in range(planes):
         w_lit = _plane_weight_lit(plane_offset + p, max_dim)
@@ -160,7 +164,21 @@ def hyperplane_bucket(
     out = proj_bits[0]
     for b in proj_bits[1:]:
         out = out + b
-    return out
+    # Fail-loudly guard: one size check per row, added as an integer 0
+    # term so the bucket value (and its type) is bit-identical for every
+    # legal vector. size(NULL) is -1, so NULL vectors pass through with
+    # their pre-existing bucket-0 behavior.
+    guard = F.when(
+        F.size(vec) > max_dim,
+        F.raise_error(
+            F.format_string(
+                "hyperplane_bucket: vector dim %s exceeds max_dim "
+                f"{max_dim} — pass a larger max_dim",
+                F.size(vec),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return out + guard
 
 
 def recommended_planes_per_band(n_rows: int, target_bucket_size: int = 1000) -> int:
@@ -422,7 +440,11 @@ def pq_encode(
 
     Pass ``vec`` as a COLUMN NAME to get the cheap JVM-parsed
     construction (see ``_pq_subdot_sql``); a Column object also works
-    (wrapped in a one-row select alias) for expression inputs."""
+    (wrapped in a one-row select alias) for expression inputs. Names
+    that are not simple identifiers (spaces, dots, hyphens) route
+    through the Column path, where ``F.col`` handles quoting."""
+    if isinstance(vec, str) and not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec):
+        vec = F.col(vec)
     if not isinstance(vec, str):
         # Column input: same tree via Column builders (py4j-priced; fine
         # for tests/one-off expression inputs — hot callers pass names).

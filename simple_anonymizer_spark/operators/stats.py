@@ -444,8 +444,8 @@ def running_distinct(
     data), broadcast back. Output-identical to the naive window by the
     prefix-sum property; the entity first-occurrence window partitions
     by (part, entity) — unbounded key space, never a funnel. The ranged
-    projection's cache is correctness-bearing while the returned plan is
-    alive (the ``global_ranks`` contract).
+    projection is eagerly localCheckpoint-ed: both references to
+    ``spark_partition_id()`` must observe the same physical slicing.
     """
     spark = df.sparkSession
     if partitions is None:
@@ -455,10 +455,15 @@ def running_distinct(
     flagged = df.withColumn(
         "__first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
     )
+    # Eager localCheckpoint, not .cache() (r13): the two references to
+    # spark_partition_id() must agree, and a checkpoint PINS the computed
+    # rows (cache relies on recompute determinism under eviction and
+    # leaked a pinned corpus-sized entry for the session lifetime — the
+    # RDD behind a checkpoint is released when the plan is GC'd).
     ranged = (
         flagged.repartitionByRange(partitions, F.col(part_col), *order)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("__pid", part_col)

@@ -526,6 +526,32 @@ def bpe_train(
 _BPE_CHECKPOINT_EVERY = 16
 
 
+def _adjacent_pairs(sym: Column) -> Column:
+    """Adjacent symbol pairs (``"l r"`` strings) of a symbol array —
+    the pair-count kernel both merge trainers share.
+
+    ``sym`` is bound ONCE as a lambda leaf via the one-element-array
+    transform (the quantize_int8 pattern): the naive
+    ``zip_with(slice(sym,1,n-1), slice(sym,2,n-1), ...)`` form
+    references ``sym`` FIVE times, and when ``sym`` carries the
+    accumulated merge fold each reference re-evaluates the whole
+    fold per row (r13: measured ~5x the fold work per pair-count
+    job at checkpoint-interval depth; Catalyst neither hoists nor
+    CSEs the duplicated subtree). Output rows are byte-identical —
+    the pair construction itself is unchanged."""
+    return F.transform(
+        F.array(sym),
+        lambda s: F.when(
+            F.size(s) >= 2,
+            F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
+                F.slice(s, 2, F.size(s) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+
+
 def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
     """The shared Sennrich merge loop over a ``__freq, __seq`` vocabulary
     state (word-level and byte-level trainers differ only in how the
@@ -559,13 +585,7 @@ def _bpe_merge_loop(vocab: DataFrame, n_merges: int) -> list[tuple]:
         return _merge_fold(F.col("__seq"), pats, reps)
 
     for i in range(n_merges):
-        sym = F.split(seq_col(), " ")
-        head = F.slice(sym, 1, F.size(sym) - 1)
-        tail = F.slice(sym, 2, F.size(sym) - 1)
-        pairs = F.when(
-            F.size(sym) >= 2,
-            F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
-        ).otherwise(F.array().cast("array<string>"))
+        pairs = _adjacent_pairs(F.split(seq_col(), " "))
         best = (
             vocab.select("__freq", F.explode(pairs).alias("__pair"))
             .groupBy("__pair")
@@ -1470,22 +1490,42 @@ def wordpiece_train(
     pats: list[str] = []
     reps: list[str] = []
     for i in range(n_merges):
+        # ONE tagged explode per iteration (r13, VERDICT r12 #6): the
+        # old two-explode form evaluated the accumulated merge fold
+        # SEVEN times per word per iteration — 5x inside the
+        # pair-building expression (the _adjacent_pairs disease) plus
+        # once per symbol-count join branch. Symbols and pairs share
+        # one explode+aggregate pass — a pair key carries a space, a
+        # symbol never does, so the combined count table splits back
+        # losslessly — and the checkpointed result (model-sized:
+        # distinct symbols + distinct pairs) feeds the three scoring
+        # references without re-running the fold.
         sym = F.split(_merge_fold(F.col("__seq"), pats, reps), " ")
-        head = F.slice(sym, 1, F.size(sym) - 1)
-        tail = F.slice(sym, 2, F.size(sym) - 1)
-        pair_arr = F.when(
-            F.size(sym) >= 2,
-            F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
-        ).otherwise(F.array().cast("array<string>"))
-        sym_counts = (
-            vocab.select("__freq", F.explode(sym).alias("__s"))
-            .groupBy("__s")
-            .agg(F.sum("__freq").cast("long").alias("__scnt"))
+        combined = F.transform(
+            F.array(sym),
+            lambda s: F.concat(
+                s,
+                F.when(
+                    F.size(s) >= 2,
+                    F.zip_with(
+                        F.slice(s, 1, F.size(s) - 1),
+                        F.slice(s, 2, F.size(s) - 1),
+                        lambda x, y: F.concat_ws(" ", x, y),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+        )[0]
+        cnts = (
+            vocab.select("__freq", F.explode(combined).alias("__k"))
+            .groupBy("__k")
+            .agg(F.sum("__freq").cast("long").alias("__kcnt"))
+            .localCheckpoint(eager=True)
         )
-        pair_counts = (
-            vocab.select("__freq", F.explode(pair_arr).alias("__pair"))
-            .groupBy("__pair")
-            .agg(F.sum("__freq").cast("long").alias("__cnt"))
+        sym_counts = cnts.where(~F.col("__k").contains(" ")).select(
+            F.col("__k").alias("__s"), F.col("__kcnt").alias("__scnt")
+        )
+        pair_counts = cnts.where(F.col("__k").contains(" ")).select(
+            F.col("__k").alias("__pair"), F.col("__kcnt").alias("__cnt")
         )
         scored = (
             pair_counts

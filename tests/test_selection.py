@@ -261,3 +261,50 @@ def test_lr_validation(spark):
         lr_train(df, iters=0)
     with pytest.raises(ValueError, match="empty"):
         lr_train(df.where(F.lit(False)))
+
+
+def test_nb_dense_probe_branches_identical_and_pinned(spark):
+    """The scoring probe is size-guarded (r13): under broadcast_max_cells
+    the dense join is a BroadcastHashJoin; above it the salted shuffle
+    join takes over — and both branches produce IDENTICAL rows (an
+    in-vocab token matches exactly one salt replica per class, an OOV
+    token matches none and still surfaces as the NULL-class group)."""
+    train = spark.createDataFrame(
+        [(1, "aa aa aa aa aa aa aa bb", "x"), (2, "aa cc", "y")],
+        "doc_id long, text string, lang string",
+    )
+    score = spark.createDataFrame(
+        [(10, "aa zz zz", "y"), (11, "aa", "x"), (12, "", "y")],
+        "doc_id long, text string, lang string",
+    )
+    bc = nb_classify(train, score)
+    salted = nb_classify(train, score, broadcast_max_cells=0)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(bc.collect(), key=key) == sorted(salted.collect(), key=key)
+
+    # Pin both probe plans directly (the probe executes inside the eager
+    # scored-groups checkpoint, so the returned plan can't show it).
+    from simple_anonymizer_spark.functions import textops as T
+    from simple_anonymizer_spark.operators.selection import _nb_probe
+
+    score_tok = score.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("__w")
+    )
+    dense = train.select(
+        F.explode(T.tokens(F.col("text"))).alias("__w"),
+        F.col("lang").alias("__cls"),
+        F.lit(1).cast("long").alias("__cost_bits"),
+    ).distinct()
+    bc_plan = (
+        _nb_probe(score_tok, dense, 6, 8, "doc_id", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    salted_plan = (
+        _nb_probe(score_tok, dense, 6, 0, "doc_id", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bc_plan and "__salt" not in bc_plan
+    # the salted branch joins on (__w, __salt); strategy stays
+    # planner-chosen (broadcast is fine when dense is genuinely small —
+    # the salt only guarantees hot tokens spread when it is not)
+    assert "__salt" in salted_plan

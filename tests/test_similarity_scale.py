@@ -308,3 +308,28 @@ def test_hard_negatives_exclude_positives_and_are_deterministic(spark):
     # reproducible: second run draws the identical negative sets
     again = hard_negatives(emb, q, k_pos=3, k_neg=5).collect()
     assert sorted(map(tuple, negs)) == sorted(map(tuple, again))
+
+
+def test_hyperplane_bucket_raises_beyond_max_dim(spark):
+    """Vectors wider than max_dim must FAIL LOUDLY (r13): the r12 weight
+    precomputation silently null-padded the projection for wide vectors,
+    sending every one to bucket 0 — one quadratic LSH bucket, no error."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    wide = spark.createDataFrame(
+        [(1, [0.5] * 300)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="max_dim"):
+        wide.select(
+            similarity.hyperplane_bucket(F.col("embedding"), planes=2)
+        ).collect()
+    # exactly max_dim is legal and computes a real (weighted) bucket
+    edge = spark.createDataFrame(
+        [(1, [0.5] * 256)], "vec_id long, embedding array<double>"
+    )
+    [r] = edge.select(
+        similarity.hyperplane_bucket(F.col("embedding"), planes=2)
+        .alias("bucket")
+    ).collect()
+    assert r.bucket is not None and 0 <= r.bucket < 4
