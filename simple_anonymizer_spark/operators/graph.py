@@ -51,6 +51,13 @@ def pagerank(
     # the same pattern as the self-ref closure's frontiers
     # (plans/propagation.py). A production cluster run would use a
     # reliable checkpoint dir; the algorithm is insensitive to it.
+    # r13: the caller's edge pipeline (e.g. the 4-table nation-trade
+    # join+aggregate) was declared FOUR times — twice under nodes, twice
+    # under norm_edges (edges + out_w) — and deduplication depended on
+    # runtime exchange reuse firing (the lsh_ingest lesson: bimodal).
+    # One eager checkpoint of the O(E) edge list runs the upstream once;
+    # everything below derives from the pinned RDD.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(src.alias("node"))
         .union(edges.select(dst.alias("node")))
