@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 from simple_anonymizer_spark.queries import QUERIES
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+                       "plans", os.environ.get("PLANS_ROUND", "r13"))
 
 
 def main() -> None:

@@ -38,6 +38,32 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
 
 
+def adjacent_pairs(arr: Column, pair_fn, empty_type: str) -> Column:
+    """Adjacent-element pairs of ``arr`` via ``pair_fn(x, y)``, with the
+    array bound ONCE as a lambda leaf (the one-element-array transform).
+
+    The naive ``when(size(arr) >= 2, zip_with(slice(arr, 1, n-1),
+    slice(arr, 2, n-1), ...))`` form references ``arr`` FIVE times;
+    higher-order-function expressions evaluate interpreted (outside
+    whole-stage codegen), where no subexpression elimination runs, so a
+    non-trivial ``arr`` (a tokenize split, an accumulated merge fold) was
+    re-evaluated five times per row (r13; the CLAUDE.md expression-count
+    trap). ``empty_type`` is the pair array's DDL type for the
+    under-two-elements branch. Output arrays are byte-identical to the
+    naive form."""
+    return F.transform(
+        F.array(arr),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                pair_fn,
+            ),
+        ).otherwise(F.array().cast(empty_type)),
+    )[0]
+
+
 def _salted_hasher(salt: str):
     # NB: higher-order functions inspect lambda arity (defaults included),
     # so loop captures must use closure factories, not default args.

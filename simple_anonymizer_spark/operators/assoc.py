@@ -61,14 +61,21 @@ def association_rules(
     # ONE scan of the transaction input: group straight to per-basket
     # sorted item sets (collect_set dedups within the basket, so no
     # separate distinct shuffle). supp, the basket total, and the pairs
-    # all derive from this grouped frame — Spark's exchange reuse serves
-    # the repeated references from one shuffle.
+    # all derive from this grouped frame.
+    # r13: `items` feeds THREE consumers (basket total, item supports,
+    # pair generation) and `supp` another three (the prune vocabulary +
+    # both metric joins) — six declared re-derivations of the grouped
+    # basket pipeline whose deduplication previously depended on runtime
+    # exchange reuse firing (bimodal — the lsh_ingest lesson). One eager
+    # checkpoint each pins the basket table (one shuffle, scanned three
+    # times) and the vocabulary-sized support table.
     items = (
         baskets.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .groupBy("basket")
         .agg(F.array_sort(F.collect_set("item")).alias("__items"))
+        .localCheckpoint(eager=True)
     )
     # Single-row basket total: broadcast into every output row instead of
     # collecting to the driver — keeps the operator fully lazy/composable.
@@ -78,6 +85,7 @@ def association_rules(
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
         .where(F.col("supp") >= min_item_support)
+        .localCheckpoint(eager=True)
     )
     # A-Priori prune BEFORE pair generation: drop every infrequent item
     # from each basket so a hub basket of m items emits C(m',2) pairs for

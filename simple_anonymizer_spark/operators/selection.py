@@ -52,14 +52,22 @@ def _doc_features(text_col) -> F.Column:
     distinct) — the DSIR paper's hashed n-gram feature space. Bigrams via
     sliced ``zip_with`` (in-row; never ``sequence(1, n)`` which DESCENDS
     for n < 1)."""
-    tok = T.tokens(text_col)
-    head = F.slice(tok, 1, F.size(tok) - 1)
-    tail = F.slice(tok, 2, F.size(tok) - 1)
-    bigrams = F.when(
-        F.size(tok) >= 2,
-        F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(tok, bigrams)
+    # tokenize split bound once per row (r13): the naive bigram form
+    # referenced it 5x inside the zip_with plus once in the concat.
+    return F.transform(
+        F.array(T.tokens(text_col)),
+        lambda t: F.concat(
+            t,
+            F.when(
+                F.size(t) >= 2,
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )[0]
 
 
 DSIR_SALT = "__dsir|"

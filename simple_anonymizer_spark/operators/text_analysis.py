@@ -274,17 +274,32 @@ def repetition_metrics(
     """
     df = _spread(df)
     tok = T.tokens(F.col(text_col))
-    head = F.slice(tok, 1, F.size(tok) - 1)
-    tail = F.slice(tok, 2, F.size(tok) - 1)
-    bigrams = F.when(
-        F.size(tok) >= 2,
-        F.zip_with(head, tail, lambda x, y: F.concat_ws(" ", x, y)),
-    ).otherwise(F.array().cast("array<string>"))
+    # r13: the tokenize split is bound ONCE as a lambda leaf — the naive
+    # form re-evaluated it 5x per row inside the bigram zip_with (the
+    # T.adjacent_pairs trap) plus twice for the size stats; every
+    # derived value now rides one struct over one evaluation.
     base = df.select(
         F.col(id_col),
-        F.size(tok).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tok)).cast("long").alias("__n_distinct"),
-        bigrams.alias("__bg"),
+        F.transform(
+            F.array(tok),
+            lambda t: F.struct(
+                F.size(t).cast("long").alias("n_tokens"),
+                F.size(F.array_distinct(t)).cast("long").alias("nd"),
+                F.when(
+                    F.size(t) >= 2,
+                    F.zip_with(
+                        F.slice(t, 1, F.size(t) - 1),
+                        F.slice(t, 2, F.size(t) - 1),
+                        lambda x, y: F.concat_ws(" ", x, y),
+                    ),
+                ).otherwise(F.array().cast("array<string>")).alias("bg"),
+            ),
+        )[0].alias("__st"),
+    ).select(
+        id_col,
+        F.col("__st.n_tokens").alias("n_tokens"),
+        F.col("__st.nd").alias("__n_distinct"),
+        F.col("__st.bg").alias("__bg"),
     )
     per_bigram = (
         base.select(id_col, F.explode("__bg").alias("__bigram"))
@@ -412,13 +427,12 @@ def bigram_lm(
     output is bounded by the distinct-bigram vocabulary, not corpus size.
     """
     df = _spread(df)
-    tok = T.tokens(F.col(text_col))
-    head = F.slice(tok, 1, F.size(tok) - 1)
-    tail = F.slice(tok, 2, F.size(tok) - 1)
-    pairs = F.when(
-        F.size(tok) >= 2,
-        F.zip_with(head, tail, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # tokenize split bound once per row (r13, T.adjacent_pairs)
+    pairs = T.adjacent_pairs(
+        T.tokens(F.col(text_col)),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
+    )
     exploded = df.select(F.explode(pairs).alias("__p")).select(
         F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
     )
@@ -472,16 +486,20 @@ def doc_surprisal(
     corpus-bounded; the total is a broadcast single-row aggregate.
     """
     if lm is None:
-        lm = bigram_lm(df, text_col=text_col, id_col=id_col)
+        # Trained inline, the LM table feeds TWO consumers (the total
+        # aggregate + the scoring join) — without the checkpoint each
+        # re-derived the full corpus bigram explode+aggregate (r13, the
+        # exchange-reuse lesson). The table is vocabulary²-bounded.
+        lm = bigram_lm(
+            df, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
     df = _spread(df)
-    tok = T.tokens(F.col(text_col))
-    head = F.slice(tok, 1, F.size(tok) - 1)
-    tail = F.slice(tok, 2, F.size(tok) - 1)
-    pairs = F.when(
-        F.size(tok) >= 2,
-        F.zip_with(head, tail,
-                   lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # tokenize split bound once per row (r13, T.adjacent_pairs)
+    pairs = T.adjacent_pairs(
+        T.tokens(F.col(text_col)),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
+    )
     doc_pairs = df.select(
         F.col(id_col), F.explode(pairs).alias("__p")
     ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
@@ -550,31 +568,37 @@ def pmi_collocations(
         return F.length(F.call_function("bin", col)).cast("long")
 
     tok = T.tokens(F.col(text_col))
-    head = F.slice(tok, 1, F.size(tok) - 1)
-    tail = F.slice(tok, 2, F.size(tok) - 1)
-    pairs = F.when(
-        F.size(tok) >= 2,
-        F.zip_with(head, tail,
-                   lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = (
+    # tokenize split bound once per row (r13, T.adjacent_pairs); the
+    # vocabulary-sized count tables checkpoint once — pair_counts feeds
+    # the min_count filter AND the corpus bigram total, uni feeds the
+    # unigram total AND both metric joins, so the corpus explodes run
+    # exactly twice (pairs, tokens) instead of three-plus times.
+    pairs = T.adjacent_pairs(
+        tok,
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
+    )
+    pair_counts = (
         df.select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .where(F.col("n_pair") >= min_count)
+        .localCheckpoint(eager=True)
     )
+    bi = pair_counts.where(F.col("n_pair") >= min_count)
     uni = (
         df.select(F.explode(tok).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        .localCheckpoint(eager=True)
     )
     totals = uni.agg(
         F.sum("n_w").cast("long").alias("__nu")
     ).crossJoin(
         F.broadcast(
-            df.select(F.explode(pairs).alias("__p"))
-            .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+            pair_counts.agg(
+                F.sum("n_pair").cast("long").alias("__nb")
+            )
         )
     )
     return (
