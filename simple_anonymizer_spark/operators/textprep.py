@@ -304,13 +304,22 @@ def scrub_duplicate_spans(
     for bit-parity with the oracle.
     """
     from ..functions import textops as T
+    from .dedup import ensure_parallelism
 
-    base = df.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
-    tok = base.select(
-        id_col, F.posexplode("__toks").alias("__pos", "__tok")
+    # ensure_parallelism: the positional gram explode is CPU-heavy and the
+    # single-file fixtures would serialize it onto 1-3 tasks (no-op at
+    # real scale — CLAUDE.md gotcha).
+    base = ensure_parallelism(df).select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("__toks")
     )
     n = F.size("__toks")
     starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # The gram table feeds two consumers (frequency aggregate + cover
+    # join) and the explode genuinely runs twice — but checkpointing it
+    # was measured a LOCAL WASH (r13 A/B x3: old med 4.9 s, new 5.3) and
+    # at scale the gram text is ~k x corpus bytes: materializing that to
+    # executor disk loses to recomputing a map-side explode. Left lazy
+    # deliberately (contrast: lsh_ingest's O(candidates) checkpoint).
     grams = (
         base.where(n > 0)
         .select(
@@ -329,6 +338,9 @@ def scrub_duplicate_spans(
         )
         .select(id_col, F.col("__sg.p").alias("__p"),
                 F.col("__sg.g").alias("__gram"))
+    )
+    tok = base.select(
+        id_col, F.posexplode("__toks").alias("__pos", "__tok")
     )
     dup = (
         grams.groupBy("__gram")
